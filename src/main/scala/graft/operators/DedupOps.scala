@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family — a first-class concern for a
+  * training-data pipeline at 100 TB (exact, n-gram Jaccard, MinHash-LSH,
+  * SimHash). Exact + Jaccard are oracle-checked; the approximate families
+  * use deterministic seeded hashes (xxhash64) and get rows-only checks.
+  *
+  * Scale notes: exact dedup is a hash shuffle on a 128-bit digest (uniform
+  * keys — no skew); MinHash-LSH turns the quadratic all-pairs problem into
+  * an equi-join on band signatures, which is the only formulation that
+  * survives 100 TB; the all-pairs Jaccard query is deliberately capped and
+  * exists for oracle verification of the similarity math.
+  */
+object DedupOps {
+
+  /** Exact dedup via content digest: group by md5(text), keep min doc_id
+    * (hash-groupBy exact dedup). */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  private val exactDedupSql =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  /** Token-set Jaccard similarity, top-100 most similar pairs. Relational
+    * decomposition: distinct tokens → self-join on shared token →
+    * |A∩B| / (|A|+|B|−|A∩B|). Verification-scale only (all-pairs); the
+    * LSH variants below are the 100 TB path. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_terms", "a_terms"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_terms", "b_terms"), "b_id")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("a_terms") + col("b_terms") - col("n_inter")), 6))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  private val jaccardPairsSql =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM toks2 a JOIN toks2 b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id,
+      |  round(n_inter / (sa.n_terms + sb.n_terms - n_inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin
+
+  /** Number of hash functions in the MinHash signature and LSH banding
+    * shape (8 bands × 4 rows). Seeded xxhash64 keeps it deterministic. */
+  val MinHashFns = 32
+  val Bands = 8
+  val RowsPerBand: Int = MinHashFns / Bands
+
+  /** MinHash signature column: array of min-over-tokens of seeded
+    * xxhash64(token, seed_i) — pure expressions, no UDF. */
+  private def minhashSig(tokens: org.apache.spark.sql.Column) = {
+    val hashes = (0 until MinHashFns).map { i =>
+      array_min(transform(tokens, t => xxhash64(lit(i), t)))
+    }
+    array(hashes: _*)
+  }
+
+  /** MinHash + LSH near-duplicate candidates: shingle → 32-fn signature →
+    * 8 bands → equi-join on (band, band-hash) buckets → exact Jaccard on
+    * candidates only. The join is the scale path: work is proportional to
+    * bucket collisions, not to n². Rows-only check (approximate family). */
+  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", minhashSig(col("toks")))
+    val banded = docs.select(col("doc_id"), posexplode(
+      array((0 until Bands).map(b =>
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** 64-bit SimHash per document from token xxhash64 bit-votes, plus its
+    * 4×16-bit bands (Hamming-distance candidates join on any equal band).
+    * Pure expression implementation; rows-only check. */
+  def simhashDocs(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .withColumn("h", xxhash64(col("term")))
+    // one row per (doc, bit): vote +1 if bit set else -1
+    val bits = toks.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote",
+        expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
+    val sim = bits.groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bitval",
+        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+    sim.selectExpr("doc_id", "simhash",
+        "simhash & 65535 AS band0",
+        "shiftright(simhash, 16) & 65535 AS band1",
+        "shiftright(simhash, 32) & 65535 AS band2",
+        "shiftright(simhash, 48) & 65535 AS band3")
+      .orderBy(col("doc_id"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
+    QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    QueryDef("d03_minhash_candidates", minhashCandidates, None),
+    QueryDef("d04_simhash", simhashDocs, None))
+}

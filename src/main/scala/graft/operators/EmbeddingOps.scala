@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (`ARRAY<FLOAT>` columns) —
+  * training-data-pipeline extension: brute-force cosine top-k as the
+  * verifiable baseline, random-hyperplane LSH bucketing as the 100 TB
+  * scale path (candidate generation becomes an equi-join on bucket ids
+  * instead of an n² cross join).
+  *
+  * All vector math is pure `zip_with`/`aggregate` expressions over
+  * double-cast elements — identical IEEE operation order to the DuckDB
+  * oracle's unnest-and-sum, so rounded results hash-match.
+  */
+object EmbeddingOps {
+
+  /** Brute-force cosine top-20 against a fixed query vector (vec_id 0).
+    * One broadcast of the query row; the scan side streams — at cluster
+    * scale this is a map-only pass. */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  private val knnBruteForceSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+      |      FROM embeddings e, q WHERE e.vec_id <> 0),
+      |s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+      |      FROM z GROUP BY vec_id)
+      |SELECT vec_id, round(dot / (nx * ny), 6) AS cos_sim FROM s
+      |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+
+  /** All-pairs cosine similarity above a threshold (embedding near-dup
+    * detection, exact form). Verification-scale; [[annLshCandidates]] is
+    * the scale path. */
+  def similarPairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = Tables.embeddings(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+  }
+
+  private val similarPairsSql =
+    """WITH p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |s AS (SELECT a_id, b_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+      |      FROM p GROUP BY a_id, b_id)
+      |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim FROM s
+      |WHERE round(dot / (na * nb), 6) >= 0.3
+      |ORDER BY cos_sim DESC, a_id, b_id""".stripMargin
+
+  /** Per-label centroid: posexplode → groupBy(label, pos) avg → re-reduce
+    * to the centroid L2 norm (vector aggregation without densifying). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"), col("pos"), col("col").cast("double").as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+        max(col("n")).as("n_vecs"))
+      .orderBy(col("label"))
+
+  private val labelCentroidsSql =
+    """WITH z AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+      |                  unnest(embedding)::DOUBLE AS x
+      |           FROM embeddings),
+      |m AS (SELECT label, pos, avg(x) AS m, count(*) AS n FROM z GROUP BY label, pos)
+      |SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+      |       CAST(max(n) AS BIGINT) AS n_vecs
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  /** Number of random hyperplanes for LSH bucketing (sign bits → bucket). */
+  val LshPlanes = 12
+
+  /** Random-hyperplane LSH: bucket = sign-bit string of `LshPlanes`
+    * deterministic pseudo-hyperplanes (seeded xxhash64-derived ±1
+    * components — no stored model needed, reproducible on any cluster).
+    * Candidates join on equal bucket; exact cosine re-ranks candidates.
+    * Rows-only check (approximate family). */
+  def annLshCandidates(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    // plane p component j = +1/-1 from xxhash64(p, j): dot sign via
+    // aggregate over zip of element index
+    val signBits = (0 until LshPlanes).map { p =>
+      val dotP = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, j) => x.cast("double") *
+            when(xxhash64(lit(p), j) % 2 === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotP >= 0, lit(1)).otherwise(lit(0)).as(s"b$p")
+    }
+    val bucketed = emb.withColumn("bucket",
+      concat(signBits.map(b => b.cast("string")): _*))
+    val a = bucketed.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),
+    QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
+    QueryDef("e03_label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    QueryDef("e04_ann_lsh", annLshCandidates, None))
+}

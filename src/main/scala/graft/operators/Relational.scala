@@ -1,0 +1,367 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator surface (SURVEY §2.1-2.6 as declared for the
+  * t2 duckdb-oracle harness): scans, filters/projection, equi/semi/anti
+  * joins, hash aggregation, window functions, rollup/cube, set ops, top-k.
+  *
+  * Scale design (100 TB): every query is one lazy Catalyst plan — filters
+  * and projections reach the parquet scan; `nation`/`region` (fixed-size
+  * dimensions) are explicitly broadcast; fact-fact joins shuffle on their
+  * keys and rely on AQE for skew/coalescing; no driver-side collect.
+  */
+object Relational {
+
+  private def rev: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1-style pricing summary: map-side partial aggregation into 6
+    * groups; scan reads only the 7 referenced columns. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(rev), 2).as("sum_disc_price"),
+        round(sum(rev * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '2001-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q5-style revenue by region/nation: two broadcast dims, two
+    * shuffled fact joins (orders⋈customer on custkey, lineitem⋈orders on
+    * orderkey). */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = broadcast(Tables.nation(s, d))
+    val r = broadcast(Tables.region(s, d))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val revenueByNationSql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** TPC-H Q3-style top-k: aggregate then global top-10 (TakeOrderedAndProject
+    * — no full sort shuffle). */
+  def topOrders(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.groupBy(col("l_orderkey"))
+      .agg(round(sum(rev), 2).as("revenue"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val topOrdersSql =
+    """SELECT o_orderkey, revenue, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |      FROM lineitem GROUP BY l_orderkey) r
+      |JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Semi join (EXISTS): orders with at least one line shipped after the
+    * order date, counted per priority. */
+  def orderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val orderPrioritySql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Window rank: top-3 orders per customer (SURVEY §2.5 T2/T4 pattern). */
+  def topOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val topOrdersPerCustomerSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** TPC-H Q6-style selective scan: all three predicates push to parquet. */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  private val forecastRevenueSql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers with no 1995 orders — the filter
+    * on the build side keeps the anti join non-degenerate at every SF. */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01"))),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val customersWithoutOrdersSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate < TIMESTAMP '1996-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** ROLLUP region→nation over customer balances; grouping nulls coalesced
+    * to 'ALL' so sort keys are non-null on both engines. */
+  def acctbalRollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+
+  private val acctbalRollupSql =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over returnflag × linestatus. */
+  def lineStatusCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private val lineStatusCubeSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** INTERSECT: nations present among both customers and suppliers. */
+  def nationsIntersect(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val cn = Tables.customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey")).select(col("n_name"))
+    val sn = Tables.supplier(s, d).join(broadcast(n), col("s_nationkey") === col("n_nationkey")).select(col("n_name"))
+    cn.intersect(sn).orderBy(col("n_name"))
+  }
+
+  private val nationsIntersectSql =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |INTERSECT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** EXCEPT: customer nations with no supplier presence. */
+  def nationsExcept(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val cn = Tables.customer(s, d).join(broadcast(n), col("c_nationkey") === col("n_nationkey")).select(col("n_name"))
+    val sn = Tables.supplier(s, d).join(broadcast(n), col("s_nationkey") === col("n_nationkey")).select(col("n_name"))
+    cn.except(sn).orderBy(col("n_name"))
+  }
+
+  private val nationsExceptSql =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |EXCEPT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** Exact distinct counts per group (expand-based count distinct). */
+  def distinctParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
+  private val distinctPartsSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** GROUP BY + HAVING over market segments. */
+  def segmentStats(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+      .filter(col("n_customers") >= 10)
+      .orderBy(col("c_mktsegment"))
+
+  private val segmentStatsSql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(avg(c_acctbal), 4) AS avg_acctbal
+      |FROM customer GROUP BY c_mktsegment
+      |HAVING count(*) >= 10 ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q14-style conditional aggregation: monthly promo revenue share.
+    * Ratio computed from the already-rounded components identically on both
+    * engines. */
+  def promoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2).as("promo_rev"),
+        round(sum(rev), 2).as("total_rev"))
+      .withColumn("promo_share", round(col("promo_rev") / col("total_rev"), 6))
+      .orderBy(col("month"))
+
+  private val promoShareSql =
+    """SELECT month, promo_rev, total_rev, round(promo_rev / total_rev, 6) AS promo_share
+      |FROM (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |    round(sum(CASE WHEN p_type = 'PROMO'
+      |                   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_rev,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1) t
+      |ORDER BY month""".stripMargin
+
+  /** Hourly tumbling aggregation over the events table (batch form of the
+    * streaming window operator — see graft.streaming for the readStream
+    * variant). */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val eventsHourlySql =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** JSON extraction from the events props column + aggregation. */
+  def eventsJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  private val eventsJsonSql =
+    """SELECT event_type,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sessionization: 30-minute-gap sessions per user via lag window —
+    * batch analog of the stateful streaming sessionizer. Gap compare in
+    * integral microseconds on both engines. */
+  def userSessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_s")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  private val userSessionsSql =
+    """WITH x AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+      |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
+    QueryDef("q03_top_orders", topOrders, Some(topOrdersSql)),
+    QueryDef("q04_order_priority", orderPriority, Some(orderPrioritySql)),
+    QueryDef("q05_top_orders_per_customer", topOrdersPerCustomer, Some(topOrdersPerCustomerSql)),
+    QueryDef("q06_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
+    QueryDef("q07_customers_without_orders", customersWithoutOrders, Some(customersWithoutOrdersSql)),
+    QueryDef("q08_acctbal_rollup", acctbalRollup, Some(acctbalRollupSql)),
+    QueryDef("q09_line_status_cube", lineStatusCube, Some(lineStatusCubeSql)),
+    QueryDef("q10_nations_intersect", nationsIntersect, Some(nationsIntersectSql)),
+    QueryDef("q11_nations_except", nationsExcept, Some(nationsExceptSql)),
+    QueryDef("q12_distinct_parts", distinctParts, Some(distinctPartsSql)),
+    QueryDef("q13_segment_stats", segmentStats, Some(segmentStatsSql)),
+    QueryDef("q14_promo_share", promoShare, Some(promoShareSql)),
+    QueryDef("q15_events_hourly", eventsHourly, Some(eventsHourlySql)),
+    QueryDef("q16_events_json", eventsJson, Some(eventsJsonSql)),
+    QueryDef("q17_user_sessions", userSessions, Some(userSessionsSql)))
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over the documents table (SURVEY §2.7-2.8 +
+  * training-data-pipeline extensions: quality scoring, language ID, token
+  * counting). All pure Column expressions — codegen'd, zero UDFs, so the
+  * whole stage stays inside WholeStageCodegen and scales linearly with
+  * input splits (no shuffle until the aggregations).
+  */
+object TextOps {
+
+  /** DuckDB equivalent of [[TextFunctions.cleanText]] — ASCII-explicit
+    * regexes keep Java regex and RE2 in agreement; 'g' flag because DuckDB
+    * regexp_replace is first-match by default (Spark's is global). */
+  private val cleanSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private val tokListSql = s"string_split($cleanSql, ' ')"
+
+  private def sqlStringList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** Reference clean_text chain (ref 02_build_models.R:25-41). */
+  def cleanDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("cleaned"))
+      .orderBy(col("doc_id"))
+
+  private val cleanDocsSql =
+    s"SELECT doc_id, $cleanSql AS cleaned FROM documents ORDER BY doc_id"
+
+  /** Corpus term frequencies: tokenize → explode → count (SURVEY A6). */
+  def wordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  private val wordCountsSql =
+    s"""SELECT word, count(*) AS n
+       |FROM (SELECT unnest($tokListSql) AS word FROM documents) t
+       |WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin
+
+  /** Per-document top-5 TF-IDF terms — tidytext-style tf·log10(N/df)
+    * weighting (ref 02_build_models.R:146-155, SURVEY T4/V6). Ranked by the
+    * rounded score so both engines see identical sort keys. */
+  def tfidfTop5(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log10(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val tfidfTop5Sql =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokListSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |  round(tf.tf * log10(n.n_docs / df.df), 6) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, term, tfidf,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Document quality scoring: token counts, alphabetic ratio, stopword
+    * ratio, composite score — the length/punct/stopword heuristics a
+    * training-data pipeline gates corpus quality on. */
+  def docQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val stop = TextFunctions.stopWords
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin(stop: _*))).cast("long"))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
+          when(length(col("text")) === 0, null).otherwise(length(col("text"))), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop") / when(col("n_tokens") === 0, null).otherwise(col("n_tokens")), 6))
+      .withColumn("quality_score",
+        round(lit(0.6) * col("alpha_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        col("alpha_ratio"), col("stop_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docQualitySql = {
+    val stop = sqlStringList(TextFunctions.stopWords)
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    len(list_filter($tokListSql, x -> x <> '')) AS n_tokens,
+       |    len(list_filter($tokListSql, x -> x IN ($stop))) AS n_stop,
+       |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) /
+       |          nullif(length(text), 0), 6) AS alpha_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_stop, alpha_ratio,
+       |  round(n_stop / nullif(n_tokens, 0), 6) AS stop_ratio,
+       |  round(0.6 * alpha_ratio +
+       |        0.4 * (1.0 - round(n_stop / nullif(n_tokens, 0), 6)), 6) AS quality_score
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic marker-word language heuristic (n-gram-free language ID
+    * — training-data-pipeline extension). Scores English function-word
+    * density; the heuristic itself is the declared operator. */
+  def langGuess(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val markers = Seq("the", "a", "and", "of", "is")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_marker", size(filter(toks, t => t.isin(markers: _*))).cast("long"))
+      .withColumn("marker_ratio",
+        round(col("n_marker") / when(col("n_tokens") === 0, null).otherwise(col("n_tokens")), 6))
+      .withColumn("lang_guess",
+        when(col("marker_ratio") >= 0.08, "en").otherwise("und"))
+      .select(col("doc_id"), col("marker_ratio"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langGuessSql = {
+    val markers = sqlStringList(Seq("the", "a", "and", "of", "is"))
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    len(list_filter($tokListSql, x -> x <> '')) AS n_tokens,
+       |    len(list_filter($tokListSql, x -> x IN ($markers))) AS n_marker
+       |  FROM documents)
+       |SELECT doc_id,
+       |  round(n_marker / nullif(n_tokens, 0), 6) AS marker_ratio,
+       |  CASE WHEN round(n_marker / nullif(n_tokens, 0), 6) >= 0.08
+       |       THEN 'en' ELSE 'und' END AS lang_guess
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  /** Bigram counts (SURVEY V1/V2 n-gram family; Spark side built from a
+    * pure expression n-gram generator, DuckDB side via lead()). */
+  def bigramCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.ngrams(TextFunctions.tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(30)
+
+  private val bigramCountsSql =
+    s"""WITH t AS (SELECT doc_id, $tokListSql AS l FROM documents),
+       |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word FROM t),
+       |b AS (SELECT word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       |      FROM w WHERE word <> '')
+       |SELECT bigram, count(*) AS n FROM b WHERE bigram IS NOT NULL
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
+    QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
+    QueryDef("t03_tfidf_top5", tfidfTop5, Some(tfidfTop5Sql)),
+    QueryDef("t04_doc_quality", docQuality, Some(docQualitySql)),
+    QueryDef("t05_lang_guess", langGuess, Some(langGuessSql)),
+    QueryDef("t06_bigram_counts", bigramCounts, Some(bigramCountsSql)))
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema'd readers for the driver test corpus (TESTDATA.md).
+  *
+  * Parquet carries its own schema, so readers are plain `spark.read.parquet`
+  * — Catalyst pushes column pruning + predicate filters into the scan.
+  * Mirrors the reference's source surface (SURVEY §2.1 S1-S5: CSV scan,
+  * projection-at-scan, glob/union) generalized to the parquet corpus; the
+  * reference reads CSVs with inferred schemas (ref 01_extract_features.R:463).
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
+    * reads as nano-epoch longs (spark.sql.legacy.parquet.nanosAsLong —
+    * set by graft.Sessions.configure). Truncate to micros to match the
+    * oracle's CAST(ts_ns AS TIMESTAMP) semantics. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** CSV scan with explicit schema — fail-fast replacement for the
+    * reference's inferred `read.csv` (ref 01_extract_features.R:463). */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}
