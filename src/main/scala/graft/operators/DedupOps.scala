@@ -36,8 +36,13 @@ object DedupOps {
     * |A∩B| / (|A|+|B|−|A∩B|). Verification-scale only (all-pairs); the
     * LSH variants below are the 100 TB path. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // All-pairs is O(n²) by construction — cap the verification window to
+    // the first 1000 docs (same cap in the oracle) so the operator stays
+    // exact but bounded at every SF. The MinHash path handles full scale.
     val toks = Tables.documents(s, d)
+      .filter(col("doc_id") < 1000)
       .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
@@ -56,7 +61,7 @@ object DedupOps {
   private val jaccardPairsSql =
     """WITH toks AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS term
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 1000),
       |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
       |sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks2 GROUP BY doc_id),
       |inter AS (
@@ -76,29 +81,51 @@ object DedupOps {
   val Bands = 8
   val RowsPerBand: Int = MinHashFns / Bands
 
-  /** MinHash signature column: array of min-over-tokens of seeded
-    * xxhash64(token, seed_i) — pure expressions, no UDF. */
-  private def minhashSig(tokens: org.apache.spark.sql.Column) = {
-    val hashes = (0 until MinHashFns).map { i =>
-      array_min(transform(tokens, t => xxhash64(lit(i), t)))
-    }
-    array(hashes: _*)
+  /** MinHash signatures via explode + 32 codegen'd min-aggregates (one
+    * shuffle, no interpreted higher-order array scans): doc → shingles →
+    * min(xxhash64(seed_i, shingle)) per seed → signature array. */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(col("toks")).as("shingle"))
+    val aggs = (0 until MinHashFns).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinHashFns).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** MinHash + LSH near-duplicate candidates: shingle → 32-fn signature →
-    * 8 bands → equi-join on (band, band-hash) buckets → exact Jaccard on
-    * candidates only. The join is the scale path: work is proportional to
-    * bucket collisions, not to n². Rows-only check (approximate family). */
+  /** Buckets larger than this are skipped as degenerate (boilerplate
+    * shingle sets) — standard LSH guard that bounds the candidate join at
+    * any scale. */
+  val MaxBucketSize = 50
+
+  /** MinHash + LSH near-duplicate candidates: 3-token shingles → 32-fn
+    * signature → 8 bands → equi-join on (band, band-hash) buckets → exact
+    * candidates. The join is the scale path: work is proportional to
+    * bucket collisions, not to n², and oversized buckets are dropped.
+    * Rows-only check (approximate family). */
   def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(TextFunctions.tokens(col("text"))).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("sig", minhashSig(col("toks")))
+    val tokenized = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
+    val docs = minhashSignatures(
+      TextFunctions.withNgrams(tokenized, "words", "shingles", 3)
+        .select(col("doc_id"), array_distinct(col("shingles")).as("toks"))
+        .filter(size(col("toks")) > 0))
+    // The banded relation feeds the bucket-size guard AND both sides of
+    // the candidate self-join — without persist the whole
+    // tokenize→shingle→signature subtree would be recomputed 4×
+    // (self-joins defeat common-subexpression reuse). At cluster scale
+    // this is the natural "materialize signatures once" checkpoint.
     val banded = docs.select(col("doc_id"), posexplode(
       array((0 until Bands).map(b =>
         xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("a").join(banded.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, MaxBucketSize))
+      .select(col("band"), col("bucket"))
+    val pruned = banded.join(smallBuckets, Seq("band", "bucket"))
+    pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.functions.VectorFunctions._
+import graft.expressions.VectorExpressions.{arrayDot, arrayNorm, fastCosine}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * scale path (candidate generation becomes an equi-join on bucket ids
   * instead of an n² cross join).
   *
-  * All vector math is pure `zip_with`/`aggregate` expressions over
-  * double-cast elements — identical IEEE operation order to the DuckDB
+  * Vector math runs through the codegen'd kernels in
+  * [[graft.expressions.VectorExpressions]] (double-cast elements,
+  * sequential sum) — identical IEEE operation order to the DuckDB
   * oracle's unnest-and-sum, so rounded results hash-match.
   */
 object EmbeddingOps {
@@ -26,7 +27,7 @@ object EmbeddingOps {
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .select(col("vec_id"), round(fastCosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(20)
   }
@@ -44,11 +45,13 @@ object EmbeddingOps {
     * detection, exact form). Verification-scale; [[annLshCandidates]] is
     * the scale path. */
   def similarPairs(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.embeddings(s, d).select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = Tables.embeddings(s, d).select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
+        round(arrayDot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
   }
@@ -114,7 +117,7 @@ object EmbeddingOps {
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
+        round(fastCosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
       .limit(100)
   }

@@ -153,8 +153,10 @@ object TextOps {
   /** Bigram counts (SURVEY V1/V2 n-gram family; Spark side built from a
     * pure expression n-gram generator, DuckDB side via lead()). */
   def bigramCounts(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(explode(TextFunctions.ngrams(TextFunctions.tokens(col("text")), 2)).as("bigram"))
+    TextFunctions.withNgrams(
+        Tables.documents(s, d).select(TextFunctions.tokens(col("text")).as("words")),
+        "words", "bigrams", 2)
+      .select(explode(col("bigrams")).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
