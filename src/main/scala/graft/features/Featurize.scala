@@ -1,0 +1,92 @@
+package graft.features
+
+import graft.functions.TextFunctions
+import org.apache.spark.ml.linalg.{SparseVector, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational quanteda-style TF-IDF featurization (SURVEY §2.8 V1-V7),
+  * re-expressing the reference's tokens(1:3) → dfm → dfm_tfidf →
+  * reduce_dfm chain (ref 02_build_models.R:161-180) as lazy Spark plans.
+  *
+  * Design decisions (SURVEY §7.4):
+  *  - quanteda weighting: tfidf = count · log10(N/df)  (not Spark IDF's
+  *    smoothed ln form) — scheme parity with dfm_tfidf;
+  *  - vocabulary = top-N terms by summed TF-IDF mass (ref reduce_dfm),
+  *    NOT CountVectorizer's doc-frequency pruning — different term set;
+  *  - stays sparse end to end (the reference accidentally densifies at
+  *    02_build_models.R:177 — we deliberately don't).
+  *
+  * Scale: everything before vector assembly is (doc, term) rows — shuffle
+  * keys are terms/docs with bounded skew; the vocabulary index (≤ vocabSize
+  * entries) is the only driver-side collect, broadcast back.
+  */
+object Featurize {
+
+  /** Stopword-filtered unigrams per doc (clean chain + F6). */
+  def wordsCol(textCol: Column): Column =
+    filter(TextFunctions.tokens(textCol),
+      t => !t.isin(TextFunctions.stopWords: _*))
+
+  /** Explode 1+2+3-gram terms per document (quanteda tokens ngrams=1:3,
+    * space-joined; ref 02_build_models.R:162). */
+  def docTerms(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), wordsCol(col(textCol)).as("w1"))
+    val g3 = TextFunctions.withNgrams(
+      TextFunctions.withNgrams(toks, "w1", "w2", 2), "w1", "w3", 3)
+    g3.select(col("doc_id"),
+        explode(concat(col("w1"), col("w2"), col("w3"))).as("term"))
+      .filter(col("term") =!= "")
+  }
+
+  /** (doc_id, term, cnt) counts — the DFM in relational form (V3). */
+  def termCounts(docTerms: DataFrame): DataFrame =
+    docTerms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** quanteda dfm_tfidf: weight = cnt · log10(N / df) (V5). */
+  def tfidf(counts: DataFrame, nDocs: Long): DataFrame = {
+    val df = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    counts.join(df, "term")
+      .withColumn("weight", col("cnt") * log10(lit(nDocs.toDouble) / col("df")))
+      .select(col("doc_id"), col("term"), col("weight"))
+  }
+
+  /** Top-N vocabulary by summed TF-IDF mass (V7/T1; ref reduce_dfm
+    * 02_build_models.R:174-180) → (term, idx) with dense 0-based ids in
+    * mass-descending order (term asc tiebreak for determinism). */
+  def topVocab(weights: DataFrame, n: Int): DataFrame = {
+    val w = Window.orderBy(col("mass").desc, col("term"))
+    weights.groupBy(col("term")).agg(sum(col("weight")).as("mass"))
+      .withColumn("idx", row_number().over(w) - 1)
+      .filter(col("idx") < n)
+      .select(col("term"), col("idx"))
+  }
+
+  private val toSparse =
+    udf { (size: Int, idx: Seq[Int], vals: Seq[Double]) =>
+      val pairs = idx.zip(vals).sortBy(_._1).toArray
+      Vectors.sparse(size, pairs.map(_._1), pairs.map(_._2)).asInstanceOf[SparseVector]
+    }
+
+  /** Assemble per-doc SparseVector features over the fixed vocabulary.
+    * Docs with no in-vocab terms are dropped (non-empty-doc filter P4 —
+    * ref 04_cluster_refiner.R:33-35). */
+  def vectors(weights: DataFrame, vocab: DataFrame, vocabSize: Int): DataFrame =
+    weights.join(vocab, "term")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("idx")).as("is"), collect_list(col("weight")).as("vs"))
+      .select(col("doc_id"), toSparse(lit(vocabSize), col("is"), col("vs")).as("features"))
+
+  /** Full featurization: docs → (features DF, vocab DF, weights DF).
+    * `weights` is reusable for top-terms/coherence without recompute. */
+  def features(docs: DataFrame, vocabSize: Int = 2000,
+               textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val n = docs.count()
+    val w = tfidf(termCounts(docTerms(docs, textCol)), n)
+    val vocab = topVocab(w, vocabSize)
+    val inVocab = w.join(vocab, "term")
+    (vectors(w, vocab, vocabSize), vocab, inVocab)
+  }
+}
