@@ -21,7 +21,10 @@ object ClusterPipeline {
   def fit(docs: DataFrame, k: Int = 15, seed: Long = 123,
           vocabSize: Int = 2000): (DataFrame, DataFrame, KMeansModel) = {
     val (feats, _, weights) = Featurize.features(docs, vocabSize)
-    val cached = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager materialization: the iterative KMeans fit re-reads features
+    // every iteration. localCheckpoint cuts lineage and is GC-released
+    // after the query (persist() would leak cache in a shared session).
+    val cached = feats.localCheckpoint()
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(cached)

@@ -34,17 +34,21 @@ private object VecGen {
     }
 }
 
-/** Σ aᵢ·bᵢ with doubles, sequential order. */
+/** Σ aᵢ·bᵢ with doubles, sequential order. Null on length mismatch —
+  * matching the interpreted `aggregate(zip_with(...))` form (zip_with
+  * pads the shorter side with nulls, poisoning the sum to null), so the
+  * documented bit-equality holds for ragged inputs too. */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = VecGen.toDoubles(left.dataType, a)
     val y = VecGen.toDoubles(right.dataType, b)
+    if (x.length != y.length) return null
     var s = 0.0
     var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    while (i < x.length) { s += x(i) * y(i); i += 1 }
     s
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,12 +58,16 @@ case class ArrayDot(left: Expression, right: Expression)
       val ax = VecGen.getter(left.dataType, a, i)
       val bx = VecGen.getter(right.dataType, b, i)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_s += ($ax) * ($bx);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double ${ev.value}_s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value}_s += ($ax) * ($bx);
+         |  }
+         |  ${ev.value} = ${ev.value}_s;
          |}
-         |${ev.value} = ${ev.value}_s;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -45,22 +45,30 @@ object Featurize {
   def termCounts(docTerms: DataFrame): DataFrame =
     docTerms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
 
-  /** quanteda dfm_tfidf: weight = cnt · log10(N / df) (V5). */
-  def tfidf(counts: DataFrame, nDocs: Long): DataFrame = {
+  /** quanteda dfm_tfidf: weight = cnt · log10(N / df) (V5). N arrives as
+    * a broadcast 1-row aggregate — no separate eager count() scan. */
+  def tfidf(counts: DataFrame, docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val df = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     counts.join(df, "term")
-      .withColumn("weight", col("cnt") * log10(lit(nDocs.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("weight", col("cnt") * log10(col("n_docs") / col("df")))
       .select(col("doc_id"), col("term"), col("weight"))
   }
 
   /** Top-N vocabulary by summed TF-IDF mass (V7/T1; ref reduce_dfm
     * 02_build_models.R:174-180) → (term, idx) with dense 0-based ids in
-    * mass-descending order (term asc tiebreak for determinism). */
+    * mass-descending order (term asc tiebreak for determinism).
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition top-N,
+    * driver merge of ≤n rows) — the term space can be billions of 1-3-grams
+    * at 100 TB, so no un-partitioned global sort/window ever sees it; the
+    * row_number window only ranks the already-bounded ≤n survivors. */
   def topVocab(weights: DataFrame, n: Int): DataFrame = {
+    val top = weights.groupBy(col("term")).agg(sum(col("weight")).as("mass"))
+      .orderBy(col("mass").desc, col("term"))
+      .limit(n)
     val w = Window.orderBy(col("mass").desc, col("term"))
-    weights.groupBy(col("term")).agg(sum(col("weight")).as("mass"))
-      .withColumn("idx", row_number().over(w) - 1)
-      .filter(col("idx") < n)
+    top.withColumn("idx", row_number().over(w) - 1)
       .select(col("term"), col("idx"))
   }
 
@@ -83,8 +91,7 @@ object Featurize {
     * `weights` is reusable for top-terms/coherence without recompute. */
   def features(docs: DataFrame, vocabSize: Int = 2000,
                textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
-    val n = docs.count()
-    val w = tfidf(termCounts(docTerms(docs, textCol)), n)
+    val w = tfidf(termCounts(docTerms(docs, textCol)), docs)
     val vocab = topVocab(w, vocabSize)
     val inVocab = w.join(vocab, "term")
     (vectors(w, vocab, vocabSize), vocab, inVocab)

@@ -39,10 +39,14 @@ object DedupOps {
     // All-pairs is O(n²) by construction — cap the verification window to
     // the first 1000 docs (same cap in the oracle) so the operator stays
     // exact but bounded at every SF. The MinHash path handles full scale.
+    // localCheckpoint (eager): materialized once for the three downstream
+    // uses, lineage cut, and the backing blocks are released by the
+    // ContextCleaner when the plan is GC'd — no cross-query cache leak
+    // (a bare persist() would stay pinned for the whole shared session).
     val toks = Tables.documents(s, d)
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
@@ -111,15 +115,16 @@ object DedupOps {
         .select(col("doc_id"), array_distinct(col("shingles")).as("toks"))
         .filter(size(col("toks")) > 0))
     // The banded relation feeds the bucket-size guard AND both sides of
-    // the candidate self-join — without persist the whole
+    // the candidate self-join — without materialization the whole
     // tokenize→shingle→signature subtree would be recomputed 4×
-    // (self-joins defeat common-subexpression reuse). At cluster scale
-    // this is the natural "materialize signatures once" checkpoint.
+    // (self-joins defeat common-subexpression reuse). localCheckpoint is
+    // eager, cuts lineage, and its blocks are GC-released after the query
+    // (a bare persist() would leak cache across the shared session).
     val banded = docs.select(col("doc_id"), posexplode(
       array((0 until Bands).map(b =>
         xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val smallBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, MaxBucketSize))
@@ -135,22 +140,21 @@ object DedupOps {
 
   /** 64-bit SimHash per document from token xxhash64 bit-votes, plus its
     * 4×16-bit bands (Hamming-distance candidates join on any equal band).
+    * Single-pass: 64 conditional-sum aggregates over (doc, token) rows —
+    * one shuffle keyed on doc_id, no tokens×64 bit explode (64× fewer
+    * shuffle rows than the naive per-bit formulation).
     * Pure expression implementation; rows-only check. */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .withColumn("h", xxhash64(col("term")))
-    // one row per (doc, bit): vote +1 if bit set else -1
-    val bits = toks.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
-    val sim = bits.groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval",
-        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    val votes = (0 until 64).map(b =>
+      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"v$b"))
+    val bitvals = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    val sim = toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bitvals.reduce(_ + _).as("simhash"))
     sim.selectExpr("doc_id", "simhash",
         "simhash & 65535 AS band0",
         "shiftright(simhash, 16) & 65535 AS band1",

@@ -42,10 +42,13 @@ object EmbeddingOps {
       |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
   /** All-pairs cosine similarity above a threshold (embedding near-dup
-    * detection, exact form). Verification-scale; [[annLshCandidates]] is
-    * the scale path. */
+    * detection, exact form). All-pairs is O(n²) by construction — the
+    * verification window is capped to vec_id < 1000 (same cap in the
+    * oracle) so the operator stays exact but bounded at every SF;
+    * [[annLshCandidates]] is the scale path. */
   def similarPairs(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
@@ -60,7 +63,8 @@ object EmbeddingOps {
     """WITH p AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000),
       |s AS (SELECT a_id, b_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
       |      FROM p GROUP BY a_id, b_id)
       |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim FROM s
@@ -89,33 +93,71 @@ object EmbeddingOps {
       |       CAST(max(n) AS BIGINT) AS n_vecs
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
-  /** Number of random hyperplanes for LSH bucketing (sign bits → bucket). */
-  val LshPlanes = 12
+  /** LSH banding shape: `LshBands` independent bands of `LshPlanesPerBand`
+    * random hyperplanes each. Multiple bands trade precision for recall
+    * (a pair is a candidate if ANY band bucket matches) — single-band LSH
+    * has unknown recall, the standard multi-band construction bounds it. */
+  val LshBands = 4
+  val LshPlanesPerBand = 8
 
-  /** Random-hyperplane LSH: bucket = sign-bit string of `LshPlanes`
-    * deterministic pseudo-hyperplanes (seeded xxhash64-derived ±1
-    * components — no stored model needed, reproducible on any cluster).
-    * Candidates join on equal bucket; exact cosine re-ranks candidates.
+  /** Embedding dimensionality of the test corpus (plane vectors are
+    * generated at this length; longer embeddings would need dim passed in). */
+  val EmbeddingDim = 64
+
+  /** Buckets larger than this are skipped as degenerate — the guard that
+    * bounds the candidate join at any scale (mirrors the MinHash guard). */
+  val LshMaxBucketSize = 100
+
+  /** Deterministic ±1 hyperplane components from a splitmix64-style hash —
+    * computed driver-side once, shipped as literal arrays so the per-row
+    * projection runs through the codegen'd ArrayDot kernel (no interpreted
+    * higher-order array scans in the hot path). */
+  private def planeVector(band: Int, plane: Int): Array[Double] = {
+    var z = (band.toLong << 32) ^ (plane.toLong * 0x9E3779B97F4A7C15L) ^ 0x5851F42D4C957F2DL
+    Array.fill(EmbeddingDim) {
+      z += 0x9E3779B97F4A7C15L
+      var x = z
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x = x ^ (x >>> 31)
+      if ((x & 1L) == 0L) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH candidates: per band, bucket = sign-bit string
+    * of the band's plane projections; candidates equi-join on
+    * (band, bucket) with an oversized-bucket guard; exact cosine re-ranks.
+    * Work is proportional to bucket collisions, not n² — the 100 TB path.
     * Rows-only check (approximate family). */
   def annLshCandidates(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-    // plane p component j = +1/-1 from xxhash64(p, j): dot sign via
-    // aggregate over zip of element index
-    val signBits = (0 until LshPlanes).map { p =>
-      val dotP = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, j) => x.cast("double") *
-            when(xxhash64(lit(p), j) % 2 === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotP >= 0, lit(1)).otherwise(lit(0)).as(s"b$p")
+    val bandBuckets = (0 until LshBands).map { b =>
+      val bits = (0 until LshPlanesPerBand).map { p =>
+        when(arrayDot(col("embedding"), lit(planeVector(b, p))) >= 0, "1").otherwise("0")
+      }
+      concat(bits: _*)
     }
-    val bucketed = emb.withColumn("bucket",
-      concat(signBits.map(b => b.cast("string")): _*))
-    val a = bucketed.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+    // (vec_id, band, bucket) only — the 64-float embedding does NOT ride
+    // through the band explode + candidate shuffle; it is joined back just
+    // for the exact re-rank of the (much smaller) candidate set.
+    val banded = emb
+      .select(col("vec_id"), posexplode(array(bandBuckets: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint()
+    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, LshMaxBucketSize))
+      .select(col("band"), col("bucket"))
+    val pruned = banded.join(smallBuckets, Seq("band", "bucket"))
+    val candidates = pruned.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(fastCosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))

@@ -292,9 +292,9 @@ object Relational {
       |  GROUP BY 1) t
       |ORDER BY month""".stripMargin
 
-  /** Hourly tumbling aggregation over the events table (batch form of the
-    * streaming window operator — see graft.streaming for the readStream
-    * variant). */
+  /** Hourly tumbling aggregation over the events table (batch form of
+    * the streaming tumbling-window operator in
+    * [[graft.streaming.EventStreams]]). */
   def eventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
@@ -317,8 +317,8 @@ object Relational {
 
   private val eventsJsonSql =
     """SELECT event_type,
-      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
