@@ -46,15 +46,17 @@ object ClusterPipeline {
   }
 
   /** T3 top-k terms per cluster by summed TF-IDF mass (ref
-    * extract_cluster_terms 02_build_models.R:617-642). */
+    * extract_cluster_terms 02_build_models.R:617-642). Ranks on the
+    * 6dp-rounded mass (term asc tiebreak) — float summation order varies
+    * with partitioning, so raw-sum ranking would be nondeterministic. */
   def topTerms(weights: DataFrame, assignments: DataFrame, topN: Int): DataFrame = {
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("mass").desc, col("term"))
     weights.join(assignments.select(col("doc_id"), col("cluster")), "doc_id")
       .groupBy(col("cluster"), col("term"))
-      .agg(sum(col("weight")).as("mass"))
+      .agg(round(sum(col("weight")), 6).as("mass"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topN)
-      .select(col("cluster"), col("term"), round(col("mass"), 6).as("mass"), col("rnk"))
+      .select(col("cluster"), col("term"), col("mass"), col("rnk"))
   }
 }

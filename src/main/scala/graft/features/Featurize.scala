@@ -62,9 +62,13 @@ object Featurize {
     * orderBy+limit plans as TakeOrderedAndProject (per-partition top-N,
     * driver merge of ≤n rows) — the term space can be billions of 1-3-grams
     * at 100 TB, so no un-partitioned global sort/window ever sees it; the
-    * row_number window only ranks the already-bounded ≤n survivors. */
+    * row_number window only ranks the already-bounded ≤n survivors.
+    * Ranking uses the 6dp-rounded mass: float summation order varies with
+    * partitioning, so ranking raw sums would make the selected vocabulary
+    * itself nondeterministic across runs/engines. */
   def topVocab(weights: DataFrame, n: Int): DataFrame = {
-    val top = weights.groupBy(col("term")).agg(sum(col("weight")).as("mass"))
+    val top = weights.groupBy(col("term"))
+      .agg(round(sum(col("weight")), 6).as("mass"))
       .orderBy(col("mass").desc, col("term"))
       .limit(n)
     val w = Window.orderBy(col("mass").desc, col("term"))

@@ -1,9 +1,167 @@
 package graft.ml
 
 import graft.QueryDef
+import graft.cluster.ClusterPipeline
+import graft.coherence.ProbCoherence
+import graft.features.Featurize
+import graft.oracle.DuckFragments
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Placeholder registry for the ML pipeline queries — populated as the
-  * cluster/coherence/refine modules land. */
+/** The ML featurization/clustering pipeline wired into the correctness
+  * harness (SURVEY §2.4 A1-A8, §2.5 T1-T3, §2.8 V1-V7, §2.9 M1/M6).
+  *
+  * m01-m05 are the pure-relational stages of the reference's modeling
+  * flow (ref 02_build_models.R:161-190 featurize, :617-642 top terms,
+  * :466-471 coherence) and carry full DuckDB oracles. m04/m05 run over
+  * deterministic hash-partition clusters (doc_id % 10) so the per-cluster
+  * operators are oracle-checkable independently of K-means; m06 runs the
+  * real seeded K-means fit (invariant/rows-only check — Lloyd iterations
+  * aren't SQL-expressible).
+  */
 object MlQueries {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Shared CTE chain: 1-3-gram terms → counts → quanteda tf-idf weights
+    * (≙ [[Featurize.docTerms]]/[[Featurize.termCounts]]/[[Featurize.tfidf]]). */
+  private val termsCte: String = {
+    val words = DuckFragments.wordsListSql
+    s"""base AS (SELECT doc_id, $words AS l FROM documents),
+       |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w FROM base),
+       |g2 AS (SELECT doc_id, pos, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS t FROM w),
+       |g3 AS (SELECT doc_id, pos, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+       |       || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t FROM w),
+       |terms AS (
+       |  SELECT doc_id, w AS term FROM w
+       |  UNION ALL SELECT doc_id, t FROM g2 WHERE t IS NOT NULL
+       |  UNION ALL SELECT doc_id, t FROM g3 WHERE t IS NOT NULL),
+       |tc AS (SELECT doc_id, term, count(*) AS n FROM terms GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+       |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+       |weights AS (SELECT doc_id, term, n * log10(n_docs / df) AS weight
+       |            FROM tc JOIN dfreq USING (term) CROSS JOIN nd)""".stripMargin
+  }
+
+  /** Hash-partition pseudo-clusters: deterministic, SQL-expressible stand-in
+    * for K-means assignments so per-cluster operators get real oracles. */
+  private def hashClusters(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), (col("doc_id") % 10).as("cluster"))
+
+  private def weights(s: SparkSession, d: String): DataFrame =
+    Featurize.tfidf(
+      Featurize.termCounts(Featurize.docTerms(Tables.documents(s, d))),
+      Tables.documents(s, d))
+
+  /** m01 — V1/V3/A6: 1-3-gram document-term counts (the relational DFM). */
+  def docTermCounts(s: SparkSession, d: String): DataFrame =
+    Featurize.termCounts(Featurize.docTerms(Tables.documents(s, d)))
+      .select(col("doc_id"), col("term"), col("cnt").as("n"))
+      .orderBy(col("doc_id"), col("term"))
+
+  private val docTermCountsSql =
+    "WITH " + termsCte + """
+      |SELECT doc_id, term, CAST(n AS BIGINT) AS n FROM tc
+      |ORDER BY doc_id, term""".stripMargin
+
+  /** m02 — V5: quanteda dfm_tfidf weighting cnt·log10(N/df). */
+  def tfidfQuanteda(s: SparkSession, d: String): DataFrame =
+    weights(s, d)
+      .select(col("doc_id"), col("term"), round(col("weight"), 6).as("weight"))
+      .orderBy(col("doc_id"), col("term"))
+
+  private val tfidfQuantedaSql =
+    "WITH " + termsCte + """
+      |SELECT doc_id, term, round(weight, 6) AS weight FROM weights
+      |ORDER BY doc_id, term""".stripMargin
+
+  /** m03 — V7/T1: top-2000 vocabulary by summed TF-IDF mass with dense ids
+    * (ref reduce_dfm 02_build_models.R:174-180). */
+  def topVocab(s: SparkSession, d: String): DataFrame =
+    Featurize.topVocab(weights(s, d), 2000)
+      .select(col("term"), col("idx").cast("long").as("idx"))
+      .orderBy(col("idx"))
+
+  private val topVocabSql =
+    "WITH " + termsCte + """,
+       |mass AS (SELECT term, round(sum(weight), 6) AS mass FROM weights GROUP BY term)
+       |SELECT term, CAST(row_number() OVER (ORDER BY mass DESC, term) - 1 AS BIGINT) AS idx
+       |FROM (SELECT term, mass FROM mass ORDER BY mass DESC, term LIMIT 2000) t
+       |ORDER BY idx""".stripMargin
+
+  /** m04 — A2/T3: top-5 terms per cluster by TF-IDF mass (ref
+    * extract_cluster_terms 02_build_models.R:617-642), over hash-clusters. */
+  def clusterTopTerms(s: SparkSession, d: String): DataFrame =
+    ClusterPipeline.topTerms(weights(s, d), hashClusters(Tables.documents(s, d)), 5)
+      .orderBy(col("cluster"), col("rnk"))
+
+  private val clusterTopTermsSql =
+    "WITH " + termsCte + """,
+       |asg AS (SELECT doc_id, doc_id % 10 AS cluster FROM documents),
+       |cmass AS (SELECT cluster, term, round(sum(weight), 6) AS mass
+       |          FROM weights JOIN asg USING (doc_id) GROUP BY cluster, term),
+       |ranked AS (SELECT cluster, term, mass,
+       |           row_number() OVER (PARTITION BY cluster ORDER BY mass DESC, term) AS rnk FROM cmass)
+       |SELECT cluster, term, mass, CAST(rnk AS BIGINT) AS rnk FROM ranked
+       |WHERE rnk <= 5 ORDER BY cluster, rnk""".stripMargin
+
+  /** m05 — A8/A10: Mimno probabilistic coherence of each cluster's top-5
+    * terms + per-cluster doc counts, sorted worst-last (the coherence
+    * report, ref 02_build_models.R:466-471, 790-853). */
+  def coherenceReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val asg = hashClusters(docs)
+    val w = weights(s, d)
+    val top = ClusterPipeline.topTerms(w, asg, 5)
+    ProbCoherence.perCluster(
+      Featurize.docTerms(docs), asg, top)
+      .orderBy(col("coherence").desc, col("cluster"))
+  }
+
+  private val coherenceReportSql =
+    "WITH " + termsCte + """,
+       |asg AS (SELECT doc_id, doc_id % 10 AS cluster FROM documents),
+       |cmass AS (SELECT cluster, term, round(sum(weight), 6) AS mass
+       |          FROM weights JOIN asg USING (doc_id) GROUP BY cluster, term),
+       |top AS (SELECT cluster, term, rnk FROM (
+       |        SELECT cluster, term, mass,
+       |               row_number() OVER (PARTITION BY cluster ORDER BY mass DESC, term) AS rnk
+       |        FROM cmass) z WHERE rnk <= 5),
+       |presence AS (SELECT DISTINCT a.cluster, t.doc_id, tp.rnk
+       |             FROM terms t JOIN asg a USING (doc_id)
+       |             JOIN top tp ON tp.cluster = a.cluster AND tp.term = t.term),
+       |ndocs AS (SELECT cluster, count(*) AS n_docs FROM asg GROUP BY cluster),
+       |dw AS (SELECT cluster, rnk, count(*) AS d FROM presence GROUP BY cluster, rnk),
+       |cooc AS (SELECT a.cluster, a.rnk AS ri, b.rnk AS rj, count(*) AS dij
+       |         FROM presence a JOIN presence b
+       |           ON a.cluster = b.cluster AND a.doc_id = b.doc_id AND a.rnk < b.rnk
+       |         GROUP BY a.cluster, a.rnk, b.rnk),
+       |pairs AS (SELECT i.cluster, i.rnk AS ri, j.rnk AS rj, i.d AS di, j.d AS dj
+       |          FROM dw i JOIN dw j ON i.cluster = j.cluster AND i.rnk < j.rnk),
+       |sc AS (SELECT p.cluster, COALESCE(c.dij, 0) / p.di - p.dj / n.n_docs AS score, n.n_docs
+       |       FROM pairs p
+       |       LEFT JOIN cooc c ON c.cluster = p.cluster AND c.ri = p.ri AND c.rj = p.rj
+       |       JOIN ndocs n ON n.cluster = p.cluster)
+       |SELECT cluster, round(avg(score), 6) AS coherence, CAST(max(n_docs) AS BIGINT) AS n_docs
+       |FROM sc GROUP BY cluster ORDER BY coherence DESC, cluster""".stripMargin
+
+  /** m06 — M1/A4/A5/M6: the real pipeline — featurize → seeded K-means
+    * k=15 → per-cluster size + within-cluster SSQ (ref apply_clustering +
+    * update_kmeans_model 02_build_models.R:183-190, 391-450). Rows-only:
+    * Lloyd's iterations aren't SQL-expressible; invariants (k rows, dense
+    * ids, seed determinism) are asserted in ClusterPipelineSpec. */
+  def kmeansStats(s: SparkSession, d: String): DataFrame = {
+    val (asg, _, model) = ClusterPipeline.fit(Tables.documents(s, d), k = 15, seed = 123)
+    ClusterPipeline.withinss(asg, model)
+      .select(col("cluster").cast("long").as("cluster"),
+        col("withinss"), col("n_docs"))
+      .orderBy(col("cluster"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
+    QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
+    QueryDef("m03_top_vocab", topVocab, Some(topVocabSql)),
+    QueryDef("m04_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql)),
+    QueryDef("m05_coherence_report", coherenceReport, Some(coherenceReportSql)),
+    QueryDef("m06_kmeans_stats", kmeansStats, None))
 }

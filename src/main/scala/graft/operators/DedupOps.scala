@@ -63,8 +63,8 @@ object DedupOps {
   }
 
   private val jaccardPairsSql =
-    """WITH toks AS (
-      |  SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS term
+    s"""WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(${graft.oracle.DuckFragments.tokListSql}) AS term
       |  FROM documents WHERE doc_id < 1000),
       |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
       |sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks2 GROUP BY doc_id),

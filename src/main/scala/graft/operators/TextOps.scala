@@ -15,16 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** DuckDB equivalent of [[TextFunctions.cleanText]] — ASCII-explicit
-    * regexes keep Java regex and RE2 in agreement; 'g' flag because DuckDB
-    * regexp_replace is first-match by default (Spark's is global). */
-  private val cleanSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\\s+', ' ', 'g'))"
-
-  private val tokListSql = s"string_split($cleanSql, ' ')"
-
+  // DuckDB fragments shared with every text-chain oracle (single source
+  // of truth in graft.oracle.DuckFragments).
+  private val cleanSql = graft.oracle.DuckFragments.cleanSql
+  private val tokListSql = graft.oracle.DuckFragments.tokListSql
   private def sqlStringList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString(", ")
+    graft.oracle.DuckFragments.sqlStringList(ws)
 
   /** Reference clean_text chain (ref 02_build_models.R:25-41). */
   def cleanDocs(s: SparkSession, d: String): DataFrame =
