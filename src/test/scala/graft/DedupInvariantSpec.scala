@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.DedupOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Quality invariants the rows-only MinHash check can't see: recall
+  * against the exact 3-shingle Jaccard (every high-similarity pair must
+  * be a candidate — the corpus has no exact duplicates, only near-dups)
+  * and precision (candidates must actually be similar, not random
+  * banding collisions). Deterministic: seeded hashes over fixed data. */
+class DedupInvariantSpec extends SparkSpec {
+
+  /** Exact 3-shingle Jaccard for all pairs at sf0.001 (500 docs — the
+    * all-pairs join is test-scale only). */
+  private lazy val shingleJaccard: Map[(Long, Long), Double] = {
+    val sh = TextFunctions.withNgrams(
+        Tables.documents(spark, sfTiny)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words")),
+        "words", "shingles", 3)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("ni") / (col("na") + col("nb") - col("ni"))).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+  }
+
+  test("minhash recall: every pair with shingle-Jaccard ≥ 0.85 is a candidate") {
+    val high = shingleJaccard.filter(_._2 >= 0.85).keySet
+    assert(high.nonEmpty, "fixture should contain near-duplicate pairs")
+    val candidates = DedupOps.minhashCandidates(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = high -- candidates
+    assert(missed.isEmpty, s"near-dup pairs missed by LSH: $missed")
+  }
+
+  test("minhash precision: candidates are genuinely similar pairs") {
+    val candidates = DedupOps.minhashCandidates(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(candidates.nonEmpty)
+    val js = candidates.map(p => shingleJaccard.getOrElse(p, 0.0))
+    assert(js.forall(_ >= 0.3),
+      s"low-similarity candidate slipped through: min=${js.min}")
+  }
+
+  test("exact dedup groups: keep_id is the min doc_id of each text group") {
+    val got = DedupOps.exactDedup(spark, sfTiny)
+    val agg = got.agg(sum(col("n_copies")).as("total")).collect().head.getLong(0)
+    val nDocs = Tables.documents(spark, sfTiny).count()
+    assert(agg === nDocs, "every doc belongs to exactly one hash group")
+  }
+}

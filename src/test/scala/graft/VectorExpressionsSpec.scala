@@ -1,0 +1,52 @@
+package graft
+
+import graft.expressions.VectorExpressions.{arrayDot, arrayNorm, fastCosine}
+import org.apache.spark.sql.functions._
+
+/** Codegen'd vector kernels vs the interpreted higher-order-function
+  * forms they claim bit-equality with. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)),
+    (Array(0.0f, 0.0f), Array(0.0f, 1.0f)),
+    (Array(0.25f, -0.75f, 1.5f, 2.25f), Array(1.125f, 0.5f, -0.25f, 3.0f))
+  ).toDF("a", "b")
+
+  private def interpretedDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  test("ArrayDot is bit-equal to aggregate(zip_with(...))") {
+    val got = vecs.select(
+      arrayDot(col("a"), col("b")).as("fast"), interpretedDot.as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("ArrayDot returns null on ragged inputs (zip_with pad semantics)") {
+    val ragged = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val got = ragged.select(arrayDot(col("a"), col("b")).as("d")).collect().head
+    assert(got.isNullAt(0))
+    // and the interpreted form agrees (null-poisoned sum)
+    val slow = ragged.select(interpretedDot.as("d")).collect().head
+    assert(slow.isNullAt(0))
+  }
+
+  test("ArrayNorm is sqrt of sequential sum of squares") {
+    val got = vecs.select(arrayNorm(col("a")).as("n")).as[Double].collect()
+    val want = Seq(
+      math.sqrt(1.0 + 4.0 + 9.0),
+      0.0,
+      math.sqrt(0.25 * 0.25 + 0.75 * 0.75 + 1.5 * 1.5 + 2.25 * 2.25))
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("fastCosine of identical vectors is 1") {
+    val self = Seq(Tuple1(Array(0.5f, -1.25f, 2.0f))).toDF("a")
+    val got = self.select(fastCosine(col("a"), col("a")).as("c"))
+      .as[Double].collect().head
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+}
