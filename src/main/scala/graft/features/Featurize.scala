@@ -82,14 +82,23 @@ object Featurize {
       Vectors.sparse(size, pairs.map(_._1), pairs.map(_._2)).asInstanceOf[SparseVector]
     }
 
-  /** Assemble per-doc SparseVector features over the fixed vocabulary.
-    * Docs with no in-vocab terms are dropped (non-empty-doc filter P4 —
-    * ref 04_cluster_refiner.R:33-35). */
-  def vectors(weights: DataFrame, vocab: DataFrame, vocabSize: Int): DataFrame =
-    weights.join(vocab, "term")
+  private def assemble(df: DataFrame, vocab: DataFrame, vocabSize: Int,
+                       valCol: Column): DataFrame =
+    df.join(vocab, "term")
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("idx")).as("is"), collect_list(col("weight")).as("vs"))
+      .agg(collect_list(col("idx")).as("is"), collect_list(valCol).as("vs"))
       .select(col("doc_id"), toSparse(lit(vocabSize), col("is"), col("vs")).as("features"))
+
+  /** Assemble per-doc SparseVector TF-IDF features over the fixed
+    * vocabulary. Docs with no in-vocab terms are dropped (non-empty-doc
+    * filter P4 — ref 04_cluster_refiner.R:33-35). */
+  def vectors(weights: DataFrame, vocab: DataFrame, vocabSize: Int): DataFrame =
+    assemble(weights, vocab, vocabSize, col("weight"))
+
+  /** Assemble per-doc SparseVector term-COUNT features (the DTM an LDA
+    * fit consumes — topic models want counts, not TF-IDF weights). */
+  def countVectors(counts: DataFrame, vocab: DataFrame, vocabSize: Int): DataFrame =
+    assemble(counts, vocab, vocabSize, col("cnt").cast("double"))
 
   /** Full featurization: docs → (features DF, vocab DF, weights DF).
     * `weights` is reusable for top-terms/coherence without recompute. */

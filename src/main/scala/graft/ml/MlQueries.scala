@@ -157,11 +157,43 @@ object MlQueries {
       .orderBy(col("cluster"))
   }
 
+  /** m07 — M2-M7 + J2/J3: the full optimization pipeline — featurize →
+    * K-means → coherence gate → adaptive-k LDA split (theta-argmax
+    * reassignment) → dense renumber → cosine merge → refreshed stats
+    * (ref optimize_clusters_with_coherence
+    * ...optimised_clusters.R:831-900). threshold=0.5 forces the split
+    * attempt on the synthetic corpus's low-coherence catch-all cluster
+    * (the corpus is topic-free bag-of-words, so the LDA usually finds one
+    * dominant topic and the reassignment is a no-op — the structured A2
+    * fixture in RefineSpec proves real splits). Rows-only: iterative
+    * LDA/K-means fits aren't SQL-expressible. */
+  def ldaOptimize(s: SparkSession, d: String): DataFrame =
+    graft.api.ModelPipeline.optimize(Tables.documents(s, d), k = 15, seed = 123,
+      params = graft.refine.LdaSplitter.Params(
+        kRange = 2 to 4, coherenceThreshold = 0.5, minDocsForSplit = 10,
+        maxIter = 10),
+      mergeThreshold = 0.9)
+      .select(col("cluster").cast("long").as("cluster"), col("n_docs"), col("withinss"))
+      .orderBy(col("cluster"))
+
+  /** m08 — M6/M7/J3: cosine centroid merge + dense renumber + refreshed
+    * stats over the seeded K-means fit (no LDA stage — isolates the
+    * merge/renumber/refresh path). Rows-only. */
+  def clusterMerge(s: SparkSession, d: String): DataFrame = {
+    val (asg, _, _) = ClusterPipeline.fit(Tables.documents(s, d), k = 15, seed = 123)
+    graft.refine.ModelRefresh.stats(
+        graft.api.ModelPipeline.merge(asg, threshold = 0.9))
+      .select(col("cluster").cast("long").as("cluster"), col("n_docs"), col("withinss"))
+      .orderBy(col("cluster"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
     QueryDef("m03_top_vocab", topVocab, Some(topVocabSql)),
     QueryDef("m04_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql)),
     QueryDef("m05_coherence_report", coherenceReport, Some(coherenceReportSql)),
-    QueryDef("m06_kmeans_stats", kmeansStats, None))
+    QueryDef("m06_kmeans_stats", kmeansStats, None),
+    QueryDef("m07_lda_optimize", ldaOptimize, None),
+    QueryDef("m08_cluster_merge", clusterMerge, None))
 }
