@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object ModelPipeline {
 
-  /** Everything downstream stages need, fitted once.
-    * All members are lazy plans except `assignments` (checkpointed —
-    * K-means iterates over it). */
+  /** Everything downstream stages need, fitted once. `counts` is the
+    * single materialization point: every downstream stage (weights,
+    * vocab, vectors, coherence presence) derives from it, so the
+    * tokenize→ngram→count subtree runs exactly once per pipeline instead
+    * of once per stage. `docTerms` for coherence is counts-projected —
+    * coherence binarizes anyway, and counts already holds distinct
+    * (doc, term) pairs. */
   final case class Fitted(
-      docTerms: DataFrame,    // (doc_id, term)
-      counts: DataFrame,      // (doc_id, term, cnt)
+      docTerms: DataFrame,    // (doc_id, term) distinct pairs
+      counts: DataFrame,      // (doc_id, term, cnt), checkpointed
       weights: DataFrame,     // (doc_id, term, weight)
       vocab: DataFrame,       // (term, idx)
       vocabTerms: Array[String],
@@ -31,8 +35,8 @@ object ModelPipeline {
 
   def fit(docs: DataFrame, k: Int = 15, seed: Long = 123,
           vocabSize: Int = 2000): Fitted = {
-    val docTerms = Featurize.docTerms(docs)
-    val counts = Featurize.termCounts(docTerms)
+    val counts = Featurize.termCounts(Featurize.docTerms(docs)).localCheckpoint()
+    val docTerms = counts.select(col("doc_id"), col("term"))
     val weights = Featurize.tfidf(counts, docs)
     val vocab = Featurize.topVocab(weights, vocabSize).localCheckpoint()
     val vocabTerms = {

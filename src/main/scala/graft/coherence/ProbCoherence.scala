@@ -25,11 +25,15 @@ object ProbCoherence {
     */
   def perCluster(docTerms: DataFrame, assignments: DataFrame,
                  topTerms: DataFrame): DataFrame = {
+    // presence is re-read by four branches (dw, both sides of the cooc
+    // self-join, and pairs via dw) — materialize it once. It is tiny by
+    // construction: ≤ n_docs × M rows (M = top terms per cluster).
     val presence = docTerms
       .join(assignments.select(col("doc_id"), col("cluster")), "doc_id")
       .join(topTerms.select(col("cluster"), col("term"), col("rnk")), Seq("cluster", "term"))
       .select(col("cluster"), col("doc_id"), col("term"), col("rnk"))
       .distinct()
+      .localCheckpoint()
     val nDocs = assignments.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
     val dw = presence.groupBy(col("cluster"), col("term"), col("rnk"))
       .agg(count(lit(1)).as("d"))

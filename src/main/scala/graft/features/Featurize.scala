@@ -104,7 +104,10 @@ object Featurize {
     * `weights` is reusable for top-terms/coherence without recompute. */
   def features(docs: DataFrame, vocabSize: Int = 2000,
                textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
-    val w = tfidf(termCounts(docTerms(docs, textCol)), docs)
+    // one materialization of the tokenize→ngram→count subtree; the vocab
+    // ranking, weight join, and vector assembly all re-read it
+    val counts = termCounts(docTerms(docs, textCol)).localCheckpoint()
+    val w = tfidf(counts, docs)
     val vocab = topVocab(w, vocabSize)
     val inVocab = w.join(vocab, "term")
     (vectors(w, vocab, vocabSize), vocab, inVocab)

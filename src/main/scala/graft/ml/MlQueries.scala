@@ -110,10 +110,14 @@ object MlQueries {
   def coherenceReport(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val asg = hashClusters(docs)
-    val w = weights(s, d)
+    // one materialization of the tokenize→count subtree: weights and the
+    // coherence presence both re-read it (docTerms binarizes to the same
+    // distinct (doc, term) pairs counts already holds)
+    val counts = Featurize.termCounts(Featurize.docTerms(docs)).localCheckpoint()
+    val w = Featurize.tfidf(counts, docs)
     val top = ClusterPipeline.topTerms(w, asg, 5)
     ProbCoherence.perCluster(
-      Featurize.docTerms(docs), asg, top)
+      counts.select(col("doc_id"), col("term")), asg, top)
       .orderBy(col("coherence").desc, col("cluster"))
   }
 
@@ -170,8 +174,8 @@ object MlQueries {
   def ldaOptimize(s: SparkSession, d: String): DataFrame =
     graft.api.ModelPipeline.optimize(Tables.documents(s, d), k = 15, seed = 123,
       params = graft.refine.LdaSplitter.Params(
-        kRange = 2 to 4, coherenceThreshold = 0.5, minDocsForSplit = 10,
-        maxIter = 10),
+        kRange = 2 to 3, coherenceThreshold = 0.5, minDocsForSplit = 10,
+        maxIter = 5),
       mergeThreshold = 0.9)
       .select(col("cluster").cast("long").as("cluster"), col("n_docs"), col("withinss"))
       .orderBy(col("cluster"))

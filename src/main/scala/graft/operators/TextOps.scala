@@ -166,11 +166,34 @@ object TextOps {
        |SELECT bigram, count(*) AS n FROM b WHERE bigram IS NOT NULL
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin
 
+  /** POS-filtered keyword extraction (SURVEY V8/P3 — the reference's
+    * cleaned_text_1 stage, ref 02_build_models.R:69-85): rule-tag tokens,
+    * keep NOUN+VERB, first-occurrence-distinct, ", "-join. The rule
+    * tagger's CASE chain is identical on both engines. */
+  def posKeywords(s: SparkSession, d: String): DataFrame =
+    graft.text.PosStage.posKeywords(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  private val posKeywordsSql = {
+    val tag = graft.text.RulePosTagger.tagSql("w")
+    s"""WITH t AS (SELECT doc_id, $tokListSql AS l FROM documents),
+       |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w FROM t),
+       |nv AS (SELECT doc_id, pos, w,
+       |         row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS rn
+       |       FROM w WHERE w <> '' AND ($tag) IN ('NOUN', 'VERB')),
+       |agg AS (SELECT doc_id, string_agg(w, ', ' ORDER BY pos) AS pos_keywords
+       |        FROM nv WHERE rn = 1 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.pos_keywords, '') AS pos_keywords
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
     QueryDef("t03_tfidf_top5", tfidfTop5, Some(tfidfTop5Sql)),
     QueryDef("t04_doc_quality", docQuality, Some(docQualitySql)),
     QueryDef("t05_lang_guess", langGuess, Some(langGuessSql)),
-    QueryDef("t06_bigram_counts", bigramCounts, Some(bigramCountsSql)))
+    QueryDef("t06_bigram_counts", bigramCounts, Some(bigramCountsSql)),
+    QueryDef("t07_pos_keywords", posKeywords, Some(posKeywordsSql)))
 }

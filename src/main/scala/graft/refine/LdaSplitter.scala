@@ -1,7 +1,7 @@
 package graft.refine
 
 import graft.coherence.ProbCoherence
-import org.apache.spark.ml.clustering.LDA
+import org.apache.spark.ml.clustering.{LDA, LDAModel}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   * coherence, and reassign the cluster's docs to their theta-argmax
   * topic as fresh cluster ids.
   *
-  * Control flow is driver-orchestrated over cached per-cluster slices
-  * (SURVEY §7.4.8 — per-cluster iterative fits don't fit one lazy plan);
-  * every per-doc computation stays distributed. MLlib LDA (online/EM)
-  * replaces the reference's Gibbs/VEM fits — parity is seeded
-  * reproducibility + invariants, not bit-identical topics (§7.4.3). One
-  * LDA config is used for sweep and final assignment (the reference
-  * inconsistently drops alpha/beta on its final refit — §7.4.5).
+  * Control flow is driver-orchestrated (per-cluster iterative fits don't
+  * fit one lazy plan — SURVEY §7.4.8), but the orchestration is BATCHED:
+  * one materialization of all split-cluster docs, then the LDA fits
+  * (small, per-(cluster,k)), then ONE relational coherence evaluation
+  * for every (cluster, k, topic) via synthetic composite keys, then one
+  * union of theta-argmax reassignments. A naive per-(cluster,k) loop
+  * issues dozens of tiny Spark jobs whose fixed scheduling overhead —
+  * not data — dominates; batching keeps job count O(#fits), each fit
+  * cheap, and the coherence scan O(1).
+  *
+  * MLlib LDA (online/EM) replaces the reference's Gibbs/VEM fits —
+  * parity is seeded reproducibility + invariants, not bit-identical
+  * topics (§7.4.3). One LDA config is used for sweep and final
+  * assignment (the reference inconsistently drops alpha/beta on its
+  * final refit — §7.4.5).
   */
 object LdaSplitter {
 
@@ -33,24 +41,16 @@ object LdaSplitter {
       optimizer: String = "online",
       seed: Long = 1234)
 
-  /** Mean Mimno coherence of a topic set against the cluster's docs:
-    * every doc is paired with every topic (D(w) and N range over the
-    * whole cluster), then the shared relational coherence decomposition
-    * runs per topic. */
-  private def avgTopicCoherence(clusterDocTerms: DataFrame, docIds: DataFrame,
-                                topicTerms: DataFrame): Double = {
-    val topics = topicTerms.select(col("cluster")).distinct()
-    val crossAsg = docIds.crossJoin(topics)
-    val perTopic = ProbCoherence.perCluster(clusterDocTerms, crossAsg, topicTerms)
-    val r = perTopic.agg(avg(col("coherence"))).collect().head
-    if (r.isNullAt(0)) Double.NegativeInfinity else r.getDouble(0)
-  }
+  // synthetic coherence key for (cluster, k, topic) — bounded by
+  // k ≤ 999 topics and cluster ids < 2^43
+  private def synthKey(c: Int, k: Int, topic: Int): Long =
+    (c.toLong * 1000L + k.toLong) * 1000L + topic.toLong
 
   /** Split every low-coherence cluster. Returns (doc_id, cluster) with
     * split docs reassigned to fresh ids (dense-renumber afterwards —
     * [[Renumber.dense]] — to restore canonical ids).
     *
-    * @param docTerms    (doc_id, term) exploded corpus terms
+    * @param docTerms    (doc_id, term) distinct corpus term pairs
     * @param countVecs   (doc_id, features) term-count vectors (the DTM —
     *                    LDA consumes counts, not TF-IDF)
     * @param assignments (doc_id, cluster)
@@ -69,43 +69,82 @@ object LdaSplitter {
     }.toSeq.sorted
     if (toSplit.isEmpty) return assignments.select(col("doc_id"), col("cluster"))
 
-    var nextId = scores.keys.max + 1
-    var result = assignments.select(col("doc_id"), col("cluster"))
-      .filter(!col("cluster").isin(toSplit: _*))
+    // Fresh-id offsets precomputed from the SORTED candidate order; the
+    // gaps (clusters splitting into < kRange.max topics) are closed by
+    // the dense renumber that follows.
+    val maxId = scores.keys.max
+    val offsets = toSplit.zipWithIndex
+      .map { case (c, i) => c -> (maxId + 1 + i * params.kRange.max) }.toMap
 
-    for (c <- toSplit) {
-      val docIds = assignments.filter(col("cluster") === c).select(col("doc_id"))
-      val slice = countVecs.join(docIds, "doc_id").localCheckpoint()
-      val clusterTerms = docTerms.join(docIds, "doc_id").localCheckpoint()
+    // ONE materialization of every doc that participates in any split
+    val splitDocs = countVecs
+      .join(assignments.filter(col("cluster").isin(toSplit: _*))
+        .select(col("doc_id"), col("cluster")), "doc_id")
+      .localCheckpoint()
 
-      // k-sweep: fit once per k, score by mean topic coherence
-      val fits = params.kRange.map { k =>
-        val model = new LDA().setK(k).setSeed(params.seed)
-          .setOptimizer(params.optimizer).setMaxIter(params.maxIter)
-          .setFeaturesCol("features")
-          .fit(slice)
-        val topicTerms = model.describeTopics(params.topM).collect()
-          .flatMap { r =>
-            val topic = r.getInt(0)
-            r.getSeq[Int](1).zipWithIndex.map { case (ti, rank) =>
-              (topic, vocabTerms(ti), (rank + 1).toLong)
-            }
-          }.toSeq.toDF("cluster", "term", "rnk")
-        val coh = avgTopicCoherence(clusterTerms, docIds, topicTerms)
-        (k, model, coh)
+    // all (cluster, k) fits — each on a lazy filter of the checkpointed
+    // slice, so no per-slice materialization job
+    val models: Map[(Int, Int), LDAModel] = (for {
+      c <- toSplit; k <- params.kRange
+    } yield {
+      val slice = splitDocs.filter(col("cluster") === c).select("doc_id", "features")
+      (c, k) -> new LDA().setK(k).setSeed(params.seed)
+        .setOptimizer(params.optimizer).setMaxIter(params.maxIter)
+        .setFeaturesCol("features")
+        .fit(slice)
+    }).toMap
+
+    // ONE coherence evaluation for every (cluster, k, topic):
+    // topic top-terms under synthetic keys + docs-of-c × keys-of-c
+    // cross-assignment, through the shared relational decomposition
+    val topicTermRows = models.toSeq.flatMap { case ((c, k), m) =>
+      m.describeTopics(params.topM).collect().flatMap { r =>
+        val topic = r.getInt(0)
+        r.getSeq[Int](1).zipWithIndex.map { case (ti, rank) =>
+          (synthKey(c, k, topic), vocabTerms(ti), (rank + 1).toLong)
+        }
       }
-      val (_, best, _) = fits.maxBy(_._3)
+    }
+    val topicTerms = topicTermRows.toDF("cluster", "term", "rnk")
+    val keyRows = models.toSeq.flatMap { case ((c, k), m) =>
+      (0 until m.getK).map(t => (c, synthKey(c, k, t)))
+    }
+    val keys = keyRows.toDF("orig_cluster", "cluster")
+    val crossAsg = assignments.filter(col("cluster").isin(toSplit: _*))
+      .select(col("doc_id"), col("cluster").as("orig_cluster"))
+      .join(broadcast(keys), "orig_cluster")
+      .select(col("doc_id"), col("cluster"))
+    val perTopic = ProbCoherence.perCluster(docTerms, crossAsg, topicTerms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-      // theta-argmax reassignment (T7) onto fresh ids
-      val theta = best.transform(slice)
+    // best k per cluster by mean topic coherence (topics with no scored
+    // pairs contribute nothing; a (c,k) with no scores at all falls back
+    // to the smallest k)
+    val bestK: Map[Int, Int] = toSplit.map { c =>
+      val scored = params.kRange.map { k =>
+        val topicScores = (0 until models((c, k)).getK)
+          .flatMap(t => perTopic.get(synthKey(c, k, t)))
+        k -> (if (topicScores.isEmpty) Double.NegativeInfinity
+              else topicScores.sum / topicScores.size)
+      }
+      c -> scored.maxBy(_._2)._1
+    }.toMap
+
+    // theta-argmax reassignment (T7) onto each cluster's fresh id range,
+    // one lazy union materialized by the caller
+    val reassigned = toSplit.map { c =>
+      val slice = splitDocs.filter(col("cluster") === c).select("doc_id", "features")
+      models((c, bestK(c))).transform(slice)
         .withColumn("arr", vector_to_array(col("topicDistribution")))
         .withColumn("topic",
           (array_position(col("arr"), array_max(col("arr"))) - 1).cast("int"))
-      val reassigned = theta.select(col("doc_id"),
-        (col("topic") + lit(nextId)).cast(assignments.schema("cluster").dataType).as("cluster"))
-      nextId += best.getK
-      result = result.unionByName(reassigned)
+        .select(col("doc_id"),
+          (col("topic") + lit(offsets(c)))
+            .cast(assignments.schema("cluster").dataType).as("cluster"))
     }
-    result
+
+    val kept = assignments.select(col("doc_id"), col("cluster"))
+      .filter(!col("cluster").isin(toSplit: _*))
+    reassigned.foldLeft(kept)(_ unionByName _)
   }
 }
