@@ -24,33 +24,55 @@ object TextFunctions {
   def collapseWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
   /** Full clean chain ≙ reference clean_text (ref 02_build_models.R:25-41):
-    * lower → strip punct/nums → collapse whitespace → trim.
-    * (Contraction expansion F2 is a separate dictionary pass, see
-    * [[expandContractions]].) */
-  def cleanText(c: Column): Column = collapseWs(stripNonAlpha(toLower(c)))
+    * lower → expand contractions → strip punct/nums → collapse
+    * whitespace → trim. Contractions run BEFORE punctuation stripping
+    * (the apostrophe is still intact), exactly as the reference chains
+    * replace_contraction before removePunctuation (ref :28 vs :32). */
+  def cleanText(c: Column): Column =
+    collapseWs(stripNonAlpha(expandContractions(toLower(c))))
 
-  /** F2 contraction expansion — deterministic dictionary, longest-first
+  /** F2 contraction expansion — deterministic dictionary applied in
+    * declaration order, specific entries before the generic suffix rules
     * (ref 02_build_models.R:28 textclean::replace_contraction). */
   val contractions: Seq[(String, String)] = Seq(
-    "won't" -> "will not", "can't" -> "cannot", "n't" -> " not",
+    "won't" -> "will not", "can't" -> "cannot", "it's" -> "it is",
+    "let's" -> "let us", "n't" -> " not",
     "'re" -> " are", "'ve" -> " have", "'ll" -> " will",
-    "'d" -> " would", "'m" -> " am", "it's" -> "it is", "let's" -> "let us")
+    "'d" -> " would", "'m" -> " am")
 
   def expandContractions(c: Column): Column =
     contractions.foldLeft(c) { case (col, (k, v)) =>
       regexp_replace(col, java.util.regex.Pattern.quote(k), v)
     }
 
-  /** English stopword list (subset of snowball, matching the reference's
-    * tm::stopwords("en") usage, ref 02_build_models.R:35) plus the
-    * reference's custom noise words (ref 02_build_models.R:36). */
+  /** Snowball English stopword list ≙ tm::stopwords("en") (ref
+    * 02_build_models.R:35), restricted to its apostrophe-free entries —
+    * the contracted forms ("don't", "i'm", …) can never survive this
+    * engine's clean chain because contraction expansion rewrites them to
+    * words that are themselves on the list. Plus the reference's custom
+    * noise words (ref 02_build_models.R:35-36). */
   val stopWords: Seq[String] = Seq(
-    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
-    "has", "have", "he", "her", "his", "i", "in", "is", "it", "its", "of",
-    "on", "or", "she", "that", "the", "their", "they", "this", "to", "was",
-    "we", "were", "will", "with", "you",
+    // snowball en (plain-word subset)
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "your", "yours", "yourself", "yourselves",
+    "he", "him", "his", "himself", "she", "her", "hers", "herself",
+    "it", "its", "itself", "they", "them", "their", "theirs", "themselves",
+    "what", "which", "who", "whom", "this", "that", "these", "those",
+    "am", "is", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "having", "do", "does", "did", "doing",
+    "would", "should", "could", "ought", "cannot",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as",
+    "until", "while", "of", "at", "by", "for", "with", "about",
+    "against", "between", "into", "through", "during", "before",
+    "after", "above", "below", "to", "from", "up", "down", "in",
+    "out", "on", "off", "over", "under", "again", "further", "then",
+    "once", "here", "there", "when", "where", "why", "how", "all",
+    "any", "both", "each", "few", "more", "most", "other", "some",
+    "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "will",
     // reference-specific noise words:
-    "project", "focuses", "team", "users")
+    "project", "focuses", "team", "users",
+    "excuse", "tongue", "sticking", "loring")
 
   /** Whitespace tokenization of cleaned text → array<string> with empties
     * dropped. Deterministic and oracle-expressible (string_split + filter). */

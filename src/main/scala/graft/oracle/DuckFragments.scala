@@ -14,9 +14,16 @@ import graft.functions.TextFunctions
   */
 object DuckFragments {
 
-  /** ≙ [[TextFunctions.cleanText]] over a `text` column. */
-  val cleanSql: String =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  /** ≙ [[TextFunctions.cleanText]] over a `text` column: lower →
+    * contraction replaces (generated from the SAME dictionary, nested
+    * innermost-first so application order matches the Scala fold; plain
+    * substring replace ≙ Pattern.quote'd regexp_replace) → strip → trim. */
+  val cleanSql: String = {
+    val expanded = TextFunctions.contractions.foldLeft("lower(text)") {
+      case (acc, (k, v)) => s"replace($acc, '${k.replace("'", "''")}', '$v')"
+    }
+    s"trim(regexp_replace(regexp_replace($expanded, '[^a-z ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+  }
 
   /** Token list (may contain '' entries — filter downstream). */
   val tokListSql: String = s"string_split($cleanSql, ' ')"

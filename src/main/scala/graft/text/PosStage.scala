@@ -30,7 +30,11 @@ object PosStage {
     * for use inside mapPartitions (equivalence tested in PosStageSpec). */
   def tokenize(text: String): Seq[String] = {
     if (text == null) return Seq.empty
-    text.toLowerCase
+    val lowered = text.toLowerCase
+    val expanded = TextFunctions.contractions.foldLeft(lowered) {
+      case (acc, (k, v)) => acc.replace(k, v)
+    }
+    expanded
       .replaceAll("[^a-z ]", " ")
       .replaceAll("\\s+", " ")
       .trim
