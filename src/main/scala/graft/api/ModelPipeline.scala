@@ -31,7 +31,8 @@ object ModelPipeline {
       weights: DataFrame,     // (doc_id, term, weight)
       vocab: DataFrame,       // (term, idx)
       vocabTerms: Array[String],
-      assignments: DataFrame) // (doc_id, cluster, features)
+      assignments: DataFrame, // (doc_id, cluster, features)
+      model: org.apache.spark.ml.clustering.KMeansModel)
 
   def fit(docs: DataFrame, k: Int = 15, seed: Long = 123,
           vocabSize: Int = 2000): Fitted = {
@@ -48,7 +49,8 @@ object ModelPipeline {
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(feats)
-    Fitted(docTerms, counts, weights, vocab, vocabTerms, model.transform(feats))
+    Fitted(docTerms, counts, weights, vocab, vocabTerms,
+      model.transform(feats), model)
   }
 
   /** Per-cluster coherence over the top-M TF-IDF terms (A8 + A10). */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.api.{ModelPipeline, ModelStore}
+import org.apache.spark.sql.functions._
+
+/** Save → load → predict round-trip (SURVEY S7/S8/S9 + M8/V9): a
+  * reloaded model must reproduce the training assignments exactly when
+  * predicting on the training corpus (same vocabulary, same df/N
+  * weighting, same centers). */
+class ModelStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "energy battery power electric charging"),
+    (2L, "energy storage renewable power battery"),
+    (3L, "finance investment risk banking money"),
+    (4L, "stock markets economic growth inflation"),
+    (5L, "healthcare hospital treatment diagnosis"),
+    (6L, "medicine health doctor therapy")
+  ).toDF("doc_id", "text")
+
+  test("versionedDir encodes cluster count and date") {
+    val p = ModelStore.versionedDir("/models", 19, java.time.LocalDate.of(2026, 8, 12))
+    assert(p === "/models/19_topic_model_2026-08-12")
+  }
+
+  test("save → load → predict reproduces training assignments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val fm = ModelPipeline.fit(corpus, k = 3, seed = 123, vocabSize = 100)
+    val trained = fm.assignments.select("doc_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+
+    ModelStore.save(dir, fm.model, fm.vocab, fm.counts, corpus)
+    val saved = ModelStore.load(spark, dir)
+    // declared train-time dimensionality, not the (smaller) realized vocab
+    assert(saved.vocabSize === 100)
+
+    val predicted = ModelStore.predict(corpus, saved).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(predicted === trained)
+  }
+
+  test("predict drops OOV terms and zero-fills (dfm_match semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val fm = ModelPipeline.fit(corpus, k = 2, seed = 123, vocabSize = 100)
+    ModelStore.save(dir, fm.model, fm.vocab, fm.counts, corpus)
+    val saved = ModelStore.load(spark, dir)
+    // unseen words vanish; known words still classify the doc
+    val newDocs = Seq((99L, "quantum blockchain energy battery power"))
+      .toDF("doc_id", "text")
+    val vec = ModelStore.vectorize(newDocs, saved).collect()
+    assert(vec.length === 1)
+    val out = ModelStore.predict(newDocs, saved).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 99L)
+  }
+}
