@@ -30,7 +30,8 @@ object QueryRegistry {
       graft.operators.TextOps.defs ++
       graft.operators.EmbeddingOps.defs ++
       graft.operators.DedupOps.defs ++
-      graft.operators.MlOps.defs
+      graft.operators.MlOps.defs ++
+      graft.operators.EnrichOps.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -24,7 +24,7 @@ object MlQueries {
 
   /** Shared CTE chain: 1-3-gram terms → counts → quanteda tf-idf weights
     * (≙ [[Featurize.docTerms]]/[[Featurize.termCounts]]/[[Featurize.tfidf]]). */
-  private val termsCte: String = {
+  private[graft] val termsCte: String = {
     val words = DuckFragments.wordsListSql
     s"""base AS (SELECT doc_id, $words AS l FROM documents),
        |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w FROM base),
@@ -44,10 +44,10 @@ object MlQueries {
 
   /** Hash-partition pseudo-clusters: deterministic, SQL-expressible stand-in
     * for K-means assignments so per-cluster operators get real oracles. */
-  private def hashClusters(docs: DataFrame): DataFrame =
+  private[graft] def hashClusters(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), (col("doc_id") % 10).as("cluster"))
 
-  private def weights(s: SparkSession, d: String): DataFrame =
+  private[graft] def weights(s: SparkSession, d: String): DataFrame =
     Featurize.tfidf(
       Featurize.termCounts(Featurize.docTerms(Tables.documents(s, d))),
       Tables.documents(s, d))
