@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2.12): the reference is strictly
+  * batch, but its chunk-file protocol (process chunks independently,
+  * consolidate later, resume after failure — ref
+  * 01_extract_features.R:479-495) is exactly what `readStream` +
+  * checkpointed `writeStream` gives for free. These are the streaming
+  * variants of the batch event operators (q15 hourly window, q17
+  * sessionization) plus watermarked stateful dedup.
+  *
+  * All transforms take an unbounded DataFrame and stay engine-agnostic:
+  * the same plan runs batch (tests compare against the batch analog) or
+  * continuous. State is bounded by watermarks — at cluster scale the
+  * windowed aggregations shuffle on (window, key) and expire state as
+  * the watermark advances, so memory is O(active windows), not O(stream).
+  */
+object EventStreams {
+
+  /** File-source streaming scan of an events directory (S5-as-stream:
+    * new parquet files are discovered per micro-batch). Schema comes
+    * from a batch peek — streaming sources require one up front. The
+    * TIMESTAMP(NANOS) column arrives as nano-epoch longs (same
+    * `nanosAsLong` handling as the batch reader) and is truncated to
+    * micros here. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file streams want a directory; glob-filter to the events table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Streaming form of q15: tumbling hourly counts per event type.
+    * Late data beyond 2 hours is dropped; closed windows emit finals in
+    * append mode. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked stateful dedup on event_id: duplicates arriving within
+    * the watermark horizon collapse to the first occurrence; state for
+    * ids older than the watermark is dropped (bounded memory — the 100 TB
+    * answer to "exact dedup over an infinite stream is impossible"). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming form of q17: session windows with a 30-minute inactivity
+    * gap per user (the native session_window operator replaces the batch
+    * lag-compare; state closes when the watermark passes the gap). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.EventStreams
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming operators fed through MemoryStream micro-batches, compared
+  * against their batch analogs on the same data. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+                          name: String, mode: String): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+
+  test("hourlyCounts: closed windows match the batch aggregation") {
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    // batch 1: two hours of events; batch 2: late watermark push
+    in.addData((1L, ts(5), "click", 1.0), (2L, ts(20), "click", 2.0),
+      (3L, ts(70), "view", 3.0))
+    val q = runToMemory(EventStreams.hourlyCounts(events), "hourly", "append")
+    // watermark far ahead closes both earlier windows
+    in.addData((4L, ts(600), "click", 1.0))
+    q.processAllAvailable()
+    in.addData((5L, ts(1300), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT event_type, n_events, sum_value FROM hourly")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.contains(("click", 2L, 3.0)))
+    assert(got.contains(("view", 1L, 3.0)))
+  }
+
+  test("dedupEvents collapses in-watermark duplicate event ids") {
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    in.addData((1L, ts(0), "click", 1.0), (1L, ts(1), "click", 1.0),
+      (2L, ts(2), "view", 2.0), (1L, ts(3), "click", 1.0))
+    val q = runToMemory(EventStreams.dedupEvents(events), "dedup", "append")
+    q.stop()
+    val got = spark.sql("SELECT event_id FROM dedup")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === Array(1L, 2L))
+  }
+
+  test("userSessions groups by 30-minute inactivity gaps") {
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "value")
+    // user 7: events at 0,10 (one session), 50 (new session: 40min gap)
+    in.addData((1L, ts(0), 7L, 1.0), (2L, ts(10), 7L, 1.0), (3L, ts(50), 7L, 1.0))
+    val q = runToMemory(EventStreams.userSessions(events), "sessions", "append")
+    in.addData((9L, ts(900), 7L, 1.0)) // advance watermark, close sessions
+    q.processAllAvailable()
+    in.addData((10L, ts(2000), 7L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT user_id, n_events FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((7L, 2L)), s"first session missing: $got")
+    assert(got.contains((7L, 1L)), s"second session missing: $got")
+  }
+
+  test("readEvents streams the parquet events table (AvailableNow smoke)") {
+    val stream = EventStreams.readEvents(spark, sfTiny)
+    assert(stream.isStreaming)
+    val q = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("evsmoke")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    val streamed = spark.sql("SELECT sum(n) FROM evsmoke").collect().head.getLong(0)
+    val batch = graft.sources.Tables.events(spark, sfTiny).count()
+    assert(streamed === batch)
+  }
+}
