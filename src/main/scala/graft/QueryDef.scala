@@ -31,7 +31,8 @@ object QueryRegistry {
       graft.operators.EmbeddingOps.defs ++
       graft.operators.DedupOps.defs ++
       graft.operators.MlOps.defs ++
-      graft.operators.EnrichOps.defs
+      graft.operators.EnrichOps.defs ++
+      graft.operators.SourceOps.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

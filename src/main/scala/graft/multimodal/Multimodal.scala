@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (training-data-pipeline extension): treat
+  * image/audio/video payloads as opaque `BINARY` columns with typed
+  * metadata, and run decode / feature-extraction as a partition-wise
+  * stage with per-executor decoder init (same O4 pattern as the POS
+  * stage).
+  *
+  * The decode step itself is a clearly-marked STUB — this container has
+  * no image/audio codecs — but everything Spark-side is real and tested:
+  * the schema, the binary payload handling, the mapPartitions batch
+  * shape, and the downstream embedding hand-off (the produced
+  * `Array[Float]` column feeds [[graft.operators.EmbeddingOps]]-style
+  * ANN directly).
+  */
+object Multimodal {
+
+  /** Pluggable media decoder: bytes → fixed-width feature vector. */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(mediaType: String, content: Array[Byte]): Array[Float]
+  }
+
+  trait MediaDecoderFactory extends Serializable {
+    def create(): MediaDecoder
+  }
+
+  /** STUB decoder — a real implementation would wrap a codec library
+    * (JPEG decode, mel spectrogram, frame sampling) loaded once per
+    * executor; offline here, so features are a deterministic hash mix of
+    * the payload bytes. Shape and determinism are what the pipeline
+    * tests exercise. */
+  final class FakeDecoder(val featureDim: Int = 16) extends MediaDecoder {
+    override def decode(mediaType: String, content: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      var h = 1125899906842597L ^ mediaType.hashCode.toLong
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      var j = 0
+      while (j < featureDim) {
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        out(j) = ((h & 0xFFFF).toFloat / 65535.0f) - 0.5f
+        j += 1
+      }
+      out
+    }
+  }
+
+  final class FakeDecoderFactory(dim: Int = 16) extends MediaDecoderFactory {
+    override def create(): MediaDecoder = new FakeDecoder(dim)
+  }
+
+  @transient @volatile private var cachedDecoder: MediaDecoder = _
+  private def decoder(factory: MediaDecoderFactory): MediaDecoder = {
+    if (cachedDecoder == null) synchronized {
+      if (cachedDecoder == null) cachedDecoder = factory.create()
+    }
+    cachedDecoder
+  }
+
+  /** Synthetic media table derived from the documents corpus (the test
+    * corpus ships no binary column): payload = UTF-8 bytes of the text,
+    * media_type from a deterministic id rotation. Stands in for a real
+    * `binaryFile`/parquet-binary scan. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("content"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+      struct(col("source"), col("lang"),
+        length(col("text")).as("n_chars")).as("meta"))
+
+  /** Partition-wise decode → (doc_id, media_type, n_bytes, features).
+    * One decoder per executor JVM; rows stream through without
+    * collecting a partition in memory. */
+  def extractFeatures(media: DataFrame, factory: MediaDecoderFactory): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, String, Array[Byte])] =
+      media.select(col("doc_id").cast("long"), col("media_type"), col("content"))
+        .as[(Long, String, Array[Byte])]
+    in.mapPartitions { it =>
+      val d = decoder(factory)
+      it.map { case (id, mt, bytes) =>
+        (id, mt, bytes.length.toLong, d.decode(mt, bytes))
+      }
+    }.toDF("doc_id", "media_type", "n_bytes", "features")
+  }
+}

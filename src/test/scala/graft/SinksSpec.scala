@@ -1,0 +1,66 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sources.{Sinks, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Chunk sink / glob source round-trips (S4-S6) + sampling semantics
+  * (S3) + multimodal decode plumbing. */
+class SinksSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  test("chunk write → glob read round-trips the relation (S4/S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+    val df = Tables.documents(spark, sfTiny).select("doc_id", "source", "n_chars")
+    Sinks.writeChunks(df, dir, numChunks = 4)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv"))
+    assert(files === 4, "one CSV per chunk")
+    val back = Sinks.readChunks(spark, dir, schema)
+    assert(back.count() === df.count())
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("consolidated sink writes a single CSV file (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-consolidated").toString
+    val df = Tables.documents(spark, sfTiny).select("doc_id", "source", "n_chars")
+    Sinks.writeConsolidated(df, dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".csv"))
+    assert(files === 1)
+    assert(Sinks.readChunks(spark, dir, schema).count() === df.count())
+  }
+
+  test("seeded Bernoulli sample is deterministic; systematic sample is exact (S3)") {
+    val df = Tables.documents(spark, sfTiny)
+    val s1 = Sinks.sample(df, 0.2, seed = 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sinks.sample(df, 0.2, seed = 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "same seed, same partitioning, same sample")
+    assert(s1.nonEmpty && s1.size < df.count())
+
+    val sys = Sinks.sampleByMod(df, "doc_id", 10, 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(sys.forall(_ % 10 === 3))
+  }
+
+  test("multimodal decode: schema, determinism, and dimensionality") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfTiny).limit(30))
+    assert(media.schema("content").dataType === BinaryType)
+    val feats = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(16))
+    val rows = feats.collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      assert(r.getSeq[Float](r.fieldIndex("features")).length === 16)
+      assert(Set("image", "audio", "video").contains(r.getString(1)))
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(16))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("features")))).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) === r.getSeq[Float](r.fieldIndex("features"))))
+  }
+}
