@@ -71,8 +71,13 @@ object ModelPipeline {
       fm.docTerms, countVecs,
       fm.assignments.select(col("doc_id"), col("cluster")),
       scores, fm.vocabTerms, params)
+    // materialize once: every downstream consumer (top terms, coherence,
+    // merge centers, stats, labels) re-reads the split assignments, and
+    // re-evaluating the LDA-transform/renumber/union DAG per consumer
+    // multiplies the whole split cost by the consumer count
     Renumber.dense(updated)
       .join(fm.assignments.select(col("doc_id"), col("features")), "doc_id")
+      .localCheckpoint()
   }
 
   /** Cosine merge of redundant clusters, then dense renumber. */
@@ -92,5 +97,36 @@ object ModelPipeline {
     val afterSplit = split(fm, params)
     val afterMerge = merge(afterSplit, mergeThreshold)
     ModelRefresh.stats(afterMerge).orderBy(col("cluster"))
+  }
+
+  /** M10 + A10: the refiner pipeline (ref runPhase1Pipeline
+    * 04_cluster_refiner.R:726-774) — coherence → conditional split
+    * (`breakClusters` ≙ the reference's break_clusters flag) → top
+    * terms → deterministic labels → the labeled coherence report
+    * (cluster, n_docs, coherence, label) sorted best-first (ref
+    * 02_build_models.R:790-853). A cluster whose label is missing gets
+    * "Unlabeled" — warn-don't-fail (ref 04_cluster_refiner.R:626-628). */
+  def refinerReport(docs: DataFrame, k: Int = 15, seed: Long = 123,
+                    vocabSize: Int = 2000,
+                    params: LdaSplitter.Params = LdaSplitter.Params(),
+                    breakClusters: Boolean = true): DataFrame = {
+    val fm = fit(docs, k, seed, vocabSize)
+    val asg =
+      if (breakClusters) split(fm, params)
+      else fm.assignments.select(col("doc_id"), col("cluster"))
+    val asgSlim = asg.select(col("doc_id"), col("cluster"))
+    // tiny (≤ clusters × 5 rows) but read by coherence AND labels —
+    // materialize to avoid re-running the weights join per consumer
+    val top = ClusterPipeline.topTerms(fm.weights, asgSlim, 5).localCheckpoint()
+    val coh = ProbCoherence.perCluster(fm.docTerms, asgSlim, top)
+    val labels = top.filter(col("rnk") <= 3)
+      .groupBy(col("cluster"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rnk"), col("term")))),
+          x => x("term")), " / ").as("label"))
+    coh.join(broadcast(labels), Seq("cluster"), "left")
+      .withColumn("label", coalesce(col("label"), lit("Unlabeled")))
+      .select(col("cluster"), col("n_docs"), col("coherence"), col("label"))
+      .orderBy(col("coherence").desc, col("cluster"))
   }
 }

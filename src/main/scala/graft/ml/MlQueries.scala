@@ -191,6 +191,18 @@ object MlQueries {
       .orderBy(col("cluster"))
   }
 
+  /** m09 — M10/A10: the refiner pipeline — coherence-gated split, top
+    * terms, deterministic labels, labeled report sorted best-first.
+    * Rows-only (K-means/LDA dependent). */
+  def refinerReport(s: SparkSession, d: String): DataFrame =
+    graft.api.ModelPipeline.refinerReport(Tables.documents(s, d),
+        k = 15, seed = 123,
+        params = graft.refine.LdaSplitter.Params(
+          kRange = 2 to 3, coherenceThreshold = 0.5, minDocsForSplit = 10,
+          maxIter = 5))
+      .select(col("cluster").cast("long").as("cluster"), col("n_docs"),
+        col("coherence"), col("label"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -199,5 +211,6 @@ object MlQueries {
     QueryDef("m05_coherence_report", coherenceReport, Some(coherenceReportSql)),
     QueryDef("m06_kmeans_stats", kmeansStats, None),
     QueryDef("m07_lda_optimize", ldaOptimize, None),
-    QueryDef("m08_cluster_merge", clusterMerge, None))
+    QueryDef("m08_cluster_merge", clusterMerge, None),
+    QueryDef("m09_refiner_report", refinerReport, None))
 }

@@ -62,6 +62,23 @@ class RefineSpec extends SparkSpec {
     assert(got === Array((0, 2L, 2.0), (1, 1L, 0.0)))
   }
 
+  test("refinerReport produces a labeled coherence report (M10/A10)") {
+    val report = graft.api.ModelPipeline.refinerReport(
+      corpus, k = 3, seed = 123, vocabSize = 100,
+      params = graft.refine.LdaSplitter.Params(
+        kRange = 2 to 2, coherenceThreshold = -10.0, // no split: all coherent enough
+        minDocsForSplit = 2, maxIter = 10, optimizer = "em"))
+      .collect()
+    assert(report.length === 3)
+    report.foreach { r =>
+      assert(r.getLong(1) >= 1L)                  // n_docs
+      assert(r.getString(3).nonEmpty)             // label
+    }
+    // sorted best-first
+    val cohs = report.map(_.getDouble(2)).toSeq
+    assert(cohs === cohs.sorted.reverse)
+  }
+
   test("LdaSplitter splits the low-coherence mixed cluster (A2 forced split)") {
     val docTerms = Featurize.docTerms(corpus)
     val counts = Featurize.termCounts(docTerms)
