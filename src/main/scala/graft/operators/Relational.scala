@@ -346,6 +346,85 @@ object Relational {
       |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
       |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** U1 declared UNION ALL: customer ∪ supplier account rows (the
+    * reference's bind_rows, ref 01_extract_features.R:431) with a kind
+    * discriminator — unionByName, then one aggregation over the fused
+    * relation. */
+  def accountsUnion(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"),
+        lit("customer").as("kind"))
+    val su = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"),
+        lit("supplier").as("kind"))
+    c.unionByName(su)
+      .groupBy(col("kind"), col("nationkey"))
+      .agg(count(lit(1)).as("n_accts"), round(sum(col("acctbal")), 2).as("sum_bal"))
+      .orderBy(col("kind"), col("nationkey"))
+  }
+
+  private val accountsUnionSql =
+    """SELECT kind, nationkey, count(*) AS n_accts, round(sum(acctbal), 2) AS sum_bal
+      |FROM (
+      |  SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
+      |GROUP BY kind, nationkey ORDER BY kind, nationkey""".stripMargin
+
+  /** F13 both directions: encode event fields with to_json, parse back
+    * with from_json, aggregate the round-tripped values. The oracle
+    * aggregates the raw columns — a hash match proves the encode/decode
+    * pair is lossless. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    Tables.events(s, d)
+      .withColumn("j", to_json(struct(col("event_type"), col("value"))))
+      .withColumn("p", from_json(col("j"), schema))
+      .groupBy(col("p.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("p.value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonRoundtripSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Running-total window: cumulative order value per customer in order-
+    * date order (frame-based aggregation — the window family beyond
+    * row_number/lag). */
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val runningTotalsSql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders WHERE o_custkey < 200
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** HLL approximate distinct counts (SURVEY §2.4 beyond-reference op).
+    * Rows-only: the sketch estimate is engine-specific by construction;
+    * the exact-count invariants live in RelationalSpec. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -363,5 +442,9 @@ object Relational {
     QueryDef("q14_promo_share", promoShare, Some(promoShareSql)),
     QueryDef("q15_events_hourly", eventsHourly, Some(eventsHourlySql)),
     QueryDef("q16_events_json", eventsJson, Some(eventsJsonSql)),
-    QueryDef("q17_user_sessions", userSessions, Some(userSessionsSql)))
+    QueryDef("q17_user_sessions", userSessions, Some(userSessionsSql)),
+    QueryDef("q18_accounts_union", accountsUnion, Some(accountsUnionSql)),
+    QueryDef("q19_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
+    QueryDef("q20_running_totals", runningTotals, Some(runningTotalsSql)),
+    QueryDef("q21_approx_distinct", approxDistinct, None))
 }
