@@ -1,20 +1,20 @@
 package graft
 
-/** Scratch profiler for operator stages (not part of the driver contract). */
+/** Scratch profiler / plan auditor (not part of the driver contract). */
 object Profile {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    def audit(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"=== $name ===")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
-    time("m06_kmeans")(graft.ml.MlQueries.kmeansStats(spark, d).count())
-    time("m07_lda_optimize")(graft.ml.MlQueries.ldaOptimize(spark, d).count())
-    time("m08_cluster_merge")(graft.ml.MlQueries.clusterMerge(spark, d).count())
-    time("m03_top_vocab")(graft.ml.MlQueries.topVocab(spark, d).count())
-    time("m05_coherence")(graft.ml.MlQueries.coherenceReport(spark, d).count())
+    audit("q06_forecast_revenue")(graft.operators.Relational.forecastRevenue(spark, d))
+    audit("q02_revenue_by_nation")(graft.operators.Relational.revenueByNation(spark, d))
+    audit("q03_top_orders")(graft.operators.Relational.topOrders(spark, d))
+    audit("m03_top_vocab")(graft.ml.MlQueries.topVocab(spark, d))
+    audit("e01_knn")(graft.operators.EmbeddingOps.knnBruteForce(spark, d))
     spark.stop()
   }
 }

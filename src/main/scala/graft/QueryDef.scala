@@ -32,7 +32,8 @@ object QueryRegistry {
       graft.operators.DedupOps.defs ++
       graft.operators.MlOps.defs ++
       graft.operators.EnrichOps.defs ++
-      graft.operators.SourceOps.defs
+      graft.operators.SourceOps.defs ++
+      graft.operators.SkewOps.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

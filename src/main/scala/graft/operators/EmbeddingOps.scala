@@ -164,9 +164,68 @@ object EmbeddingOps {
       .limit(100)
   }
 
+  /** IVF coarse-quantizer shape: cells in the inverted file and cells
+    * probed per query. Recall/latency knob: more probes → closer to
+    * brute force. */
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** e05 — IVF ANN: seeded k-means coarse quantizer assigns every vector
+    * to one of `IvfCells` cells (one fit, reusable across queries); a
+    * query exact-searches only its `IvfProbes` nearest cells. At scale
+    * the cell assignment is the partition key — a probe touches
+    * IvfProbes/IvfCells of the data instead of all of it. Rows-only
+    * (k-means-dependent); the brute-force e01 is the exact baseline. */
+  /** Core IVF search over any (vec_id, embedding) relation — used by the
+    * corpus query and by the planted-structure recall test. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+              cells: Int = IvfCells, probes: Int = IvfProbes): DataFrame = {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    // L2-normalize for the quantizer: the similarity metric is cosine,
+    // and Euclidean cells over raw vectors split by magnitude, putting
+    // true cosine neighbors in far cells. On the unit sphere,
+    // ‖a−b‖² = 2(1−cos) — Euclidean k-means becomes a cosine quantizer.
+    val toVec = udf { a: Seq[Float] =>
+      val x = a.map(_.toDouble).toArray
+      val n = math.sqrt(x.map(v => v * v).sum)
+      Vectors.dense(if (n == 0.0) x else x.map(_ / n))
+    }
+    val vecs = emb
+      .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
+      .localCheckpoint()
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(42)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = km.transform(vecs)
+
+    val qFeatures = vecs.filter(col("vec_id") === queryId)
+      .select(col("features")).collect().head.getAs[Vector](0)
+    val probed = km.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => Vectors.sqdist(c, qFeatures) }
+      .take(probes).map(_._2)
+
+    val qEmb = vecs.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    assigned
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qEmb))
+      .select(col("vec_id"),
+        round(fastCosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** e05 query wrapper over the corpus table (rows-only: k-means cells).
+    * Note the test corpus is isotropic noise — real recall behavior is
+    * pinned by the planted-structure fixture in SkewOpsSpec. */
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    ivfTopK(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      queryId = 0, k = 20)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),
     QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
     QueryDef("e03_label_centroids", labelCentroids, Some(labelCentroidsSql)),
-    QueryDef("e04_ann_lsh", annLshCandidates, None))
+    QueryDef("e04_ann_lsh", annLshCandidates, None),
+    QueryDef("e05_ann_ivf", annIvf, None))
 }
