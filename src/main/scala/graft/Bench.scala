@@ -12,6 +12,7 @@ object Bench {
     // Failed queries record a -1.0 sentinel and a `failed` list — a crash
     // must be distinguishable from a fast query in the metric line.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

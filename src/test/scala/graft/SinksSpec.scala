@@ -48,6 +48,18 @@ class SinksSpec extends SparkSpec {
     assert(sys.forall(_ % 10 === 3))
   }
 
+  test("co-bucketed join runs with no shuffle exchange (bucketing scale path)") {
+    val docs = Tables.documents(spark, sfTiny).select("doc_id", "source", "n_chars")
+    Sinks.writeBucketed(docs, "docs_bucketed_a", "doc_id", 8)
+    Sinks.writeBucketed(docs.select("doc_id", "n_chars"), "docs_bucketed_b", "doc_id", 8)
+    val joined = spark.table("docs_bucketed_a").hint("merge")
+      .join(spark.table("docs_bucketed_b"), "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(800)}")
+    assert(joined.count() === docs.count())
+  }
+
   test("multimodal decode: schema, determinism, and dimensionality") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sfTiny).limit(30))
     assert(media.schema("content").dataType === BinaryType)
