@@ -30,7 +30,7 @@ object QueryRegistry {
       graft.operators.TextOps.defs ++
       graft.operators.EmbeddingOps.defs ++
       graft.operators.DedupOps.defs ++
-      graft.operators.MlOps.defs ++
+      graft.ml.MlQueries.defs ++
       graft.operators.EnrichOps.defs ++
       graft.operators.SourceOps.defs ++
       graft.operators.SkewOps.defs
