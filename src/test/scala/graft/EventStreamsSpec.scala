@@ -71,6 +71,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((7L, 1L)), s"second session missing: $got")
   }
 
+  test("EnrichStage runs unchanged on a streaming source (§2.12 enrichment-as-stream)") {
+    // the reference's chunked enrichment protocol maps to readStream +
+    // mapPartitions + checkpointed writeStream; the SAME EnrichStage
+    // transform works on an unbounded Dataset
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val enriched = graft.enrich.EnrichStage.enrich(
+      docs, graft.enrich.DeterministicEnricher)
+    assert(enriched.isStreaming)
+    in.addData((1L, "alpha"), (2L, "beta"))
+    val q = enriched.writeStream.format("memory").queryName("enrichstream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, topic_response FROM enrichstream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(
+      1L -> graft.enrich.DeterministicEnricher.enrich(1L, "alpha"),
+      2L -> graft.enrich.DeterministicEnricher.enrich(2L, "beta")))
+  }
+
+  test("typed Dataset readers expose the corpus entities") {
+    val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
+    val first = docs.head()
+    assert(first.n_chars === first.text.length)
+    assert(graft.sources.Tables.eventsDs(spark, sfTiny).head().event_id >= 0L)
+    assert(graft.sources.Tables.embeddingsDs(spark, sfTiny).head().embedding.nonEmpty)
+  }
+
   test("readEvents streams the parquet events table (AvailableNow smoke)") {
     val stream = EventStreams.readEvents(spark, sfTiny)
     assert(stream.isStreaming)
