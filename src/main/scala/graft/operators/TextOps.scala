@@ -188,6 +188,64 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the
+    * rolling-hash fingerprinting a plagiarism/near-dup pipeline keeps
+    * per shard): hash every 5-char gram of the cleaned text, keep the
+    * window minimum over each 8-gram window, emit distinct selected
+    * hashes. Guarantees any shared substring ≥ 12 chars yields a shared
+    * fingerprint. md5 is the cross-engine hash (xxhash64 has no DuckDB
+    * twin); the lexicographic window-min is identical on both. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val w = 8
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
+      .filter(length(col("c")) >= k)
+      .select(col("doc_id"), col("c"),
+        explode(sequence(lit(1), length(col("c")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(c, pos, $k)").cast("binary")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams.withColumn("mh", min(col("h")).over(win))
+      .filter(col("h") === col("mh"))
+      .select(col("doc_id"), col("h").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
+  private val winnowFingerprintsSql =
+    s"""WITH c AS (SELECT doc_id, $cleanSql AS c FROM documents),
+       |p AS (SELECT doc_id, c, unnest(generate_series(1, length(c) - 4)) AS pos
+       |      FROM c WHERE length(c) >= 5),
+       |h AS (SELECT doc_id, pos, md5(substr(c, pos, 5)) AS h FROM p),
+       |m AS (SELECT doc_id, pos, h,
+       |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
+       |      FROM h)
+       |SELECT DISTINCT doc_id, h AS fp FROM m WHERE h = mh
+       |ORDER BY doc_id, fp""".stripMargin
+
+  /** Token-count statistics: whitespace tokens, BPE-style pre-tokenizer
+    * pieces (letter runs / digit runs / single punctuation — the GPT-2
+    * pre-tokenization shape), and character length — the per-doc budget
+    * numbers a training-data pipeline bills by. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_pieces"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val tokenStatsSql =
+    s"""SELECT doc_id,
+       |  len(list_filter($tokListSql, x -> x <> '')) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_pieces,
+       |  length(text) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
@@ -195,5 +253,7 @@ object TextOps {
     QueryDef("t04_doc_quality", docQuality, Some(docQualitySql)),
     QueryDef("t05_lang_guess", langGuess, Some(langGuessSql)),
     QueryDef("t06_bigram_counts", bigramCounts, Some(bigramCountsSql)),
-    QueryDef("t07_pos_keywords", posKeywords, Some(posKeywordsSql)))
+    QueryDef("t07_pos_keywords", posKeywords, Some(posKeywordsSql)),
+    QueryDef("t08_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
+    QueryDef("t09_token_stats", tokenStats, Some(tokenStatsSql)))
 }
