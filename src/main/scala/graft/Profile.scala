@@ -5,16 +5,18 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def audit(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      println(s"=== $name ===")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    audit("q06_forecast_revenue")(graft.operators.Relational.forecastRevenue(spark, d))
-    audit("q02_revenue_by_nation")(graft.operators.Relational.revenueByNation(spark, d))
-    audit("q03_top_orders")(graft.operators.Relational.topOrders(spark, d))
-    audit("m03_top_vocab")(graft.ml.MlQueries.topVocab(spark, d))
-    audit("e01_knn")(graft.operators.EmbeddingOps.knnBruteForce(spark, d))
+    val m04 = graft.ml.MlQueries.clusterTopTerms(spark, d)
+    time("m04 first")(m04.count())
+    println(m04.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Window"))
+      .mkString("\n"))
+    time("m04 second")(graft.ml.MlQueries.clusterTopTerms(spark, d).count())
+    time("m05")(graft.ml.MlQueries.coherenceReport(spark, d).count())
     spark.stop()
   }
 }

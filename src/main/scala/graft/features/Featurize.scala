@@ -46,11 +46,16 @@ object Featurize {
     docTerms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
 
   /** quanteda dfm_tfidf: weight = cnt · log10(N / df) (V5). N arrives as
-    * a broadcast 1-row aggregate — no separate eager count() scan. */
+    * a broadcast 1-row aggregate — no separate eager count() scan. The
+    * term→df join is pinned to shuffle-hash: the df relation is one row
+    * per DISTINCT 1-3-gram (grows with the corpus — never truly small),
+    * and its compressed size sits under the auto-broadcast threshold
+    * while the driver-side HashedRelation build of that many long string
+    * keys is slow, GC-heavy, and wildly variable. */
   def tfidf(counts: DataFrame, docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val df = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    counts.join(df, "term")
+    counts.join(df.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(n))
       .withColumn("weight", col("cnt") * log10(col("n_docs") / col("df")))
       .select(col("doc_id"), col("term"), col("weight"))
