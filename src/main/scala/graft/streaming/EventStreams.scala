@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming surface (SURVEY §2.12): the reference is strictly
@@ -65,4 +65,31 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
+
+  /** Accumulated per-user state (n_events, sum_value). */
+  final case class UserState(n: Long, sum: Double)
+
+  /** Custom arbitrary state via mapGroupsWithState: per-user running
+    * totals that survive across micro-batches — the KeyValueGroupedDataset
+    * state path for semantics the built-in windowed aggregations can't
+    * express (cross-batch accumulators, custom eviction policies). State
+    * is per-key and partitioned by the grouping key: at cluster scale it
+    * shards with the shuffle like any keyed aggregation. */
+  def runningUserTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val next = rows.foldLeft(prev) { case (s, (_, v)) =>
+            UserState(s.n + 1, s.sum + v)
+          }
+          state.update(next)
+          (user, next.n, next.sum)
+      }
+  }
 }

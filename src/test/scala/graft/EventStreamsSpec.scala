@@ -71,6 +71,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((7L, 1L)), s"second session missing: $got")
   }
 
+  test("mapGroupsWithState accumulates per-user totals across micro-batches") {
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventStreams.runningUserTotals(events)
+      .toDF("user_id", "n_events", "sum_value")
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    in.addData((1L, ts(0), 7L, 1.0), (2L, ts(1), 7L, 2.0), (3L, ts(2), 9L, 5.0))
+    q.processAllAvailable()
+    in.addData((4L, ts(3), 7L, 4.0)) // second batch: state must carry over
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.sql(
+      "SELECT user_id, max(n_events) AS n, max(sum_value) AS s FROM running GROUP BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last === Set((7L, 3L, 7.0), (9L, 1L, 5.0)))
+  }
+
   test("EnrichStage runs unchanged on a streaming source (§2.12 enrichment-as-stream)") {
     // the reference's chunked enrichment protocol maps to readStream +
     // mapPartitions + checkpointed writeStream; the SAME EnrichStage
