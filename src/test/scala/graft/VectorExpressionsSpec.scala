@@ -14,9 +14,10 @@ class VectorExpressionsSpec extends SparkSpec {
     (Array(0.25f, -0.75f, 1.5f, 2.25f), Array(1.125f, 0.5f, -0.25f, 3.0f))
   ).toDF("a", "b")
 
-  private def interpretedDot = aggregate(
-    zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  // the interpreted higher-order-function baseline lives in
+  // graft.functions.VectorFunctions — the codegen'd kernels claim
+  // bit-equality with it
+  private def interpretedDot = graft.functions.VectorFunctions.dot(col("a"), col("b"))
 
   test("ArrayDot is bit-equal to aggregate(zip_with(...))") {
     val got = vecs.select(
@@ -41,6 +42,22 @@ class VectorExpressionsSpec extends SparkSpec {
       0.0,
       math.sqrt(0.25 * 0.25 + 0.75 * 0.75 + 1.5 * 1.5 + 2.25 * 2.25))
     got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("VectorFunctions cosine/norm agree with the codegen'd kernels; sqDist is exact") {
+    val got = vecs.select(
+      graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("ic"),
+      fastCosine(col("a"), col("b")).as("fc"),
+      graft.functions.VectorFunctions.l2Norm(col("a")).as("in"),
+      arrayNorm(col("a")).as("fn"),
+      graft.functions.VectorFunctions.sqDist(col("a"), col("b")).as("sq"))
+      .collect()
+    got.foreach { r =>
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+    // hand-checked sqDist for row 0: (1-4)² + (2+5)² + (3-6)² = 9+49+9
+    assert(got(0).getDouble(4) === 67.0)
   }
 
   test("fastCosine of identical vectors is 1") {
