@@ -108,7 +108,11 @@ object VectorExpressions {
   def arrayDot(a: Column, b: Column): Column =
     column(ArrayDot(expression(a), expression(b)))
   def arrayNorm(a: Column): Column = column(ArrayNorm(expression(a)))
-  /** cos(a,b) with the same arithmetic as the interpreted/oracle form. */
+  /** cos(a,b) with the same arithmetic as the interpreted/oracle form.
+    * A zero vector yields null (nullif guard) instead of an ANSI-mode
+    * DIVIDE_BY_ZERO crash — degenerate rows then drop out of any
+    * similarity-threshold filter, matching the oracle's NaN behavior. */
   def fastCosine(a: Column, b: Column): Column =
-    arrayDot(a, b) / (arrayNorm(a) * arrayNorm(b))
+    arrayDot(a, b) / org.apache.spark.sql.functions.nullif(
+      arrayNorm(a) * arrayNorm(b), org.apache.spark.sql.functions.lit(0.0))
 }

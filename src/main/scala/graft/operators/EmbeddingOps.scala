@@ -54,7 +54,8 @@ object EmbeddingOps {
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(arrayDot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+        round(arrayDot(col("a_emb"), col("b_emb")) /
+          nullif(col("a_nrm") * col("b_nrm"), lit(0.0)), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
   }
