@@ -306,10 +306,12 @@ object Relational {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  /** JSON extraction from the events props column + aggregation. */
+  /** JSON extraction from the events props column + aggregation.
+    * try_cast mirrors the oracle's TRY_CAST: a non-numeric k becomes
+    * null (skipped by avg/max) instead of an ANSI cast error. */
   def eventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
       .groupBy(col("event_type"))
       .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"),
         count(lit(1)).as("n_events"))
