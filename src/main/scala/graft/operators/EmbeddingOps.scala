@@ -129,10 +129,14 @@ object EmbeddingOps {
     * of the band's plane projections; candidates equi-join on
     * (band, bucket) with an oversized-bucket guard; exact cosine re-ranks.
     * Work is proportional to bucket collisions, not n² — the 100 TB path.
-    * Rows-only check (approximate family). */
-  def annLshCandidates(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+    * Rows-only check (approximate family); recall on planted near-twins
+    * is pinned in DedupInvariantSpec (the corpus itself is isotropic
+    * noise, where every pair is equally "far"). */
+  def annLshCandidates(s: SparkSession, d: String): DataFrame =
+    lshCandidates(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Core LSH candidate generation over any (vec_id, embedding) relation. */
+  def lshCandidates(emb: DataFrame): DataFrame = {
     val bandBuckets = (0 until LshBands).map { b =>
       val bits = (0 until LshPlanesPerBand).map { p =>
         when(arrayDot(col("embedding"), lit(planeVector(b, p))) >= 0, "1").otherwise("0")

@@ -50,6 +50,27 @@ class DedupInvariantSpec extends SparkSpec {
       s"low-similarity candidate slipped through: min=${js.min}")
   }
 
+  test("hyperplane LSH recalls planted near-twin embeddings") {
+    import spark.implicits._
+    // isotropic noise + 5 planted pairs at cos ≈ 0.99: with 4 bands × 8
+    // planes, a 0.99-cosine pair matches at least one band with ~99%
+    // probability — deterministic here (fixed planes, fixed data)
+    val rnd = new scala.util.Random(11)
+    val dim = graft.operators.EmbeddingOps.EmbeddingDim
+    val noise = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val twins = (0 until 5).flatMap { p =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val w = v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((1000L + 2 * p, v), (1001L + 2 * p, w))
+    }
+    val emb = (noise ++ twins).toDF("vec_id", "embedding")
+    val got = graft.operators.EmbeddingOps.lshCandidates(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 5).count(p => got.contains((1000L + 2 * p, 1001L + 2 * p)))
+    assert(found >= 4, s"LSH found only $found/5 planted twins: $got")
+  }
+
   test("exact dedup groups: keep_id is the min doc_id of each text group") {
     val got = DedupOps.exactDedup(spark, sfTiny)
     val agg = got.agg(sum(col("n_copies")).as("total")).collect().head.getLong(0)
