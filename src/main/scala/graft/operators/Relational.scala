@@ -417,6 +417,43 @@ object Relational {
       |FROM orders WHERE o_custkey < 200
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** As-of join (purchase → most recent prior view per user), expressed
+    * scale-first: instead of a range join (quadratic per key), tag both
+    * sides, union, and carry the last non-null view value forward with
+    * an IGNORE NULLS window over (user, time) — one shuffle, linear
+    * work, the classic attribution pattern. Frame ends at 1 PRECEDING so
+    * a same-row event never attributes to itself. */
+  def purchaseAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("view_value",
+        when(col("event_type") === "view", col("value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("attributed_view",
+        round(last(col("view_value"), ignoreNulls = true).over(w), 2))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("purchase_value"), col("attributed_view"))
+      .orderBy(col("event_id"))
+  }
+
+  private val purchaseAttributionSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    CASE WHEN event_type = 'view' THEN value END AS view_value
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |attributed AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    round(last_value(view_value IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS attributed_view
+      |  FROM ev)
+      |SELECT event_id, user_id, round(value, 2) AS purchase_value, attributed_view
+      |FROM attributed WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   /** HLL approximate distinct counts (SURVEY §2.4 beyond-reference op).
     * Rows-only: the sketch estimate is engine-specific by construction;
     * the exact-count invariants live in RelationalSpec. */
@@ -448,5 +485,6 @@ object Relational {
     QueryDef("q18_accounts_union", accountsUnion, Some(accountsUnionSql)),
     QueryDef("q19_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("q20_running_totals", runningTotals, Some(runningTotalsSql)),
-    QueryDef("q21_approx_distinct", approxDistinct, None))
+    QueryDef("q21_approx_distinct", approxDistinct, None),
+    QueryDef("q24_purchase_attribution", purchaseAttribution, Some(purchaseAttributionSql)))
 }
