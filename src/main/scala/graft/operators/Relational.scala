@@ -454,6 +454,27 @@ object Relational {
       |FROM attributed WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** Exact interpolated percentiles per group (ordered-set aggregate
+    * family; both engines use linear interpolation over the sorted
+    * values, so the results hash-match at 6dp). */
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax"))
+      .orderBy(col("event_type"))
+
+  private val valuePercentilesSql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(min(value), 6) AS vmin,
+      |  round(max(value), 6) AS vmax
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** HLL approximate distinct counts (SURVEY §2.4 beyond-reference op).
     * Rows-only: the sketch estimate is engine-specific by construction;
     * the exact-count invariants live in RelationalSpec. */
@@ -486,5 +507,6 @@ object Relational {
     QueryDef("q19_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("q20_running_totals", runningTotals, Some(runningTotalsSql)),
     QueryDef("q21_approx_distinct", approxDistinct, None),
-    QueryDef("q24_purchase_attribution", purchaseAttribution, Some(purchaseAttributionSql)))
+    QueryDef("q24_purchase_attribution", purchaseAttribution, Some(purchaseAttributionSql)),
+    QueryDef("q25_value_percentiles", valuePercentiles, Some(valuePercentilesSql)))
 }
