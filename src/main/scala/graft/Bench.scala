@@ -20,13 +20,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      // Release the query's materialized state before timing the next
-      // one: localCheckpoint blocks stay pinned until their RDD is GC'd,
-      // and two dozen accumulated checkpoints visibly degrade the later
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cleanup — its cost must not bill to this query
+      // Release the query's materialized state before the next one runs:
+      // localCheckpoint blocks stay pinned until their RDD is GC'd, and
+      // two dozen accumulated checkpoints visibly degrade the later
       // heavy queries in a shared session.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

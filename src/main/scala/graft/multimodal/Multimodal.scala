@@ -49,17 +49,19 @@ object Multimodal {
     }
   }
 
-  final class FakeDecoderFactory(dim: Int = 16) extends MediaDecoderFactory {
+  /** Case class: the per-JVM decoder cache is keyed by factory, and each
+    * task deserializes its own copy — structural equality maps every copy
+    * (same dim) to one shared decoder, while a different dim gets its own. */
+  final case class FakeDecoderFactory(dim: Int = 16) extends MediaDecoderFactory {
     override def create(): MediaDecoder = new FakeDecoder(dim)
   }
 
-  @transient @volatile private var cachedDecoder: MediaDecoder = _
-  private def decoder(factory: MediaDecoderFactory): MediaDecoder = {
-    if (cachedDecoder == null) synchronized {
-      if (cachedDecoder == null) cachedDecoder = factory.create()
-    }
-    cachedDecoder
-  }
+  // per-executor-JVM cache keyed by factory (two pipelines with
+  // different featureDims must not share one decoder)
+  @transient private lazy val cachedDecoders =
+    new java.util.concurrent.ConcurrentHashMap[MediaDecoderFactory, MediaDecoder]()
+  private def decoder(factory: MediaDecoderFactory): MediaDecoder =
+    cachedDecoders.computeIfAbsent(factory, f => f.create())
 
   /** Synthetic media table derived from the documents corpus (the test
     * corpus ships no binary column): payload = UTF-8 bytes of the text,

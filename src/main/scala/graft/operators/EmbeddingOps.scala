@@ -101,8 +101,9 @@ object EmbeddingOps {
   val LshBands = 4
   val LshPlanesPerBand = 8
 
-  /** Embedding dimensionality of the test corpus (plane vectors are
-    * generated at this length; longer embeddings would need dim passed in). */
+  /** Embedding dimensionality of the test corpus (the default when a
+    * caller can't supply one; [[lshCandidates]] measures the real width
+    * from the data so a different corpus doesn't silently degrade). */
   val EmbeddingDim = 64
 
   /** Buckets larger than this are skipped as degenerate — the guard that
@@ -113,9 +114,9 @@ object EmbeddingOps {
     * computed driver-side once, shipped as literal arrays so the per-row
     * projection runs through the codegen'd ArrayDot kernel (no interpreted
     * higher-order array scans in the hot path). */
-  private def planeVector(band: Int, plane: Int): Array[Double] = {
+  private def planeVector(band: Int, plane: Int, dim: Int): Array[Double] = {
     var z = (band.toLong << 32) ^ (plane.toLong * 0x9E3779B97F4A7C15L) ^ 0x5851F42D4C957F2DL
-    Array.fill(EmbeddingDim) {
+    Array.fill(dim) {
       z += 0x9E3779B97F4A7C15L
       var x = z
       x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -135,11 +136,16 @@ object EmbeddingOps {
   def annLshCandidates(s: SparkSession, d: String): DataFrame =
     lshCandidates(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
 
-  /** Core LSH candidate generation over any (vec_id, embedding) relation. */
+  /** Core LSH candidate generation over any (vec_id, embedding) relation.
+    * Plane length is measured from the data (one 1-row probe job):
+    * ArrayDot returns null on a length mismatch, so a wrong hard-coded
+    * dim would collapse every sign bit to "0" and silently bucket the
+    * whole corpus together. */
   def lshCandidates(emb: DataFrame): DataFrame = {
+    val dim = emb.select(size(col("embedding")).as("d")).head.getInt(0)
     val bandBuckets = (0 until LshBands).map { b =>
       val bits = (0 until LshPlanesPerBand).map { p =>
-        when(arrayDot(col("embedding"), lit(planeVector(b, p))) >= 0, "1").otherwise("0")
+        when(arrayDot(col("embedding"), lit(planeVector(b, p, dim))) >= 0, "1").otherwise("0")
       }
       concat(bits: _*)
     }

@@ -71,8 +71,13 @@ object LdaSplitter {
 
     // Fresh-id offsets precomputed from the SORTED candidate order; the
     // gaps (clusters splitting into < kRange.max topics) are closed by
-    // the dense renumber that follows.
-    val maxId = scores.keys.max
+    // the dense renumber that follows. The id base comes from the
+    // assignments relation, not the coherence map — ProbCoherence omits
+    // clusters with < 2 scored top terms, so scores.keys.max can sit
+    // below the true max id and fresh ids would collide with it.
+    val maxId = math.max(
+      scores.keys.max,
+      assignments.agg(max(col("cluster")).cast("int")).head.getInt(0))
     val offsets = toSplit.zipWithIndex
       .map { case (c, i) => c -> (maxId + 1 + i * params.kRange.max) }.toMap
 
@@ -83,16 +88,32 @@ object LdaSplitter {
       .localCheckpoint()
 
     // all (cluster, k) fits — each on a lazy filter of the checkpointed
-    // slice, so no per-slice materialization job
-    val models: Map[(Int, Int), LDAModel] = (for {
-      c <- toSplit; k <- params.kRange
-    } yield {
-      val slice = splitDocs.filter(col("cluster") === c).select("doc_id", "features")
-      (c, k) -> new LDA().setK(k).setSeed(params.seed)
-        .setOptimizer(params.optimizer).setMaxIter(params.maxIter)
-        .setFeaturesCol("features")
-        .fit(slice)
-    }).toMap
+    // slice, so no per-slice materialization job. The fits are
+    // independent and individually tiny (a few hundred docs each), so
+    // their cost is Spark job-scheduling latency, not compute — submit
+    // them CONCURRENTLY from a bounded driver pool and let the scheduler
+    // interleave the small jobs across the idle executor threads.
+    val fitPairs = for { c <- toSplit; k <- params.kRange } yield (c, k)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, fitPairs.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val models: Map[(Int, Int), LDAModel] =
+      try {
+        val futs = fitPairs.map { case (c, k) =>
+          scala.concurrent.Future {
+            val slice = splitDocs.filter(col("cluster") === c).select("doc_id", "features")
+            (c, k) -> new LDA().setK(k).setSeed(params.seed)
+              .setOptimizer(params.optimizer).setMaxIter(params.maxIter)
+              .setFeaturesCol("features")
+              .fit(slice)
+          }
+        }
+        scala.concurrent.Await
+          .result(scala.concurrent.Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf)
+          .toMap
+      } finally pool.shutdown()
 
     // ONE coherence evaluation for every (cluster, k, topic):
     // topic top-terms under synthetic keys + docs-of-c × keys-of-c

@@ -16,15 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object PosStage {
 
-  // per-executor-JVM singleton (double-checked; one tagger per JVM
-  // regardless of how many partitions/tasks run on it)
-  @transient @volatile private var cachedTagger: PosTagger = _
-  private def tagger(factory: PosTaggerFactory): PosTagger = {
-    if (cachedTagger == null) synchronized {
-      if (cachedTagger == null) cachedTagger = factory.create()
-    }
-    cachedTagger
-  }
+  // per-executor-JVM cache, keyed by factory — one tagger per distinct
+  // factory per JVM regardless of how many partitions/tasks run on it.
+  // (A single unkeyed singleton would hand a second pipeline using a
+  // different tagger whatever the first factory created.)
+  @transient private lazy val cachedTaggers =
+    new java.util.concurrent.ConcurrentHashMap[PosTaggerFactory, PosTagger]()
+  private def tagger(factory: PosTaggerFactory): PosTagger =
+    cachedTaggers.computeIfAbsent(factory, f => f.create())
 
   /** Scala-side replica of the [[TextFunctions.cleanText]]+tokens chain
     * for use inside mapPartitions (equivalence tested in PosStageSpec). */

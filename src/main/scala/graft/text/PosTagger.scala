@@ -59,8 +59,11 @@ object RulePosTagger extends PosTagger {
 }
 
 /** Factory for the rule tagger; counts instantiations so the
-  * once-per-executor guarantee is testable. */
-class RulePosTaggerFactory extends PosTaggerFactory {
+  * once-per-executor guarantee is testable. A case class: the per-JVM
+  * cache in [[PosStage]] is keyed by factory, and each task deserializes
+  * its own factory copy — structural equality makes those copies hit the
+  * same cache entry (identity equality would create one tagger per TASK). */
+case class RulePosTaggerFactory() extends PosTaggerFactory {
   override def create(): PosTagger = {
     RulePosTaggerFactory.created.incrementAndGet()
     RulePosTagger

@@ -111,4 +111,35 @@ class RefineSpec extends SparkSpec {
     assert(subIds.size >= 2, s"cluster 2 did not split: $byDoc")
     assert(!subIds.contains(byDoc(1L)))
   }
+
+  test("fresh split ids never collide with a cluster absent from scores") {
+    // regression: cluster 9 (doc 7) has no coherence row (singleton — no
+    // scored term pairs); deriving the id base from scores.keys.max alone
+    // would start fresh ids at 3 and fuse split docs into cluster 9
+    val docTerms = Featurize.docTerms(corpus)
+    val counts = Featurize.termCounts(docTerms)
+    val weights = Featurize.tfidf(counts, corpus)
+    val vocab = Featurize.topVocab(weights, 100)
+    val vocabTerms = {
+      val n = vocab.count().toInt
+      val arr = new Array[String](n)
+      vocab.collect().foreach(r => arr(r.getInt(1)) = r.getString(0))
+      arr
+    }
+    val countVecs = Featurize.countVectors(counts, vocab, vocabTerms.length)
+    val asg = Seq(
+      (1L, 1), (2L, 1), (3L, 2), (4L, 2), (5L, 2), (6L, 9)
+    ).toDF("doc_id", "cluster")
+    val scores = Map(1 -> (0.95, 2L), 2 -> (0.1, 3L)) // 9 unscored
+    val updated = LdaSplitter.split(
+      docTerms, countVecs, asg, scores, vocabTerms,
+      LdaSplitter.Params(kRange = 2 to 2, coherenceThreshold = 0.9,
+        minDocsForSplit = 2, maxIter = 40, optimizer = "em"))
+    val byDoc = updated.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // doc 6 keeps its own cluster — no split doc may land on id 9
+    assert(byDoc(6L) === 9)
+    Seq(3L, 4L, 5L).foreach { d =>
+      assert(byDoc(d) > 9, s"doc $d reassigned to ${byDoc(d)} — collides below the true max id")
+    }
+  }
 }

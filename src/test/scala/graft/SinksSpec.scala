@@ -88,4 +88,16 @@ class SinksSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("features")))).toMap
     rows.foreach(r => assert(again(r.getLong(0)) === r.getSeq[Float](r.fieldIndex("features"))))
   }
+
+  test("two pipelines with different featureDims get different decoders") {
+    // regression: the per-JVM decoder cache is keyed by factory — an
+    // unkeyed singleton would hand the dim-8 pipeline the dim-16 decoder
+    val media = Multimodal.mediaTable(Tables.documents(spark, sfTiny).limit(5))
+    val d16 = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(16))
+      .collect().map(r => r.getSeq[Float](r.fieldIndex("features")).length).toSet
+    val d8 = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(8))
+      .collect().map(r => r.getSeq[Float](r.fieldIndex("features")).length).toSet
+    assert(d16 === Set(16))
+    assert(d8 === Set(8))
+  }
 }
