@@ -21,11 +21,16 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9 // before cleanup — its cost must not bill to this query
-      // Release the query's materialized state before the next one runs:
+      // Release the query's SCRATCH state before the next one runs:
       // localCheckpoint blocks stay pinned until their RDD is GC'd, and
       // two dozen accumulated checkpoints visibly degrade the later
-      // heavy queries in a shared session.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // heavy queries in a shared session. Intermediates-pinned RDDs are
+      // the session-shared materializations (DFM, fitted models) — they
+      // are deliberately kept (unpersisting a localCheckpoint is data
+      // loss, and later queries reuse them by design).
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.api.Intermediates.isPinned(id) }
+        .values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       name -> (if (ok) elapsed else -1.0)
     }

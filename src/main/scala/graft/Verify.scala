@@ -17,8 +17,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release per-query checkpoint blocks (see Bench)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // release per-query SCRATCH checkpoint blocks; keep the
+      // Intermediates-pinned shared materializations (see Bench)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.api.Intermediates.isPinned(id) }
+        .values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

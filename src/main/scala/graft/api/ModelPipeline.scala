@@ -4,8 +4,9 @@ import graft.cluster.ClusterPipeline
 import graft.coherence.ProbCoherence
 import graft.features.Featurize
 import graft.refine.{CosineMerge, LdaSplitter, ModelRefresh, Renumber}
+import graft.sources.Tables
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end modeling pipeline (SURVEY §3.2 entry point 2 + §2.9
@@ -15,6 +16,15 @@ import org.apache.spark.sql.functions._
   * (ref ...optimised_clusters.R:831-900) and runPhase1Pipeline
   * (ref 04_cluster_refiner.R:726-774) as one driver-orchestrated
   * composition over lazy distributed stages.
+  *
+  * The dir-keyed accessors ([[counts]], [[weights]], [[fitted]],
+  * [[splitAssignments]]) memoize through [[Intermediates]]: every
+  * report over the same (dataset, params) shares ONE materialization of
+  * the DFM subtree and ONE K-means/LDA fit — exactly how the reference
+  * holds one `dfm`/`kmeans_model` object that every downstream stage
+  * reads (ref 02_build_models.R:161-190), and the only design that
+  * survives 100 TB, where the corpus-wide tokenize→count pass is the
+  * dominant cost and must not be multiplied by the report count.
   */
 object ModelPipeline {
 
@@ -34,9 +44,25 @@ object ModelPipeline {
       assignments: DataFrame, // (doc_id, cluster, features)
       model: org.apache.spark.ml.clustering.KMeansModel)
 
+  /** Shared (doc_id, term, cnt) DFM relation for a dataset dir —
+    * materialized once per session. */
+  def counts(s: SparkSession, d: String): DataFrame =
+    Intermediates.memo(s, s"counts|$d") {
+      Featurize.termCounts(Featurize.docTerms(Tables.documents(s, d)))
+        .localCheckpoint()
+    }
+
+  /** Shared quanteda TF-IDF weights relation for a dataset dir. */
+  def weights(s: SparkSession, d: String): DataFrame =
+    Intermediates.memo(s, s"weights|$d") {
+      Featurize.tfidf(counts(s, d), Tables.documents(s, d)).localCheckpoint()
+    }
+
   def fit(docs: DataFrame, k: Int = 15, seed: Long = 123,
-          vocabSize: Int = 2000): Fitted = {
-    val counts = Featurize.termCounts(Featurize.docTerms(docs)).localCheckpoint()
+          vocabSize: Int = 2000,
+          precomputedCounts: Option[DataFrame] = None): Fitted = {
+    val counts = precomputedCounts.getOrElse(
+      Featurize.termCounts(Featurize.docTerms(docs)).localCheckpoint())
     val docTerms = counts.select(col("doc_id"), col("term"))
     val weights = Featurize.tfidf(counts, docs)
     val vocab = Featurize.topVocab(weights, vocabSize).localCheckpoint()
@@ -52,6 +78,14 @@ object ModelPipeline {
     Fitted(docTerms, counts, weights, vocab, vocabTerms,
       model.transform(feats), model)
   }
+
+  /** Dir-keyed fitted pipeline, shared across every query in the
+    * session that models the same dataset with the same params. */
+  def fitted(s: SparkSession, d: String, k: Int = 15, seed: Long = 123,
+             vocabSize: Int = 2000): Fitted =
+    Intermediates.memo(s, s"fitted|$d|$k|$seed|$vocabSize") {
+      fit(Tables.documents(s, d), k, seed, vocabSize, Some(counts(s, d)))
+    }
 
   /** Per-cluster coherence over the top-M TF-IDF terms (A8 + A10). */
   def coherence(fm: Fitted, topM: Int = 5): DataFrame =
@@ -80,6 +114,15 @@ object ModelPipeline {
       .localCheckpoint()
   }
 
+  /** Dir-keyed split assignments over the dir-keyed fit — one LDA sweep
+    * per (dataset, params) per session. */
+  def splitAssignments(s: SparkSession, d: String, params: LdaSplitter.Params,
+                       k: Int = 15, seed: Long = 123,
+                       vocabSize: Int = 2000): DataFrame =
+    Intermediates.memo(s, s"split|$d|$k|$seed|$vocabSize|$params") {
+      split(fitted(s, d, k, seed, vocabSize), params)
+    }
+
   /** Cosine merge of redundant clusters, then dense renumber. */
   def merge(assignments: DataFrame, threshold: Double = 0.9): DataFrame = {
     val centers = CosineMerge.collectCenters(assignments)
@@ -94,10 +137,18 @@ object ModelPipeline {
                params: LdaSplitter.Params = LdaSplitter.Params(),
                mergeThreshold: Double = 0.9): DataFrame = {
     val fm = fit(docs, k, seed, vocabSize)
-    val afterSplit = split(fm, params)
-    val afterMerge = merge(afterSplit, mergeThreshold)
-    ModelRefresh.stats(afterMerge).orderBy(col("cluster"))
+    optimizeFrom(split(fm, params), mergeThreshold)
   }
+
+  /** Dir-keyed optimize over the shared fit/split materializations. */
+  def optimize(s: SparkSession, d: String, k: Int, seed: Long,
+               params: LdaSplitter.Params, mergeThreshold: Double): DataFrame =
+    optimizeFrom(splitAssignments(s, d, params, k, seed), mergeThreshold)
+
+  private def optimizeFrom(afterSplit: DataFrame,
+                           mergeThreshold: Double): DataFrame =
+    ModelRefresh.stats(merge(afterSplit, mergeThreshold))
+      .orderBy(col("cluster"))
 
   /** M10 + A10: the refiner pipeline (ref runPhase1Pipeline
     * 04_cluster_refiner.R:726-774) — coherence → conditional split
@@ -114,6 +165,15 @@ object ModelPipeline {
     val asg =
       if (breakClusters) split(fm, params)
       else fm.assignments.select(col("doc_id"), col("cluster"))
+    reportFrom(fm, asg)
+  }
+
+  /** Dir-keyed refiner report over the shared fit/split. */
+  def refinerReport(s: SparkSession, d: String, k: Int, seed: Long,
+                    params: LdaSplitter.Params): DataFrame =
+    reportFrom(fitted(s, d, k, seed), splitAssignments(s, d, params, k, seed))
+
+  private def reportFrom(fm: Fitted, asg: DataFrame): DataFrame = {
     val asgSlim = asg.select(col("doc_id"), col("cluster"))
     // tiny (≤ clusters × 5 rows) but read by coherence AND labels —
     // materialize to avoid re-running the weights join per consumer

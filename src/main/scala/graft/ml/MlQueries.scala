@@ -47,14 +47,15 @@ object MlQueries {
   private[graft] def hashClusters(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), (col("doc_id") % 10).as("cluster"))
 
+  /** Shared materialized DFM weights (see [[graft.api.Intermediates]]) —
+    * every query in the m/f families reads the same checkpointed
+    * relation instead of re-running the tokenize→ngram→count subtree. */
   private[graft] def weights(s: SparkSession, d: String): DataFrame =
-    Featurize.tfidf(
-      Featurize.termCounts(Featurize.docTerms(Tables.documents(s, d))),
-      Tables.documents(s, d))
+    graft.api.ModelPipeline.weights(s, d)
 
   /** m01 — V1/V3/A6: 1-3-gram document-term counts (the relational DFM). */
   def docTermCounts(s: SparkSession, d: String): DataFrame =
-    Featurize.termCounts(Featurize.docTerms(Tables.documents(s, d)))
+    graft.api.ModelPipeline.counts(s, d)
       .select(col("doc_id"), col("term"), col("cnt").as("n"))
       .orderBy(col("doc_id"), col("term"))
 
@@ -108,14 +109,12 @@ object MlQueries {
     * terms + per-cluster doc counts, sorted worst-last (the coherence
     * report, ref 02_build_models.R:466-471, 790-853). */
   def coherenceReport(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val asg = hashClusters(docs)
-    // one materialization of the tokenize→count subtree: weights and the
-    // coherence presence both re-read it (docTerms binarizes to the same
-    // distinct (doc, term) pairs counts already holds)
-    val counts = Featurize.termCounts(Featurize.docTerms(docs)).localCheckpoint()
-    val w = Featurize.tfidf(counts, docs)
-    val top = ClusterPipeline.topTerms(w, asg, 5)
+    val asg = hashClusters(Tables.documents(s, d))
+    // counts and weights are the session-shared materializations: the
+    // coherence presence reads counts' distinct (doc, term) pairs
+    // (coherence binarizes anyway), top terms read the weights
+    val counts = graft.api.ModelPipeline.counts(s, d)
+    val top = ClusterPipeline.topTerms(weights(s, d), asg, 5)
     ProbCoherence.perCluster(
       counts.select(col("doc_id"), col("term")), asg, top)
       .orderBy(col("coherence").desc, col("cluster"))
@@ -154,8 +153,8 @@ object MlQueries {
     * Lloyd's iterations aren't SQL-expressible; invariants (k rows, dense
     * ids, seed determinism) are asserted in ClusterPipelineSpec. */
   def kmeansStats(s: SparkSession, d: String): DataFrame = {
-    val (asg, _, model) = ClusterPipeline.fit(Tables.documents(s, d), k = 15, seed = 123)
-    ClusterPipeline.withinss(asg, model)
+    val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
+    ClusterPipeline.withinss(fm.assignments, fm.model)
       .select(col("cluster").cast("long").as("cluster"),
         col("withinss"), col("n_docs"))
       .orderBy(col("cluster"))
@@ -171,12 +170,15 @@ object MlQueries {
     * dominant topic and the reassignment is a no-op — the structured A2
     * fixture in RefineSpec proves real splits). Rows-only: iterative
     * LDA/K-means fits aren't SQL-expressible. */
+  /** One LdaSplitter parameterization shared by m07/m09 so the
+    * session-level split materialization is computed once. */
+  private val splitParams = graft.refine.LdaSplitter.Params(
+    kRange = 2 to 3, coherenceThreshold = 0.5, minDocsForSplit = 10,
+    maxIter = 5)
+
   def ldaOptimize(s: SparkSession, d: String): DataFrame =
-    graft.api.ModelPipeline.optimize(Tables.documents(s, d), k = 15, seed = 123,
-      params = graft.refine.LdaSplitter.Params(
-        kRange = 2 to 3, coherenceThreshold = 0.5, minDocsForSplit = 10,
-        maxIter = 5),
-      mergeThreshold = 0.9)
+    graft.api.ModelPipeline.optimize(s, d, k = 15, seed = 123,
+      params = splitParams, mergeThreshold = 0.9)
       .select(col("cluster").cast("long").as("cluster"), col("n_docs"), col("withinss"))
       .orderBy(col("cluster"))
 
@@ -184,9 +186,9 @@ object MlQueries {
     * stats over the seeded K-means fit (no LDA stage — isolates the
     * merge/renumber/refresh path). Rows-only. */
   def clusterMerge(s: SparkSession, d: String): DataFrame = {
-    val (asg, _, _) = ClusterPipeline.fit(Tables.documents(s, d), k = 15, seed = 123)
+    val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
     graft.refine.ModelRefresh.stats(
-        graft.api.ModelPipeline.merge(asg, threshold = 0.9))
+        graft.api.ModelPipeline.merge(fm.assignments, threshold = 0.9))
       .select(col("cluster").cast("long").as("cluster"), col("n_docs"), col("withinss"))
       .orderBy(col("cluster"))
   }
@@ -195,11 +197,8 @@ object MlQueries {
     * terms, deterministic labels, labeled report sorted best-first.
     * Rows-only (K-means/LDA dependent). */
   def refinerReport(s: SparkSession, d: String): DataFrame =
-    graft.api.ModelPipeline.refinerReport(Tables.documents(s, d),
-        k = 15, seed = 123,
-        params = graft.refine.LdaSplitter.Params(
-          kRange = 2 to 3, coherenceThreshold = 0.5, minDocsForSplit = 10,
-          maxIter = 5))
+    graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
+        params = splitParams)
       .select(col("cluster").cast("long").as("cluster"), col("n_docs"),
         col("coherence"), col("label"))
 
