@@ -107,8 +107,11 @@ object DedupOps {
     * candidates. The join is the scale path: work is proportional to
     * bucket collisions, not to n², and oversized buckets are dropped.
     * Rows-only check (approximate family). */
-  def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val tokenized = Tables.documents(s, d)
+  def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    minhashCandidatesFrom(Tables.documents(s, d))
+
+  private[graft] def minhashCandidatesFrom(documents: DataFrame): DataFrame = {
+    val tokenized = documents
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
     val docs = minhashSignatures(
       TextFunctions.withNgrams(tokenized, "words", "shingles", 3)
@@ -163,9 +166,41 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Id offset for the planted-twin recall harness — far above any
+    * corpus doc_id at every SF. */
+  val PlantOffset = 1000000L
+
+  /** d05 — LSH recall invariant, oracle-checked: union the corpus with an
+    * id-shifted copy of itself and demand the REAL MinHash-LSH path
+    * ([[minhashCandidatesFrom]], same signature/banding/bucket-guard
+    * code) recover every planted identical pair. Identical text ⇒
+    * identical shingle set ⇒ identical signature ⇒ the twins share all 8
+    * band buckets, and the bucket-size guard can only lose a pair if all
+    * 8 of its buckets are oversized — impossible without ≥ MaxBucketSize/2
+    * near-identical docs (this corpus has none: d01 shows zero exact
+    * dups). So the candidate set provably contains exactly one row per
+    * doc with ≥ 3 tokens (≥ 1 shingle) — a full DuckDB oracle for the
+    * approximate family's recall, not just a rows-only count. */
+  def lshPlantedRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.select((col("doc_id") + lit(PlantOffset)).as("doc_id"),
+      col("text"))
+    minhashCandidatesFrom(docs.unionByName(planted))
+      .filter(col("b_id") === col("a_id") + lit(PlantOffset))
+      .orderBy(col("a_id"))
+  }
+
+  private val lshPlantedRecallSql =
+    s"""SELECT doc_id AS a_id, doc_id + ${PlantOffset} AS b_id
+      |FROM documents
+      |WHERE len(list_filter(${graft.oracle.DuckFragments.tokListSql},
+      |                      x -> x <> '')) >= 3
+      |ORDER BY a_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("d03_minhash_candidates", minhashCandidates, None),
-    QueryDef("d04_simhash", simhashDocs, None))
+    QueryDef("d04_simhash", simhashDocs, None),
+    QueryDef("d05_lsh_planted_recall", lshPlantedRecall, Some(lshPlantedRecallSql)))
 }

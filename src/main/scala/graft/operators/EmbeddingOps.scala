@@ -142,6 +142,22 @@ object EmbeddingOps {
     * dim would collapse every sign bit to "0" and silently bucket the
     * whole corpus together. */
   def lshCandidates(emb: DataFrame): DataFrame = {
+    val candidates = lshCandidatePairs(emb)
+    candidates
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(fastCosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  /** LSH candidate-pair generation (no re-rank/limit) over any
+    * (vec_id, embedding) relation. Plane length is measured from the
+    * data (one 1-row probe job): ArrayDot returns null on a length
+    * mismatch, so a wrong hard-coded dim would collapse every sign bit
+    * to "0" and silently bucket the whole corpus together. */
+  private[graft] def lshCandidatePairs(emb: DataFrame): DataFrame = {
     val dim = emb.select(size(col("embedding")).as("d")).head.getInt(0)
     val bandBuckets = (0 until LshBands).map { b =>
       val bits = (0 until LshPlanesPerBand).map { p =>
@@ -161,19 +177,37 @@ object EmbeddingOps {
       .filter(col("bucket_n").between(2, LshMaxBucketSize))
       .select(col("band"), col("bucket"))
     val pruned = banded.join(smallBuckets, Seq("band", "bucket"))
-    val candidates = pruned.as("a").join(pruned.as("b"),
+    pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    candidates
-      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(fastCosine(col("a_emb"), col("b_emb")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
-      .limit(100)
   }
+
+  /** Id offset for the planted-twin ANN recall harness. */
+  val AnnPlantOffset = 1000000L
+
+  /** e06 — ANN-LSH recall invariant, oracle-checked (mirrors
+    * d05): union the embeddings with an id-shifted copy and demand the
+    * REAL hyperplane-LSH path recover every planted identical pair. An
+    * identical vector projects to identical sign bits in every band, so
+    * the twins share all 4 band buckets; the oversized-bucket guard can
+    * only lose a pair if all 4 of its buckets exceed LshMaxBucketSize —
+    * at the verification SF buckets average a few members (256 buckets
+    * per band). Full DuckDB oracle: one row per corpus vector. */
+  def annPlantedRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = emb.select((col("vec_id") + lit(AnnPlantOffset)).as("vec_id"),
+      col("embedding"))
+    lshCandidatePairs(emb.unionByName(planted))
+      .filter(col("b_id") === col("a_id") + lit(AnnPlantOffset))
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"))
+  }
+
+  private val annPlantedRecallSql =
+    s"""SELECT vec_id AS a_id, vec_id + ${AnnPlantOffset} AS b_id
+      |FROM embeddings ORDER BY a_id""".stripMargin
 
   /** IVF coarse-quantizer shape: cells in the inverted file and cells
     * probed per query. Recall/latency knob: more probes → closer to
@@ -238,5 +272,6 @@ object EmbeddingOps {
     QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
     QueryDef("e03_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("e04_ann_lsh", annLshCandidates, None),
-    QueryDef("e05_ann_ivf", annIvf, None))
+    QueryDef("e05_ann_ivf", annIvf, None),
+    QueryDef("e06_ann_planted_recall", annPlantedRecall, Some(annPlantedRecallSql)))
 }
