@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cpus)
+      // planner extension: interpreted aggregate(zip_with(...)) vector
+      // math rewrites to the codegen'd ArrayDot kernel
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
