@@ -193,18 +193,31 @@ object TextOps {
     * per shard): hash every 5-char gram of the cleaned text, keep the
     * window minimum over each 8-gram window, emit distinct selected
     * hashes. Guarantees any shared substring ≥ 12 chars yields a shared
-    * fingerprint. md5 is the cross-engine hash (xxhash64 has no DuckDB
-    * twin); the lexicographic window-min is identical on both. */
+    * fingerprint. The gram hash is a base-32 polynomial over the char
+    * codes mod 32 (injective over the post-clean `[a-z ]` alphabet:
+    * ' '→0, 'a'..'z'→1..26) scrambled by a Knuth multiplicative step —
+    * the polynomial is < 2^25, so multiplying by an odd 32-bit constant
+    * mod 2^32 is collision-free AND overflow-safe in both engines, and
+    * the scramble removes the positional bias a raw polynomial gives the
+    * window-min (grams starting with low codes would otherwise dominate
+    * the selected fingerprints). A LONG hash: the window min compares
+    * 8-byte integers instead of 32-char md5 strings, and the per-gram
+    * cost is 5 codegen'd ascii ops with zero allocation (md5 pays a
+    * digest + hex-encode per gram). */
   def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
     val k = 5
     val w = 8
+    val poly = (1 until k).foldLeft((ascii(expr("substring(c, pos, 1)")) % 32)
+        .cast("long")) { (acc, i) =>
+      acc * 32L + (ascii(expr(s"substring(c, pos + $i, 1)")) % 32).cast("long")
+    }
+    val gramHash = (poly * 2654435761L) % 4294967296L
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
       .filter(length(col("c")) >= k)
       .select(col("doc_id"), col("c"),
         explode(sequence(lit(1), length(col("c")) - (k - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(c, pos, $k)").cast("binary")).as("h"))
+      .select(col("doc_id"), col("pos"), gramHash.as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     grams.withColumn("mh", min(col("h")).over(win))
@@ -214,17 +227,22 @@ object TextOps {
       .orderBy(col("doc_id"), col("fp"))
   }
 
-  private val winnowFingerprintsSql =
+  private val winnowFingerprintsSql = {
+    val poly = (1 until 5).foldLeft("(ascii(substr(c, pos, 1)) % 32)::BIGINT") {
+      (acc, i) => s"($acc) * 32 + (ascii(substr(c, pos + $i, 1)) % 32)::BIGINT"
+    }
+    val gramHash = s"(($poly) * 2654435761) % 4294967296"
     s"""WITH c AS (SELECT doc_id, $cleanSql AS c FROM documents),
        |p AS (SELECT doc_id, c, unnest(generate_series(1, length(c) - 4)) AS pos
        |      FROM c WHERE length(c) >= 5),
-       |h AS (SELECT doc_id, pos, md5(substr(c, pos, 5)) AS h FROM p),
+       |h AS (SELECT doc_id, pos, $gramHash AS h FROM p),
        |m AS (SELECT doc_id, pos, h,
        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
        |      FROM h)
        |SELECT DISTINCT doc_id, h AS fp FROM m WHERE h = mh
        |ORDER BY doc_id, fp""".stripMargin
+  }
 
   /** Token-count statistics: whitespace tokens, BPE-style pre-tokenizer
     * pieces (letter runs / digit runs / single punctuation — the GPT-2

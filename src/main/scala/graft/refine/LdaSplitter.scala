@@ -81,11 +81,22 @@ object LdaSplitter {
     val offsets = toSplit.zipWithIndex
       .map { case (c, i) => c -> (maxId + 1 + i * params.kRange.max) }.toMap
 
-    // ONE materialization of every doc that participates in any split
-    val splitDocs = countVecs
+    // ONE materialization of every doc that participates in any split.
+    // Then right-size the partitioning: each (cluster, k) fit filters a
+    // small slice, and an online-LDA iteration is a job over EVERY
+    // partition — at the default shuffle width that's thousands of
+    // near-empty task launches across the sweep (fits × iterations ×
+    // partitions), pure scheduler overhead. ~5k docs per partition keeps
+    // tiny sweeps on a handful of tasks while a 100 TB cluster's split
+    // slices still fan out proportionally to their size.
+    val checkpointed = countVecs
       .join(assignments.filter(col("cluster").isin(toSplit: _*))
         .select(col("doc_id"), col("cluster")), "doc_id")
       .localCheckpoint()
+    val nParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      checkpointed.count() / 5000L + 1L)).toInt
+    val splitDocs = checkpointed.coalesce(nParts)
 
     // all (cluster, k) fits — each on a lazy filter of the checkpointed
     // slice, so no per-slice materialization job. The fits are
