@@ -508,5 +508,60 @@ object Relational {
     QueryDef("q20_running_totals", runningTotals, Some(runningTotalsSql)),
     QueryDef("q21_approx_distinct", approxDistinct, None),
     QueryDef("q24_purchase_attribution", purchaseAttribution, Some(purchaseAttributionSql)),
-    QueryDef("q25_value_percentiles", valuePercentiles, Some(valuePercentilesSql)))
+    QueryDef("q25_value_percentiles", valuePercentiles, Some(valuePercentilesSql)),
+    QueryDef("q26_trailing_hour_window", trailingHourWindow, Some(trailingHourWindowSql)),
+    QueryDef("q27_dow_pivot", dowPivot, Some(dowPivotSql)))
+
+  /** q26 — RANGE-frame window (value-based frame, distinct from q20's
+    * ROWS frame): per event type, the trailing-one-hour event count and
+    * value sum at every event. The frame is defined on the epoch-second
+    * ORDER BY value, so tied timestamps share one frame — semantics
+    * identical in DuckDB. Partitioned by event_type: the window shuffle
+    * keys on a bounded-cardinality column, never a global sort. */
+  def trailingHourWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_trailing"),
+        round(sum(col("value")).over(w), 2).as("trailing_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val trailingHourWindowSql =
+    """WITH e AS (SELECT event_id, event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+      |           FROM events)
+      |SELECT event_id, event_type,
+      |  count(*) OVER w AS n_trailing,
+      |  round(sum(value) OVER w, 2) AS trailing_value
+      |FROM e
+      |WINDOW w AS (PARTITION BY event_type ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q27 — pivot (long→wide): per event type, summed value by day of
+    * week as seven columns. Spark's RelationalGroupedDataset.pivot with
+    * explicit pivot values (no extra distinct-values job, stable column
+    * order); the oracle verifies with portable filtered aggregates.
+    * Spark dayofweek is 1=Sunday..7; DuckDB dow is 0=Sunday..6. */
+  def dowPivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"), col("value"))
+      .groupBy(col("event_type"))
+      .pivot("dow", 0 to 6)
+      .agg(round(sum(col("value")), 2))
+      .toDF("event_type" +: (0 to 6).map(i => s"d$i"): _*)
+      .orderBy(col("event_type"))
+
+  private val dowPivotSql = {
+    val cols = (0 to 6).map(i =>
+      s"round(sum(value) FILTER (WHERE date_part('dow', ts) = $i), 2) AS d$i")
+      .mkString(",\n|  ")
+    s"""SELECT event_type,
+      |  $cols
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 }

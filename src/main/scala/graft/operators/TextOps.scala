@@ -204,7 +204,10 @@ object TextOps {
     * 8-byte integers instead of 32-char md5 strings, and the per-gram
     * cost is 5 codegen'd ascii ops with zero allocation (md5 pays a
     * digest + hex-encode per gram). */
-  def winnowFingerprints(s: SparkSession, d: String): DataFrame = {
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFrom(Tables.documents(s, d))
+
+  private[graft] def winnowFrom(documents: DataFrame): DataFrame = {
     val k = 5
     val w = 8
     val poly = (1 until k).foldLeft((ascii(expr("substring(c, pos, 1)")) % 32)
@@ -212,7 +215,7 @@ object TextOps {
       acc * 32L + (ascii(expr(s"substring(c, pos + $i, 1)")) % 32).cast("long")
     }
     val gramHash = (poly * 2654435761L) % 4294967296L
-    val grams = Tables.documents(s, d)
+    val grams = documents
       .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
       .filter(length(col("c")) >= k)
       .select(col("doc_id"), col("c"),

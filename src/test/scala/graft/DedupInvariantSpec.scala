@@ -77,4 +77,24 @@ class DedupInvariantSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sfTiny).count()
     assert(agg === nDocs, "every doc belongs to exactly one hash group")
   }
+
+  test("winnowing guarantee: a shared substring ≥ w+k-1 chars shares a fingerprint") {
+    import spark.implicits._
+    // Schleimer et al.: with k=5, w=8, any common substring of length
+    // ≥ 12 must contribute at least one common selected fingerprint.
+    // The shared span differs in position and surrounding text.
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"unrelated prefix text here $shared and a different suffix"),
+      (3L, "completely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextOps.winnowFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a 44-char substring must share a fingerprint")
+    // and fingerprinting is selective: doc 3 shares nothing with doc 1
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
 }
