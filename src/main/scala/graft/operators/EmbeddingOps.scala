@@ -215,21 +215,19 @@ object EmbeddingOps {
   val IvfCells = 16
   val IvfProbes = 4
 
-  /** e05 — IVF ANN: seeded k-means coarse quantizer assigns every vector
-    * to one of `IvfCells` cells (one fit, reusable across queries); a
-    * query exact-searches only its `IvfProbes` nearest cells. At scale
-    * the cell assignment is the partition key — a probe touches
-    * IvfProbes/IvfCells of the data instead of all of it. Rows-only
-    * (k-means-dependent); the brute-force e01 is the exact baseline. */
-  /** Core IVF search over any (vec_id, embedding) relation — used by the
-    * corpus query and by the planted-structure recall test. */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
-              cells: Int = IvfCells, probes: Int = IvfProbes): DataFrame = {
-    import org.apache.spark.ml.linalg.{Vector, Vectors}
-    // L2-normalize for the quantizer: the similarity metric is cosine,
-    // and Euclidean cells over raw vectors split by magnitude, putting
-    // true cosine neighbors in far cells. On the unit sphere,
-    // ‖a−b‖² = 2(1−cos) — Euclidean k-means becomes a cosine quantizer.
+  /** A built IVF index: cell-assigned vectors + the quantizer's centers.
+    * Built ONCE per (relation, cells) — the index is the expensive part;
+    * every query probes it. */
+  final case class IvfIndex(assigned: DataFrame,
+                            model: org.apache.spark.ml.clustering.KMeansModel)
+
+  /** Build the IVF coarse quantizer over a (vec_id, embedding) relation.
+    * L2-normalize for the quantizer: the similarity metric is cosine,
+    * and Euclidean cells over raw vectors split by magnitude, putting
+    * true cosine neighbors in far cells. On the unit sphere,
+    * ‖a−b‖² = 2(1−cos) — Euclidean k-means becomes a cosine quantizer. */
+  def ivfBuild(emb: DataFrame, cells: Int = IvfCells): IvfIndex = {
+    import org.apache.spark.ml.linalg.Vectors
     val toVec = udf { a: Seq[Float] =>
       val x = a.map(_.toDouble).toArray
       val n = math.sqrt(x.map(v => v * v).sum)
@@ -242,16 +240,25 @@ object EmbeddingOps {
       .setK(cells).setSeed(42)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(vecs)
-    val assigned = km.transform(vecs)
+    IvfIndex(km.transform(vecs).localCheckpoint(), km)
+  }
 
-    val qFeatures = vecs.filter(col("vec_id") === queryId)
+  /** e05 — IVF ANN probe: a query exact-searches only its `IvfProbes`
+    * nearest cells of a prebuilt index. At scale the cell assignment is
+    * the partition key — a probe touches IvfProbes/IvfCells of the data
+    * instead of all of it. Rows-only (k-means-dependent); the
+    * brute-force e01 is the exact baseline. */
+  def ivfTopK(index: IvfIndex, queryId: Long, k: Int,
+              probes: Int = IvfProbes): DataFrame = {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val qFeatures = index.assigned.filter(col("vec_id") === queryId)
       .select(col("features")).collect().head.getAs[Vector](0)
-    val probed = km.clusterCenters.zipWithIndex
+    val probed = index.model.clusterCenters.zipWithIndex
       .sortBy { case (c, _) => Vectors.sqdist(c, qFeatures) }
       .take(probes).map(_._2)
-
-    val qEmb = vecs.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
-    assigned
+    val qEmb = index.assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    index.assigned
       .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryId)
       .crossJoin(broadcast(qEmb))
       .select(col("vec_id"),
@@ -260,12 +267,23 @@ object EmbeddingOps {
       .limit(k)
   }
 
+  /** Build-then-probe convenience (test fixtures). */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+              cells: Int, probes: Int): DataFrame =
+    ivfTopK(ivfBuild(emb, cells), queryId, k, probes)
+
   /** e05 query wrapper over the corpus table (rows-only: k-means cells).
-    * Note the test corpus is isotropic noise — real recall behavior is
-    * pinned by the planted-structure fixture in SkewOpsSpec. */
-  def annIvf(s: SparkSession, d: String): DataFrame =
-    ivfTopK(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      queryId = 0, k = 20)
+    * The index is a session-shared materialization ([[graft.api.Intermediates]])
+    * — built once per dataset, probed per query, exactly the
+    * build-offline/probe-online IVF deployment shape. Note the test
+    * corpus is isotropic noise — real recall behavior is pinned by the
+    * planted-structure fixture in SkewOpsSpec. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$IvfCells") {
+      ivfBuild(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    }
+    ivfTopK(index, queryId = 0, k = 20)
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),

@@ -52,7 +52,8 @@ class SkewOpsSpec extends SparkSpec {
       (i.toLong, v)
     }
     val emb = rows.toDF("vec_id", "embedding")
-    val got = EmbeddingOps.ivfTopK(emb, queryId = 0, k = 20)
+    val got = EmbeddingOps.ivfTopK(emb, queryId = 0, k = 20,
+        cells = EmbeddingOps.IvfCells, probes = EmbeddingOps.IvfProbes)
       .collect().map(_.getLong(0))
     assert(got.head === 1L, s"planted twin not top-1: ${got.take(5).toSeq}")
     // most of the query's own cluster should surface in the top-20
