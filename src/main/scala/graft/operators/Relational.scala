@@ -510,7 +510,8 @@ object Relational {
     QueryDef("q24_purchase_attribution", purchaseAttribution, Some(purchaseAttributionSql)),
     QueryDef("q25_value_percentiles", valuePercentiles, Some(valuePercentilesSql)),
     QueryDef("q26_trailing_hour_window", trailingHourWindow, Some(trailingHourWindowSql)),
-    QueryDef("q27_dow_pivot", dowPivot, Some(dowPivotSql)))
+    QueryDef("q27_dow_pivot", dowPivot, Some(dowPivotSql)),
+    QueryDef("q28_grouping_sets", groupingSets, Some(groupingSetsSql)))
 
   /** q26 — RANGE-frame window (value-based frame, distinct from q20's
     * ROWS frame): per event type, the trailing-one-hour event count and
@@ -564,4 +565,32 @@ object Relational {
       |  $cols
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   }
+
+  /** q28 — explicit GROUPING SETS (neither rollup q08 nor cube q09:
+    * an arbitrary set list skipping the (user-only) margin), via the SQL
+    * front door over a temp view — grouping sets have no DataFrame-API
+    * equivalent. grouping() flags disambiguate real NULLs from margin
+    * rows, identically in DuckDB. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_q28")
+    s.sql("""
+      SELECT coalesce(event_type, 'ALL') AS event_type,
+             CASE WHEN grouping(user_bucket) = 1 THEN -1 ELSE user_bucket END AS user_bucket,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value
+            FROM graft_events_q28)
+      GROUP BY GROUPING SETS ((event_type, user_bucket), (event_type), ())
+      ORDER BY event_type, user_bucket""")
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |       CASE WHEN grouping(user_bucket) = 1 THEN -1 ELSE user_bucket END AS user_bucket,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value
+      |      FROM events)
+      |GROUP BY GROUPING SETS ((event_type, user_bucket), (event_type), ())
+      |ORDER BY event_type, user_bucket""".stripMargin
 }
