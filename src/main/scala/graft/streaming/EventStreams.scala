@@ -92,4 +92,64 @@ object EventStreams {
           (user, next.n, next.sum)
       }
   }
+
+  /** Open-session accumulator: last-seen epoch second + running counts. */
+  final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)
+
+  /** A session emitted when its inactivity gap elapses. */
+  final case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
+                                 n_events: Long, sum_value: Double)
+
+  /** Custom state via flatMapGroupsWithState: gap-based sessionization
+    * that EMITS each closed session exactly once (zero or many outputs
+    * per invocation — the shape mapGroupsWithState's one-output contract
+    * can't express). With `idleFlush` a processing-time timeout emits the
+    * final open session when a key goes quiet (deployment shape; keeps
+    * the engine scheduling timer batches, so tests that drain with
+    * processAllAvailable disable it — an open session simply isn't
+    * closed yet). Within a batch, events are sorted per key (bounded by
+    * the group's batch slice); sessions close when the gap between
+    * consecutive events exceeds `gapSec`. State carries ONE open session
+    * per user — O(keys), not O(events). */
+  def closedSessions(events: DataFrame, gapSec: Long = 1800,
+                     idleFlush: Boolean = true): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleFlush) org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout()
+      else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()
+    events.select(col("user_id").cast("long"),
+        unix_timestamp(col("ts")).as("sec"), col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.startSec, s.lastSec, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var cur = state.getOption
+            for ((_, sec, v) <- sorted) {
+              cur match {
+                case Some(s) if sec - s.lastSec <= gapSec =>
+                  cur = Some(SessionState(sec, s.startSec, s.n + 1, s.sum + v))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.startSec, s.lastSec, s.n, s.sum)
+                  cur = Some(SessionState(sec, sec, 1L, v))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleFlush) state.setTimeoutDuration(gapSec * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -89,6 +89,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(last === Set((7L, 3L, 7.0), (9L, 1L, 5.0)))
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventStreams.closedSessions(events, gapSec = 1800, idleFlush = false)
+      .toDF().writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    // user 7: session A (minutes 0,10), then 40-min silence, session B (50)
+    in.addData((1L, ts(0), 7L, 1.0), (2L, ts(10), 7L, 2.0))
+    q.processAllAvailable()
+    // next batch: event at minute 50 closes session A (gap > 30 min)
+    in.addData((3L, ts(50), 7L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, n_events, sum_value FROM closed_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet === Set((7L, 2L, 3.0)), s"got ${got.toSeq}")
+  }
+
+  test("closedSessions batch form closes every gap-separated session but the open one") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), 7L, 1.0), (2L, ts(10), 7L, 2.0),   // session A
+      (3L, ts(50), 7L, 4.0),                          // session B (gap 40m)
+      (4L, ts(100), 7L, 8.0),                         // session C (gap 50m) — stays open
+      (5L, ts(0), 9L, 1.0))                           // user 9 — stays open
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = EventStreams.closedSessions(events, gapSec = 1800, idleFlush = false)
+      .collect().map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+    assert(got === Set((7L, 2L, 3.0), (7L, 1L, 4.0)))
+  }
+
   test("EnrichStage runs unchanged on a streaming source (§2.12 enrichment-as-stream)") {
     // the reference's chunked enrichment protocol maps to readStream +
     // mapPartitions + checkpointed writeStream; the SAME EnrichStage
