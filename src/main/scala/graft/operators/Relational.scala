@@ -511,7 +511,8 @@ object Relational {
     QueryDef("q25_value_percentiles", valuePercentiles, Some(valuePercentilesSql)),
     QueryDef("q26_trailing_hour_window", trailingHourWindow, Some(trailingHourWindowSql)),
     QueryDef("q27_dow_pivot", dowPivot, Some(dowPivotSql)),
-    QueryDef("q28_grouping_sets", groupingSets, Some(groupingSetsSql)))
+    QueryDef("q28_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q29_above_customer_avg", aboveCustomerAvg, Some(aboveCustomerAvgSql)))
 
   /** q26 — RANGE-frame window (value-based frame, distinct from q20's
     * ROWS frame): per event type, the trailing-one-hour event count and
@@ -593,4 +594,28 @@ object Relational {
       |      FROM events)
       |GROUP BY GROUPING SETS ((event_type, user_bucket), (event_type), ())
       |ORDER BY event_type, user_bucket""".stripMargin
+
+  /** q29 — correlated scalar subquery: orders priced above 1.5× their own
+    * customer's average. Catalyst decorrelates the subquery into an
+    * aggregate + join (no per-row re-execution) — the plan a 100 TB run
+    * needs; the SQL front door is the only way to express the correlated
+    * form. */
+  def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_q29")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+      FROM graft_orders_q29 o
+      WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                            FROM graft_orders_q29 o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
+  private val aboveCustomerAvgSql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+      |                      FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
 }
