@@ -14,6 +14,12 @@ object Bench {
     try spark.read.parquet(s"$sfDir/nation.parquet")
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // Shared Intermediates builds (DFM, K-means fit, IVF index) are
+    // deliberately billed to the first query that triggers them: they are
+    // real pipeline work and must stay inside the benchmark total —
+    // excluding them (pre-building before the loop) would understate the
+    // engine's cost. Per-query numbers are therefore run-order-dependent
+    // for the m/f families; the total is not.
     // noop sink forces full materialization of every output column
     // (count() would let Catalyst prune the expensive projections).
     // Failed queries record a -1.0 sentinel and a `failed` list — a crash

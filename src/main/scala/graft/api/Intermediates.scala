@@ -36,8 +36,16 @@ object Intermediates {
   private val cache = new ConcurrentHashMap[String, Any]()
   private val pinnedRdds = ConcurrentHashMap.newKeySet[Int]()
 
+  /** Keyed by (context application id, session identity, logical key):
+    * the applicationId prefix guarantees a NEW SparkContext (fresh RDD id
+    * space, fresh executors) can never hit an entry whose DataFrames are
+    * bound to a stopped context, even if a session identityHashCode is
+    * recycled after GC. Stale-context pins only make the cleanup sweep
+    * skip an id it would otherwise release — a bounded leak, never a
+    * correctness hazard. */
   private def fullKey(spark: SparkSession, key: String): String =
-    System.identityHashCode(spark).toString + "|" + key
+    spark.sparkContext.applicationId + "|" +
+      System.identityHashCode(spark).toString + "|" + key
 
   /** Memoize `build` under (session, key), pinning any RDDs it persists. */
   def memo[T](spark: SparkSession, key: String)(build: => T): T = {

@@ -60,11 +60,16 @@ object ModelPipeline {
 
   def fit(docs: DataFrame, k: Int = 15, seed: Long = 123,
           vocabSize: Int = 2000,
-          precomputedCounts: Option[DataFrame] = None): Fitted = {
+          precomputedCounts: Option[DataFrame] = None,
+          precomputedWeights: Option[DataFrame] = None): Fitted = {
     val counts = precomputedCounts.getOrElse(
       Featurize.termCounts(Featurize.docTerms(docs)).localCheckpoint())
     val docTerms = counts.select(col("doc_id"), col("term"))
-    val weights = Featurize.tfidf(counts, docs)
+    // weights feeds topVocab, the vector assembly, AND every downstream
+    // fm.weights consumer — reuse the session materialization when the
+    // caller has one (the lazy tfidf join would otherwise re-execute
+    // per consumer)
+    val weights = precomputedWeights.getOrElse(Featurize.tfidf(counts, docs))
     val vocab = Featurize.topVocab(weights, vocabSize).localCheckpoint()
     val vocabTerms = {
       val arr = new Array[String](vocab.count().toInt)
@@ -84,7 +89,8 @@ object ModelPipeline {
   def fitted(s: SparkSession, d: String, k: Int = 15, seed: Long = 123,
              vocabSize: Int = 2000): Fitted =
     Intermediates.memo(s, s"fitted|$d|$k|$seed|$vocabSize") {
-      fit(Tables.documents(s, d), k, seed, vocabSize, Some(counts(s, d)))
+      fit(Tables.documents(s, d), k, seed, vocabSize,
+        Some(counts(s, d)), Some(weights(s, d)))
     }
 
   /** Per-cluster coherence over the top-M TF-IDF terms (A8 + A10). */

@@ -25,19 +25,23 @@ object ProbCoherence {
     */
   def perCluster(docTerms: DataFrame, assignments: DataFrame,
                  topTerms: DataFrame): DataFrame = {
+    // topTerms is ≤ clusters × M rows but its DAG can be corpus-scale
+    // (weights join + groupBy + window) — and it is read TWICE below
+    // (term-prune broadcast + presence join), so materialize it once.
+    val top = topTerms.localCheckpoint()
     // Prune FIRST: only rows whose term is some cluster's top term can
     // contribute. The distinct top-term set is ≤ clusters × M values —
     // broadcast it and cut the corpus-sized docTerms relation down
     // BEFORE the doc_id shuffle joins (at 100 TB this is the difference
     // between shuffling the whole corpus and shuffling a sliver).
-    val anyTop = broadcast(topTerms.select(col("term")).distinct())
+    val anyTop = broadcast(top.select(col("term")).distinct())
     // presence is re-read by four branches (dw, both sides of the cooc
     // self-join, and pairs via dw) — materialize it once. It is tiny by
     // construction: ≤ n_docs × M rows (M = top terms per cluster).
     val presence = docTerms
       .join(anyTop, "term")
       .join(assignments.select(col("doc_id"), col("cluster")), "doc_id")
-      .join(topTerms.select(col("cluster"), col("term"), col("rnk")), Seq("cluster", "term"))
+      .join(top.select(col("cluster"), col("term"), col("rnk")), Seq("cluster", "term"))
       .select(col("cluster"), col("doc_id"), col("term"), col("rnk"))
       .distinct()
       .localCheckpoint()

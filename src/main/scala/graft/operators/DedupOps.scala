@@ -183,6 +183,11 @@ object DedupOps {
     * approximate family's recall, not just a rows-only count. */
   def lshPlantedRecall(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // fail fast rather than silently corrupt the harness: an id at or
+    // above the offset would collide with its own shifted twin space
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < PlantOffset,
+      s"corpus doc_id $maxId >= PlantOffset $PlantOffset — raise the offset")
     val planted = docs.select((col("doc_id") + lit(PlantOffset)).as("doc_id"),
       col("text"))
     minhashCandidatesFrom(docs.unionByName(planted))

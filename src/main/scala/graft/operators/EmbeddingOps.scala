@@ -197,6 +197,10 @@ object EmbeddingOps {
     * per band). Full DuckDB oracle: one row per corpus vector. */
   def annPlantedRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // fail fast rather than silently corrupt the harness (see d05)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxId < AnnPlantOffset,
+      s"corpus vec_id $maxId >= AnnPlantOffset $AnnPlantOffset — raise the offset")
     val planted = emb.select((col("vec_id") + lit(AnnPlantOffset)).as("vec_id"),
       col("embedding"))
     lshCandidatePairs(emb.unionByName(planted))

@@ -135,8 +135,13 @@ object EventStreams {
             var cur = state.getOption
             for ((_, sec, v) <- sorted) {
               cur match {
+                // late cross-batch events (sec behind the open session's
+                // frontier) merge conservatively: widen the span, never
+                // regress lastSec — a regressed frontier would emit
+                // end < start sessions and split on phantom gaps
                 case Some(s) if sec - s.lastSec <= gapSec =>
-                  cur = Some(SessionState(sec, s.startSec, s.n + 1, s.sum + v))
+                  cur = Some(SessionState(math.max(s.lastSec, sec),
+                    math.min(s.startSec, sec), s.n + 1, s.sum + v))
                 case Some(s) =>
                   closed += ClosedSession(user, s.startSec, s.lastSec, s.n, s.sum)
                   cur = Some(SessionState(sec, sec, 1L, v))

@@ -108,6 +108,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSet === Set((7L, 2L, 3.0)), s"got ${got.toSeq}")
   }
 
+  test("closedSessions merges late cross-batch events without regressing the frontier") {
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventStreams.closedSessions(events, gapSec = 1800, idleFlush = false)
+      .toDF().writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    in.addData((1L, ts(50), 7L, 1.0))
+    q.processAllAvailable()
+    // late event (minute 40, behind the frontier) must merge, not split
+    in.addData((2L, ts(40), 7L, 2.0))
+    q.processAllAvailable()
+    // minute 100: 50-min silence since the TRUE frontier (50) closes A
+    in.addData((3L, ts(100), 7L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT user_id, start_sec, end_sec, n_events, sum_value FROM late_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === 1, s"got ${got.toSeq}")
+    val (u, start, end, n, sum) = got.head
+    assert(u === 7L && n === 2L && sum === 3.0)
+    assert(end - start === 600L, "session spans minutes 40..50")
+  }
+
   test("closedSessions batch form closes every gap-separated session but the open one") {
     import spark.implicits._
     val events = Seq(
