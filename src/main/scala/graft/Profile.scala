@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scratch profiler / plan auditor (not part of the driver contract). */
@@ -7,37 +8,28 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-profile")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time[T](name: String)(f: => T): T = {
+    def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val v = f
-      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      v
+      val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    import graft.api.ModelPipeline
-    import graft.refine.LdaSplitter
-    val params = LdaSplitter.Params(kRange = 2 to 3, coherenceThreshold = 0.5,
-      minDocsForSplit = 10, maxIter = 5)
-    for (round <- 1 to 2) {
-      println(s"--- round $round")
-      val fm = time("fit (featurize+kmeans)")(
-        ModelPipeline.fit(graft.sources.Tables.documents(spark, d), 15, 123, 2000))
-      val scores = time("coherence")(
-        ModelPipeline.coherence(fm, params.topM).collect())
-      val sc = scores.map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
-      val countVecs = time("countVectors")(
-        graft.features.Featurize.countVectors(fm.counts, fm.vocab, fm.vocabTerms.length))
-      val updated = time("LdaSplitter.split")(
-        LdaSplitter.split(fm.docTerms, countVecs,
-          fm.assignments.select(col("doc_id"), col("cluster")), sc, fm.vocabTerms, params))
-      val renum = time("renumber+join+checkpoint")(
-        graft.refine.Renumber.dense(updated)
-          .join(fm.assignments.select(col("doc_id"), col("features")), "doc_id")
-          .localCheckpoint())
-      val merged = time("merge")(ModelPipeline.merge(renum, 0.9))
-      time("stats+show")(
-        graft.refine.ModelRefresh.stats(merged).orderBy(col("cluster"))
-          .write.mode("overwrite").format("noop").save())
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    import graft.features.Featurize
+    import graft.functions.TextFunctions
+    import graft.sources.Tables
+    def docTermsNarrow(docs: DataFrame): DataFrame = {
+      val toks = docs.select(col("doc_id"), Featurize.wordsCol(col("text")).as("w1"))
+      val g3 = TextFunctions.withNgrams(
+        TextFunctions.withNgrams(toks, "w1", "w2", 2), "w1", "w3", 3)
+      g3.select(col("doc_id"),
+          explode(concat(col("w1"), col("w2"), col("w3"))).as("term"))
+        .filter(col("term") =!= "")
+    }
+    def countsOf(dt: DataFrame): Long =
+      dt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt")).count()
+    val docs = Tables.documents(spark, d)
+    for (r <- 1 to 3) {
+      time(s"counts narrow r$r")(countsOf(docTermsNarrow(docs)))
+      time(s"counts wide   r$r")(countsOf(Featurize.docTerms(docs)))
     }
     spark.stop()
   }

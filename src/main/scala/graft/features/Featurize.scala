@@ -33,7 +33,11 @@ object Featurize {
     * space-joined; ref 02_build_models.R:162). */
   def docTerms(docs: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), wordsCol(col(textCol)).as("w1"))
+    // widen a narrow scan before the 1-3-gram fanout (no-op at scale —
+    // see Scans.widenForFanout)
+    val wide = graft.sources.Scans.widenForFanout(
+      docs.select(col(idCol), col(textCol)), col(idCol))
+    val toks = wide.select(col(idCol).as("doc_id"), wordsCol(col(textCol)).as("w1"))
     val g3 = TextFunctions.withNgrams(
       TextFunctions.withNgrams(toks, "w1", "w2", 2), "w1", "w3", 3)
     g3.select(col("doc_id"),

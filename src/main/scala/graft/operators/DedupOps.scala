@@ -111,7 +111,8 @@ object DedupOps {
     minhashCandidatesFrom(Tables.documents(s, d))
 
   private[graft] def minhashCandidatesFrom(documents: DataFrame): DataFrame = {
-    val tokenized = documents
+    val tokenized = graft.sources.Scans
+      .widenForFanout(documents.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
     val docs = minhashSignatures(
       TextFunctions.withNgrams(tokenized, "words", "shingles", 3)
@@ -148,7 +149,9 @@ object DedupOps {
     * shuffle rows than the naive per-bit formulation).
     * Pure expression implementation; rows-only check. */
   def simhashDocs(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    val toks = graft.sources.Scans
+      .widenForFanout(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .withColumn("h", xxhash64(col("term")))
     val votes = (0 until 64).map(b =>

@@ -215,6 +215,11 @@ object TextOps {
       acc * 32L + (ascii(expr(s"substring(c, pos + $i, 1)")) % 32).cast("long")
     }
     val gramHash = (poly * 2654435761L) % 4294967296L
+    // Deliberately NOT widened via Scans.widenForFanout: A/B-measured 2×
+    // slower here — pre-partitioning by doc_id puts the window's sort in
+    // the same stage as the char-gram fanout, and the fused stage loses
+    // to the narrow scan + exchange plan (8.5s vs 15s at sf0.1). The
+    // fanout itself is ~1s single-threaded; the window stages dominate.
     val grams = documents
       .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
       .filter(length(col("c")) >= k)
