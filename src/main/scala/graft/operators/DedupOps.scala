@@ -188,7 +188,7 @@ object DedupOps {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     // fail fast rather than silently corrupt the harness: an id at or
     // above the offset would collide with its own shifted twin space
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxId < PlantOffset,
       s"corpus doc_id $maxId >= PlantOffset $PlantOffset — raise the offset")
     val planted = docs.select((col("doc_id") + lit(PlantOffset)).as("doc_id"),

@@ -158,7 +158,7 @@ object EmbeddingOps {
     * mismatch, so a wrong hard-coded dim would collapse every sign bit
     * to "0" and silently bucket the whole corpus together. */
   private[graft] def lshCandidatePairs(emb: DataFrame): DataFrame = {
-    val dim = emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     val bandBuckets = (0 until LshBands).map { b =>
       val bits = (0 until LshPlanesPerBand).map { p =>
         when(arrayDot(col("embedding"), lit(planeVector(b, p, dim))) >= 0, "1").otherwise("0")
@@ -198,7 +198,7 @@ object EmbeddingOps {
   def annPlantedRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // fail fast rather than silently corrupt the harness (see d05)
-    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
     require(maxId < AnnPlantOffset,
       s"corpus vec_id $maxId >= AnnPlantOffset $AnnPlantOffset — raise the offset")
     val planted = emb.select((col("vec_id") + lit(AnnPlantOffset)).as("vec_id"),
@@ -263,7 +263,7 @@ object EmbeddingOps {
     val qEmb = index.assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     index.assigned
-      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryId)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= queryId)
       .crossJoin(broadcast(qEmb))
       .select(col("vec_id"),
         round(fastCosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))

@@ -30,7 +30,7 @@ object CosineMerge {
     * order. Returns old id → surviving representative id. */
   def mergeMap(centers: Map[Int, Array[Double]], threshold: Double = 0.9): Map[Int, Int] = {
     val ids = centers.keys.toArray.sorted
-    val mm = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    val mm = scala.collection.mutable.Map(ids.toIndexedSeq.map(i => i -> i): _*)
     for {
       ii <- ids.indices
       jj <- (ii + 1) until ids.length

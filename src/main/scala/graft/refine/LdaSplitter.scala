@@ -77,7 +77,7 @@ object LdaSplitter {
     // below the true max id and fresh ids would collide with it.
     val maxId = math.max(
       scores.keys.max,
-      assignments.agg(max(col("cluster")).cast("int")).head.getInt(0))
+      assignments.agg(max(col("cluster")).cast("int")).head().getInt(0))
     val offsets = toSplit.zipWithIndex
       .map { case (c, i) => c -> (maxId + 1 + i * params.kRange.max) }.toMap
 
