@@ -1,5 +1,9 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 /** Scratch profiler / plan auditor (not part of the driver contract). */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -10,17 +14,47 @@ object Profile {
       val n = f
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
-    def run(q: String): Long = {
-      SparkEntry.queries(q)(spark, d).write.mode("overwrite").format("noop").save(); 1L
+    import graft.features.Featurize
+    import graft.functions.TextFunctions
+    import graft.sources.Tables
+    val k = 5
+    val w = 8
+    val poly = (1 until k).foldLeft((ascii(expr("substring(c, pos, 1)")) % 32)
+        .cast("long")) { (acc, i) =>
+      acc * 32L + (ascii(expr(s"substring(c, pos + $i, 1)")) % 32).cast("long")
     }
-    for (adv <- Seq("64m", "8m", "1m", "64m", "8m", "1m")) {
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
-      time(s"t08 adv=$adv")(run("t08_winnow_fingerprints"))
-      time(s"d02 adv=$adv")(run("d02_jaccard_pairs"))
-      time(s"m01 adv=$adv")({
-        graft.api.Intermediates.clear()
-        run("m01_doc_term_counts")
-      })
+    val gramHash = (poly * 2654435761L) % 4294967296L
+    def finish(grams: DataFrame): Long = {
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-(w - 1), Window.currentRow)
+      grams.withColumn("mh", min(col("h")).over(win))
+        .filter(col("h") === col("mh"))
+        .select(col("doc_id"), col("h").as("fp"))
+        .distinct()
+        .orderBy(col("doc_id"), col("fp"))
+        .write.mode("overwrite").format("noop").save()
+      1L
+    }
+    def narrow = Tables.documents(spark, d)
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
+      .filter(length(col("c")) >= k)
+      .select(col("doc_id"), col("c"),
+        explode(sequence(lit(1), length(col("c")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"), gramHash.as("h"))
+    def wide = graft.sources.Scans
+      .widenForFanout(Tables.documents(spark, d).select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
+      .select(col("doc_id"), col("c"),
+        explode(when(length(col("c")) >= k,
+            sequence(lit(1), length(col("c")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"), gramHash.as("h"))
+    def countsOf(dt: DataFrame): Long =
+      dt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt")).count()
+    for (r <- 1 to 3) {
+      time(s"t08 narrow r$r")(finish(narrow))
+      time(s"t08 wide   r$r")(finish(wide))
+      time(s"m01 wide   r$r")(countsOf(Featurize.docTerms(Tables.documents(spark, d))))
     }
     spark.stop()
   }

@@ -215,16 +215,21 @@ object TextOps {
       acc * 32L + (ascii(expr(s"substring(c, pos + $i, 1)")) % 32).cast("long")
     }
     val gramHash = (poly * 2654435761L) % 4294967296L
-    // Deliberately NOT widened via Scans.widenForFanout: A/B-measured 2×
-    // slower here — pre-partitioning by doc_id puts the window's sort in
-    // the same stage as the char-gram fanout, and the fused stage loses
-    // to the narrow scan + exchange plan (8.5s vs 15s at sf0.1). The
-    // fanout itself is ~1s single-threaded; the window stages dominate.
-    val grams = documents
+    // Widened BEFORE the char-gram fanout: the window then needs no
+    // further exchange (already hash-partitioned by doc_id), and clean +
+    // fanout + window all parallelize (A/B at sf0.1: 1.7s vs 9.3s for
+    // the narrow scan shape). The too-short guard lives INSIDE the
+    // explode expression (empty array → row drops) rather than as a
+    // filter: a filter on the cleaned text would be predicate-pushed
+    // below the widening repartition and run the whole regex clean
+    // chain twice, once single-threaded in the narrow scan stage.
+    val grams = graft.sources.Scans
+      .widenForFanout(documents.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
-      .filter(length(col("c")) >= k)
       .select(col("doc_id"), col("c"),
-        explode(sequence(lit(1), length(col("c")) - (k - 1))).as("pos"))
+        explode(when(length(col("c")) >= k,
+            sequence(lit(1), length(col("c")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col("doc_id"), col("pos"), gramHash.as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)

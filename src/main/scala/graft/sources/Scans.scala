@@ -19,7 +19,12 @@ object Scans {
     * least half as wide as the cluster. */
   def widenForFanout(df: DataFrame, key: Column): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions * 2 < sc.defaultParallelism) df.repartition(key)
+    // the partition count must be EXPLICIT: repartition(col) alone lets
+    // AQE coalesce the tiny pre-fanout bytes back to one partition,
+    // silently undoing the widening (the fanout multiplies data volume
+    // AFTER this exchange, which AQE cannot see)
+    if (df.rdd.getNumPartitions * 2 < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, key)
     else df
   }
 }

@@ -34,6 +34,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("LessThan\\(vec_id,1000\\)".r.findAllIn(p).size === 2)
   }
 
+  test("widenForFanout widens a narrow source and leaves a wide one alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val narrow = spark.range(1000).toDF("doc_id").coalesce(1)
+    val widened = graft.sources.Scans.widenForFanout(narrow, col("doc_id"))
+    assert(widened.rdd.getNumPartitions > 1)
+    val alreadyWide = spark.range(1000).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val untouched = graft.sources.Scans.widenForFanout(alreadyWide, col("doc_id"))
+    assert(untouched.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
