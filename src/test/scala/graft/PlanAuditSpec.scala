@@ -34,17 +34,40 @@ class PlanAuditSpec extends SparkSpec {
     assert("LessThan\\(vec_id,1000\\)".r.findAllIn(p).size === 2)
   }
 
-  test("widenForFanout widens a narrow source and leaves a wide one alone") {
-    import spark.implicits._
+  test("widenForFanout widens a narrow scan, no-ops on wide scans and non-scans") {
     import org.apache.spark.sql.functions.col
-    val narrow = spark.range(1000).toDF("doc_id").coalesce(1)
-    val widened = graft.sources.Scans.widenForFanout(narrow, col("doc_id"))
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    // a tiny parquet scan gets repartitioned to at least the configured
+    // shuffle width (floored there, so the assertion holds at any CPU count)
+    val widened = graft.sources.Scans.widenForFanout(docs, col("doc_id"))
     assert(widened.rdd.getNumPartitions > 1)
-    val alreadyWide = spark.range(1000).toDF("doc_id")
-      .repartition(spark.sparkContext.defaultParallelism)
-    val untouched = graft.sources.Scans.widenForFanout(alreadyWide, col("doc_id"))
-    assert(untouched.rdd.getNumPartitions ===
-      spark.sparkContext.defaultParallelism)
+    // a plan with an upstream aggregation is returned untouched —
+    // widening it would re-shuffle (and, via .rdd, double-execute) work
+    // that already sized its own parallelism
+    val agged = docs.groupBy(col("doc_id")).count()
+    assert(graft.sources.Scans.widenForFanout(agged, col("doc_id")) eq agged)
+    // a scan whose estimated split count already covers the cluster is
+    // returned untouched (simulated by shrinking the split size)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try {
+      val wideScan = graft.sources.Tables.documents(spark, sfTiny)
+        .select(col("doc_id"), col("text"))
+      assert(graft.sources.Scans.widenForFanout(wideScan, col("doc_id")) eq wideScan)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("d02: corpus materialized once — the self-join re-reads no parquet") {
+    // The doc_id<1000 cap filters the single tokenize scan, which is
+    // localCheckpoint'ed and reused on BOTH join sides plus the sizes
+    // aggregate. If the checkpoint is removed, parquet FileScans
+    // reappear in the executed plan (and the capped subtree recomputes
+    // 3×) — this pins the materialize-once property.
+    val p = plan("d02_jaccard_pairs")
+    assert(!p.contains("FileScan parquet"))
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("Scan ExistingRDD"))
   }
 
   test("no registered query plans an unconditioned CartesianProduct") {
