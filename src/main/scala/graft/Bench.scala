@@ -11,7 +11,14 @@ object Bench {
     // wall clock). N runs per query, report the MEDIAN: a re-run of the
     // bench then agrees per query instead of ghost-regressing on noise.
     val runsPerQuery = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+        case Some(v) => scala.util.Try(v.toInt).getOrElse {
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_RUNS='$v' is not an int — using 3")
+          3
+        }
+        case None => 3
+      })
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,27 +70,36 @@ object Bench {
         // are deliberately kept (unpersisting a localCheckpoint is data
         // loss, and later queries/runs reuse them by design).
         spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => graft.api.Intermediates.isPinned(id) }
+          .filterNot { case (id, _) => graft.api.Intermediates.isPinned(spark, id) }
           .values.foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }
       val good = runs.filter(_ >= 0)
       System.err.println(f"[bench] $name runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      // first-run slot uses the first SUCCESSFUL run: runs.head is the
+      // -1.0 sentinel when only the first run failed, which would
+      // silently corrupt first_total while the v>=0 guard passes
       (name,
         if (good.isEmpty) -1.0 else median(good),
         if (good.isEmpty) -1.0 else good.min,
         if (good.isEmpty) -1.0 else good.max,
-        runs.head)
+        if (good.isEmpty) -1.0 else good.head,
+        runs.count(_ < 0))
     }
-    val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
+    // intermittent crashes (some-but-not-all runs failed) must stay
+    // distinguishable in the metric line even though a median exists
+    val flaky = results
+      .collect { case (k, v, _, _, _, nf) if v >= 0 && nf > 0 => s"\"" + k + "\":" + nf }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi, _) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
-    val firstTotal = results.collect { case (_, v, _, _, f) if v >= 0 => f }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":$runsPerQuery,"first_total":$firstTotal,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val spread = results.map { case (k, _, lo, hi, _, _) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
+    val firstTotal = results.collect { case (_, v, _, _, f, _) if v >= 0 => f }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":$runsPerQuery,"first_total":$firstTotal,"flaky":$flaky,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,8 @@ object QueryRegistry {
       graft.ml.MlQueries.defs ++
       graft.operators.EnrichOps.defs ++
       graft.operators.SourceOps.defs ++
-      graft.operators.SkewOps.defs
+      graft.operators.SkewOps.defs ++
+      graft.streaming.EventStreams.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -20,7 +20,7 @@ object Verify {
       // release per-query SCRATCH checkpoint blocks; keep the
       // Intermediates-pinned shared materializations (see Bench)
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => graft.api.Intermediates.isPinned(id) }
+        .filterNot { case (id, _) => graft.api.Intermediates.isPinned(spark, id) }
         .values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }

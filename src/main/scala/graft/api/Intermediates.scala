@@ -34,7 +34,19 @@ import org.apache.spark.sql.SparkSession
 object Intermediates {
 
   private val cache = new ConcurrentHashMap[String, Any]()
-  private val pinnedRdds = ConcurrentHashMap.newKeySet[Int]()
+  private val pinnedRdds = ConcurrentHashMap.newKeySet[String]()
+
+  private def pinKey(appId: String, rddId: Int): String = s"$appId|$rddId"
+
+  /** Drop cache entries and pins that belong to another application id —
+    * after a SparkContext restart in one JVM, RDD ids from the stopped
+    * context must not alias fresh scratch (a stale bare-int pin would
+    * make the cleanup sweep skip a brand-new checkpoint forever). */
+  private[graft] def sweepStale(appId: String): Unit = {
+    val prefix = appId + "|"
+    cache.keySet.removeIf(k => !k.startsWith(prefix))
+    pinnedRdds.removeIf(k => !k.startsWith(prefix))
+  }
 
   /** Keyed by (context application id, session identity, logical key):
     * the applicationId prefix guarantees a NEW SparkContext (fresh RDD id
@@ -49,6 +61,8 @@ object Intermediates {
 
   /** Memoize `build` under (session, key), pinning any RDDs it persists. */
   def memo[T](spark: SparkSession, key: String)(build: => T): T = {
+    val appId = spark.sparkContext.applicationId
+    sweepStale(appId)
     val k = fullKey(spark, key)
     val hit = cache.get(k)
     if (hit != null) hit.asInstanceOf[T]
@@ -56,15 +70,17 @@ object Intermediates {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val v = build
       spark.sparkContext.getPersistentRDDs.keySet
-        .diff(before).foreach(pinnedRdds.add(_))
+        .diff(before).foreach(id => pinnedRdds.add(pinKey(appId, id)))
       val prev = cache.putIfAbsent(k, v.asInstanceOf[AnyRef])
       if (prev != null) prev.asInstanceOf[T] else v
     }
   }
 
-  /** Is this persistent RDD a pinned materialization (skip in scratch
-    * cleanup)? */
-  def isPinned(rddId: Int): Boolean = pinnedRdds.contains(rddId)
+  /** Is this persistent RDD a pinned materialization of THIS application
+    * (skip in scratch cleanup)? Pins are appId-namespaced: ids recorded
+    * under a stopped context never shadow a fresh context's scratch. */
+  def isPinned(spark: SparkSession, rddId: Int): Boolean =
+    pinnedRdds.contains(pinKey(spark.sparkContext.applicationId, rddId))
 
   /** Drop every memoized entry and pin (test isolation; the data blocks
     * themselves are released by the caller's unpersist sweep). */

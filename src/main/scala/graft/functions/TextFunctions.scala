@@ -33,16 +33,64 @@ object TextFunctions {
 
   /** F2 contraction expansion — deterministic dictionary applied in
     * declaration order, specific entries before the generic suffix rules
-    * (ref 02_build_models.R:28 textclean::replace_contraction). */
+    * (ref 02_build_models.R:28 textclean::replace_contraction, whose
+    * dictionary is lexicon::key_contractions — reproduced here as plain
+    * lowercase substring pairs since the clean chain lowers first).
+    * Declaration order is semantic: every specific multi-char key runs
+    * before the generic suffix rules, so "won't" becomes "will not"
+    * rather than "wo not". Substring (not word-boundary) application is
+    * shared verbatim with the DuckDB oracle via
+    * [[graft.oracle.DuckFragments.cleanSql]], so both sides drift
+    * together by construction. */
   val contractions: Seq[(String, String)] = Seq(
-    "won't" -> "will not", "can't" -> "cannot", "it's" -> "it is",
-    "let's" -> "let us", "n't" -> " not",
+    // lexicon::key_contractions parity block (specific before generic)
+    "ain't" -> "am not", "aren't" -> "are not", "can't" -> "cannot",
+    "could've" -> "could have", "couldn't" -> "could not",
+    "didn't" -> "did not", "doesn't" -> "does not", "don't" -> "do not",
+    "hadn't" -> "had not", "hasn't" -> "has not", "haven't" -> "have not",
+    "he'd" -> "he would", "he'll" -> "he will", "he's" -> "he is",
+    "here's" -> "here is",
+    "how'd" -> "how did", "how'll" -> "how will", "how's" -> "how is",
+    "i'd" -> "i would", "i'll" -> "i will", "i'm" -> "i am",
+    "i've" -> "i have", "isn't" -> "is not",
+    "it'd" -> "it would", "it'll" -> "it will", "it's" -> "it is",
+    "let's" -> "let us", "ma'am" -> "madam",
+    "might've" -> "might have", "mightn't" -> "might not",
+    "must've" -> "must have", "mustn't" -> "must not",
+    "needn't" -> "need not", "o'clock" -> "of the clock",
+    "shan't" -> "shall not",
+    "she'd" -> "she would", "she'll" -> "she will", "she's" -> "she is",
+    "should've" -> "should have", "shouldn't" -> "should not",
+    "that'd" -> "that would", "that's" -> "that is",
+    "there'd" -> "there would", "there's" -> "there is",
+    "they'd" -> "they would", "they'll" -> "they will",
+    "they're" -> "they are", "they've" -> "they have",
+    "wasn't" -> "was not",
+    "we'd" -> "we would", "we'll" -> "we will", "we're" -> "we are",
+    "we've" -> "we have", "weren't" -> "were not",
+    "what'll" -> "what will", "what're" -> "what are",
+    "what's" -> "what is", "what've" -> "what have",
+    "when's" -> "when is",
+    "where'd" -> "where did", "where's" -> "where is",
+    "where've" -> "where have",
+    "who'd" -> "who would", "who'll" -> "who will", "who're" -> "who are",
+    "who's" -> "who is", "who've" -> "who have",
+    "why's" -> "why is", "won't" -> "will not",
+    "would've" -> "would have", "wouldn't" -> "would not",
+    "you'd" -> "you would", "you'll" -> "you will",
+    "you're" -> "you are", "you've" -> "you have",
+    // generic suffix fallbacks for anything not in the dictionary
+    "n't" -> " not",
     "'re" -> " are", "'ve" -> " have", "'ll" -> " will",
     "'d" -> " would", "'m" -> " am")
 
+  /** Every entry is a plain substring pair, so the fold uses literal
+    * `replace` (single linear scan each) instead of compiled regexes —
+    * ~80 entries stay cheap in the hot clean chain, and literal-replace
+    * semantics match DuckDB `replace` byte-for-byte. */
   def expandContractions(c: Column): Column =
     contractions.foldLeft(c) { case (col, (k, v)) =>
-      regexp_replace(col, java.util.regex.Pattern.quote(k), v)
+      replace(col, lit(k), lit(v))
     }
 
   /** Snowball English stopword list ≙ tm::stopwords("en") (ref

@@ -148,9 +148,12 @@ object DedupOps {
     * one shuffle keyed on doc_id, no tokens×64 bit explode (64× fewer
     * shuffle rows than the naive per-bit formulation).
     * Pure expression implementation; rows-only check. */
-  def simhashDocs(s: SparkSession, d: String): DataFrame = {
+  def simhashDocs(s: SparkSession, d: String): DataFrame =
+    simhashFrom(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  private[graft] def simhashFrom(documents: DataFrame): DataFrame = {
     val toks = graft.sources.Scans
-      .widenForFanout(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      .widenForFanout(documents.select(col("doc_id"), col("text")),
         col("doc_id"))
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .withColumn("h", xxhash64(col("term")))
@@ -166,12 +169,61 @@ object DedupOps {
         "shiftright(simhash, 16) & 65535 AS band1",
         "shiftright(simhash, 32) & 65535 AS band2",
         "shiftright(simhash, 48) & 65535 AS band3")
-      .orderBy(col("doc_id"))
   }
 
-  /** Id offset for the planted-twin recall harness — far above any
-    * corpus doc_id at every SF. */
-  val PlantOffset = 1000000L
+  /** SimHash near-duplicate candidates: docs are candidates when ANY of
+    * their four 16-bit bands match (≙ Hamming distance 0 within a band —
+    * the standard SimHash block-permutation table lookup, expressed as a
+    * relational band equi-join like the MinHash path). The bucket guard
+    * scales with corpus size ([[scaledBucketCap]]): band space is only
+    * 2^16, so a fixed cap would spuriously drop everything once
+    * n/65536 approaches it. */
+  private[graft] def simhashCandidatesFrom(documents: DataFrame): DataFrame = {
+    val banded = simhashFrom(documents)
+      .select(col("doc_id"), posexplode(
+        array(col("band0"), col("band1"), col("band2"), col("band3"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint()
+    val cap = scaledBucketCap(banded.count() / 4, 1L << 16, MaxBucketSize)
+    val smallBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, cap))
+      .select(col("band"), col("bucket"))
+    val pruned = banded.join(smallBuckets, Seq("band", "bucket"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Id offset for the planted-twin recall harnesses: the smallest power
+    * of ten strictly above the measured max id (min 10^6). Derived from
+    * the data so the harness stays valid at every SF; the integer-digit
+    * construction is reproduced exactly by [[plantOffsetSql]] on the
+    * oracle side ('1' followed by digits(maxId) zeros). */
+  private[operators] def plantOffset(maxId: Long): Long = {
+    var o = 1000000L
+    while (o <= maxId) o *= 10
+    o
+  }
+
+  /** DuckDB scalar expression computing [[plantOffset]] over a table —
+    * identical integer semantics (string-digit count, no float log10). */
+  private[operators] def plantOffsetSql(idCol: String, table: String): String =
+    s"greatest(1000000, CAST('1' || repeat('0', " +
+      s"length(CAST((SELECT max($idCol) FROM $table) AS VARCHAR))) AS BIGINT))"
+
+  /** Oversized-bucket guard that survives scale: degenerate means
+    * ≥ 16× the mean bucket load (n/buckets), never below the
+    * verification-scale floor. A fixed cap fails wholesale once mean
+    * load approaches it (the r4 verdict's 12.8k-vector cliff); a
+    * multiple of the mean keeps the guard meaningful at any corpus
+    * size while still dropping true degenerate buckets. */
+  private[operators] def scaledBucketCap(n: Long, buckets: Long,
+                                         floor: Long): Long =
+    math.max(floor, 16L * n / math.max(1L, buckets))
 
   /** d05 — LSH recall invariant, oracle-checked: union the corpus with an
     * id-shifted copy of itself and demand the REAL MinHash-LSH path
@@ -186,23 +238,50 @@ object DedupOps {
     * approximate family's recall, not just a rows-only count. */
   def lshPlantedRecall(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // fail fast rather than silently corrupt the harness: an id at or
-    // above the offset would collide with its own shifted twin space
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    require(maxId < PlantOffset,
-      s"corpus doc_id $maxId >= PlantOffset $PlantOffset — raise the offset")
-    val planted = docs.select((col("doc_id") + lit(PlantOffset)).as("doc_id"),
+    val off = plantOffset(maxId)
+    val planted = docs.select((col("doc_id") + lit(off)).as("doc_id"),
       col("text"))
     minhashCandidatesFrom(docs.unionByName(planted))
-      .filter(col("b_id") === col("a_id") + lit(PlantOffset))
+      .filter(col("b_id") === col("a_id") + lit(off))
       .orderBy(col("a_id"))
   }
 
   private val lshPlantedRecallSql =
-    s"""SELECT doc_id AS a_id, doc_id + ${PlantOffset} AS b_id
+    s"""SELECT doc_id AS a_id,
+      |  doc_id + ${plantOffsetSql("doc_id", "documents")} AS b_id
       |FROM documents
       |WHERE len(list_filter(${graft.oracle.DuckFragments.tokListSql},
       |                      x -> x <> '')) >= 3
+      |ORDER BY a_id""".stripMargin
+
+  /** d06 — SimHash recall invariant, oracle-checked (mirrors d05):
+    * union the corpus with an id-shifted copy and demand the REAL
+    * SimHash band path ([[simhashCandidatesFrom]], same hash/vote/band
+    * code) recover every planted identical pair. Identical text ⇒
+    * identical token multiset ⇒ identical bit votes ⇒ identical 64-bit
+    * simhash ⇒ all 4 bands equal, so the twins share every band bucket
+    * and the scaled guard (16× mean load) cannot drop all four on this
+    * corpus (d01: zero exact dups ⇒ no degenerate content buckets).
+    * Full DuckDB oracle: one row per doc with ≥ 1 token (0-token docs
+    * have no simhash — the explode drops them). */
+  def simhashPlantedRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val off = plantOffset(maxId)
+    val planted = docs.select((col("doc_id") + lit(off)).as("doc_id"),
+      col("text"))
+    simhashCandidatesFrom(docs.unionByName(planted))
+      .filter(col("b_id") === col("a_id") + lit(off))
+      .orderBy(col("a_id"))
+  }
+
+  private val simhashPlantedRecallSql =
+    s"""SELECT doc_id AS a_id,
+      |  doc_id + ${plantOffsetSql("doc_id", "documents")} AS b_id
+      |FROM documents
+      |WHERE len(list_filter(${graft.oracle.DuckFragments.tokListSql},
+      |                      x -> x <> '')) >= 1
       |ORDER BY a_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
@@ -210,5 +289,7 @@ object DedupOps {
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     QueryDef("d03_minhash_candidates", minhashCandidates, None),
     QueryDef("d04_simhash", simhashDocs, None),
-    QueryDef("d05_lsh_planted_recall", lshPlantedRecall, Some(lshPlantedRecallSql)))
+    QueryDef("d05_lsh_planted_recall", lshPlantedRecall, Some(lshPlantedRecallSql)),
+    QueryDef("d06_simhash_planted_recall", simhashPlantedRecall,
+      Some(simhashPlantedRecallSql)))
 }

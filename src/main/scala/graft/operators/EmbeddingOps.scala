@@ -172,9 +172,15 @@ object EmbeddingOps {
       .select(col("vec_id"), posexplode(array(bandBuckets: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .localCheckpoint()
+    // Bucket space per band is only 2^planes (256): scale the guard with
+    // corpus size (16× the mean bucket load, floor LshMaxBucketSize) so a
+    // big corpus doesn't trip the degenerate-bucket guard wholesale —
+    // the count is free, banded is already materialized.
+    val cap = DedupOps.scaledBucketCap(banded.count() / LshBands,
+      1L << LshPlanesPerBand, LshMaxBucketSize)
     val smallBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n").between(2, LshMaxBucketSize))
+      .filter(col("bucket_n").between(2, cap))
       .select(col("band"), col("bucket"))
     val pruned = banded.join(smallBuckets, Seq("band", "bucket"))
     pruned.as("a").join(pruned.as("b"),
@@ -184,33 +190,31 @@ object EmbeddingOps {
       .distinct()
   }
 
-  /** Id offset for the planted-twin ANN recall harness. */
-  val AnnPlantOffset = 1000000L
-
   /** e06 — ANN-LSH recall invariant, oracle-checked (mirrors
     * d05): union the embeddings with an id-shifted copy and demand the
     * REAL hyperplane-LSH path recover every planted identical pair. An
     * identical vector projects to identical sign bits in every band, so
     * the twins share all 4 band buckets; the oversized-bucket guard can
-    * only lose a pair if all 4 of its buckets exceed LshMaxBucketSize —
-    * at the verification SF buckets average a few members (256 buckets
-    * per band). Full DuckDB oracle: one row per corpus vector. */
+    * only lose a pair if all 4 of its buckets exceed the scaled cap
+    * (16× the mean bucket load — see [[DedupOps.scaledBucketCap]]),
+    * impossible for isotropic data. The id offset derives from the
+    * measured max id ([[DedupOps.plantOffset]]) so the harness stays
+    * valid at every SF. Full DuckDB oracle: one row per corpus vector. */
   def annPlantedRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // fail fast rather than silently corrupt the harness (see d05)
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-    require(maxId < AnnPlantOffset,
-      s"corpus vec_id $maxId >= AnnPlantOffset $AnnPlantOffset — raise the offset")
-    val planted = emb.select((col("vec_id") + lit(AnnPlantOffset)).as("vec_id"),
+    val off = DedupOps.plantOffset(maxId)
+    val planted = emb.select((col("vec_id") + lit(off)).as("vec_id"),
       col("embedding"))
     lshCandidatePairs(emb.unionByName(planted))
-      .filter(col("b_id") === col("a_id") + lit(AnnPlantOffset))
+      .filter(col("b_id") === col("a_id") + lit(off))
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"))
   }
 
   private val annPlantedRecallSql =
-    s"""SELECT vec_id AS a_id, vec_id + ${AnnPlantOffset} AS b_id
+    s"""SELECT vec_id AS a_id,
+      |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")} AS b_id
       |FROM embeddings ORDER BY a_id""".stripMargin
 
   /** IVF coarse-quantizer shape: cells in the inverted file and cells
@@ -289,11 +293,50 @@ object EmbeddingOps {
     ivfTopK(index, queryId = 0, k = 20)
   }
 
+  /** e07 — IVF recall invariant, oracle-checked (completes the d05/e06
+    * family for the last approximate path): union the embeddings with an
+    * id-shifted copy, build the REAL IVF index ([[ivfBuild]], same
+    * normalize/quantize code as e05) over the union, and demand every
+    * planted identical twin land in its original's cell. Identical
+    * vector ⇒ identical L2-normalized features ⇒ identical deterministic
+    * nearest-center assignment — and since a probe set always contains
+    * the query's own cell (its nearest center is probed first), same-cell
+    * twins are exactly the pairs an IVF probe is guaranteed to recover.
+    * The pair join is an O(n) equi-join on the shifted id (not a cell
+    * self-join, which would be O(n²/cells) at scale). Full DuckDB
+    * oracle: one row per corpus vector. */
+  def ivfPlantedRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val off = DedupOps.plantOffset(maxId)
+    // memoized like e05's index: the k-means build is the expensive part
+    // and is identical across bench runs
+    val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$IvfCells") {
+      val planted = emb.select((col("vec_id") + lit(off)).as("vec_id"),
+        col("embedding"))
+      ivfBuild(emb.unionByName(planted))
+    }
+    val a = index.assigned.filter(col("vec_id") < off)
+      .select(col("vec_id").as("a_id"), col("cell").as("a_cell"))
+    val b = index.assigned.filter(col("vec_id") >= off)
+      .select(col("vec_id").as("b_id"), col("cell").as("b_cell"))
+    a.join(b, col("b_id") === col("a_id") + lit(off) &&
+        col("a_cell") === col("b_cell"))
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"))
+  }
+
+  private val ivfPlantedRecallSql =
+    s"""SELECT vec_id AS a_id,
+      |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")} AS b_id
+      |FROM embeddings ORDER BY a_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),
     QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
     QueryDef("e03_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("e04_ann_lsh", annLshCandidates, None),
     QueryDef("e05_ann_ivf", annIvf, None),
-    QueryDef("e06_ann_planted_recall", annPlantedRecall, Some(annPlantedRecallSql)))
+    QueryDef("e06_ann_planted_recall", annPlantedRecall, Some(annPlantedRecallSql)),
+    QueryDef("e07_ivf_planted_recall", ivfPlantedRecall, Some(ivfPlantedRecallSql)))
 }

@@ -119,8 +119,37 @@ object EnrichOps {
       |FROM asg a JOIN labels l USING (cluster)
       |ORDER BY a.doc_id""".stripMargin
 
+  /** f04 — L2 as the reference wrote it (SURVEY §1.2): the sector
+    * response is materialized as a transient `STRUCT<primary_sector,
+    * secondary_sector>` and then flattened with `select("s.*")`
+    * (ref 01_extract_features.R:283-292 builds a two-field list column
+    * and unnests it wider). The struct exists only in the plan — Catalyst
+    * prunes it to its fields, so the round-trip costs nothing — but it
+    * closes the letter of the reference's transient-struct row where f01
+    * extracts flat columns directly. */
+  def sectorStruct(s: SparkSession, d: String): DataFrame = {
+    val resp = DeterministicEnricher.enrichCol(col("doc_id"), col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), resp.as("resp"))
+      .withColumn("sector_response", struct(
+        regexp_extract(col("resp"), "Sectors: (.*?), ", 1).as("primary_sector"),
+        regexp_extract(col("resp"), "Sectors: .*?, (.*)$", 1).as("secondary_sector")))
+      .select(col("doc_id"), col("sector_response.*"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sectorStructSql = {
+    val resp = DeterministicEnricher.enrichSql("doc_id", "text")
+    s"""WITH e AS (SELECT doc_id, $resp AS resp FROM documents)
+       |SELECT doc_id,
+       |  regexp_extract(resp, 'Sectors: (.*?), ', 1) AS primary_sector,
+       |  regexp_extract(resp, 'Sectors: .*?, (.*)$$', 1) AS secondary_sector
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("f01_extract_fields", extractFields, Some(extractFieldsSql)),
     QueryDef("f02_label_prompts", labelPrompts, Some(labelPromptsSql)),
-    QueryDef("f03_doc_labels", docLabels, Some(docLabelsSql)))
+    QueryDef("f03_doc_labels", docLabels, Some(docLabelsSql)),
+    QueryDef("f04_sector_struct", sectorStruct, Some(sectorStructSql)))
 }

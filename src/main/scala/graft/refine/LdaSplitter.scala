@@ -29,6 +29,29 @@ import org.apache.spark.sql.functions._
   * topics (§7.4.3). One LDA config is used for sweep and final
   * assignment (the reference inconsistently drops alpha/beta on its
   * final refit — §7.4.5).
+  *
+  * Recorded divergence (§7.4-style): the reference's textmineR fits run
+  * with `optimize_alpha = TRUE` (ref 02_build_models.R:339) — Gibbs
+  * re-estimates the document-topic concentration every iteration, so
+  * alpha adapts to each cluster's topic balance. MLlib's LDA has no
+  * per-iteration alpha optimization switch (online VB updates only the
+  * variational topic parameters; `docConcentration` stays at its prior,
+  * here MLlib's (50/k)+1 default). Consequence: on clusters with very
+  * skewed topic proportions the reference's theta sharpens over
+  * iterations while this engine's stays governed by the fixed prior —
+  * k selection is unaffected (driven by coherence, computed from top
+  * terms), but individual doc-topic argmax assignments near the
+  * decision boundary can differ. Accepted: the parity bar for the ML
+  * family is seeded reproducibility + invariants, not bit-identical
+  * topic posteriors.
+  *
+  * Robustness (ref 02_build_models.R:530-535 wraps each LDA in tryCatch
+  * and keeps the cluster unsplit on failure): each fit future is
+  * NonFatal-guarded and the await carries `Params.fitTimeout`. A fit
+  * that throws or exceeds the deadline is dropped (its Spark jobs are
+  * cancelled via a per-sweep job group); a cluster whose every k failed
+  * degrades to no-split instead of wedging the driver — the previous
+  * `Duration.Inf` await turned one hung LDA job into a stuck pipeline.
   */
 object LdaSplitter {
 
@@ -39,7 +62,9 @@ object LdaSplitter {
       topM: Int = 5,
       maxIter: Int = 10,
       optimizer: String = "online",
-      seed: Long = 1234)
+      seed: Long = 1234,
+      fitTimeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.Duration(10, "min"))
 
   // synthetic coherence key for (cluster, k, topic) — bounded by
   // k ≤ 999 topics and cluster ids < 2^43
@@ -109,22 +134,53 @@ object LdaSplitter {
       math.min(8, math.max(1, fitPairs.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // Failure containment ≙ the reference's tryCatch-keep-cluster (ref
+    // 02_build_models.R:530-535): a fit that throws yields None; the
+    // await is bounded by ONE shared fitTimeout deadline across the
+    // sweep, and on the first timeout the whole job group is cancelled —
+    // remaining futures then drain as immediate timeouts/failures
+    // instead of wedging the driver the way Duration.Inf did.
+    val jobGroup = s"lda-split-${java.util.UUID.randomUUID()}"
     val models: Map[(Int, Int), LDAModel] =
       try {
         val futs = fitPairs.map { case (c, k) =>
           scala.concurrent.Future {
-            val slice = splitDocs.filter(col("cluster") === c).select("doc_id", "features")
-            (c, k) -> new LDA().setK(k).setSeed(params.seed)
-              .setOptimizer(params.optimizer).setMaxIter(params.maxIter)
-              .setFeaturesCol("features")
-              .fit(slice)
+            spark.sparkContext.setJobGroup(jobGroup,
+              s"LDA sweep fit cluster=$c k=$k", interruptOnCancel = true)
+            try {
+              val slice = splitDocs.filter(col("cluster") === c).select("doc_id", "features")
+              Some((c, k) -> new LDA().setK(k).setSeed(params.seed)
+                .setOptimizer(params.optimizer).setMaxIter(params.maxIter)
+                .setFeaturesCol("features")
+                .fit(slice))
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[lda-split] fit cluster=$c k=$k failed (degrading): $e")
+                None
+            } finally spark.sparkContext.clearJobGroup()
           }
         }
-        scala.concurrent.Await
-          .result(scala.concurrent.Future.sequence(futs),
-            scala.concurrent.duration.Duration.Inf)
-          .toMap
-      } finally pool.shutdown()
+        val deadline = System.nanoTime() + params.fitTimeout.toNanos
+        futs.flatMap { f =>
+          val remaining = math.max(0L, deadline - System.nanoTime())
+          try scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.fromNanos(remaining))
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              System.err.println(
+                s"[lda-split] sweep exceeded ${params.fitTimeout} — " +
+                  "cancelling outstanding fits, unfitted clusters stay unsplit")
+              spark.sparkContext.cancelJobGroup(jobGroup)
+              None
+          }
+        }.toMap
+      } finally pool.shutdownNow()
+
+    // clusters with at least one surviving fit; the rest keep their
+    // original assignment (degrade-to-unsplit)
+    val fitted = toSplit.filter(c => params.kRange.exists(k => models.contains((c, k))))
+    if (fitted.isEmpty) return assignments.select(col("doc_id"), col("cluster"))
 
     // ONE coherence evaluation for every (cluster, k, topic):
     // topic top-terms under synthetic keys + docs-of-c × keys-of-c
@@ -142,29 +198,31 @@ object LdaSplitter {
       (0 until m.getK).map(t => (c, synthKey(c, k, t)))
     }
     val keys = keyRows.toDF("orig_cluster", "cluster")
-    val crossAsg = assignments.filter(col("cluster").isin(toSplit: _*))
+    val crossAsg = assignments.filter(col("cluster").isin(fitted: _*))
       .select(col("doc_id"), col("cluster").as("orig_cluster"))
       .join(broadcast(keys), "orig_cluster")
       .select(col("doc_id"), col("cluster"))
     val perTopic = ProbCoherence.perCluster(docTerms, crossAsg, topicTerms)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-    // best k per cluster by mean topic coherence (topics with no scored
-    // pairs contribute nothing; a (c,k) with no scores at all falls back
-    // to the smallest k)
-    val bestK: Map[Int, Int] = toSplit.map { c =>
-      val scored = params.kRange.map { k =>
-        val topicScores = (0 until models((c, k)).getK)
-          .flatMap(t => perTopic.get(synthKey(c, k, t)))
-        k -> (if (topicScores.isEmpty) Double.NegativeInfinity
-              else topicScores.sum / topicScores.size)
+    // best k per cluster by mean topic coherence over the SURVIVING fits
+    // (topics with no scored pairs contribute nothing; a (c,k) with no
+    // scores at all falls back to the smallest surviving k)
+    val bestK: Map[Int, Int] = fitted.map { c =>
+      val scored = params.kRange.flatMap { k =>
+        models.get((c, k)).map { m =>
+          val topicScores = (0 until m.getK)
+            .flatMap(t => perTopic.get(synthKey(c, k, t)))
+          k -> (if (topicScores.isEmpty) Double.NegativeInfinity
+                else topicScores.sum / topicScores.size)
+        }
       }
       c -> scored.maxBy(_._2)._1
     }.toMap
 
     // theta-argmax reassignment (T7) onto each cluster's fresh id range,
     // one lazy union materialized by the caller
-    val reassigned = toSplit.map { c =>
+    val reassigned = fitted.map { c =>
       val slice = splitDocs.filter(col("cluster") === c).select("doc_id", "features")
       models((c, bestK(c))).transform(slice)
         .withColumn("arr", vector_to_array(col("topicDistribution")))
@@ -176,7 +234,7 @@ object LdaSplitter {
     }
 
     val kept = assignments.select(col("doc_id"), col("cluster"))
-      .filter(!col("cluster").isin(toSplit: _*))
+      .filter(!col("cluster").isin(fitted: _*))
     reassigned.foldLeft(kept)(_ unionByName _)
   }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -93,6 +94,40 @@ object EventStreams {
       }
   }
 
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** s02 — the streaming CORRECTNESS row: [[hourlyCounts]] driven to
+    * completion over the events table with `Trigger.AvailableNow` into an
+    * in-memory sink, then emitted as a batch DataFrame in q15's exact
+    * shape — stream/batch parity under the harness oracle, not just in
+    * spec. Complete output mode gives full batch parity (append would
+    * withhold every window the final watermark hasn't passed — the last
+    * ~2 hours of data); the append/watermark deployment semantics are
+    * pinned in EventStreamsSpec. The sink name is counter-suffixed so
+    * repeated bench runs in one session never collide. */
+  def streamHourly(s: SparkSession, d: String): DataFrame = {
+    val name = s"s02_stream_hourly_${sinkCounter.incrementAndGet()}"
+    val q = hourlyCounts(readEvents(s, d))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Identical oracle to q15: the stream must reproduce the batch
+    * aggregation exactly. */
+  private val streamHourlySql =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)))
+
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)
 
@@ -130,15 +165,38 @@ object EventStreams {
             state.remove()
             Iterator(ClosedSession(user, s.startSec, s.lastSec, s.n, s.sum))
           } else {
+            // Memory bound: sortBy buffers this key's slice of ONE
+            // micro-batch (not the stream) — O(events per key per batch),
+            // the same transient bound as any per-key sort, and bounded
+            // further by the micro-batch size the source admits.
             val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
             val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
             var cur = state.getOption
+            // Straggler accumulator: events more than gapSec OLDER than
+            // the open session's start can never belong to it — they form
+            // their own earlier session(s), sessionized among themselves
+            // and emitted closed (the gap to the open start already
+            // elapsed). Widening the open session instead — the old
+            // behavior — glued sessions across hours-long gaps.
+            var early: Option[SessionState] = None
             for ((_, sec, v) <- sorted) {
               cur match {
+                case Some(s) if sec < s.startSec - gapSec =>
+                  early match {
+                    // sorted order ⇒ sec >= e.lastSec within the batch
+                    case Some(e) if sec - e.lastSec <= gapSec =>
+                      early = Some(SessionState(sec, e.startSec, e.n + 1, e.sum + v))
+                    case Some(e) =>
+                      closed += ClosedSession(user, e.startSec, e.lastSec, e.n, e.sum)
+                      early = Some(SessionState(sec, sec, 1L, v))
+                    case None =>
+                      early = Some(SessionState(sec, sec, 1L, v))
+                  }
                 // late cross-batch events (sec behind the open session's
-                // frontier) merge conservatively: widen the span, never
-                // regress lastSec — a regressed frontier would emit
-                // end < start sessions and split on phantom gaps
+                // frontier but within the gap of its start) merge
+                // conservatively: widen the span, never regress lastSec —
+                // a regressed frontier would emit end < start sessions
+                // and split on phantom gaps
                 case Some(s) if sec - s.lastSec <= gapSec =>
                   cur = Some(SessionState(math.max(s.lastSec, sec),
                     math.min(s.startSec, sec), s.n + 1, s.sum + v))
@@ -149,6 +207,12 @@ object EventStreams {
                   cur = Some(SessionState(sec, sec, 1L, v))
               }
             }
+            // every early session ended > gapSec before the open start as
+            // observed when its events arrived — emit closed. (If a later
+            // in-batch straggler widened the open start back toward it,
+            // the two stay separate: a conservative split, never a glue.)
+            early.foreach(e =>
+              closed += ClosedSession(user, e.startSec, e.lastSec, e.n, e.sum))
             cur.foreach { s =>
               state.update(s)
               if (idleFlush) state.setTimeoutDuration(gapSec * 1000)

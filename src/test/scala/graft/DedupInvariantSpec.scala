@@ -97,4 +97,19 @@ class DedupInvariantSpec extends SparkSpec {
     // and fingerprinting is selective: doc 3 shares nothing with doc 1
     assert((fps(1L) & fps(3L)).isEmpty)
   }
+
+  test("simhash planted recall recovers every tokenized doc (d06 invariant)") {
+    val expected = Tables.documents(spark, sfTiny)
+      .filter(size(TextFunctions.tokens(col("text"))) >= 1).count()
+    val got = DedupOps.simhashPlantedRecall(spark, sfTiny).count()
+    assert(got === expected,
+      s"d06 recovered $got of $expected planted simhash twins")
+  }
+
+  test("IVF planted recall lands every twin in its original's cell (e07 invariant)") {
+    val expected = Tables.embeddings(spark, sfTiny).count()
+    val got = graft.operators.EmbeddingOps.ivfPlantedRecall(spark, sfTiny).count()
+    assert(got === expected,
+      s"e07 recovered $got of $expected planted IVF twins")
+  }
 }

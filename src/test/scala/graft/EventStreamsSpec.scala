@@ -132,6 +132,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(end - start === 600L, "session spans minutes 40..50")
   }
 
+  test("closedSessions closes an hours-late event as its own earlier session") {
+    val in = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventStreams.closedSessions(events, gapSec = 1800, idleFlush = false)
+      .toDF().writeStream.format("memory").queryName("early_sessions")
+      .outputMode("append").start()
+    // open session at minutes 100,110
+    in.addData((1L, ts(100), 7L, 1.0), (2L, ts(110), 7L, 2.0))
+    q.processAllAvailable()
+    // hours-late stragglers at minutes 0 and 10: > gapSec older than the
+    // open start, so they are their own session (sessionized together),
+    // emitted closed — NOT merged into the open session (the old behavior
+    // widened the span to minutes 0..110, gluing across a 90-min gap)
+    in.addData((3L, ts(0), 7L, 4.0), (4L, ts(10), 7L, 8.0))
+    q.processAllAvailable()
+    val afterLate = spark.sql(
+      "SELECT start_sec, end_sec, n_events, sum_value FROM early_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(afterLate.toSet === Set((ts(0).getTime / 1000, ts(10).getTime / 1000, 2L, 12.0)),
+      s"got ${afterLate.toSeq}")
+    // minute 200: 90-min silence closes the open session — which must
+    // still span 100..110 (un-widened by the stragglers)
+    in.addData((5L, ts(200), 7L, 16.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.sql(
+      "SELECT start_sec, end_sec, n_events, sum_value FROM early_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(all.toSet === Set(
+      (ts(0).getTime / 1000, ts(10).getTime / 1000, 2L, 12.0),
+      (ts(100).getTime / 1000, ts(110).getTime / 1000, 2L, 3.0)), s"got ${all.toSeq}")
+  }
+
   test("closedSessions batch form closes every gap-separated session but the open one") {
     import spark.implicits._
     val events = Seq(
@@ -164,6 +197,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Map(
       1L -> graft.enrich.DeterministicEnricher.enrich(1L, "alpha"),
       2L -> graft.enrich.DeterministicEnricher.enrich(2L, "beta")))
+  }
+
+  test("s02 streaming harness row reproduces the q15 batch aggregation exactly") {
+    val streamed = EventStreams.streamHourly(spark, sfTiny)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Relational.eventsHourly(spark, sfTiny)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
   }
 
   test("typed Dataset readers expose the corpus entities") {

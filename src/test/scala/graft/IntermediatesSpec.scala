@@ -27,14 +27,34 @@ class IntermediatesSpec extends SparkSpec {
     }
     // the Bench/Verify cleanup: unpersist everything NOT pinned
     spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => Intermediates.isPinned(id) }
+      .filterNot { case (id, _) => Intermediates.isPinned(spark, id) }
       .values.foreach(_.unpersist(blocking = true))
     // pinned blocks intact: the checkpointed relation still evaluates
     // (an unpersisted localCheckpoint would lose its only data copy)
     assert(df.agg(sum(col("x"))).head.getLong(0) === 4950L)
     val stillPersisted = spark.sparkContext.getPersistentRDDs.keySet
-      .exists(Intermediates.isPinned)
+      .exists(Intermediates.isPinned(spark, _))
     assert(stillPersisted)
+  }
+
+  test("a context restart clears pins and cache of the stopped app") {
+    val key = "spec-ns-" + System.nanoTime()
+    var builds = 0
+    def get() = Intermediates.memo(spark, key) {
+      builds += 1
+      spark.range(10).toDF("x").localCheckpoint()
+    }
+    get()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .exists(Intermediates.isPinned(spark, _)))
+    // simulate the first memo call under a RESTARTED context (new appId):
+    // every pin and cache entry of the old app must be swept, so the old
+    // app's rdd ids can no longer shadow fresh scratch with those ids
+    Intermediates.sweepStale("spec-fresh-app")
+    assert(!spark.sparkContext.getPersistentRDDs.keySet
+      .exists(Intermediates.isPinned(spark, _)))
+    get() // cache entry gone too — rebuilds rather than serving stale state
+    assert(builds === 2)
   }
 
   test("keys namespace by content — different keys build different values") {

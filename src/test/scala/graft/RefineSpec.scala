@@ -142,4 +142,56 @@ class RefineSpec extends SparkSpec {
       assert(byDoc(d) > 9, s"doc $d reassigned to ${byDoc(d)} — collides below the true max id")
     }
   }
+
+  test("a poisoned slice degrades to no-split instead of wedging the sweep") {
+    // ref 02_build_models.R:530-535 keeps a cluster unsplit when its LDA
+    // fit throws; the engine must match — null features make every
+    // (2, k) fit fail, and the cluster's docs keep their assignment
+    val docTerms = Featurize.docTerms(corpus)
+    val counts = Featurize.termCounts(docTerms)
+    val weights = Featurize.tfidf(counts, corpus)
+    val vocab = Featurize.topVocab(weights, 100)
+    val vocabTerms = {
+      val n = vocab.count().toInt
+      val arr = new Array[String](n)
+      vocab.collect().foreach(r => arr(r.getInt(1)) = r.getString(0))
+      arr
+    }
+    val countVecs = Featurize.countVectors(counts, vocab, vocabTerms.length)
+    val poisoned = countVecs.withColumn("features",
+      when(col("doc_id") >= 3L, lit(null)).otherwise(col("features")))
+    val scores = Map(1 -> (0.95, 2L), 2 -> (0.1, 4L))
+    val updated = LdaSplitter.split(
+      docTerms, poisoned, fixtureAssignments, scores, vocabTerms,
+      LdaSplitter.Params(kRange = 2 to 2, coherenceThreshold = 0.9,
+        minDocsForSplit = 2, maxIter = 40, optimizer = "em"))
+    val byDoc = updated.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val original = fixtureAssignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(byDoc === original, "failed fits must leave every assignment unchanged")
+  }
+
+  test("a zero fit budget times out the sweep and degrades to no-split") {
+    val docTerms = Featurize.docTerms(corpus)
+    val counts = Featurize.termCounts(docTerms)
+    val weights = Featurize.tfidf(counts, corpus)
+    val vocab = Featurize.topVocab(weights, 100)
+    val vocabTerms = {
+      val n = vocab.count().toInt
+      val arr = new Array[String](n)
+      vocab.collect().foreach(r => arr(r.getInt(1)) = r.getString(0))
+      arr
+    }
+    val countVecs = Featurize.countVectors(counts, vocab, vocabTerms.length)
+    val scores = Map(1 -> (0.95, 2L), 2 -> (0.1, 4L))
+    val updated = LdaSplitter.split(
+      docTerms, countVecs, fixtureAssignments, scores, vocabTerms,
+      LdaSplitter.Params(kRange = 2 to 2, coherenceThreshold = 0.9,
+        minDocsForSplit = 2, maxIter = 40, optimizer = "em",
+        fitTimeout = scala.concurrent.duration.Duration.Zero))
+    val byDoc = updated.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val original = fixtureAssignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(byDoc === original, "timed-out fits must leave every assignment unchanged")
+  }
 }
