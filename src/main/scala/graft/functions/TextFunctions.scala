@@ -31,18 +31,16 @@ object TextFunctions {
   def cleanText(c: Column): Column =
     collapseWs(stripNonAlpha(expandContractions(toLower(c))))
 
-  /** F2 contraction expansion — deterministic dictionary applied in
-    * declaration order, specific entries before the generic suffix rules
-    * (ref 02_build_models.R:28 textclean::replace_contraction, whose
-    * dictionary is lexicon::key_contractions — reproduced here as plain
-    * lowercase substring pairs since the clean chain lowers first).
-    * Declaration order is semantic: every specific multi-char key runs
-    * before the generic suffix rules, so "won't" becomes "will not"
-    * rather than "wo not". Substring (not word-boundary) application is
-    * shared verbatim with the DuckDB oracle via
-    * [[graft.oracle.DuckFragments.cleanSql]], so both sides drift
-    * together by construction. */
-  val contractions: Seq[(String, String)] = Seq(
+  /** F2 contraction parity dictionary ≙ lexicon::key_contractions, the
+    * dictionary behind textclean::replace_contraction (ref
+    * 02_build_models.R:28) — lowercase pairs since the clean chain
+    * lowers first. This is the PARITY surface: the engine claims every
+    * entry here expands to its value. The hot path does NOT run one pass
+    * per entry — [[contractions]] below is the minimized pass sequence,
+    * and TextFunctionsSpec proves it reproduces this dictionary
+    * entry-for-entry (most entries are exactly what the generic suffix
+    * rules produce: "aren't" → "are not" IS "n't" → " not"). */
+  val contractionDictionary: Seq[(String, String)] = Seq(
     // lexicon::key_contractions parity block (specific before generic)
     "ain't" -> "am not", "aren't" -> "are not", "can't" -> "cannot",
     "could've" -> "could have", "couldn't" -> "could not",
@@ -78,20 +76,46 @@ object TextFunctions {
     "why's" -> "why is", "won't" -> "will not",
     "would've" -> "would have", "wouldn't" -> "would not",
     "you'd" -> "you would", "you'll" -> "you will",
-    "you're" -> "you are", "you've" -> "you have",
-    // generic suffix fallbacks for anything not in the dictionary
+    "you're" -> "you are", "you've" -> "you have")
+
+  /** The minimized pass sequence actually applied (and regenerated into
+    * the DuckDB oracle via [[graft.oracle.DuckFragments.cleanSql]], so
+    * both sides stay identical by construction). Equivalence argument:
+    * a dictionary entry like "they're" → "they are" is the prefix
+    * "they" plus the generic "'re" → " are" rewrite, so on ANY input
+    * the generic pass produces the same bytes the specific entry would —
+    * only the irregular forms (can't/won't/shan't/ain't, how'd/where'd)
+    * and the 's/misc family (no generic 's rule: possessives stay) need
+    * their own pass. Declaration order is semantic: irregulars before
+    * the generic suffix rules ("won't" must not become "wo not").
+    * TextFunctionsSpec pins minimized ≡ [[contractionDictionary]]. */
+  val contractions: Seq[(String, String)] = Seq(
+    // irregular n't / 'd forms the generic rules would mangle
+    "ain't" -> "am not", "can't" -> "cannot", "shan't" -> "shall not",
+    "won't" -> "will not",
+    "how'd" -> "how did", "where'd" -> "where did",
+    // 's and misc family — no generic 's rule exists (possessives stay)
+    "he's" -> "he is", "here's" -> "here is", "how's" -> "how is",
+    "it's" -> "it is", "let's" -> "let us", "ma'am" -> "madam",
+    "o'clock" -> "of the clock",
+    "she's" -> "she is", "that's" -> "that is", "there's" -> "there is",
+    "what's" -> "what is", "when's" -> "when is", "where's" -> "where is",
+    "who's" -> "who is", "why's" -> "why is",
+    // generic suffix rules cover every regular dictionary entry
     "n't" -> " not",
     "'re" -> " are", "'ve" -> " have", "'ll" -> " will",
     "'d" -> " would", "'m" -> " am")
 
-  /** Every entry is a plain substring pair, so the fold uses literal
-    * `replace` (single linear scan each) instead of compiled regexes —
-    * ~80 entries stay cheap in the hot clean chain, and literal-replace
-    * semantics match DuckDB `replace` byte-for-byte. */
+  /** Every pass is a plain substring pair, so the fold uses literal
+    * `replace` (single linear scan each, no compiled regexes) and the
+    * whole chain is skipped for rows without an apostrophe — every key
+    * contains one, so apostrophe-free text is a fixed point. Literal-
+    * replace semantics match DuckDB `replace` byte-for-byte. */
   def expandContractions(c: Column): Column =
-    contractions.foldLeft(c) { case (col, (k, v)) =>
-      replace(col, lit(k), lit(v))
-    }
+    when(c.contains("'"),
+      contractions.foldLeft(c) { case (col, (k, v)) =>
+        replace(col, lit(k), lit(v))
+      }).otherwise(c)
 
   /** Snowball English stopword list ≙ tm::stopwords("en") (ref
     * 02_build_models.R:35), restricted to its apostrophe-free entries —

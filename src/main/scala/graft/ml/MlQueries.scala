@@ -202,6 +202,30 @@ object MlQueries {
       .select(col("cluster").cast("long").as("cluster"), col("n_docs"),
         col("coherence"), col("label"))
 
+  /** m10 — S7/S8/S9 + V9/M8 under the harness: persist the fitted
+    * model and its df/N-weighted vocabulary to a versioned directory,
+    * load it back, and predict a held-out systematic sample through the
+    * predict-time vectorization path (vocab match, OOV drop,
+    * train-corpus weighting, nearest centroid). Rows-only
+    * (k-means-dependent); the save/load/vectorize algebra is pinned in
+    * ModelStoreSpec. The date is a fixed literal — path construction
+    * stays deterministic across runs. */
+  def modelPredict(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{ModelPipeline, ModelStore}
+    val fm = ModelPipeline.fitted(s, d)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_m10_model_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+    val dir = ModelStore.versionedDir(base, fm.model.getK,
+      java.time.LocalDate.of(2026, 1, 1))
+    ModelStore.save(dir, fm.model, fm.vocab, fm.counts, Tables.documents(s, d))
+    val saved = ModelStore.load(s, dir)
+    ModelStore.predict(
+        graft.sources.Sinks.sampleByMod(Tables.documents(s, d), "doc_id", 10, 3),
+        saved)
+      .select(col("doc_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -211,5 +235,6 @@ object MlQueries {
     QueryDef("m06_kmeans_stats", kmeansStats, None),
     QueryDef("m07_lda_optimize", ldaOptimize, None),
     QueryDef("m08_cluster_merge", clusterMerge, None),
-    QueryDef("m09_refiner_report", refinerReport, None))
+    QueryDef("m09_refiner_report", refinerReport, None),
+    QueryDef("m10_model_predict", modelPredict, None))
 }

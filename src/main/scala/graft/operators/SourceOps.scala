@@ -6,10 +6,11 @@ import graft.sources.{Sinks, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Source/sample + multimodal-column queries (SURVEY §2.1 S3 + the
-  * multimodal extension). The chunk sinks S4-S6 are write-side operators
-  * — exercised by SinksSpec round-trips, not the read-only query
-  * harness. */
+/** Source/sample + multimodal-column queries (SURVEY §2.1 S3-S5 + the
+  * multimodal extension). The chunk writer/glob scan S4/S5 are additionally
+  * exercised under the harness oracle by the s03 round-trip; the
+  * consolidated/model sinks S6-S9 stay spec-verified (SinksSpec,
+  * ModelStoreSpec). */
 object SourceOps {
 
   /** s01 — S3b systematic sample: exact, partition-independent residue
@@ -23,6 +24,30 @@ object SourceOps {
   private val systematicSampleSql =
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id % 10 = 3 ORDER BY doc_id""".stripMargin
+
+  /** s03 — S4 chunk writer + S5 glob scan under the harness oracle: the
+    * documents' (doc_id, digest) projection is written as chunked CSV
+    * (chunk = partition, ref 01_extract_features.R:338-341) and read
+    * back through the glob union with an explicit schema — the oracle
+    * compares the round-trip against the table directly, so a chunking /
+    * header / schema bug anywhere in the sink path breaks the hash.
+    * Digest instead of raw text keeps the payload CSV-safe (hex — no
+    * quoting/newline escaping divergence between writers). */
+  def chunkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val digests = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s03_chunks_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+    Sinks.writeChunks(digests, dir, numChunks = 8)
+    Sinks.readChunks(s, dir, StructType(Seq(
+        StructField("doc_id", LongType), StructField("digest", StringType))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val chunkRoundtripSql =
+    """SELECT doc_id, md5(text) AS digest FROM documents
+      |ORDER BY doc_id""".stripMargin
 
   /** b01 — multimodal table plumbing: binary payload + typed metadata
     * (schema-level contract is oracle-checked; the payload itself is the
@@ -56,6 +81,7 @@ object SourceOps {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_systematic_sample", systematicSample, Some(systematicSampleSql)),
+    QueryDef("s03_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
     QueryDef("b01_media_table", mediaTable, Some(mediaTableSql)),
     QueryDef("b02_media_features", mediaFeatures, None))
 }

@@ -70,6 +70,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(viaExpr === viaMl)
   }
 
+  test("minimized contraction passes reproduce the full parity dictionary") {
+    // the breadth claim: every lexicon::key_contractions entry expands to
+    // its dictionary value through the minimized hot-path sequence
+    val keys = TextFunctions.contractionDictionary.map(_._1)
+    val got = keys.toDF("text")
+      .select(TextFunctions.expandContractions(col("text")).as("c"))
+      .as[String].collect().toSeq
+    val want = TextFunctions.contractionDictionary.map(_._2)
+    keys.lazyZip(got).lazyZip(want).foreach { (k, g, w) =>
+      assert(g === w, s"dictionary entry '$k' expanded to '$g', want '$w'")
+    }
+    assert(TextFunctions.contractionDictionary.size >= 65,
+      "parity dictionary must stay at lexicon::key_contractions breadth")
+  }
+
   test("expandContractions applies the dictionary longest-first") {
     val got = Seq("i won't and they can't, it's a don't")
       .toDF("text")
