@@ -30,6 +30,7 @@ object QueryRegistry {
       graft.operators.TextOps.defs ++
       graft.operators.EmbeddingOps.defs ++
       graft.operators.DedupOps.defs ++
+      graft.operators.GraphOps.defs ++
       graft.ml.MlQueries.defs ++
       graft.operators.EnrichOps.defs ++
       graft.operators.SourceOps.defs ++

@@ -35,7 +35,10 @@ object DedupOps {
     * decomposition: distinct tokens → self-join on shared token →
     * |A∩B| / (|A|+|B|−|A∩B|). Verification-scale only (all-pairs); the
     * LSH variants below are the 100 TB path. */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsFrom(Tables.documents(s, d))
+
+  private[operators] def jaccardPairsFrom(documents: DataFrame): DataFrame = {
     // All-pairs is O(n²) by construction — cap the verification window to
     // the first 1000 docs (same cap in the oracle) so the operator stays
     // exact but bounded at every SF. The MinHash path handles full scale.
@@ -43,7 +46,7 @@ object DedupOps {
     // uses, lineage cut, and the backing blocks are released by the
     // ContextCleaner when the plan is GC'd — no cross-query cache leak
     // (a bare persist() would stay pinned for the whole shared session).
-    val toks = Tables.documents(s, d)
+    val toks = documents
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
       .localCheckpoint()
@@ -62,8 +65,12 @@ object DedupOps {
       .limit(100)
   }
 
-  private val jaccardPairsSql =
-    s"""WITH toks AS (
+  /** The d02 oracle split into (CTE list, final select) so
+    * [[GraphOps]]' d07 oracle can embed the IDENTICAL pair definition
+    * inside its own WITH RECURSIVE — one source of truth for the
+    * verification-window near-dup graph on the SQL side. */
+  private[operators] val jaccardCtesSql =
+    s"""toks AS (
       |  SELECT DISTINCT doc_id, unnest(${graft.oracle.DuckFragments.tokListSql}) AS term
       |  FROM documents WHERE doc_id < 1000),
       |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -71,13 +78,17 @@ object DedupOps {
       |inter AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
       |  FROM toks2 a JOIN toks2 b ON a.term = b.term AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
-      |SELECT a_id, b_id,
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  private[operators] val jaccardSelectSql =
+    """SELECT a_id, b_id,
       |  round(n_inter / (sa.n_terms + sb.n_terms - n_inter), 6) AS jaccard
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = a_id
       |JOIN sizes sb ON sb.doc_id = b_id
       |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin
+
+  private val jaccardPairsSql = s"WITH $jaccardCtesSql\n$jaccardSelectSql"
 
   /** Number of hash functions in the MinHash signature and LSH banding
     * shape (8 bands × 4 rows). Seeded xxhash64 keeps it deterministic. */

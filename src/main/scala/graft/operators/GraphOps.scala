@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph operators for the dedup pipeline's final stage: near-dup
+  * CANDIDATE PAIRS (d02/d03/d06 outputs) are edges of a similarity
+  * graph, and collapsing a corpus keeps ONE representative per
+  * connected component — pairs alone under-delete (A~B, B~C but the
+  * A-C edge fell under threshold still means one kept doc, not two).
+  * The reference has no graph stage (its corpus is pre-deduplicated);
+  * this is a beyond-reference extension (SURVEY §2.14 X27) that any
+  * 100 TB training-data dedup needs.
+  */
+object GraphOps {
+
+  /** Connected components via iterative hash-min label propagation:
+    * every node starts labeled with its own id; each round every node
+    * takes the min of its label and its neighbors' labels; fixpoint =
+    * components labeled by their min member id.
+    *
+    * Scale shape: each round is ONE shuffle (edge⋈label hash join +
+    * min aggregate keyed on node id) and converges in O(graph
+    * diameter) rounds — near-dup components are LSH-bucket cliques
+    * with diameter 1-3, so 100 TB runs take a handful of shuffles.
+    * (For adversarial long-chain graphs the two-phase large-star/
+    * small-star variant [Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"] converges in O(log n) rounds; near-dup
+    * graphs never need it, so the simpler one-join round is the
+    * better plan here.) Each round's frontier is localCheckpoint'd:
+    * lineage stays O(1) instead of growing by one join per round, and
+    * the blocks release with the plan (no cross-query cache leak).
+    *
+    * @param nodes (id: long) — the universe; isolated nodes become
+    *              their own singleton component.
+    * @param edges (src: long, dst: long) — undirected (either
+    *              orientation suffices); endpoints outside `nodes`
+    *              propagate nothing.
+    * @return (id, component) with component = min reachable id.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("nid"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      // one count action per round doubles as the convergence check and
+      // the materialization barrier for the checkpoint above
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") =!= col("old"))
+        .count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "graph diameter exceeds the near-dup assumption; raise maxRounds " +
+        "or switch to large-star/small-star")
+    labels
+  }
+
+  /** d07 — near-dup cluster collapse over the verification window: the
+    * d02 exact-Jaccard top-100 pairs ([[DedupOps.jaccardPairsFrom]],
+    * same code) are the edges, every windowed doc is a node, and each
+    * doc reports its component (min member id) plus whether it is the
+    * kept representative. Full DuckDB oracle: the identical pair
+    * definition (shared CTE text) under a recursive transitive-closure
+    * CTE — the oracle checks the FIXPOINT, so a propagation bug that
+    * stops one round early breaks the hash. */
+  def neardupComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = DedupOps.jaccardPairsFrom(docs)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = docs.filter(col("doc_id") < 1000)
+      .select(col("doc_id").as("id"))
+    connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val neardupComponentsSql =
+    s"""WITH RECURSIVE ${DedupOps.jaccardCtesSql},
+      |pairs AS (SELECT a_id, b_id FROM (${DedupOps.jaccardSelectSql})),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |          UNION SELECT b_id, a_id FROM pairs),
+      |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+      |SELECT id AS doc_id, min(r) AS component,
+      |  CAST(id = min(r) AS INTEGER) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("d07_neardup_components", neardupComponents,
+      Some(neardupComponentsSql)))
+}
