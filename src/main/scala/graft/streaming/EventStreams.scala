@@ -125,8 +125,54 @@ object EventStreams {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** s04 — the second streaming CORRECTNESS row: [[userSessions]]
+    * (native `session_window`, 30-minute gap) driven to completion with
+    * `Trigger.AvailableNow` into a memory sink, emitted as
+    * (user_id, session start in epoch micros, n_events) — one row per
+    * SESSION, finer than q17's per-user rollup. Complete mode keeps all
+    * session state so the result equals the batch merge regardless of
+    * how AvailableNow slices the input into micro-batches; the
+    * append-mode watermark-eviction semantics are pinned in
+    * EventStreamsSpec.
+    *
+    * Boundary semantics: `session_window` is gap-EXCLUSIVE (an event
+    * exactly gap seconds after the previous one starts a NEW session —
+    * merge requires next_start < prev_end), so the oracle's lag-compare
+    * uses `>= gap`, unlike q17's reference-style inclusive compare
+    * (`> gap`). The two sessionizers agree except on exact-boundary
+    * gaps; each is oracle-checked against its own semantics. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val name = s"s04_stream_sessions_${sinkCounter.incrementAndGet()}"
+    val q = userSessions(readEvents(s, d))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  private val streamSessionsSql =
+    """WITH x AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP)))
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, us,
+      |    sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(us) AS start_us, CAST(count(*) AS BIGINT) AS n_events
+      |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)))
+    QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
+    QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)
