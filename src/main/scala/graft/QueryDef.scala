@@ -31,6 +31,7 @@ object QueryRegistry {
       graft.operators.EmbeddingOps.defs ++
       graft.operators.DedupOps.defs ++
       graft.operators.GraphOps.defs ++
+      graft.operators.PackOps.defs ++
       graft.ml.MlQueries.defs ++
       graft.operators.EnrichOps.defs ++
       graft.operators.SourceOps.defs ++

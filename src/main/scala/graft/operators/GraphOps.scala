@@ -85,19 +85,27 @@ object GraphOps {
     * definition (shared CTE text) under a recursive transitive-closure
     * CTE — the oracle checks the FIXPOINT, so a propagation bug that
     * stops one round early breaks the hash. */
-  def neardupComponents(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, component) labels over the d02 verification window —
+    * shared by d07 and p02. */
+  private def componentLabels(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val edges = DedupOps.jaccardPairsFrom(docs)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val nodes = docs.filter(col("doc_id") < 1000)
       .select(col("doc_id").as("id"))
     connectedComponents(nodes, edges)
+  }
+
+  def neardupComponents(s: SparkSession, d: String): DataFrame =
+    componentLabels(s, d)
       .select(col("id").as("doc_id"), col("component"),
         (col("id") === col("component")).cast("int").as("keep"))
       .orderBy(col("doc_id"))
-  }
 
-  private val neardupComponentsSql =
+  /** DuckDB transitive-closure fixpoint over the same pair definition —
+    * `SELECT id, min(r) AS component FROM reach GROUP BY id` after these
+    * CTEs reproduces [[componentLabels]]. */
+  private val componentCtesSql =
     s"""WITH RECURSIVE ${DedupOps.jaccardCtesSql},
       |pairs AS (SELECT a_id, b_id FROM (${DedupOps.jaccardSelectSql})),
       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
@@ -106,12 +114,38 @@ object GraphOps {
       |reach(id, r) AS (
       |  SELECT id, id FROM nodes
       |  UNION
-      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)""".stripMargin
+
+  private val neardupComponentsSql =
+    s"""$componentCtesSql
       |SELECT id AS doc_id, min(r) AS component,
       |  CAST(id = min(r) AS INTEGER) AS keep
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** p02 — leakage-safe train/test split: hash the COMPONENT id, not the
+    * doc id, so near-duplicate documents can never straddle the split
+    * (train/test contamination is the canonical eval failure in LLM
+    * corpus prep). Knuth multiplicative hash mod 10: buckets 0-7 train,
+    * 8-9 test — closed-form in both engines' integer arithmetic, no
+    * engine-specific hash function. */
+  def leakageSplit(s: SparkSession, d: String): DataFrame =
+    componentLabels(s, d)
+      .select(col("id").as("doc_id"), col("component"),
+        when(expr("component * 2654435761 % 4294967296 % 10") < 8, "train")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  private val leakageSplitSql =
+    s"""$componentCtesSql,
+      |comp AS (SELECT id AS doc_id, min(r) AS component
+      |         FROM reach GROUP BY id)
+      |SELECT doc_id, component,
+      |  CASE WHEN component * 2654435761 % 4294967296 % 10 < 8
+      |       THEN 'train' ELSE 'test' END AS split
+      |FROM comp ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d07_neardup_components", neardupComponents,
-      Some(neardupComponentsSql)))
+      Some(neardupComponentsSql)),
+    QueryDef("p02_leakage_split", leakageSplit, Some(leakageSplitSql)))
 }

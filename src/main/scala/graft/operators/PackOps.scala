@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for LLM training-data preparation — the
+  * stage after clean/dedup/score where documents become training
+  * sequences and splits. The reference stops at model features; these
+  * are beyond-reference extensions (SURVEY §2.14) that a 100 TB corpus
+  * pipeline needs: token-budget sequence packing, exact quantile
+  * bucketing (curriculum mixing), and per-source systematic sampling
+  * (mixture weights).
+  *
+  * All three need a GLOBAL order-dependent sequence number, which the
+  * naive formulation (`Window.orderBy` with no partition) computes on a
+  * single partition — the classic scale-killer Spark warns about. The
+  * shared [[exclusivePrefixSum]] below is the distributed form: a
+  * range-partitioned two-phase scan whose only global step runs over
+  * one row per partition, never over the data.
+  */
+object PackOps {
+
+  /** Distributed exclusive prefix sum (parallel scan) of `value` over
+    * the total order `orderCols`, optionally restarting per stratum.
+    *
+    * Shape: range-partition by the order columns (partitions hold
+    * disjoint, ordered key ranges), freeze that placement with ONE
+    * localCheckpoint (both consumers below must see identical
+    * `spark_partition_id`), then
+    *   phase 1: per-(partition, stratum) partial sums — map-side
+    *     combined, ≤ numPartitions × |strata| rows;
+    *   phase 2: exclusive running sum of the partials per stratum —
+    *     a window over the TINY partial relation (the only unkeyed
+    *     window in the engine, and it scans one row per partition,
+    *     not per record);
+    *   phase 3: broadcast the offsets back and add the within-
+    *     partition running sum (window keyed on partition id — local,
+    *     parallel).
+    * Cost at scale: two exchanges of the narrow projection (range
+    * partition + the window's hash partition) regardless of data size;
+    * driver memory O(numPartitions), not O(rows).
+    *
+    * `orderCols` must be a TOTAL order (include a tiebreak key):
+    * rows-frame running sums over tied sort keys are otherwise
+    * nondeterministic.
+    */
+  private[graft] def exclusivePrefixSum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      value: Column,
+      out: String,
+      strata: Seq[String] = Nil): DataFrame = {
+    val numPartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyed = df
+      .withColumn("__v", value.cast("long"))
+      .repartitionByRange(numPartitions, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val keys = "__pid" +: strata
+    val partials = keyed
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__v")).as("__psum"))
+    val wOffsets = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("__off", coalesce(sum(col("__psum")).over(wOffsets), lit(0L)))
+      .drop("__psum")
+    val wLocal = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsets), keys)
+      .withColumn(out,
+        coalesce(sum(col("__v")).over(wLocal), lit(0L)) + col("__off"))
+      .drop("__v", "__pid", "__off")
+  }
+
+  /** BPE-style pre-tokenizer piece count — same expression as
+    * t09_token_stats (letter runs / digit runs / single punctuation). */
+  private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val bpePieces: Column =
+    size(regexp_extract_all(lower(col("text")), lit(BpeRegex), lit(0)))
+      .cast("long")
+
+  /** Tokens per packed training sequence. Small enough that sf0.01
+    * exercises many bins; the operator is budget-agnostic. */
+  private val SeqBudget = 256L
+
+  /** p01 — token-budget sequence packing: assign each document to the
+    * training sequence where its token span begins, by exclusive prefix
+    * sum of per-doc token counts in doc_id order. The contiguous-span
+    * discipline (documents enter sequences in corpus order; a doc
+    * straddling a boundary starts a carry into the next bin) is the
+    * standard streaming-concat packing used for LLM pretraining shards;
+    * `tok_offset` is the doc's start position inside its sequence. */
+  def sequencePack(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), bpePieces.as("n_tokens"))
+    exclusivePrefixSum(toks, Seq("doc_id"), col("n_tokens"), "cum_before")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $SeqBudget").as("seq_id"),
+        (col("cum_before") % SeqBudget).as("tok_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sequencePackSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(cum_before // $SeqBudget AS BIGINT) AS seq_id,
+       |  CAST(cum_before % $SeqBudget AS BIGINT) AS tok_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** p03 — exact quality-quartile bucketing (curriculum mixing): global
+    * 0-based rank by (quality_score, doc_id) via the distributed scan,
+    * then bucket = rank·4 ÷ N + 1. Same spread as ntile(4) but with the
+    * remainder distributed evenly (closed-form from the rank, identical
+    * formula on both engines) — and unlike ntile it never needs a
+    * global single-partition window. Null scores (empty docs) sort
+    * first via the -1 sentinel. */
+  def qualityBuckets(s: SparkSession, d: String): DataFrame = {
+    val q = TextOps.docQuality(s, d)
+      .select(col("doc_id"), col("quality_score"),
+        coalesce(col("quality_score"), lit(-1.0)).as("__qs"))
+    val n = q.agg(count(lit(1)).as("n_docs"))
+    exclusivePrefixSum(q, Seq("__qs", "doc_id"), lit(1L), "rn0")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("quality_score"),
+        expr("(rn0 * 4) div n_docs + 1").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityBucketsSql =
+    s"""WITH r AS (
+       |  SELECT doc_id, quality_score,
+       |    row_number() OVER (ORDER BY COALESCE(quality_score, -1.0), doc_id) - 1 AS rn0,
+       |    count(*) OVER () AS n_docs
+       |  FROM (${TextOps.docQualityInnerSql}))
+       |SELECT doc_id, quality_score,
+       |  CAST((rn0 * 4) // n_docs + 1 AS BIGINT) AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Keep every k-th document per stratum. */
+  private val SampleEvery = 10L
+
+  /** p04 — per-source systematic sample (mixture-weight downsampling):
+    * every 10th document per source in doc_id order. The per-stratum
+    * sequence number comes from the grouped distributed scan — the
+    * naive `Window.partitionBy(source)` form moves each whole stratum
+    * to one task, which dies at 100 TB where a source can be most of
+    * the corpus; here strata only shrink the partial-sum relation. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    exclusivePrefixSum(docs, Seq("doc_id"), lit(1L), "rn0",
+        strata = Seq("source"))
+      .filter(col("rn0") % SampleEvery === 0)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stratifiedSampleSql =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn0
+       |  FROM documents)
+       |WHERE rn0 % $SampleEvery = 0 ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
+    QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
+    QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+}

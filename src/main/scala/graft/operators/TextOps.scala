@@ -99,7 +99,10 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val docQualitySql = {
+  /** t04's scoring query without the final ORDER BY — reused as a
+    * subquery by PackOps.qualityBuckets' oracle (p03), so both rows
+    * score documents with the exact same SQL text. */
+  private[operators] val docQualityInnerSql = {
     val stop = sqlStringList(TextFunctions.stopWords)
     s"""WITH q AS (
        |  SELECT doc_id,
@@ -112,8 +115,10 @@ object TextOps {
        |  round(n_stop / nullif(n_tokens, 0), 6) AS stop_ratio,
        |  round(0.6 * alpha_ratio +
        |        0.4 * (1.0 - round(n_stop / nullif(n_tokens, 0), 6)), 6) AS quality_score
-       |FROM q ORDER BY doc_id""".stripMargin
+       |FROM q""".stripMargin
   }
+
+  private val docQualitySql = s"$docQualityInnerSql ORDER BY doc_id"
 
   /** Deterministic marker-word language heuristic (n-gram-free language ID
     * — training-data-pipeline extension). Scores English function-word

@@ -170,9 +170,35 @@ object EventStreams {
       |SELECT user_id, min(us) AS start_us, CAST(count(*) AS BIGINT) AS n_events
       |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
 
+  /** s05 — the third streaming CORRECTNESS row: [[dedupEvents]]
+    * (`dropDuplicatesWithinWatermark`) under at-least-once delivery.
+    * The corpus has no duplicate event_ids, so replay is simulated the
+    * way a flaky source produces it: a second streaming scan of the
+    * same table, filtered to every third event, unioned in — those
+    * events arrive twice. The dedup must collapse the stream back to
+    * exactly the distinct id set (the oracle): a dropped operator
+    * yields ~4/3× rows and fails rows_match. Only event_id is emitted —
+    * `dropDuplicates*` keeps an unspecified occurrence, and the id is
+    * the only column guaranteed identical across replays. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val name = s"s05_stream_dedup_${sinkCounter.incrementAndGet()}"
+    val replay = readEvents(s, d).filter(col("event_id") % 3 === 0)
+    val q = dedupEvents(readEvents(s, d).unionByName(replay))
+      .select(col("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("event_id"))
+  }
+
+  private val streamDedupSql =
+    "SELECT event_id FROM events ORDER BY event_id"
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
-    QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)))
+    QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)),
+    QueryDef("s05_stream_dedup", streamDedup, Some(streamDedupSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

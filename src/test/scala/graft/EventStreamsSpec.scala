@@ -208,6 +208,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s05 streaming dedup collapses at-least-once replay to the distinct id set") {
+    import spark.implicits._
+    val got = EventStreams.streamDedup(spark, sfTiny)
+      .as[Long].collect().toSeq
+    val want = graft.sources.Tables.events(spark, sfTiny)
+      .select(org.apache.spark.sql.functions.col("event_id"))
+      .as[Long].collect().sorted.toSeq
+    assert(got === want)
+  }
+
   test("typed Dataset readers expose the corpus entities") {
     val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
     val first = docs.head()
