@@ -70,6 +70,27 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("Scan ExistingRDD"))
   }
 
+  test("p01: prefix scan distributes — data window keyed on partition id, offsets broadcast") {
+    val p = plan("p01_sequence_pack")
+    // the window over the DATA relation is partitioned by __pid (local,
+    // parallel); an unkeyed form here is the single-partition scale-killer
+    assert("windowspecdefinition\\(__pid#\\d+, doc_id".r.findFirstIn(p).isDefined)
+    // exactly one SinglePartition exchange — the offsets window over the
+    // per-partition partials (≤ shuffle-partitions rows), never the data
+    assert("Exchange SinglePartition".r.findAllIn(p).size === 1)
+    assert(p.contains("BroadcastHashJoin [__pid"))
+    // range-partitioned tokenize pass materialized once by localCheckpoint
+    assert(!p.contains("FileScan parquet"))
+  }
+
+  test("p04: grouped prefix scan has NO single-partition stage at all") {
+    // with strata the offsets window partitions by the stratum column, so
+    // even the tiny global step disappears
+    val p = plan("p04_stratified_sample")
+    assert("windowspecdefinition\\(__pid#\\d+, source".r.findFirstIn(p).isDefined)
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
