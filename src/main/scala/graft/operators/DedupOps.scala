@@ -295,6 +295,44 @@ object DedupOps {
       |                      x -> x <> '')) >= 1
       |ORDER BY a_id""".stripMargin
 
+  /** d08 — incremental ingestion dedup: a NEW batch (odd doc_ids, plus
+    * low-id even docs re-submitted under fresh ids — the crawl-refetch
+    * scenario) is anti-joined on content digest against the EXISTING
+    * corpus (even doc_ids). Re-submitted content must vanish; novel
+    * content must survive. This is the steady-state 100 TB dedup shape:
+    * the corpus is never re-deduplicated wholesale — each incoming batch
+    * joins against the stored digest set (uniform 128-bit keys, no skew;
+    * broadcastable while the digest set is small, shuffle equi-join
+    * after). Re-submission ids reuse [[plantOffset]] so they can never
+    * collide with real ids at any SF. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val off = plantOffset(maxId)
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val resubmitted = existing.filter(col("doc_id") < 100)
+      .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(resubmitted)
+    val seen = existing
+      .select(md5(col("text").cast("binary")).as("text_hash")).distinct()
+    incoming.withColumn("text_hash", md5(col("text").cast("binary")))
+      .join(seen, Seq("text_hash"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH inc AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + ${plantOffsetSql("doc_id", "documents")}, text
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
+      |seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |         WHERE doc_id % 2 = 0)
+      |SELECT doc_id FROM inc WHERE md5(text) NOT IN (SELECT h FROM seen)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
@@ -302,5 +340,7 @@ object DedupOps {
     QueryDef("d04_simhash", simhashDocs, None),
     QueryDef("d05_lsh_planted_recall", lshPlantedRecall, Some(lshPlantedRecallSql)),
     QueryDef("d06_simhash_planted_recall", simhashPlantedRecall,
-      Some(simhashPlantedRecallSql)))
+      Some(simhashPlantedRecallSql)),
+    QueryDef("d08_incremental_dedup", incrementalDedup,
+      Some(incrementalDedupSql)))
 }

@@ -177,8 +177,35 @@ object PackOps {
        |  FROM documents)
        |WHERE rn0 % $SampleEvery = 0 ORDER BY doc_id""".stripMargin
 
+  /** p05 — α-scaled source mixture weights (α = 0.5): per-source token
+    * mass raised to α and normalized, the standard square-root
+    * temperature scaling that up-weights small sources when sampling a
+    * multi-source pretraining mixture. One groupBy over the corpus; the
+    * normalizer is a 1-row broadcast. */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(bpePieces).as("n_tokens"))
+    val z = per.agg(sum(sqrt(col("n_tokens"))).as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens")) / col("z"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  private val mixtureWeightsSql =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |  round(sqrt(n_tokens) / (SELECT sum(sqrt(n_tokens)) FROM s), 6) AS weight
+       |FROM s ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
-    QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+    QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("p05_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)))
 }

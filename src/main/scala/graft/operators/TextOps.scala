@@ -282,6 +282,55 @@ object TextOps {
        |  length(text) AS n_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t10 — repetition statistics, the Gopher-style quality filters for
+    * machine-generated/boilerplate text: fraction of duplicate tokens,
+    * fraction of duplicate bigrams, and the most-frequent token's share.
+    * One tokenize pass (checkpointed) feeds the array-side counts and
+    * the relational mode computation; empty docs yield NULL fractions
+    * (no tokens to judge), single-token docs NULL bigram fraction. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ts"))
+      .localCheckpoint()
+    val arrays = base
+      .withColumn("bg", TextFunctions.ngrams(col("ts"), 2))
+      .select(col("doc_id"),
+        size(col("ts")).as("n"), size(array_distinct(col("ts"))).as("nd"),
+        size(col("bg")).as("nb"), size(array_distinct(col("bg"))).as("nbd"))
+    val top = base.select(col("doc_id"), explode(col("ts")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("ntok"))
+    arrays.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("nd") / expr("nullif(n, 0)"), 6).as("dup_token_frac"),
+        round(lit(1.0) - col("nbd") / expr("nullif(nb, 0)"), 6).as("dup_bigram_frac"),
+        round(col("maxc") / expr("nullif(ntok, 0)"), 6).as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionStatsSql =
+    s"""WITH t AS (SELECT doc_id, list_filter($tokListSql, x -> x <> '') AS l
+       |           FROM documents),
+       |base AS (SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd FROM t),
+       |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
+       |      FROM t),
+       |bg AS (SELECT doc_id,
+       |         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           AS bigram
+       |       FROM w),
+       |bga AS (SELECT doc_id, count(bigram) AS nb,
+       |          count(DISTINCT bigram) AS nbd
+       |        FROM bg GROUP BY doc_id),
+       |cnt AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) AS maxc, sum(c) AS ntok FROM cnt GROUP BY 1)
+       |SELECT b.doc_id,
+       |  round(1 - nd / nullif(n, 0), 6) AS dup_token_frac,
+       |  round(1 - nbd / nullif(nb, 0), 6) AS dup_bigram_frac,
+       |  round(maxc / nullif(ntok, 0), 6) AS top_token_frac
+       |FROM base b LEFT JOIN bga USING (doc_id) LEFT JOIN top USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
@@ -291,5 +340,6 @@ object TextOps {
     QueryDef("t06_bigram_counts", bigramCounts, Some(bigramCountsSql)),
     QueryDef("t07_pos_keywords", posKeywords, Some(posKeywordsSql)),
     QueryDef("t08_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
-    QueryDef("t09_token_stats", tokenStats, Some(tokenStatsSql)))
+    QueryDef("t09_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("t10_repetition_stats", repetitionStats, Some(repetitionStatsSql)))
 }

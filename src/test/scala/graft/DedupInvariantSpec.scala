@@ -112,4 +112,18 @@ class DedupInvariantSpec extends SparkSpec {
     assert(got === expected,
       s"e07 recovered $got of $expected planted IVF twins")
   }
+
+  test("d08 drops every re-submitted doc and keeps every novel one") {
+    import spark.implicits._
+    val kept = DedupOps.incrementalDedup(spark, sfTiny)
+      .as[Long].collect().toSet
+    val all = Tables.documents(spark, sfTiny)
+      .select(col("doc_id")).as[Long].collect()
+    val maxId = all.max
+    // every re-submitted id (shifted beyond the real id range) is gone
+    assert(kept.forall(_ <= maxId), "re-submitted content must be dropped")
+    // every odd (novel) doc survives — the corpus has no exact dups (d01)
+    val odd = all.filter(_ % 2 == 1).toSet
+    assert(kept === odd, "novel incoming docs must all survive")
+  }
 }

@@ -74,6 +74,32 @@ class PackOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("p05 weights are positive and sum to 1 across sources") {
+    val df = PackOps.mixtureWeights(spark, sfTiny)
+      .select(col("weight")).as[Double].collect()
+    assert(df.nonEmpty)
+    assert(df.forall(_ > 0))
+    assert(math.abs(df.sum - 1.0) < 1e-4, s"weights sum to ${df.sum}")
+  }
+
+  test("t10 repetition fractions stay in [0,1] and flag a planted repetitive doc") {
+    val base = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val planted = Seq((900001L, Seq.fill(40)("spam").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t10docs").toString
+    base.unionByName(planted).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.repetitionStats(spark, dir)
+      .select(col("doc_id"), col("dup_token_frac"), col("top_token_frac"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+    val fracs = out.flatMap(_._2) ++ out.flatMap(_._3)
+    assert(fracs.forall(f => f >= 0.0 && f <= 1.0))
+    val spam = out.find(_._1 == 900001L).get
+    assert(spam._2.get === 0.975) // 40 copies of one token: 1 - 1/40
+    assert(spam._3.get === 1.0)   // the mode IS the whole doc
+  }
+
   test("p02 never splits a near-dup component across train and test") {
     val df = GraphOps.leakageSplit(spark, sfTiny)
       .select(col("component"), col("split")).as[(Long, String)].collect()
