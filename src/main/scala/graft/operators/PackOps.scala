@@ -108,7 +108,9 @@ object PackOps {
       .orderBy(col("doc_id"))
   }
 
-  private val sequencePackSql =
+  /** p01's query without the final ORDER BY — embedded by p06's oracle
+    * so both rows share one packing definition. */
+  private val sequencePackInnerSql =
     s"""WITH t AS (
        |  SELECT doc_id,
        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
@@ -121,7 +123,9 @@ object PackOps {
        |SELECT doc_id, n_tokens,
        |  CAST(cum_before // $SeqBudget AS BIGINT) AS seq_id,
        |  CAST(cum_before % $SeqBudget AS BIGINT) AS tok_offset
-       |FROM c ORDER BY doc_id""".stripMargin
+       |FROM c""".stripMargin
+
+  private val sequencePackSql = s"$sequencePackInnerSql ORDER BY doc_id"
 
   /** p03 — exact quality-quartile bucketing (curriculum mixing): global
     * 0-based rank by (quality_score, doc_id) via the distributed scan,
@@ -177,6 +181,36 @@ object PackOps {
        |  FROM documents)
        |WHERE rn0 % $SampleEvery = 0 ORDER BY doc_id""".stripMargin
 
+  /** p06 — materialized packed sequences: the p01 assignment turned
+    * into actual training-shard rows — one row per sequence with the
+    * member docs' text concatenated in corpus order. The concat is
+    * order-pinned (sort the collected (doc_id, text) structs, then
+    * join) because `collect_list` order is otherwise
+    * partition-arrival-dependent; the aggregation shuffles on seq_id,
+    * which is dense and uniform by construction (consecutive integers,
+    * ~budget tokens each). */
+  def packedSequences(s: SparkSession, d: String): DataFrame = {
+    val assignment = sequencePack(s, d).select(col("doc_id"), col("n_tokens"),
+      col("seq_id"))
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    assignment.join(texts, "doc_id")
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          " ").as("seq_text"))
+      .orderBy(col("seq_id"))
+  }
+
+  private val packedSequencesSql =
+    s"""SELECT seq_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+       |FROM ($sequencePackInnerSql) p JOIN documents USING (doc_id)
+       |GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   /** p05 — α-scaled source mixture weights (α = 0.5): per-source token
     * mass raised to α and normalized, the standard square-root
     * temperature scaling that up-weights small sources when sampling a
@@ -207,5 +241,6 @@ object PackOps {
     QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    QueryDef("p05_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)))
+    QueryDef("p05_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
+    QueryDef("p06_packed_sequences", packedSequences, Some(packedSequencesSql)))
 }

@@ -306,6 +306,36 @@ object Relational {
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** q30 — SLIDING windows (1-hour length, 30-minute slide): each event
+    * lands in exactly two overlapping windows. Spark's `window(ts, len,
+    * slide)` generates the window structs inline (an explode of 2 rows
+    * per event — len/slide copies in general) and aggregates on the
+    * window start; the oracle reproduces the assignment with
+    * `time_bucket` and its 30-minute predecessor. Both align window
+    * origins to the epoch. Completes the window-family coverage:
+    * tumbling (q15), session (q17/s04), value-range frame (q26),
+    * sliding (here). */
+  def eventsSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win"))
+
+  /** Shared with s06, the streaming-parity form of the same window. */
+  private[graft] val eventsSlidingSql =
+    """WITH w AS (
+      |  SELECT unnest([
+      |      time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+      |      time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+      |        - INTERVAL 30 MINUTE]) AS win_start,
+      |    value
+      |  FROM events)
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY 1 ORDER BY win""".stripMargin
+
   /** JSON extraction from the events props column + aggregation.
     * try_cast mirrors the oracle's TRY_CAST: a non-numeric k becomes
     * null (skipped by avg/max) instead of an ANSI cast error. */
@@ -512,7 +542,8 @@ object Relational {
     QueryDef("q26_trailing_hour_window", trailingHourWindow, Some(trailingHourWindowSql)),
     QueryDef("q27_dow_pivot", dowPivot, Some(dowPivotSql)),
     QueryDef("q28_grouping_sets", groupingSets, Some(groupingSetsSql)),
-    QueryDef("q29_above_customer_avg", aboveCustomerAvg, Some(aboveCustomerAvgSql)))
+    QueryDef("q29_above_customer_avg", aboveCustomerAvg, Some(aboveCustomerAvgSql)),
+    QueryDef("q30_sliding_windows", eventsSliding, Some(eventsSlidingSql)))
 
   /** q26 — RANGE-frame window (value-based frame, distinct from q20's
     * ROWS frame): per event type, the trailing-one-hour event count and

@@ -331,6 +331,60 @@ object TextOps {
        |FROM base b LEFT JOIN bga USING (doc_id) LEFT JOIN top USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // PII patterns shared by both engines: Java regex and DuckDB's RE2
+  // agree on this subset (character classes, +, {n,}, alternation —
+  // no lookaround, no \b).
+  private val UrlRe = "https?://[^ ]+"
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "555-[0-9]{3,4}"
+
+  /** t11 — PII redaction (email/phone/URL → typed tags), the scrub pass
+    * every published training corpus needs. The corpus is synthetic and
+    * PII-free, so deterministic PII is planted INLINE from doc_id
+    * (contact line with an address, a 555 number, and a URL) before
+    * redaction — the oracle therefore exercises real replacements on
+    * every row instead of hashing an identity transform. URL first
+    * (addresses can appear inside query strings), then email, then
+    * phone. Pure codegen'd Column regexps — no UDFs. */
+  def redactPii(s: SparkSession, d: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@mail.example.com"),
+      lit(" phone 555-0"), (col("doc_id") % 1000).cast("string"),
+      lit(" via https://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.org/u?user"), col("doc_id").cast("string"), lit("@x.co"))
+    Tables.documents(s, d)
+      .withColumn("pii_text", pii)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+          UrlRe, "<URL>"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+          .as("redacted"),
+        (size(regexp_extract_all(col("pii_text"), lit(UrlRe), lit(0))) +
+          size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0))) +
+          size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0))))
+          .cast("long").as("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val redactPiiSql =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com' ||
+       |    ' phone 555-0' || CAST(doc_id % 1000 AS VARCHAR) ||
+       |    ' via https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+       |    '.example.org/u?user' || CAST(doc_id AS VARCHAR) || '@x.co' AS pii_text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |    'https?://[^ ]+', '<URL>', 'g'),
+       |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+       |    '555-[0-9]{3,4}', '<PHONE>', 'g') AS redacted,
+       |  len(regexp_extract_all(pii_text, 'https?://[^ ]+')) +
+       |  len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) +
+       |  len(regexp_extract_all(pii_text, '555-[0-9]{3,4}')) AS n_pii
+       |FROM p ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
@@ -341,5 +395,6 @@ object TextOps {
     QueryDef("t07_pos_keywords", posKeywords, Some(posKeywordsSql)),
     QueryDef("t08_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
     QueryDef("t09_token_stats", tokenStats, Some(tokenStatsSql)),
-    QueryDef("t10_repetition_stats", repetitionStats, Some(repetitionStatsSql)))
+    QueryDef("t10_repetition_stats", repetitionStats, Some(repetitionStatsSql)),
+    QueryDef("t11_redact_pii", redactPii, Some(redactPiiSql)))
 }

@@ -195,10 +195,33 @@ object EventStreams {
   private val streamDedupSql =
     "SELECT event_id FROM events ORDER BY event_id"
 
+  /** s06 — the fourth streaming CORRECTNESS row: SLIDING windows
+    * (1-hour length, 30-minute slide) under `Trigger.AvailableNow`,
+    * parity with q30's batch form. Overlapping-window state is the
+    * interesting part: every event updates two window aggregates, and
+    * complete mode must emit both correctly merged across however many
+    * micro-batches AvailableNow slices. */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val name = s"s06_stream_sliding_${sinkCounter.incrementAndGet()}"
+    val q = readEvents(s, d)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win"),
+        col("n_events"), col("sum_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("win"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
     QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)),
-    QueryDef("s05_stream_dedup", streamDedup, Some(streamDedupSql)))
+    QueryDef("s05_stream_dedup", streamDedup, Some(streamDedupSql)),
+    QueryDef("s06_stream_sliding", streamSliding,
+      Some(graft.operators.Relational.eventsSlidingSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

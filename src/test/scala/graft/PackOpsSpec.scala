@@ -74,6 +74,34 @@ class PackOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("p06 sequences are dense, conserve tokens, and concatenate in doc order") {
+    val packed = PackOps.packedSequences(spark, sfTiny)
+      .select(col("seq_id"), col("seq_tokens"), col("seq_text"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(packed.nonEmpty)
+    // bins are consecutive integers from 0
+    assert(packed.map(_._1).toSeq === packed.indices.map(_.toLong))
+    // packing conserves the corpus token count
+    val total = PackOps.sequencePack(spark, sfTiny)
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")))
+      .head().getLong(0)
+    assert(packed.map(_._2).sum === total)
+    // first sequence starts with the first doc's text
+    val firstText = graft.sources.Tables.documents(spark, sfTiny)
+      .orderBy(col("doc_id")).select(col("text")).head().getString(0)
+    assert(packed.head._3.startsWith(firstText))
+  }
+
+  test("t11 leaves no PII pattern behind and counts at least the planted three") {
+    val out = graft.operators.TextOps.redactPii(spark, sfTiny)
+      .select(col("redacted"), col("n_pii")).as[(String, Long)].collect()
+    assert(out.nonEmpty)
+    val pii = List("https?://[^ ]+".r, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r,
+      "555-[0-9]{3,4}".r)
+    assert(out.forall { case (t, _) => pii.forall(_.findFirstIn(t).isEmpty) })
+    assert(out.forall(_._2 >= 3), "every doc carries the planted email/phone/URL")
+  }
+
   test("p05 weights are positive and sum to 1 across sources") {
     val df = PackOps.mixtureWeights(spark, sfTiny)
       .select(col("weight")).as[Double].collect()
