@@ -76,6 +76,33 @@ object Multimodal {
       struct(col("source"), col("lang"),
         length(col("text")).as("n_chars")).as("meta"))
 
+  /** Deterministic frame sampling over a payload column: up to
+    * `maxFrames` evenly-strided fixed-width slices per payload, one
+    * output row per frame — the video-ingestion shape (decode keyframes,
+    * embed each, aggregate per clip). The slicing arithmetic
+    * (stride = len div k, k = clamp(len div width, 1, maxFrames)) is
+    * pure integer Column expressions, so the whole fanout stays in
+    * WholeStageCodegen; a real deployment would replace the digest with
+    * a per-frame decoder call through [[extractFeatures]]'s
+    * per-executor-cached codec. Payload is the string stand-in (the
+    * corpus's UTF-8 text — ASCII, so char offsets equal byte offsets).
+    * Emits (doc_id, frame_idx, frame_hash). */
+  def frameSample(payloads: DataFrame, frameWidth: Int = 32,
+                  maxFrames: Int = 8): DataFrame =
+    payloads
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("k",
+        greatest(lit(1L), least(lit(maxFrames.toLong),
+          expr(s"n div $frameWidth"))))
+      .select(col("doc_id"), col("text"), col("n"), col("k"),
+        explode(sequence(lit(0L), col("k") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("text")
+          .substr((col("frame_idx") * expr("n div k") + 1).cast("int"),
+            lit(frameWidth))
+          .cast("binary")).as("frame_hash"))
+
   /** Partition-wise decode → (doc_id, media_type, n_bytes, features).
     * One decoder per executor JVM; rows stream through without
     * collecting a partition in memory. */

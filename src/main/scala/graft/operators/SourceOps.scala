@@ -79,9 +79,32 @@ object SourceOps {
           .as("feat_norm"))
       .orderBy(col("doc_id"))
 
+  /** b03 — frame sampling over the video-typed payloads (doc_id % 3 = 2
+    * under b01's media-type rotation): up to 8 evenly-strided 32-char
+    * frames per payload, one row per frame with its content digest.
+    * Full oracle — the stride arithmetic and slicing reproduce exactly
+    * in DuckDB, so a fencepost bug in the sampler breaks the hash. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSample(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 2))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val frameSampleSql =
+    """WITH v AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |           WHERE doc_id % 3 = 2),
+      |f AS (SELECT doc_id, text, n,
+      |        greatest(1, least(8, n // 32)) AS k FROM v),
+      |u AS (SELECT doc_id, text, n, k,
+      |        unnest(generate_series(0, k - 1)) AS frame_idx FROM f)
+      |SELECT doc_id, frame_idx,
+      |  md5(substr(text, CAST(frame_idx * (n // k) + 1 AS BIGINT), 32))
+      |    AS frame_hash
+      |FROM u ORDER BY doc_id, frame_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_systematic_sample", systematicSample, Some(systematicSampleSql)),
     QueryDef("s03_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
     QueryDef("b01_media_table", mediaTable, Some(mediaTableSql)),
-    QueryDef("b02_media_features", mediaFeatures, None))
+    QueryDef("b02_media_features", mediaFeatures, None),
+    QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)))
 }
