@@ -80,12 +80,13 @@ object PackOps {
       .drop("__v", "__pid", "__off")
   }
 
-  /** BPE-style pre-tokenizer piece count — same expression as
-    * t09_token_stats (letter runs / digit runs / single punctuation). */
+  /** BPE-style pre-tokenizer piece count — same regex as
+    * t09_token_stats (letter runs / digit runs / single punctuation).
+    * regexp_count, not size(regexp_extract_all): counting must not
+    * materialize a per-row match array at corpus scale. */
   private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   private val bpePieces: Column =
-    size(regexp_extract_all(lower(col("text")), lit(BpeRegex), lit(0)))
-      .cast("long")
+    regexp_count(lower(col("text")), lit(BpeRegex)).cast("long")
 
   /** Tokens per packed training sequence. Small enough that sf0.01
     * exercises many bins; the operator is budget-agnostic. */

@@ -270,8 +270,9 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_pieces"),
+        // regexp_count: counting must not materialize the match array
+        regexp_count(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_pieces"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -359,9 +360,9 @@ object TextOps {
         regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
           UrlRe, "<URL>"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
           .as("redacted"),
-        (size(regexp_extract_all(col("pii_text"), lit(UrlRe), lit(0))) +
-          size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0))) +
-          size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0))))
+        (regexp_count(col("pii_text"), lit(UrlRe)) +
+          regexp_count(col("pii_text"), lit(EmailRe)) +
+          regexp_count(col("pii_text"), lit(PhoneRe)))
           .cast("long").as("n_pii"))
       .orderBy(col("doc_id"))
   }
