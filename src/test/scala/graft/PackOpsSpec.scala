@@ -32,6 +32,26 @@ class PackOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("exclusivePrefixSum edge shapes: empty input, dominant stratum, negative values") {
+    // empty input: no rows out, no crash in the offsets window
+    val empty = spark.emptyDataset[(Long, Long)].toDF("k", "v")
+    assert(PackOps.exclusivePrefixSum(empty, Seq("k"), col("v"), "cum").count() === 0)
+    // one stratum holding ~all rows (the shape that kills a
+    // Window.partitionBy(stratum) plan) + negative values
+    val data = (1L to 400L).map(i =>
+      (i, if (i % 97 == 0) "rare" else "dominant", i % 7 - 3))
+    val df = spark.sparkContext.parallelize(data, 9).toDF("k", "g", "v")
+    val got = PackOps.exclusivePrefixSum(df, Seq("k"), col("v"), "cum",
+        strata = Seq("g"))
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("p01 packs contiguous spans: offsets in range and bins in order") {
     val df = PackOps.sequencePack(spark, sfTiny)
       .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("tok_offset"))
