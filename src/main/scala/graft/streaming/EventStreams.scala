@@ -216,12 +216,54 @@ object EventStreams {
     s.table(name).orderBy(col("win"))
   }
 
+  /** s07 — the fifth streaming CORRECTNESS row: a STREAM-STREAM interval
+    * join (clicks ⋈ purchases by user within 30 minutes), the hardest
+    * streaming primitive — both sides buffer keyed state, the event-time
+    * constraint bounds it, and the two watermarks set the eviction
+    * frontier. At deployment scale state is O(events inside the
+    * interval × active users), sharded by the equi-join key like any
+    * shuffle join. Inner stream-stream joins emit matches eagerly in
+    * append mode, so AvailableNow drains the full parity set; the
+    * oracle is the plain batch interval self-join. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val name = s"s07_stream_join_${sinkCounter.incrementAndGet()}"
+    val clicks = readEvents(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = readEvents(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.user_id = c.user_id
+      |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      |  AND CAST(p.ts AS TIMESTAMP)
+      |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
     QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("s05_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("s06_stream_sliding", streamSliding,
-      Some(graft.operators.Relational.eventsSlidingSql)))
+      Some(graft.operators.Relational.eventsSlidingSql)),
+    QueryDef("s07_stream_join", streamStreamJoin, Some(streamStreamJoinSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)
