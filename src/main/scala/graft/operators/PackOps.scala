@@ -238,7 +238,78 @@ object PackOps {
        |  round(sqrt(n_tokens) / (SELECT sum(sqrt(n_tokens)) FROM s), 6) AS weight
        |FROM s ORDER BY source""".stripMargin
 
+  /** c01 — the composed corpus-prep pipeline, end-to-end in ONE lazy
+    * plan: quality gate (t04's score) → language gate (t05's marker
+    * ratio) → exact dedup (d01's digest-groupBy, min-id keep) →
+    * token-budget packing (p01's prefix scan) over the survivors. This
+    * is the actual 100 TB pretraining prep flow; the point of the row is
+    * that the registered operators COMPOSE — one corpus scan feeds both
+    * gates (the single-pass select below), the dedup is a semi-join on
+    * the digest aggregate, and the packing re-numbers the surviving
+    * corpus. The oracle composes the t04/t05 fragments and the p01
+    * window verbatim, so any drift between a stage and its standalone
+    * query breaks this hash too. */
+  def corpusPrep(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop =
+      size(filter(toks, t => t.isin(TextFunctions.stopWords: _*))).cast("long")
+    val alpha = round(
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
+        when(length(col("text")) === 0, null).otherwise(length(col("text"))), 6)
+    val stopRatio =
+      round(nStop / when(nTok === 0, null).otherwise(nTok), 6)
+    val quality =
+      round(lit(0.6) * alpha + lit(0.4) * (lit(1.0) - stopRatio), 6)
+    val markers = Seq("the", "a", "and", "of", "is")
+    val nMarker = size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    val markerRatio =
+      round(nMarker / when(nTok === 0, null).otherwise(nTok), 6)
+
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        quality.as("quality_score"), markerRatio.as("marker_ratio"))
+      .filter(col("quality_score") >= 0.85 && col("marker_ratio") >= 0.08)
+    val keep = gated
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = gated.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val counted = deduped.select(col("doc_id"), bpePieces.as("n_tokens"))
+    exclusivePrefixSum(counted, Seq("doc_id"), col("n_tokens"), "cum_before")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $SeqBudget").as("seq_id"),
+        (col("cum_before") % SeqBudget).as("tok_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val corpusPrepSql =
+    s"""WITH gated AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d
+       |  JOIN (${TextOps.docQualityInnerSql}) q ON q.doc_id = d.doc_id
+       |  JOIN (${TextOps.langGuessInnerSql}) l ON l.doc_id = d.doc_id
+       |  WHERE q.quality_score >= 0.85 AND l.marker_ratio >= 0.08),
+       |keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+       |         FROM gated GROUP BY 1),
+       |ded AS (SELECT g.doc_id, g.text FROM gated g
+       |        JOIN keep k ON k.doc_id = g.doc_id),
+       |t AS (SELECT doc_id,
+       |        len(regexp_extract_all(lower(text),
+       |          '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
+       |      FROM ded),
+       |c AS (SELECT doc_id, n_tokens,
+       |        COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before
+       |      FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(cum_before // $SeqBudget AS BIGINT) AS seq_id,
+       |  CAST(cum_before % $SeqBudget AS BIGINT) AS tok_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

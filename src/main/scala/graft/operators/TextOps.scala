@@ -137,7 +137,9 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val langGuessSql = {
+  /** t05's scoring query without the final ORDER BY — reused by
+    * PackOps.corpusPrep's oracle (c01). */
+  private[operators] val langGuessInnerSql = {
     val markers = sqlStringList(Seq("the", "a", "and", "of", "is"))
     s"""WITH q AS (
        |  SELECT doc_id,
@@ -148,8 +150,10 @@ object TextOps {
        |  round(n_marker / nullif(n_tokens, 0), 6) AS marker_ratio,
        |  CASE WHEN round(n_marker / nullif(n_tokens, 0), 6) >= 0.08
        |       THEN 'en' ELSE 'und' END AS lang_guess
-       |FROM q ORDER BY doc_id""".stripMargin
+       |FROM q""".stripMargin
   }
+
+  private val langGuessSql = s"$langGuessInnerSql ORDER BY doc_id"
 
   /** Bigram counts (SURVEY V1/V2 n-gram family; Spark side built from a
     * pure expression n-gram generator, DuckDB side via lead()). */
