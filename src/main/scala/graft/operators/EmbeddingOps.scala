@@ -46,7 +46,10 @@ object EmbeddingOps {
     * verification window is capped to vec_id < 1000 (same cap in the
     * oracle) so the operator stays exact but bounded at every SF;
     * [[annLshCandidates]] is the scale path. */
-  def similarPairs(s: SparkSession, d: String): DataFrame = {
+  /** e02's pair generation at an arbitrary threshold — shared by e02
+    * (0.3, the report form) and e08 (0.4, the collapse edges). */
+  private def similarPairsAt(s: SparkSession, d: String,
+                             threshold: Double): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
@@ -56,21 +59,61 @@ object EmbeddingOps {
       .select(col("a_id"), col("b_id"),
         round(arrayDot(col("a_emb"), col("b_emb")) /
           nullif(col("a_nrm") * col("b_nrm"), lit(0.0)), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.3)
-      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .filter(col("cos_sim") >= threshold)
   }
 
-  private val similarPairsSql =
-    """WITH p AS (
+  def similarPairs(s: SparkSession, d: String): DataFrame =
+    similarPairsAt(s, d, 0.3)
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+
+  /** The matching DuckDB CTE pair (p, s) plus a threshold select —
+    * e08's recursive oracle embeds the same text. */
+  private def similarCtesSql(threshold: Double): String =
+    s"""p AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |  WHERE a.vec_id < 1000 AND b.vec_id < 1000),
       |s AS (SELECT a_id, b_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
-      |      FROM p GROUP BY a_id, b_id)
-      |SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim FROM s
-      |WHERE round(dot / (na * nb), 6) >= 0.3
+      |      FROM p GROUP BY a_id, b_id),
+      |pr AS (SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim FROM s
+      |       WHERE round(dot / (na * nb), 6) >= $threshold)""".stripMargin
+
+  private val similarPairsSql =
+    s"""WITH ${similarCtesSql(0.3)}
+      |SELECT a_id, b_id, cos_sim FROM pr
       |ORDER BY cos_sim DESC, a_id, b_id""".stripMargin
+
+  /** e08 — embedding near-dup collapse (the e-modality mirror of d07):
+    * connected components over the ≥ 0.4 cosine pair graph, one kept
+    * representative per component. Same hash-min label propagation —
+    * O(diameter) rounds, frontier checkpointed — with the recursive-CTE
+    * fixpoint oracle over the identical pair definition. At 100 TB the
+    * edges come from the ANN path (e04/e05) instead of the capped
+    * all-pairs window; the collapse stage is unchanged. */
+  def neardupEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val edges = similarPairsAt(s, d, 0.4)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+      .select(col("vec_id").as("id"))
+    GraphOps.connectedComponents(nodes, edges)
+      .select(col("id").as("vec_id"), col("component"),
+        (col("id") === col("component")).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val neardupEmbeddingsSql =
+    s"""WITH RECURSIVE ${similarCtesSql(0.4)},
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+      |          UNION SELECT b_id, a_id FROM pr),
+      |nodes AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 1000),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+      |SELECT id AS vec_id, min(r) AS component,
+      |  CAST(id = min(r) AS INTEGER) AS keep
+      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   /** Per-label centroid: posexplode → groupBy(label, pos) avg → re-reduce
     * to the centroid L2 norm (vector aggregation without densifying). */
@@ -338,5 +381,7 @@ object EmbeddingOps {
     QueryDef("e04_ann_lsh", annLshCandidates, None),
     QueryDef("e05_ann_ivf", annIvf, None),
     QueryDef("e06_ann_planted_recall", annPlantedRecall, Some(annPlantedRecallSql)),
-    QueryDef("e07_ivf_planted_recall", ivfPlantedRecall, Some(ivfPlantedRecallSql)))
+    QueryDef("e07_ivf_planted_recall", ivfPlantedRecall, Some(ivfPlantedRecallSql)),
+    QueryDef("e08_neardup_embeddings", neardupEmbeddings,
+      Some(neardupEmbeddingsSql)))
 }
