@@ -88,8 +88,15 @@ object TextFunctions {
     * and the 's/misc family (no generic 's rule: possessives stay) need
     * their own pass. Declaration order is semantic: irregulars before
     * the generic suffix rules ("won't" must not become "wo not").
-    * TextFunctionsSpec pins minimized ≡ [[contractionDictionary]]. */
-  val contractions: Seq[(String, String)] = Seq(
+    * TextFunctionsSpec pins minimized ≡ [[contractionDictionary]].
+    *
+    * Whole-word entries apply WORD-BOUNDED (`\b`-anchored, as
+    * textclean's replacement is): a plain substring pass corrupted
+    * possessives whose tail collides with an entry — "show's" contains
+    * "how's", "sphere's" contains "here's" — turning them into
+    * "show is"/"sphere is". Suffix rules anchor on the right only (the
+    * left side is mid-word by design). */
+  val wholeWordContractions: Seq[(String, String)] = Seq(
     // irregular n't / 'd forms the generic rules would mangle
     "ain't" -> "am not", "can't" -> "cannot", "shan't" -> "shall not",
     "won't" -> "will not",
@@ -100,22 +107,34 @@ object TextFunctions {
     "o'clock" -> "of the clock",
     "she's" -> "she is", "that's" -> "that is", "there's" -> "there is",
     "what's" -> "what is", "when's" -> "when is", "where's" -> "where is",
-    "who's" -> "who is", "why's" -> "why is",
-    // generic suffix rules cover every regular dictionary entry
+    "who's" -> "who is", "why's" -> "why is")
+
+  /** Generic suffix rules covering every regular dictionary entry —
+    * right-bounded only. */
+  val suffixContractions: Seq[(String, String)] = Seq(
     "n't" -> " not",
     "'re" -> " are", "'ve" -> " have", "'ll" -> " will",
     "'d" -> " would", "'m" -> " am")
 
-  /** Every pass is a plain substring pair, so the fold uses literal
-    * `replace` (single linear scan each, no compiled regexes) and the
-    * whole chain is skipped for rows without an apostrophe — every key
-    * contains one, so apostrophe-free text is a fixed point. Literal-
-    * replace semantics match DuckDB `replace` byte-for-byte. */
+  val contractions: Seq[(String, String)] =
+    wholeWordContractions ++ suffixContractions
+
+  /** Whole-word passes are `\b`-anchored regex replaces (keys are
+    * letters + apostrophe only — no metacharacters to escape; `\b` is
+    * the ASCII word boundary in BOTH Java regex and DuckDB's RE2, so
+    * the oracle regenerates byte-identical semantics); suffix passes
+    * anchor on the right only. The whole chain is skipped for rows
+    * without an apostrophe — every key contains one, so
+    * apostrophe-free text is a fixed point. */
   def expandContractions(c: Column): Column =
-    when(c.contains("'"),
-      contractions.foldLeft(c) { case (col, (k, v)) =>
-        replace(col, lit(k), lit(v))
-      }).otherwise(c)
+    when(c.contains("'"), {
+      val whole = wholeWordContractions.foldLeft(c) { case (col, (k, v)) =>
+        regexp_replace(col, "\\b" + k + "\\b", v)
+      }
+      suffixContractions.foldLeft(whole) { case (col, (k, v)) =>
+        regexp_replace(col, k + "\\b", v)
+      }
+    }).otherwise(c)
 
   /** Snowball English stopword list ≙ tm::stopwords("en") (ref
     * 02_build_models.R:35), restricted to its apostrophe-free entries —

@@ -226,6 +226,18 @@ object DedupOps {
     s"greatest(1000000, CAST('1' || repeat('0', " +
       s"length(CAST((SELECT max($idCol) FROM $table) AS VARCHAR))) AS BIGINT))"
 
+  /** Shared planted-twin scaffold (d05/d06/e06/e07): corpus ∪ id-shifted
+    * copy plus the derived offset. Null-safe on an empty relation (no
+    * rows ⇒ max is NULL ⇒ offset floor). */
+  private[operators] def plantedUnion(df: DataFrame,
+                                      idCol: String): (DataFrame, Long) = {
+    val maxId = Option(df.agg(max(col(idCol))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val off = plantOffset(maxId)
+    val planted = df.withColumn(idCol, col(idCol) + lit(off))
+    (df.unionByName(planted), off)
+  }
+
   /** Oversized-bucket guard that survives scale: degenerate means
     * ≥ 16× the mean bucket load (n/buckets), never below the
     * verification-scale floor. A fixed cap fails wholesale once mean
@@ -248,12 +260,9 @@ object DedupOps {
     * doc with ≥ 3 tokens (≥ 1 shingle) — a full DuckDB oracle for the
     * approximate family's recall, not just a rows-only count. */
   def lshPlantedRecall(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val off = plantOffset(maxId)
-    val planted = docs.select((col("doc_id") + lit(off)).as("doc_id"),
-      col("text"))
-    minhashCandidatesFrom(docs.unionByName(planted))
+    val (union, off) = plantedUnion(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+    minhashCandidatesFrom(union)
       .filter(col("b_id") === col("a_id") + lit(off))
       .orderBy(col("a_id"))
   }
@@ -277,12 +286,9 @@ object DedupOps {
     * Full DuckDB oracle: one row per doc with ≥ 1 token (0-token docs
     * have no simhash — the explode drops them). */
   def simhashPlantedRecall(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val off = plantOffset(maxId)
-    val planted = docs.select((col("doc_id") + lit(off)).as("doc_id"),
-      col("text"))
-    simhashCandidatesFrom(docs.unionByName(planted))
+    val (union, off) = plantedUnion(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+    simhashCandidatesFrom(union)
       .filter(col("b_id") === col("a_id") + lit(off))
       .orderBy(col("a_id"))
   }

@@ -244,12 +244,9 @@ object EmbeddingOps {
     * measured max id ([[DedupOps.plantOffset]]) so the harness stays
     * valid at every SF. Full DuckDB oracle: one row per corpus vector. */
   def annPlantedRecall(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val off = DedupOps.plantOffset(maxId)
-    val planted = emb.select((col("vec_id") + lit(off)).as("vec_id"),
-      col("embedding"))
-    lshCandidatePairs(emb.unionByName(planted))
+    val (union, off) = DedupOps.plantedUnion(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+    lshCandidatePairs(union)
       .filter(col("b_id") === col("a_id") + lit(off))
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"))
@@ -349,15 +346,12 @@ object EmbeddingOps {
     * self-join, which would be O(n²/cells) at scale). Full DuckDB
     * oracle: one row per corpus vector. */
   def ivfPlantedRecall(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val off = DedupOps.plantOffset(maxId)
+    val (union, off) = DedupOps.plantedUnion(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
     // memoized like e05's index: the k-means build is the expensive part
     // and is identical across bench runs
     val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$IvfCells") {
-      val planted = emb.select((col("vec_id") + lit(off)).as("vec_id"),
-        col("embedding"))
-      ivfBuild(emb.unionByName(planted))
+      ivfBuild(union)
     }
     val a = index.assigned.filter(col("vec_id") < off)
       .select(col("vec_id").as("a_id"), col("cell").as("a_cell"))

@@ -41,16 +41,24 @@ object GraphOps {
     * @return (id, component) with component = min reachable id.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxRounds: Int = 25): DataFrame = {
+                          maxRounds: Int = -1): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    // Default round cap = node count (graph diameter can never exceed
+    // it, so the require below fires ONLY on a genuine propagation bug,
+    // never on a legitimately long chain); callers pass an explicit cap
+    // to assert a structural diameter bound instead. The count is one
+    // cheap action against the already-checkpointed label frontier.
+    val roundCap =
+      if (maxRounds > 0) maxRounds
+      else math.max(25L, labels.count()).min(Int.MaxValue).toInt
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (changed > 0 && round < roundCap) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
         .groupBy(col("src").as("nid"))
@@ -71,9 +79,10 @@ object GraphOps {
       round += 1
     }
     require(changed == 0,
-      s"connectedComponents did not converge in $maxRounds rounds — " +
-        "graph diameter exceeds the near-dup assumption; raise maxRounds " +
-        "or switch to large-star/small-star")
+      s"connectedComponents did not converge in $roundCap rounds — " +
+        "with the node-count default this means a propagation bug; with " +
+        "an explicit cap, the graph's diameter exceeds the asserted bound " +
+        "(raise it or switch to large-star/small-star)")
     labels
   }
 

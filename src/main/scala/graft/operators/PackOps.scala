@@ -73,11 +73,17 @@ object PackOps {
     val wLocal = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-SAFE join back: groupBy above keeps a NULL stratum as its own
+    // group, but a plain equi-join on the stratum column would evaluate
+    // NULL = NULL to NULL and silently drop those rows from the output
+    val offRenamed = offsets.select(
+      keys.map(k => col(k).as(s"__o_$k")) :+ col("__off"): _*)
+    val cond = keys.map(k => keyed(k) <=> offRenamed(s"__o_$k")).reduce(_ && _)
     keyed
-      .join(broadcast(offsets), keys)
+      .join(broadcast(offRenamed), cond)
       .withColumn(out,
         coalesce(sum(col("__v")).over(wLocal), lit(0L)) + col("__off"))
-      .drop("__v", "__pid", "__off")
+      .drop(keys.map(k => s"__o_$k") :+ "__v" :+ "__pid" :+ "__off": _*)
   }
 
   /** BPE-style pre-tokenizer piece count — same regex as
@@ -99,15 +105,18 @@ object PackOps {
     * straddling a boundary starts a carry into the next bin) is the
     * standard streaming-concat packing used for LLM pretraining shards;
     * `tok_offset` is the doc's start position inside its sequence. */
-  def sequencePack(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), bpePieces.as("n_tokens"))
-    exclusivePrefixSum(toks, Seq("doc_id"), col("n_tokens"), "cum_before")
+  /** Packing tail shared by p01 and c01: scan → bin id → offset over a
+    * (doc_id, n_tokens) relation. */
+  private def packByBudget(counted: DataFrame): DataFrame =
+    exclusivePrefixSum(counted, Seq("doc_id"), col("n_tokens"), "cum_before")
       .select(col("doc_id"), col("n_tokens"),
         expr(s"cum_before div $SeqBudget").as("seq_id"),
         (col("cum_before") % SeqBudget).as("tok_offset"))
       .orderBy(col("doc_id"))
-  }
+
+  def sequencePack(s: SparkSession, d: String): DataFrame =
+    packByBudget(Tables.documents(s, d)
+      .select(col("doc_id"), bpePieces.as("n_tokens")))
 
   /** p01's query without the final ORDER BY — embedded by p06's oracle
     * so both rows share one packing definition. */
@@ -250,37 +259,18 @@ object PackOps {
     * window verbatim, so any drift between a stage and its standalone
     * query breaks this hash too. */
   def corpusPrep(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val toks = TextFunctions.tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nStop =
-      size(filter(toks, t => t.isin(TextFunctions.stopWords: _*))).cast("long")
-    val alpha = round(
-      length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
-        when(length(col("text")) === 0, null).otherwise(length(col("text"))), 6)
-    val stopRatio =
-      round(nStop / when(nTok === 0, null).otherwise(nTok), 6)
-    val quality =
-      round(lit(0.6) * alpha + lit(0.4) * (lit(1.0) - stopRatio), 6)
-    val markers = Seq("the", "a", "and", "of", "is")
-    val nMarker = size(filter(toks, t => t.isin(markers: _*))).cast("long")
-    val markerRatio =
-      round(nMarker / when(nTok === 0, null).otherwise(nTok), 6)
-
+    // gates share ONE Spark-side definition with t04/t05 (TextOps.Score),
+    // evaluated in a single corpus-scan select
     val gated = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
-        quality.as("quality_score"), markerRatio.as("marker_ratio"))
+        TextOps.Score.qualityScore.as("quality_score"),
+        TextOps.Score.markerRatio.as("marker_ratio"))
       .filter(col("quality_score") >= 0.85 && col("marker_ratio") >= 0.08)
     val keep = gated
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
     val deduped = gated.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val counted = deduped.select(col("doc_id"), bpePieces.as("n_tokens"))
-    exclusivePrefixSum(counted, Seq("doc_id"), col("n_tokens"), "cum_before")
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"cum_before div $SeqBudget").as("seq_id"),
-        (col("cum_before") % SeqBudget).as("tok_offset"))
-      .orderBy(col("doc_id"))
+    packByBudget(deduped.select(col("doc_id"), bpePieces.as("n_tokens")))
   }
 
   private val corpusPrepSql =

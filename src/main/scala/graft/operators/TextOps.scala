@@ -80,24 +80,39 @@ object TextOps {
   /** Document quality scoring: token counts, alphabetic ratio, stopword
     * ratio, composite score — the length/punct/stopword heuristics a
     * training-data pipeline gates corpus quality on. */
-  def docQuality(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val stop = TextFunctions.stopWords
-    Tables.documents(s, d)
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_stop",
-        size(filter(toks, t => t.isin(stop: _*))).cast("long"))
-      .withColumn("alpha_ratio",
-        round(length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
-          when(length(col("text")) === 0, null).otherwise(length(col("text"))), 6))
-      .withColumn("stop_ratio",
-        round(col("n_stop") / when(col("n_tokens") === 0, null).otherwise(col("n_tokens")), 6))
-      .withColumn("quality_score",
-        round(lit(0.6) * col("alpha_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")), 6))
-      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
-        col("alpha_ratio"), col("stop_ratio"), col("quality_score"))
-      .orderBy(col("doc_id"))
+  /** The t04/t05 scoring expressions as shared Columns — ONE Spark-side
+    * definition consumed by docQuality, langGuess, and
+    * PackOps.corpusPrep (c01), mirroring how the oracle side shares
+    * docQualityInnerSql/langGuessInnerSql. Rounding points are part of
+    * the definition: both engines round the ratio BEFORE it enters the
+    * quality blend. */
+  private[operators] object Score {
+    private val toks = TextFunctions.tokens(col("text"))
+    private def ratio(num: org.apache.spark.sql.Column,
+                      den: org.apache.spark.sql.Column) =
+      round(num / when(den === 0, null).otherwise(den), 6)
+    val nTokens = size(toks).cast("long")
+    val nStop =
+      size(filter(toks, t => t.isin(TextFunctions.stopWords: _*))).cast("long")
+    val alphaRatio =
+      round(length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
+        when(length(col("text")) === 0, null).otherwise(length(col("text"))), 6)
+    val stopRatio = ratio(nStop, nTokens)
+    val qualityScore =
+      round(lit(0.6) * alphaRatio + lit(0.4) * (lit(1.0) - stopRatio), 6)
+    val markers = Seq("the", "a", "and", "of", "is")
+    val nMarker = size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    val markerRatio = ratio(nMarker, nTokens)
+    val langGuess = when(markerRatio >= 0.08, "en").otherwise("und")
   }
+
+  def docQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Score.nTokens.as("n_tokens"),
+        Score.nStop.as("n_stop"), Score.alphaRatio.as("alpha_ratio"),
+        Score.stopRatio.as("stop_ratio"),
+        Score.qualityScore.as("quality_score"))
+      .orderBy(col("doc_id"))
 
   /** t04's scoring query without the final ORDER BY — reused as a
     * subquery by PackOps.qualityBuckets' oracle (p03), so both rows
@@ -123,19 +138,11 @@ object TextOps {
   /** Deterministic marker-word language heuristic (n-gram-free language ID
     * — training-data-pipeline extension). Scores English function-word
     * density; the heuristic itself is the declared operator. */
-  def langGuess(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
-    val markers = Seq("the", "a", "and", "of", "is")
+  def langGuess(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_marker", size(filter(toks, t => t.isin(markers: _*))).cast("long"))
-      .withColumn("marker_ratio",
-        round(col("n_marker") / when(col("n_tokens") === 0, null).otherwise(col("n_tokens")), 6))
-      .withColumn("lang_guess",
-        when(col("marker_ratio") >= 0.08, "en").otherwise("und"))
-      .select(col("doc_id"), col("marker_ratio"), col("lang_guess"))
+      .select(col("doc_id"), Score.markerRatio.as("marker_ratio"),
+        Score.langGuess.as("lang_guess"))
       .orderBy(col("doc_id"))
-  }
 
   /** t05's scoring query without the final ORDER BY — reused by
     * PackOps.corpusPrep's oracle (c01). */
@@ -352,21 +359,23 @@ object TextOps {
     * (addresses can appear inside query strings), then email, then
     * phone. Pure codegen'd Column regexps — no UDFs. */
   def redactPii(s: SparkSession, d: String): DataFrame = {
+    // lpad keeps the phone ≥ 3 digits for low ids (PhoneRe needs {3,4})
     val pii = concat(col("text"),
       lit(" contact: user"), col("doc_id").cast("string"),
       lit("@mail.example.com"),
-      lit(" phone 555-0"), (col("doc_id") % 1000).cast("string"),
+      lit(" phone 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
       lit(" via https://site"), (col("doc_id") % 7).cast("string"),
       lit(".example.org/u?user"), col("doc_id").cast("string"), lit("@x.co"))
     Tables.documents(s, d)
       .withColumn("pii_text", pii)
-      .select(col("doc_id"),
+      .withColumn("redacted",
         regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
-          UrlRe, "<URL>"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
-          .as("redacted"),
-        (regexp_count(col("pii_text"), lit(UrlRe)) +
-          regexp_count(col("pii_text"), lit(EmailRe)) +
-          regexp_count(col("pii_text"), lit(PhoneRe)))
+          UrlRe, "<URL>"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+      // count TAGS in the redacted output, not raw pattern hits: the
+      // email inside the planted URL is consumed by the URL replacement,
+      // so counting patterns independently double-counts it
+      .select(col("doc_id"), col("redacted"),
+        regexp_count(col("redacted"), lit("<URL>|<EMAIL>|<PHONE>"))
           .cast("long").as("n_pii"))
       .orderBy(col("doc_id"))
   }
@@ -376,19 +385,20 @@ object TextOps {
        |  SELECT doc_id,
        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
        |    '@mail.example.com' ||
-       |    ' phone 555-0' || CAST(doc_id % 1000 AS VARCHAR) ||
+       |    ' phone 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
        |    ' via https://site' || CAST(doc_id % 7 AS VARCHAR) ||
        |    '.example.org/u?user' || CAST(doc_id AS VARCHAR) || '@x.co' AS pii_text
-       |  FROM documents)
-       |SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
-       |    'https?://[^ ]+', '<URL>', 'g'),
-       |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
-       |    '555-[0-9]{3,4}', '<PHONE>', 'g') AS redacted,
-       |  len(regexp_extract_all(pii_text, 'https?://[^ ]+')) +
-       |  len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) +
-       |  len(regexp_extract_all(pii_text, '555-[0-9]{3,4}')) AS n_pii
-       |FROM p ORDER BY doc_id""".stripMargin
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |      'https?://[^ ]+', '<URL>', 'g'),
+       |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+       |      '555-[0-9]{3,4}', '<PHONE>', 'g') AS redacted
+       |  FROM p)
+       |SELECT doc_id, redacted,
+       |  len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<PHONE>')) AS n_pii
+       |FROM r ORDER BY doc_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),

@@ -15,12 +15,18 @@ import graft.functions.TextFunctions
 object DuckFragments {
 
   /** ≙ [[TextFunctions.cleanText]] over a `text` column: lower →
-    * contraction replaces (generated from the SAME dictionary, nested
-    * innermost-first so application order matches the Scala fold; plain
-    * substring replace ≙ Pattern.quote'd regexp_replace) → strip → trim. */
+    * contraction replaces (generated from the SAME lists, nested
+    * innermost-first so application order matches the Scala fold;
+    * whole-word passes `\b`-anchored on both sides, suffix passes on
+    * the right — `\b` is the ASCII word boundary in both Java regex
+    * and RE2) → strip → trim. */
   val cleanSql: String = {
-    val expanded = TextFunctions.contractions.foldLeft("lower(text)") {
-      case (acc, (k, v)) => s"replace($acc, '${k.replace("'", "''")}', '$v')"
+    def esc(k: String): String = k.replace("'", "''")
+    val whole = TextFunctions.wholeWordContractions.foldLeft("lower(text)") {
+      case (acc, (k, v)) => s"regexp_replace($acc, '\\b${esc(k)}\\b', '$v', 'g')"
+    }
+    val expanded = TextFunctions.suffixContractions.foldLeft(whole) {
+      case (acc, (k, v)) => s"regexp_replace($acc, '${esc(k)}\\b', '$v', 'g')"
     }
     s"trim(regexp_replace(regexp_replace($expanded, '[^a-z ]', ' ', 'g'), '\\s+', ' ', 'g'))"
   }

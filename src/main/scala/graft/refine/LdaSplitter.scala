@@ -141,10 +141,18 @@ object LdaSplitter {
     // remaining futures then drain as immediate timeouts/failures
     // instead of wedging the driver the way Duration.Inf did.
     val jobGroup = s"lda-split-${java.util.UUID.randomUUID()}"
+    // Once the sweep deadline fires, fits still QUEUED behind the pool's
+    // active threads must not start: cancelJobGroup only reaches jobs
+    // already submitted, so a late-starting fit would re-enter the group
+    // and submit fresh (now-orphaned) Spark jobs after split() returned.
+    @volatile var sweepCancelled = false
     val models: Map[(Int, Int), LDAModel] =
       try {
         val futs = fitPairs.map { case (c, k) =>
           scala.concurrent.Future {
+            if (sweepCancelled)
+              throw new java.util.concurrent.CancellationException(
+                s"sweep cancelled before fit cluster=$c k=$k started")
             spark.sparkContext.setJobGroup(jobGroup,
               s"LDA sweep fit cluster=$c k=$k", interruptOnCancel = true)
             try {
@@ -162,7 +170,7 @@ object LdaSplitter {
           }
         }
         val deadline = System.nanoTime() + params.fitTimeout.toNanos
-        futs.flatMap { f =>
+        val drained = futs.flatMap { f =>
           val remaining = math.max(0L, deadline - System.nanoTime())
           try scala.concurrent.Await
             .result(f, scala.concurrent.duration.Duration.fromNanos(remaining))
@@ -171,10 +179,17 @@ object LdaSplitter {
               System.err.println(
                 s"[lda-split] sweep exceeded ${params.fitTimeout} — " +
                   "cancelling outstanding fits, unfitted clusters stay unsplit")
+              sweepCancelled = true
               spark.sparkContext.cancelJobGroup(jobGroup)
               None
+            case _: java.util.concurrent.CancellationException => None
           }
         }.toMap
+        // a fit that slipped in between the flag and its check may have
+        // submitted jobs after the cancel above — sweep the group again
+        // now that no new member can start
+        if (sweepCancelled) spark.sparkContext.cancelJobGroup(jobGroup)
+        drained
       } finally pool.shutdownNow()
 
     // clusters with at least one surviving fit; the rest keep their

@@ -95,6 +95,29 @@ object EventStreams {
   }
 
   private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val lastSink =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drive a streaming transform to completion (`Trigger.AvailableNow`)
+    * into a memory sink and return the drained table. Sink names are
+    * counter-suffixed so repeated runs in one session never collide, and
+    * the PREVIOUS run's sink of the same prefix is dropped first: memory
+    * sinks hold their full result in driver memory and are invisible to
+    * `clearCache`, so without the drop every bench run would retain one
+    * more copy of the result set for the session's lifetime. Dropping
+    * only the predecessor is safe — by the time a query re-runs, the
+    * prior run's result has been fully materialized by the harness. */
+  private def runToMemory(df: DataFrame, mode: String,
+                          prefix: String): DataFrame = {
+    val s = df.sparkSession
+    val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
+    Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
 
   /** s02 — the streaming CORRECTNESS row: [[hourlyCounts]] driven to
     * completion over the events table with `Trigger.AvailableNow` into an
@@ -105,18 +128,11 @@ object EventStreams {
     * ~2 hours of data); the append/watermark deployment semantics are
     * pinned in EventStreamsSpec. The sink name is counter-suffixed so
     * repeated bench runs in one session never collide. */
-  def streamHourly(s: SparkSession, d: String): DataFrame = {
-    val name = s"s02_stream_hourly_${sinkCounter.incrementAndGet()}"
-    val q = hourlyCounts(readEvents(s, d))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+  def streamHourly(s: SparkSession, d: String): DataFrame =
+    runToMemory(hourlyCounts(readEvents(s, d)), "complete", "s02_stream_hourly")
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
-  }
 
   /** Identical oracle to q15: the stream must reproduce the batch
     * aggregation exactly. */
@@ -141,18 +157,11 @@ object EventStreams {
     * uses `>= gap`, unlike q17's reference-style inclusive compare
     * (`> gap`). The two sessionizers agree except on exact-boundary
     * gaps; each is oracle-checked against its own semantics. */
-  def streamSessions(s: SparkSession, d: String): DataFrame = {
-    val name = s"s04_stream_sessions_${sinkCounter.incrementAndGet()}"
-    val q = userSessions(readEvents(s, d))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
+  def streamSessions(s: SparkSession, d: String): DataFrame =
+    runToMemory(userSessions(readEvents(s, d)), "complete", "s04_stream_sessions")
       .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
         col("n_events"))
       .orderBy(col("user_id"), col("start_us"))
-  }
 
   private val streamSessionsSql =
     """WITH x AS (
@@ -181,15 +190,12 @@ object EventStreams {
     * `dropDuplicates*` keeps an unspecified occurrence, and the id is
     * the only column guaranteed identical across replays. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val name = s"s05_stream_dedup_${sinkCounter.incrementAndGet()}"
     val replay = readEvents(s, d).filter(col("event_id") % 3 === 0)
-    val q = dedupEvents(readEvents(s, d).unionByName(replay))
-      .select(col("event_id"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy(col("event_id"))
+    runToMemory(
+        dedupEvents(readEvents(s, d).unionByName(replay))
+          .select(col("event_id")),
+        "append", "s05_stream_dedup")
+      .orderBy(col("event_id"))
   }
 
   private val streamDedupSql =
@@ -201,20 +207,17 @@ object EventStreams {
     * interesting part: every event updates two window aggregates, and
     * complete mode must emit both correctly merged across however many
     * micro-batches AvailableNow slices. */
-  def streamSliding(s: SparkSession, d: String): DataFrame = {
-    val name = s"s06_stream_sliding_${sinkCounter.incrementAndGet()}"
-    val q = readEvents(s, d)
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win"),
-        col("n_events"), col("sum_value"))
-      .writeStream.outputMode("complete").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy(col("win"))
-  }
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win"),
+            col("n_events"), col("sum_value")),
+        "complete", "s06_stream_sliding")
+      .orderBy(col("win"))
 
   /** s07 — the fifth streaming CORRECTNESS row: a STREAM-STREAM interval
     * join (clicks ⋈ purchases by user within 30 minutes), the hardest
@@ -226,7 +229,6 @@ object EventStreams {
     * append mode, so AvailableNow drains the full parity set; the
     * oracle is the plain batch interval self-join. */
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val name = s"s07_stream_join_${sinkCounter.incrementAndGet()}"
     val clicks = readEvents(s, d).filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -235,16 +237,14 @@ object EventStreams {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "1 hour")
-    val q = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("click_id"), col("purchase_id"))
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name).orderBy(col("click_id"), col("purchase_id"))
+    runToMemory(
+        clicks.join(purchases,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("click_id"), col("purchase_id")),
+        "append", "s07_stream_join")
+      .orderBy(col("click_id"), col("purchase_id"))
   }
 
   private val streamStreamJoinSql =

@@ -52,6 +52,17 @@ class PackOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("exclusivePrefixSum keeps NULL-stratum rows (null-safe join back)") {
+    val df = Seq((1L, Some("a"), 2L), (2L, None, 3L), (3L, Some("a"), 5L),
+        (4L, None, 7L))
+      .toDF("k", "g", "v")
+    val got = PackOps.exclusivePrefixSum(df, Seq("k"), col("v"), "cum",
+        strata = Seq("g"))
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    // NULL stratum forms its own running sum, and its rows survive
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("p01 packs contiguous spans: offsets in range and bins in order") {
     val df = PackOps.sequencePack(spark, sfTiny)
       .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("tok_offset"))

@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     // exactly one SinglePartition exchange — the offsets window over the
     // per-partition partials (≤ shuffle-partitions rows), never the data
     assert("Exchange SinglePartition".r.findAllIn(p).size === 1)
-    assert(p.contains("BroadcastHashJoin [__pid"))
+    // null-safe join keys plan as coalesce(__pid,0)+isnull(__pid)
+    assert("BroadcastHashJoin \\[(coalesce\\()?__pid".r.findFirstIn(p).isDefined)
     // range-partitioned tokenize pass materialized once by localCheckpoint
     assert(!p.contains("FileScan parquet"))
   }

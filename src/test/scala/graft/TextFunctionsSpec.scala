@@ -97,6 +97,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!got.contains("n't"))
   }
 
+  test("whole-word contractions never fire inside possessives (word-bounded)") {
+    // "show's" contains the substring "how's", "sphere's" contains
+    // "here's", "niche's" contains "he's" — a substring pass turned
+    // these into "show is"/"sphere is"/"niche is"
+    val got = Seq("the show's host met sphere's edge and niche's rule but how's it")
+      .toDF("text")
+      .select(TextFunctions.expandContractions(col("text")).as("c"))
+      .as[String].collect().head
+    assert(got.contains("show's"), s"possessive corrupted: '$got'")
+    assert(got.contains("sphere's"))
+    assert(got.contains("niche's"))
+    assert(got.contains("how is it"), "real contraction must still expand")
+  }
+
   test("extractField pulls the span between field markers") {
     val got = Seq("Domain: Energy Systems Level 1: Storage Level 2: Batteries")
       .toDF("text")
