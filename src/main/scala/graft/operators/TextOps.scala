@@ -400,6 +400,51 @@ object TextOps {
        |  len(regexp_extract_all(redacted, '<URL>|<EMAIL>|<PHONE>')) AS n_pii
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** t12 — overlapping document chunking (the context-window splitter
+    * for RAG indexing / long-doc pretraining): fixed 200-char windows
+    * every 150 chars (25% overlap), one row per chunk with its span and
+    * digest. Chunk count = ceil(max(n-width,0)/stride)+1 — the last
+    * window may be short, and every char lands in ≥1 chunk. Pure
+    * generator fanout (sequence→explode) + substring, all codegen'd;
+    * at corpus scale this is a map-only stage. */
+  private val ChunkWidth = 200
+  private val ChunkStride = 150
+
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        (greatest(col("n") - ChunkWidth, lit(0L)) + ChunkStride - 1)
+          .divide(ChunkStride).cast("long") + 1)
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride + 1).as("chunk_start"),
+        least(col("n") - col("chunk_idx") * ChunkStride, lit(ChunkWidth.toLong))
+          .as("chunk_len"),
+        md5(col("text")
+          .substr((col("chunk_idx") * ChunkStride + 1).cast("int"),
+            lit(ChunkWidth))
+          .cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkDocsSql =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |c AS (SELECT doc_id, text, n,
+       |        (greatest(n - $ChunkWidth, 0) + $ChunkStride - 1)
+       |          // $ChunkStride + 1 AS n_chunks
+       |      FROM d),
+       |u AS (SELECT doc_id, text, n,
+       |        unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+       |      FROM c)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $ChunkStride + 1 AS chunk_start,
+       |  least(n - chunk_idx * $ChunkStride, $ChunkWidth) AS chunk_len,
+       |  md5(substr(text, CAST(chunk_idx * $ChunkStride + 1 AS BIGINT),
+       |      $ChunkWidth)) AS chunk_hash
+       |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
@@ -411,5 +456,6 @@ object TextOps {
     QueryDef("t08_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
     QueryDef("t09_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("t10_repetition_stats", repetitionStats, Some(repetitionStatsSql)),
-    QueryDef("t11_redact_pii", redactPii, Some(redactPiiSql)))
+    QueryDef("t11_redact_pii", redactPii, Some(redactPiiSql)),
+    QueryDef("t12_chunk_docs", chunkDocs, Some(chunkDocsSql)))
 }
