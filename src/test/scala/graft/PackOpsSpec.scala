@@ -159,6 +159,32 @@ class PackOpsSpec extends SparkSpec {
     assert(spam._3.get === 1.0)   // the mode IS the whole doc
   }
 
+  test("t12 chunks cover every char, overlap by width-stride, and end exactly at n") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = graft.operators.TextOps.chunkDocs(spark, sfTiny)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"), col("chunk_len"))
+      .as[(Long, Long, Long, Long)].collect()
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // consecutive starts differ by the stride; the first starts at 1
+      assert(sorted.head._3 === 1L)
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, _), (_, _, s2, _)) => assert(s2 - s1 === 150L)
+        case _ =>
+      }
+      // the last chunk reaches exactly the end of the doc
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen - 1 === math.max(n, lastStart),
+        s"doc $id: last chunk [$lastStart, ${lastStart + lastLen - 1}] vs n=$n")
+      // no earlier chunk already covered the doc (minimal chunk count)
+      if (sorted.length > 1)
+        assert(sorted(sorted.length - 2)._3 + 200 - 1 < n)
+    }
+  }
+
   test("p02 never splits a near-dup component across train and test") {
     val df = GraphOps.leakageSplit(spark, sfTiny)
       .select(col("component"), col("split")).as[(Long, String)].collect()
