@@ -49,6 +49,31 @@ object SourceOps {
     """SELECT doc_id, md5(text) AS digest FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** s08 — S6 consolidated single-file CSV sink under the harness
+    * oracle: the (doc_id, digest, n_chars) projection is written through
+    * `writeConsolidated` (coalesce(1) — the reference's "one final CSV"
+    * contract) and read back with an explicit schema; the oracle
+    * compares the round-trip against the table directly. Completes the
+    * sink family's oracle coverage: chunked write (s03) and consolidated
+    * write (here) both hash-checked end-to-end through real files. */
+  def consolidatedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val proj = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
+        col("n_chars").cast("long").as("n_chars"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s08_consolidated_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+    Sinks.writeConsolidated(proj, dir)
+    Sinks.readChunks(s, dir, StructType(Seq(
+        StructField("doc_id", LongType), StructField("digest", StringType),
+        StructField("n_chars", LongType))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val consolidatedRoundtripSql =
+    """SELECT doc_id, md5(text) AS digest, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** b01 — multimodal table plumbing: binary payload + typed metadata
     * (schema-level contract is oracle-checked; the payload itself is the
     * documents text as UTF-8 bytes — the corpus ships no true binary
@@ -104,6 +129,8 @@ object SourceOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_systematic_sample", systematicSample, Some(systematicSampleSql)),
     QueryDef("s03_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
+    QueryDef("s08_consolidated_roundtrip", consolidatedRoundtrip,
+      Some(consolidatedRoundtripSql)),
     QueryDef("b01_media_table", mediaTable, Some(mediaTableSql)),
     QueryDef("b02_media_features", mediaFeatures, None),
     QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)))
