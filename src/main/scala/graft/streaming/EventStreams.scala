@@ -107,15 +107,27 @@ object EventStreams {
     * more copy of the result set for the session's lifetime. Dropping
     * only the predecessor is safe — by the time a query re-runs, the
     * prior run's result has been fully materialized by the harness. */
+  /** Stateful streaming queries materialize one state store per shuffle
+    * partition per stateful operator — at a 32-wide batch default that
+    * is pure bring-up overhead for these bounded parity runs, so the
+    * state width is pinned low for the query's lifetime (a real
+    * deployment likewise fixes it at checkpoint creation, sized for
+    * state volume, independent of the batch session's width). */
+  private val StreamStatePartitions = "8"
+
   private def runToMemory(df: DataFrame, mode: String,
                           prefix: String): DataFrame = {
     val s = df.sparkSession
     val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
     Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
