@@ -339,6 +339,57 @@ object DedupOps {
       |SELECT doc_id FROM inc WHERE md5(text) NOT IN (SELECT h FROM seen)
       |ORDER BY doc_id""".stripMargin
 
+  /** d09 — eval-benchmark decontamination: corpus documents sharing any
+    * 5-token shingle with the held-out eval set (doc_id ≡ 0 mod 97 —
+    * the benchmark stand-in) are flagged with their overlap count, the
+    * standard n-gram decontamination pass every published pretraining
+    * corpus runs. Contamination is made REAL the way it happens in the
+    * wild — the eval documents re-enter the corpus under fresh crawl
+    * ids (plantOffset-shifted) — so the flagged set provably contains
+    * every planted leak plus any organic phrase collision. Scale shape:
+    * the eval shingle set is tiny and broadcast; the corpus side is one
+    * explode + broadcast-hash semi-ish join + groupBy on doc_id — no
+    * all-pairs anything. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxId = Option(docs.agg(max(col("doc_id"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val off = plantOffset(maxId)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val leaked = eval.select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)
+    def shingles(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5)).as("sh"))
+    val evalShingles = shingles(eval).select(col("sh")).distinct()
+    shingles(corpus).join(broadcast(evalShingles), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shingle_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql = {
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    s"""WITH t AS (SELECT doc_id, list_filter($tokList, x -> x <> '') AS l
+      |           FROM documents),
+      |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
+      |      FROM t),
+      |g AS (SELECT doc_id,
+      |        word || ' ' || lead(word, 1) OVER win || ' ' ||
+      |        lead(word, 2) OVER win || ' ' || lead(word, 3) OVER win ||
+      |        ' ' || lead(word, 4) OVER win AS sh
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |gs AS (SELECT doc_id, sh FROM g WHERE sh IS NOT NULL),
+      |e AS (SELECT DISTINCT sh FROM gs WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, sh FROM gs WHERE doc_id % 97 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + ${plantOffsetSql("doc_id", "documents")}, sh
+      |  FROM gs WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(DISTINCT sh) AS n_shingle_hits
+      |FROM corpus JOIN e USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
@@ -348,5 +399,6 @@ object DedupOps {
     QueryDef("d06_simhash_planted_recall", simhashPlantedRecall,
       Some(simhashPlantedRecallSql)),
     QueryDef("d08_incremental_dedup", incrementalDedup,
-      Some(incrementalDedupSql)))
+      Some(incrementalDedupSql)),
+    QueryDef("d09_decontaminate", decontaminate, Some(decontaminateSql)))
 }

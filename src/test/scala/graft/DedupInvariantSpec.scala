@@ -113,6 +113,24 @@ class DedupInvariantSpec extends SparkSpec {
       s"e07 recovered $got of $expected planted IVF twins")
   }
 
+  test("d09 flags every planted eval leak (and anything else only via real overlap)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect()
+    val maxId = docs.map(_._1).max
+    var off = 1000000L
+    while (off <= maxId) off *= 10
+    // eval docs with at least one 5-shingle MUST be recovered as leaks
+    val leakable = docs.collect { case (id, n) if id % 97 == 0 && n >= 5 => id + off }.toSet
+    val flagged = graft.operators.DedupOps.decontaminate(spark, sfTiny)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(leakable.subsetOf(flagged),
+      s"missing planted leaks: ${leakable -- flagged}")
+    // any flagged id beyond the real range must BE a planted leak
+    assert(flagged.filter(_ > maxId).subsetOf(leakable))
+  }
+
   test("d08 drops every re-submitted doc and keeps every novel one") {
     import spark.implicits._
     val kept = DedupOps.incrementalDedup(spark, sfTiny)
