@@ -358,8 +358,15 @@ object DedupOps {
     val eval = docs.filter(col("doc_id") % 97 === 0)
     val leaked = eval.select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)
-    def shingles(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(TextFunctions.ngrams(TextFunctions.tokens(col("text")), 5)).as("sh"))
+    // ml.feature.NGram fast path (compiled sliding window) — the
+    // interpreted higher-order ngrams() expression costs ~50× more on a
+    // corpus-wide pass (same output; see TextFunctions.withNgrams)
+    def shingles(df: DataFrame): DataFrame =
+      TextFunctions.withNgrams(
+          df.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("toks")),
+          "toks", "shs", 5)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
     val evalShingles = shingles(eval).select(col("sh")).distinct()
     shingles(corpus).join(broadcast(evalShingles), "sh")
       .groupBy(col("doc_id"))
