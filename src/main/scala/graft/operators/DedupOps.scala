@@ -214,7 +214,7 @@ object DedupOps {
     * the data so the harness stays valid at every SF; the integer-digit
     * construction is reproduced exactly by [[plantOffsetSql]] on the
     * oracle side ('1' followed by digits(maxId) zeros). */
-  private[operators] def plantOffset(maxId: Long): Long = {
+  private[graft] def plantOffset(maxId: Long): Long = {
     var o = 1000000L
     while (o <= maxId) o *= 10
     o
@@ -351,7 +351,12 @@ object DedupOps {
     * explode + broadcast-hash semi-ish join + groupBy on doc_id — no
     * all-pairs anything. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // widen before the corpus-wide 5-gram fanout, same as every other
+    // high-fanout dedup path: a one-row-group parquet scan would
+    // otherwise run the widest stage single-threaded
+    val docs = graft.sources.Scans.widenForFanout(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      col("doc_id"))
     val maxId = Option(docs.agg(max(col("doc_id"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val off = plantOffset(maxId)

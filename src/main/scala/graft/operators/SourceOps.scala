@@ -33,16 +33,26 @@ object SourceOps {
     * header / schema bug anywhere in the sink path breaks the hash.
     * Digest instead of raw text keeps the payload CSV-safe (hex — no
     * quoting/newline escaping divergence between writers). */
+  /** CSV sink round-trip scaffold shared by s03/s08: write `proj`
+    * through `write`, glob-read back with the explicit `schema`, order
+    * by doc_id for the hash compare. */
+  private def csvRoundtrip(s: SparkSession, d: String, tag: String,
+      proj: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      write: (DataFrame, String) => Unit): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+    write(proj, dir)
+    Sinks.readChunks(s, dir, schema).orderBy(col("doc_id"))
+  }
+
   def chunkRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val digests = Tables.documents(s, d)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_s03_chunks_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-    Sinks.writeChunks(digests, dir, numChunks = 8)
-    Sinks.readChunks(s, dir, StructType(Seq(
-        StructField("doc_id", LongType), StructField("digest", StringType))))
-      .orderBy(col("doc_id"))
+    csvRoundtrip(s, d, "s03_chunks",
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest")),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("digest", StringType))),
+      Sinks.writeChunks(_, _, numChunks = 8))
   }
 
   private val chunkRoundtripSql =
@@ -58,16 +68,14 @@ object SourceOps {
     * write (here) both hash-checked end-to-end through real files. */
   def consolidatedRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val proj = Tables.documents(s, d)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
-        col("n_chars").cast("long").as("n_chars"))
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_s08_consolidated_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-    Sinks.writeConsolidated(proj, dir)
-    Sinks.readChunks(s, dir, StructType(Seq(
+    csvRoundtrip(s, d, "s08_consolidated",
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
+          col("n_chars").cast("long").as("n_chars")),
+      StructType(Seq(
         StructField("doc_id", LongType), StructField("digest", StringType),
-        StructField("n_chars", LongType))))
-      .orderBy(col("doc_id"))
+        StructField("n_chars", LongType))),
+      Sinks.writeConsolidated)
   }
 
   private val consolidatedRoundtripSql =

@@ -404,7 +404,8 @@ object TextOps {
     * for RAG indexing / long-doc pretraining): fixed 200-char windows
     * every 150 chars (25% overlap), one row per chunk with its span and
     * digest. Chunk count = ceil(max(n-width,0)/stride)+1 — the last
-    * window may be short, and every char lands in ≥1 chunk. Pure
+    * window may be short, every char of a non-empty doc lands in ≥1
+    * chunk, and an empty doc yields one zero-length chunk. Pure
     * generator fanout (sequence→explode) + substring, all codegen'd;
     * at corpus scale this is a map-only stage. */
   private val ChunkWidth = 200

@@ -98,30 +98,36 @@ object EventStreams {
   private val lastSink =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Drive a streaming transform to completion (`Trigger.AvailableNow`)
-    * into a memory sink and return the drained table. Sink names are
-    * counter-suffixed so repeated runs in one session never collide, and
-    * the PREVIOUS run's sink of the same prefix is dropped first: memory
-    * sinks hold their full result in driver memory and are invisible to
-    * `clearCache`, so without the drop every bench run would retain one
-    * more copy of the result set for the session's lifetime. Dropping
-    * only the predecessor is safe — by the time a query re-runs, the
-    * prior run's result has been fully materialized by the harness. */
-  /** Stateful streaming queries materialize one state store per shuffle
-    * partition per stateful operator — at a 32-wide batch default that
-    * is pure bring-up overhead for these bounded parity runs, so the
-    * state width is pinned low for the query's lifetime (a real
-    * deployment likewise fixes it at checkpoint creation, sized for
-    * state volume, independent of the batch session's width). */
-  private val StreamStatePartitions = "8"
+  /** Ceiling on streaming state width — see [[runToMemory]]. */
+  private val StreamStateMaxPartitions = 8
 
+  /** Drive a streaming transform to completion (`Trigger.AvailableNow`)
+    * into a memory sink and return the drained table.
+    *
+    * Sink names are counter-suffixed so repeated runs never collide,
+    * and the PREVIOUS run's sink of the same prefix is dropped first:
+    * memory sinks hold their full result in driver memory and are
+    * invisible to `clearCache`. Dropping only the predecessor is safe —
+    * by the time a query re-runs, the prior run's result has been fully
+    * materialized by the harness.
+    *
+    * State width: stateful streaming queries materialize one state
+    * store per shuffle partition per stateful operator, pure bring-up
+    * overhead for these bounded parity runs — so the width is CAPPED
+    * (never widened) at [[StreamStateMaxPartitions]] for the query's
+    * lifetime, the sizing decision a deployment makes at checkpoint
+    * creation. Set/restore is session-global and assumes the harness's
+    * sequential query execution. */
   private def runToMemory(df: DataFrame, mode: String,
                           prefix: String): DataFrame = {
     val s = df.sparkSession
     val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
     Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val pinned = math.min(
+      scala.util.Try(prev.toInt).getOrElse(StreamStateMaxPartitions),
+      StreamStateMaxPartitions)
+    s.conf.set("spark.sql.shuffle.partitions", pinned.toString)
     try {
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

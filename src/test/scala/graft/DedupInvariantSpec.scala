@@ -119,8 +119,7 @@ class DedupInvariantSpec extends SparkSpec {
       .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).cast("long"))
       .as[(Long, Long)].collect()
     val maxId = docs.map(_._1).max
-    var off = 1000000L
-    while (off <= maxId) off *= 10
+    val off = DedupOps.plantOffset(maxId)
     // eval docs with at least one 5-shingle MUST be recovered as leaks
     val leakable = docs.collect { case (id, n) if id % 97 == 0 && n >= 5 => id + off }.toSet
     val flagged = graft.operators.DedupOps.decontaminate(spark, sfTiny)

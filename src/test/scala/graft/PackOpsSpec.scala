@@ -175,9 +175,10 @@ class PackOpsSpec extends SparkSpec {
         case Array((_, _, s1, _), (_, _, s2, _)) => assert(s2 - s1 === 150L)
         case _ =>
       }
-      // the last chunk reaches exactly the end of the doc
+      // the last chunk reaches exactly the end of the doc (an empty doc
+      // yields one zero-length chunk at position 1)
       val (_, _, lastStart, lastLen) = sorted.last
-      assert(lastStart + lastLen - 1 === math.max(n, lastStart),
+      assert(lastStart + lastLen - 1 === (if (n == 0) 0L else n),
         s"doc $id: last chunk [$lastStart, ${lastStart + lastLen - 1}] vs n=$n")
       // no earlier chunk already covered the doc (minimal chunk count)
       if (sorted.length > 1)
