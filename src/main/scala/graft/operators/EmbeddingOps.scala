@@ -92,11 +92,16 @@ object EmbeddingOps {
     * edges come from the ANN path (e04/e05) instead of the capped
     * all-pairs window; the collapse stage is unchanged. */
   def neardupEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val edges = similarPairsAt(s, d, 0.4)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-    val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
-      .select(col("vec_id").as("id"))
-    GraphOps.connectedComponents(nodes, edges)
+    // Intermediates-memoized like d07's label pass: the all-pairs edge
+    // generation + propagation rounds build once per dataset per session
+    val labels = graft.api.Intermediates.memo(s, s"embedding-components|$d") {
+      val edges = similarPairsAt(s, d, 0.4)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"))
+      GraphOps.connectedComponents(nodes, edges)
+    }
+    labels
       .select(col("id").as("vec_id"), col("component"),
         (col("id") === col("component")).cast("int").as("keep"))
       .orderBy(col("vec_id"))
