@@ -298,8 +298,46 @@ object PackOps {
        |  CAST(cum_before % $SeqBudget AS BIGINT) AS tok_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** c02 — the dataset-card summary: corpus-level totals (documents,
+    * whitespace tokens, characters, distinct vocabulary, mean doc
+    * length) that every published training corpus reports. One
+    * aggregation pass plus a distinct over the exploded token stream;
+    * at 100 TB the vocabulary count is the only shuffle (partial
+    * distinct map-side, uniform term keys). */
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextFunctions.tokens(col("text")))).cast("long").as("n_tokens"),
+      sum(length(col("text"))).cast("long").as("n_chars"))
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab_size"))
+    base.crossJoin(broadcast(vocab))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("vocab_size"),
+        round(col("n_tokens") / col("n_docs"), 4).as("avg_doc_tokens"))
+  }
+
+  private val corpusStatsSql = {
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    s"""WITH t AS (SELECT doc_id, list_filter($tokList, x -> x <> '') AS l
+       |           FROM documents),
+       |b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(len(l)) AS BIGINT) AS n_tokens FROM t),
+       |c AS (SELECT CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |      FROM documents),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+       |      FROM (SELECT unnest(l) AS tok FROM t))
+       |SELECT n_docs, n_tokens, n_chars, vocab_size,
+       |  round(n_tokens / n_docs, 4) AS avg_doc_tokens
+       |FROM b, c, v""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
+    QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
     QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
