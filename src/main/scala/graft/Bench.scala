@@ -99,7 +99,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
     val firstTotal = results.collect { case (_, v, _, _, f, _) if v >= 0 => f }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":$runsPerQuery,"first_total":$firstTotal,"flaky":$flaky,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":$runsPerQuery,"first_total":$firstTotal,"flaky":$flaky,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // Truncation-proofing: both prior rounds' driver artifacts captured
+    // only a tail of stdout and cut the medians dict. The file is the
+    // authoritative copy; the stdout line stays for the driver's parser.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case NonFatal(e) =>
+      System.err.println(s"[bench] bench_out.json write failed: $e")
+    }
+    println(line)
     spark.stop()
   }
 }

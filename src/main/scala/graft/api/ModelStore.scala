@@ -35,15 +35,33 @@ object ModelStore {
   def versionedDir(base: String, k: Int, date: java.time.LocalDate): String =
     s"$base/${k}_topic_model_$date"
 
+  /** The df/N-weighted vocabulary relation [[save]] persists —
+    * exposed so an IN-MEMORY [[Saved]] can be constructed from a fit
+    * (the s09 round-trip row compares the loaded store's predictions
+    * against predictions through this identical in-memory relation,
+    * isolating exactly the disk round-trip). `counts` and `docs` are
+    * the TRAINING corpus relations the df/N statistics derive from. */
+  def vocabWithStats(vocab: DataFrame, counts: DataFrame,
+                     docs: DataFrame): DataFrame = {
+    val df = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    vocab.join(df, "term").crossJoin(broadcast(n))
+      .select(col("term"), col("idx"), col("df"), col("n_docs"))
+  }
+
+  /** An in-memory [[Saved]] over a fit — the no-disk twin of
+    * save-then-load (dimension from the centers, like [[load]]). */
+  def inMemory(model: KMeansModel, vocab: DataFrame, counts: DataFrame,
+               docs: DataFrame): Saved =
+    Saved(model, vocabWithStats(vocab, counts, docs),
+      model.clusterCenters.head.size)
+
   /** Persist model + weighted vocabulary. `counts` and `docs` are the
     * TRAINING corpus relations the df/N statistics derive from. */
   def save(dir: String, model: KMeansModel, vocab: DataFrame,
            counts: DataFrame, docs: DataFrame): Unit = {
-    val df = counts.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     model.write.overwrite().save(s"$dir/kmeans")
-    vocab.join(df, "term").crossJoin(broadcast(n))
-      .select(col("term"), col("idx"), col("df"), col("n_docs"))
+    vocabWithStats(vocab, counts, docs)
       .write.mode("overwrite").parquet(s"$dir/vocab")
   }
 

@@ -213,8 +213,10 @@ object MlQueries {
   def modelPredict(s: SparkSession, d: String): DataFrame = {
     import graft.api.{ModelPipeline, ModelStore}
     val fm = ModelPipeline.fitted(s, d)
+    // applicationId in the path: concurrent sessions must not race the dir
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_m10_model_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      s"graft_m10_model_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
     val dir = ModelStore.versionedDir(base, fm.model.getK,
       java.time.LocalDate.of(2026, 1, 1))
     ModelStore.save(dir, fm.model, fm.vocab, fm.counts, Tables.documents(s, d))
@@ -226,6 +228,87 @@ object MlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** s09 — model-store round-trip invariant, oracle-checked (closes the
+    * S7-S9/V9/M8 spec-only gap): save the fitted pipeline (S7/S9), load
+    * it back (S8), predict a held-out systematic sample through the
+    * predict-time vectorization (V9/M8), and compare against predicting
+    * the SAME sample through an in-memory [[graft.api.ModelStore.Saved]]
+    * built from the identical fit — the only difference between the two
+    * paths is the disk round-trip (native KMeansModel persistence + the
+    * vocab/df/N parquet), so `roundtrip_ok` isolates exactly the storage
+    * contract (ref README.md:512-521's saveRDS → readRDS → predict
+    * flow). Full DuckDB oracle: every sampled doc, flag 1 — a lossy
+    * write, a vocab/weighting drift, or a dropped doc breaks rows or
+    * hash. */
+  def modelRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{ModelPipeline, ModelStore}
+    val fm = ModelPipeline.fitted(s, d)
+    val docs = Tables.documents(s, d)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s09_model_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val dir = ModelStore.versionedDir(base, fm.model.getK,
+      java.time.LocalDate.of(2026, 1, 1))
+    ModelStore.save(dir, fm.model, fm.vocab, fm.counts, docs)
+    val loaded = ModelStore.load(s, dir)
+    val mem = ModelStore.inMemory(fm.model, fm.vocab, fm.counts, docs)
+    val sample = graft.sources.Sinks.sampleByMod(docs, "doc_id", 10, 7)
+    val p1 = ModelStore.predict(sample, loaded)
+      .withColumnRenamed("cluster", "c_loaded")
+    val p2 = ModelStore.predict(sample, mem)
+      .withColumnRenamed("cluster", "c_mem")
+    p1.join(p2, "doc_id")
+      .select(col("doc_id"),
+        (col("c_loaded") === col("c_mem")).cast("int").as("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val modelRoundtripSql =
+    """SELECT doc_id, 1 AS roundtrip_ok FROM documents
+      |WHERE doc_id % 10 = 7 ORDER BY doc_id""".stripMargin
+
+  /** m11 — closed-form predict oracle over a PLANTED well-separated
+    * corpus: each doc's text is one of five marker words repeated, so
+    * the TF-IDF vectors form five identical-point groups on orthogonal
+    * axes and the k=5 K-means fit must put one center on each group —
+    * making the nearest-centroid assignment closed-form (docs of group
+    * g = doc_id % 5 share one cluster, and clusters are exactly the
+    * groups). Cluster ids themselves are engine-specific, so the emitted
+    * label is canonicalized to the cluster's min doc_id — which the
+    * oracle reproduces as min(doc_id) over the doc's residue class. The
+    * prediction runs through the REAL predict path
+    * ([[graft.api.ModelStore.vectorize]]/[[graft.api.ModelStore.predict]]:
+    * vocab match, train-corpus df/N weighting, nearest centroid) — m10's
+    * real-corpus predict stays rows-only because real K-means clusters
+    * aren't SQL-expressible; this planted twin pins the same code path
+    * to a full hash oracle. */
+  def predictPlanted(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{ModelPipeline, ModelStore}
+    def planted = {
+      val words = array(lit("alpha"), lit("bravo"), lit("carol"),
+        lit("delta"), lit("echo"))
+      Tables.documents(s, d).select(col("doc_id"),
+        array_join(array_repeat(
+          element_at(words, (col("doc_id") % 5 + 1).cast("int")), 5),
+          " ").as("text"))
+    }
+    // memoized like the real fit: identical across bench re-runs
+    val fm = graft.api.Intermediates.memo(s, s"m11-fit|$d") {
+      ModelPipeline.fit(planted, k = 5, seed = 123, vocabSize = 100)
+    }
+    val mem = ModelStore.inMemory(fm.model, fm.vocab, fm.counts, planted)
+    val pred = ModelStore.predict(planted, mem)
+    val reps = pred.groupBy(col("cluster")).agg(min(col("doc_id")).as("rep"))
+    pred.join(broadcast(reps), "cluster")
+      .select(col("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val predictPlantedSql =
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY doc_id % 5) AS cluster_rep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -236,5 +319,7 @@ object MlQueries {
     QueryDef("m07_lda_optimize", ldaOptimize, None),
     QueryDef("m08_cluster_merge", clusterMerge, None),
     QueryDef("m09_refiner_report", refinerReport, None),
-    QueryDef("m10_model_predict", modelPredict, None))
+    QueryDef("m10_model_predict", modelPredict, None),
+    QueryDef("m11_predict_planted", predictPlanted, Some(predictPlantedSql)),
+    QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }

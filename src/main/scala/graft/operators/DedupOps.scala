@@ -39,15 +39,15 @@ object DedupOps {
     jaccardPairsFrom(Tables.documents(s, d))
 
   private[operators] def jaccardPairsFrom(documents: DataFrame): DataFrame = {
-    // All-pairs is O(n²) by construction — cap the verification window to
-    // the first 1000 docs (same cap in the oracle) so the operator stays
+    // All-pairs is O(n²) by construction — cap to the shared
+    // verification window (same cap in the oracle) so the operator stays
     // exact but bounded at every SF. The MinHash path handles full scale.
     // localCheckpoint (eager): materialized once for the three downstream
     // uses, lineage cut, and the backing blocks are released by the
     // ContextCleaner when the plan is GC'd — no cross-query cache leak
     // (a bare persist() would stay pinned for the whole shared session).
     val toks = documents
-      .filter(col("doc_id") < 1000)
+      .filter(col("doc_id") < VerifyWindow.MaxId)
       .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
       .localCheckpoint()
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
@@ -72,7 +72,7 @@ object DedupOps {
   private[operators] val jaccardCtesSql =
     s"""toks AS (
       |  SELECT DISTINCT doc_id, unnest(${graft.oracle.DuckFragments.tokListSql}) AS term
-      |  FROM documents WHERE doc_id < 1000),
+      |  FROM documents WHERE doc_id < ${VerifyWindow.MaxId}),
       |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
       |sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks2 GROUP BY doc_id),
       |inter AS (
@@ -226,14 +226,18 @@ object DedupOps {
     s"greatest(1000000, CAST('1' || repeat('0', " +
       s"length(CAST((SELECT max($idCol) FROM $table) AS VARCHAR))) AS BIGINT))"
 
+  /** Null-safe max-id probe (one 1-row job): an empty relation yields
+    * NULL from max() — map it to 0 instead of NPEing in getLong. */
+  private[graft] def maxIdOf(df: DataFrame, idCol: String): Long =
+    Option(df.agg(max(col(idCol))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
   /** Shared planted-twin scaffold (d05/d06/e06/e07): corpus ∪ id-shifted
     * copy plus the derived offset. Null-safe on an empty relation (no
     * rows ⇒ max is NULL ⇒ offset floor). */
   private[operators] def plantedUnion(df: DataFrame,
                                       idCol: String): (DataFrame, Long) = {
-    val maxId = Option(df.agg(max(col(idCol))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val off = plantOffset(maxId)
+    val off = plantOffset(maxIdOf(df, idCol))
     val planted = df.withColumn(idCol, col(idCol) + lit(off))
     (df.unionByName(planted), off)
   }
@@ -313,8 +317,7 @@ object DedupOps {
     * collide with real ids at any SF. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val off = plantOffset(maxId)
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val resubmitted = existing.filter(col("doc_id") < 100)
       .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
@@ -357,9 +360,7 @@ object DedupOps {
     val docs = graft.sources.Scans.widenForFanout(
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       col("doc_id"))
-    val maxId = Option(docs.agg(max(col("doc_id"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val off = plantOffset(maxId)
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
     val eval = docs.filter(col("doc_id") % 97 === 0)
     val leaked = eval.select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(leaked)

@@ -51,7 +51,7 @@ object EmbeddingOps {
   private def similarPairsAt(s: SparkSession, d: String,
                              threshold: Double): DataFrame = {
     val emb = Tables.embeddings(s, d)
-      .filter(col("vec_id") < 1000)
+      .filter(col("vec_id") < VerifyWindow.MaxId)
       .select(col("vec_id"), col("embedding"), arrayNorm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
@@ -73,7 +73,7 @@ object EmbeddingOps {
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |  WHERE a.vec_id < 1000 AND b.vec_id < 1000),
+      |  WHERE a.vec_id < ${VerifyWindow.MaxId} AND b.vec_id < ${VerifyWindow.MaxId}),
       |s AS (SELECT a_id, b_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
       |      FROM p GROUP BY a_id, b_id),
       |pr AS (SELECT a_id, b_id, round(dot / (na * nb), 6) AS cos_sim FROM s
@@ -97,9 +97,13 @@ object EmbeddingOps {
     val labels = graft.api.Intermediates.memo(s, s"embedding-components|$d") {
       val edges = similarPairsAt(s, d, 0.4)
         .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val nodes = Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+      val nodes = Tables.embeddings(s, d)
+        .filter(col("vec_id") < VerifyWindow.MaxId)
         .select(col("vec_id").as("id"))
-      GraphOps.connectedComponents(nodes, edges)
+      // explicit structural round cap (node count bounds the diameter):
+      // skips the default cap's labels.count() action per collapse
+      GraphOps.connectedComponents(nodes, edges,
+        maxRounds = VerifyWindow.CcMaxRounds)
     }
     labels
       .select(col("id").as("vec_id"), col("component"),
@@ -111,7 +115,7 @@ object EmbeddingOps {
     s"""WITH RECURSIVE ${similarCtesSql(0.4)},
       |edges AS (SELECT a_id AS src, b_id AS dst FROM pr
       |          UNION SELECT b_id, a_id FROM pr),
-      |nodes AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 1000),
+      |nodes AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < ${VerifyWindow.MaxId}),
       |reach(id, r) AS (
       |  SELECT id, id FROM nodes
       |  UNION

@@ -108,9 +108,11 @@ object GraphOps {
       val docs = Tables.documents(s, d)
       val edges = DedupOps.jaccardPairsFrom(docs)
         .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val nodes = docs.filter(col("doc_id") < 1000)
+      val nodes = docs.filter(col("doc_id") < VerifyWindow.MaxId)
         .select(col("doc_id").as("id"))
-      connectedComponents(nodes, edges)
+      // explicit structural round cap (node count bounds the diameter):
+      // skips the default cap's labels.count() action per collapse
+      connectedComponents(nodes, edges, maxRounds = VerifyWindow.CcMaxRounds)
     }
 
   def neardupComponents(s: SparkSession, d: String): DataFrame =
@@ -127,7 +129,7 @@ object GraphOps {
       |pairs AS (SELECT a_id, b_id FROM (${DedupOps.jaccardSelectSql})),
       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
       |          UNION SELECT b_id, a_id FROM pairs),
-      |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+      |nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < ${VerifyWindow.MaxId}),
       |reach(id, r) AS (
       |  SELECT id, id FROM nodes
       |  UNION
@@ -144,12 +146,18 @@ object GraphOps {
     * (train/test contamination is the canonical eval failure in LLM
     * corpus prep). Knuth multiplicative hash mod 10: buckets 0-7 train,
     * 8-9 test — closed-form in both engines' integer arithmetic, no
-    * engine-specific hash function. */
+    * engine-specific hash function. The id is masked to 16 bits BEFORE
+    * the multiply: 65535 · 2654435761 ≈ 1.7e14 stays far inside int64,
+    * whereas the unmasked product overflows once component ids exceed
+    * ~3.47e9 — Spark would wrap silently (negative remainder ⇒ every
+    * row 'train') while DuckDB raises, breaking the identical-formula
+    * contract. Identity for window-bounded ids, so outputs are
+    * unchanged. */
   def leakageSplit(s: SparkSession, d: String): DataFrame =
     componentLabels(s, d)
       .select(col("id").as("doc_id"), col("component"),
-        when(expr("component * 2654435761 % 4294967296 % 10") < 8, "train")
-          .otherwise("test").as("split"))
+        when(expr("component % 65536 * 2654435761 % 4294967296 % 10") < 8,
+          "train").otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
   private val leakageSplitSql =
@@ -157,12 +165,72 @@ object GraphOps {
       |comp AS (SELECT id AS doc_id, min(r) AS component
       |         FROM reach GROUP BY id)
       |SELECT doc_id, component,
-      |  CASE WHEN component * 2654435761 % 4294967296 % 10 < 8
+      |  CASE WHEN component % 65536 * 2654435761 % 4294967296 % 10 < 8
       |       THEN 'train' ELSE 'test' END AS split
       |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** d10 — the PRODUCTION dedup composition, uncapped: full-corpus
+    * MinHash-LSH candidates ([[DedupOps.minhashCandidatesFrom]], d03's
+    * real path, NO verification window) feed [[connectedComponents]]
+    * (d07's real collapse). The claim that "at 100 TB the LSH
+    * candidates are the edges" is executed here, not just documented.
+    *
+    * Oracle construction: the corpus is unioned with TWO id-shifted
+    * copies of itself, so every doc with ≥ 1 shingle (≥ 3 tokens)
+    * plants a 3-member near-dup clique {id, id+off, id+2·off}.
+    * Identical text ⇒ identical signatures ⇒ the three copies share
+    * every band bucket, so all three pairwise candidate edges exist and
+    * the clique must collapse to ONE component — including when organic
+    * near-dup chains merge several planted cliques (the copies of the
+    * organic pair are also pairwise candidates, so the merged component
+    * is still shared by all three labels). Docs with < 3 tokens have no
+    * shingles, no signature, no edges: three singleton components.
+    * Emitted: (doc_id, clique_ok) where clique_ok ⇔ the doc's three
+    * copies share one component — closed-form on the oracle side as
+    * `token count ≥ 3`, a full hash-match over the whole corpus.
+    *
+    * Scale shape: exactly d03 + d07's plans at 3× corpus size — banded
+    * equi-join candidates (ids only ride the shuffle), then one
+    * join+min-agg shuffle per propagation round. The default
+    * node-count round cap stays (the merged-component diameter has no
+    * small structural bound here — organic chains set it). */
+  def productionDedup(s: SparkSession, d: String): DataFrame = {
+    // memoized: the full-corpus LSH + propagation rounds are the most
+    // expensive composition in the dedup family — build once per dataset
+    val (labels, off) = graft.api.Intermediates.memo(s, s"d10-components|$d") {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+      val union = docs
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(off)))
+        .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(2 * off)))
+      val edges = DedupOps.minhashCandidatesFrom(union)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val nodes = union.select(col("doc_id").as("id"))
+      (connectedComponents(nodes, edges), off)
+    }
+    val orig = labels.filter(col("id") < off)
+      .select(col("id"), col("component"))
+    val copy1 = labels.filter(col("id") >= off && col("id") < 2 * off)
+      .select((col("id") - off).as("id"), col("component").as("c1"))
+    val copy2 = labels.filter(col("id") >= 2 * off)
+      .select((col("id") - 2 * off).as("id"), col("component").as("c2"))
+    orig.join(copy1, "id").join(copy2, "id")
+      .select(col("id").as("doc_id"),
+        (col("component") === col("c1") && col("component") === col("c2"))
+          .cast("int").as("clique_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val productionDedupSql =
+    s"""SELECT doc_id,
+      |  CAST(len(list_filter(${graft.oracle.DuckFragments.tokListSql},
+      |                       x -> x <> '')) >= 3 AS INTEGER) AS clique_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d07_neardup_components", neardupComponents,
       Some(neardupComponentsSql)),
+    QueryDef("d10_production_dedup", productionDedup,
+      Some(productionDedupSql)),
     QueryDef("p02_leakage_split", leakageSplit, Some(leakageSplitSql)))
 }

@@ -505,15 +505,32 @@ object Relational {
       |  round(max(value), 6) AS vmax
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** HLL approximate distinct counts (SURVEY §2.4 beyond-reference op).
-    * Rows-only: the sketch estimate is engine-specific by construction;
-    * the exact-count invariants live in RelationalSpec. */
+  /** HLL approximate distinct counts (SURVEY §2.4 beyond-reference op)
+    * with an error-bound oracle: the sketch ESTIMATE is engine-specific
+    * by construction (kept out of the compared columns), but its
+    * relative error against the exact count is a checkable contract —
+    * `within_bound` asserts |approx − exact| ≤ 5% · exact (the 2% rsd
+    * sketch leaves ample margin), and HLL++ is deterministic for a
+    * given dataset, so the flag is stable, not flaky. The oracle pins
+    * exact counts AND the all-ones bound column — an estimator
+    * regression breaks the hash. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_items"),
+        (abs(col("approx_parts") - col("n_parts"))
+          <= col("n_parts") * lit(0.05)).cast("int").as("within_bound"))
       .orderBy(col("l_returnflag"))
+
+  private val approxDistinctSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  1 AS within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
@@ -536,7 +553,7 @@ object Relational {
     QueryDef("q18_accounts_union", accountsUnion, Some(accountsUnionSql)),
     QueryDef("q19_json_roundtrip", jsonRoundtrip, Some(jsonRoundtripSql)),
     QueryDef("q20_running_totals", runningTotals, Some(runningTotalsSql)),
-    QueryDef("q21_approx_distinct", approxDistinct, None),
+    QueryDef("q21_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("q24_purchase_attribution", purchaseAttribution, Some(purchaseAttributionSql)),
     QueryDef("q25_value_percentiles", valuePercentiles, Some(valuePercentilesSql)),
     QueryDef("q26_trailing_hour_window", trailingHourWindow, Some(trailingHourWindowSql)),

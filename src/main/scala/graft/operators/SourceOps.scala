@@ -39,8 +39,11 @@ object SourceOps {
   private def csvRoundtrip(s: SparkSession, d: String, tag: String,
       proj: DataFrame, schema: org.apache.spark.sql.types.StructType,
       write: (DataFrame, String) => Unit): DataFrame = {
+    // applicationId in the path: two concurrent sessions round-tripping
+    // the same dataset would otherwise race one directory
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      s"graft_${tag}_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
     write(proj, dir)
     Sinks.readChunks(s, dir, schema).orderBy(col("doc_id"))
   }

@@ -415,9 +415,12 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n"))
+      // integer `div`, not float divide+floor: mirrors the oracle's `//`
+      // exactly (double-floor departs from int arithmetic at extreme
+      // magnitudes even though realistic doc lengths agree)
       .withColumn("n_chunks",
-        (greatest(col("n") - ChunkWidth, lit(0L)) + ChunkStride - 1)
-          .divide(ChunkStride).cast("long") + 1)
+        expr(s"(greatest(n - $ChunkWidth, 0L) + ${ChunkStride - 1})" +
+          s" div $ChunkStride + 1"))
       .select(col("doc_id"), col("text"), col("n"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),

@@ -50,10 +50,13 @@ object EventStreams {
   /** Watermarked stateful dedup on event_id: duplicates arriving within
     * the watermark horizon collapse to the first occurrence; state for
     * ids older than the watermark is dropped (bounded memory — the 100 TB
-    * answer to "exact dedup over an infinite stream is impossible"). */
-  def dedupEvents(events: DataFrame): DataFrame =
+    * answer to "exact dedup over an infinite stream is impossible").
+    * `horizon` is the replay window a deployment promises to absorb —
+    * 1 hour is the production default; the s05 parity row widens it past
+    * the corpus span (see [[streamDedup]]). */
+  def dedupEvents(events: DataFrame, horizon: String = "1 hour"): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming form of q17: session windows with a 30-minute inactivity
@@ -98,8 +101,35 @@ object EventStreams {
   private val lastSink =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Ceiling on streaming state width — see [[runToMemory]]. */
+  /** Ceiling on streaming state width — see [[streamSession]]. */
   private val StreamStateMaxPartitions = 8
+
+  private val streamSessionCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** Dedicated cloned session (shared SparkContext, isolated SQLConf)
+    * for the streaming parity rows. Stateful streaming queries
+    * materialize one state store per shuffle partition per stateful
+    * operator — pure bring-up overhead for these bounded runs — so the
+    * clone CAPS (never widens) `spark.sql.shuffle.partitions` at
+    * [[StreamStateMaxPartitions]], the sizing decision a deployment
+    * makes at checkpoint creation. Capping at session scope replaces
+    * the previous set/restore of the CALLER's global conf: a batch
+    * query planned concurrently (PackOps' prefix scan reads that conf
+    * for its partition count) can no longer observe the narrowed
+    * width. One clone per parent session, memoized, so memory-sink
+    * temp views stay in one catalog and [[runToMemory]]'s
+    * predecessor-dropping keeps working. */
+  private def streamSession(parent: SparkSession): SparkSession =
+    streamSessionCache.computeIfAbsent(parent, p => {
+      val ss = p.newSession()
+      val cap = math.min(
+        scala.util.Try(ss.conf.get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(StreamStateMaxPartitions),
+        StreamStateMaxPartitions)
+      ss.conf.set("spark.sql.shuffle.partitions", cap.toString)
+      ss
+    })
 
   /** Drive a streaming transform to completion (`Trigger.AvailableNow`)
     * into a memory sink and return the drained table.
@@ -109,31 +139,16 @@ object EventStreams {
     * memory sinks hold their full result in driver memory and are
     * invisible to `clearCache`. Dropping only the predecessor is safe —
     * by the time a query re-runs, the prior run's result has been fully
-    * materialized by the harness.
-    *
-    * State width: stateful streaming queries materialize one state
-    * store per shuffle partition per stateful operator, pure bring-up
-    * overhead for these bounded parity runs — so the width is CAPPED
-    * (never widened) at [[StreamStateMaxPartitions]] for the query's
-    * lifetime, the sizing decision a deployment makes at checkpoint
-    * creation. Set/restore is session-global and assumes the harness's
-    * sequential query execution. */
+    * materialized by the harness. */
   private def runToMemory(df: DataFrame, mode: String,
                           prefix: String): DataFrame = {
     val s = df.sparkSession
     val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
     Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val pinned = math.min(
-      scala.util.Try(prev.toInt).getOrElse(StreamStateMaxPartitions),
-      StreamStateMaxPartitions)
-    s.conf.set("spark.sql.shuffle.partitions", pinned.toString)
-    try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     s.table(name)
   }
 
@@ -147,7 +162,8 @@ object EventStreams {
     * pinned in EventStreamsSpec. The sink name is counter-suffixed so
     * repeated bench runs in one session never collide. */
   def streamHourly(s: SparkSession, d: String): DataFrame =
-    runToMemory(hourlyCounts(readEvents(s, d)), "complete", "s02_stream_hourly")
+    runToMemory(hourlyCounts(readEvents(streamSession(s), d)),
+        "complete", "s02_stream_hourly")
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -176,7 +192,8 @@ object EventStreams {
     * (`> gap`). The two sessionizers agree except on exact-boundary
     * gaps; each is oracle-checked against its own semantics. */
   def streamSessions(s: SparkSession, d: String): DataFrame =
-    runToMemory(userSessions(readEvents(s, d)), "complete", "s04_stream_sessions")
+    runToMemory(userSessions(readEvents(streamSession(s), d)),
+        "complete", "s04_stream_sessions")
       .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
         col("n_events"))
       .orderBy(col("user_id"), col("start_us"))
@@ -208,9 +225,18 @@ object EventStreams {
     * `dropDuplicates*` keeps an unspecified occurrence, and the id is
     * the only column guaranteed identical across replays. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val replay = readEvents(s, d).filter(col("event_id") % 3 === 0)
+    val ss = streamSession(s)
+    val replay = readEvents(ss, d).filter(col("event_id") % 3 === 0)
+    // Horizon wider than the corpus's 30-day span: AvailableNow may
+    // split the unioned scans into multiple micro-batches at larger SFs,
+    // and with the 1-hour production horizon a replay processed after
+    // the watermark passed its event time would be re-emitted,
+    // failing the oracle nondeterministically. For the parity row every
+    // replayed duplicate must still be inside the dedup window when it
+    // arrives, whatever the batch slicing — state is the full id set,
+    // which is the cost of exactly-once parity over a bounded corpus.
     runToMemory(
-        dedupEvents(readEvents(s, d).unionByName(replay))
+        dedupEvents(readEvents(ss, d).unionByName(replay), horizon = "90 days")
           .select(col("event_id")),
         "append", "s05_stream_dedup")
       .orderBy(col("event_id"))
@@ -227,7 +253,7 @@ object EventStreams {
     * micro-batches AvailableNow slices. */
   def streamSliding(s: SparkSession, d: String): DataFrame =
     runToMemory(
-        readEvents(s, d)
+        readEvents(streamSession(s), d)
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
           .agg(count(lit(1)).as("n_events"),
@@ -247,11 +273,12 @@ object EventStreams {
     * append mode, so AvailableNow drains the full parity set; the
     * oracle is the plain batch interval self-join. */
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    val clicks = readEvents(s, d).filter(col("event_type") === "click")
+    val ss = streamSession(s)
+    val clicks = readEvents(ss, d).filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "1 hour")
-    val purchases = readEvents(s, d).filter(col("event_type") === "purchase")
+    val purchases = readEvents(ss, d).filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "1 hour")
@@ -275,13 +302,58 @@ object EventStreams {
       |      <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** s10 — the custom `flatMapGroupsWithState` sessionizer
+    * ([[closedSessions]], the hardest hand-written state code in the
+    * engine) under the harness oracle: driven to completion with
+    * `idleFlush=false`, so only sessions CLOSED by a later event are
+    * emitted — each user's final session stays open in state (no
+    * timeout fires under AvailableNow), which the oracle reproduces by
+    * dropping each user's LAST batch session. Inclusive gap compare
+    * (`≤ gap` merges), the same boundary semantics as q17's
+    * reference-style sessionizer — distinct from s04's gap-exclusive
+    * native `session_window`, and oracled separately. */
+  def streamClosedSessions(s: SparkSession, d: String): DataFrame =
+    runToMemory(
+        closedSessions(readEvents(streamSession(s), d), gapSec = 1800,
+          idleFlush = false).toDF(),
+        "append", "s10_closed_sessions")
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("start_sec"))
+
+  private val streamClosedSessionsSql =
+    """WITH x AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, value,
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+      |      OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, sec, value,
+      |    sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY sec
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, sid, min(sec) AS start_sec, max(sec) AS end_sec,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    round(sum(value), 2) AS sum_value
+      |  FROM y GROUP BY user_id, sid)
+      |SELECT user_id, start_sec, end_sec, n_events, sum_value
+      |FROM (SELECT z.*, max(sid) OVER (PARTITION BY user_id) AS last_sid
+      |      FROM z)
+      |WHERE sid < last_sid
+      |ORDER BY user_id, start_sec""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
     QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("s05_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("s06_stream_sliding", streamSliding,
       Some(graft.operators.Relational.eventsSlidingSql)),
-    QueryDef("s07_stream_join", streamStreamJoin, Some(streamStreamJoinSql)))
+    QueryDef("s07_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    QueryDef("s10_closed_sessions", streamClosedSessions,
+      Some(streamClosedSessionsSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)
