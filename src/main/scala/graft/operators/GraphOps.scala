@@ -198,16 +198,32 @@ object GraphOps {
     // memoized: the full-corpus LSH + propagation rounds are the most
     // expensive composition in the dedup family — build once per dataset
     val (labels, off) = graft.api.Intermediates.memo(s, s"d10-components|$d") {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
-      val union = docs
-        .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(off)))
-        .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(2 * off)))
-      val edges = DedupOps.minhashCandidatesFrom(union)
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val nodes = union.select(col("doc_id").as("id"))
-      (connectedComponents(nodes, edges), off)
+      productionDedupLabels(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
     }
+    cliqueFlags(labels, off)
+  }
+
+  /** d10's composition core over any (doc_id, text) relation: plant the
+    * two shifted copies, run the REAL LSH candidate path over the
+    * union, collapse with [[connectedComponents]]. Returns the full
+    * label frontier plus the derived offset. */
+  private[graft] def productionDedupLabels(
+      docs: DataFrame): (DataFrame, Long) = {
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val union = docs
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(off)))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(2 * off)))
+    val edges = DedupOps.minhashCandidatesFrom(union)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = union.select(col("doc_id").as("id"))
+    (connectedComponents(nodes, edges), off)
+  }
+
+  /** (doc_id, clique_ok) over [[productionDedupLabels]] output:
+    * clique_ok ⇔ the doc and both its planted copies share one
+    * component. */
+  private[graft] def cliqueFlags(labels: DataFrame, off: Long): DataFrame = {
     val orig = labels.filter(col("id") < off)
       .select(col("id"), col("component"))
     val copy1 = labels.filter(col("id") >= off && col("id") < 2 * off)

@@ -218,6 +218,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("s10 harness row equals batch sessionization minus each user's final session") {
+    import org.apache.spark.sql.expressions.Window
+    val got = EventStreams.streamClosedSessions(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    // batch analog: inclusive-gap sessionize, drop the last session per user
+    val ev = graft.sources.Tables.events(spark, sfTiny)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+    val sess = ev
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val want = sess
+      .withColumn("last_sid", max(col("sid")).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("sid") < col("last_sid"))
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_sec"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("typed Dataset readers expose the corpus entities") {
     val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
     val first = docs.head()

@@ -40,6 +40,37 @@ class ModelStoreSpec extends SparkSpec {
     assert(predicted === trained)
   }
 
+  test("inMemory Saved is the no-disk twin of save → load (s09's contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val fm = ModelPipeline.fit(corpus, k = 3, seed = 123, vocabSize = 100)
+    ModelStore.save(dir, fm.model, fm.vocab, fm.counts, corpus)
+    val loaded = ModelStore.load(spark, dir)
+    val mem = ModelStore.inMemory(fm.model, fm.vocab, fm.counts, corpus)
+    assert(mem.vocabSize === loaded.vocabSize)
+    // identical predictions on the training corpus
+    val a = ModelStore.predict(corpus, loaded).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = ModelStore.predict(corpus, mem).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a === b)
+    // the persisted df/N vocab relation round-trips the parquet exactly
+    val w1 = ModelStore.vocabWithStats(fm.vocab, fm.counts, corpus)
+      .orderBy("idx").collect().map(_.toSeq).toSeq
+    val w2 = loaded.vocab.orderBy("idx").collect().map(_.toSeq).toSeq
+    assert(w1 === w2)
+  }
+
+  test("m11 planted corpus predicts closed-form at sf0.001 (dataset-size robustness)") {
+    // the harness oracle pins sf0.01; this pins a different corpus size,
+    // so the well-separated-groups construction is not tuned to one SF
+    val got = graft.ml.MlQueries.predictPlanted(spark, sfTiny)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val ids = got.keySet
+    val expect = ids.map(id => id -> ids.filter(_ % 5 == id % 5).min).toMap
+    assert(got === expect)
+  }
+
   test("predict drops OOV terms and zero-fills (dfm_match semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     val fm = ModelPipeline.fit(corpus, k = 2, seed = 123, vocabSize = 100)
