@@ -102,12 +102,93 @@ case class ArrayNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** max |aᵢ| — the symmetric-quantization range probe (0.0 for an empty
+  * array: nothing to represent ⇒ zero range). */
+case class ArrayMaxAbs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = {
+    val x = VecGen.toDoubles(child.dataType, a)
+    var m = 0.0
+    var i = 0
+    while (i < x.length) { val v = math.abs(x(i)); if (v > m) m = v; i += 1 }
+    m
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ax = VecGen.getter(child.dataType, a, i)
+      s"""
+         |int $n = $a.numElements();
+         |double ${ev.value}_m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double ${ev.value}_v = java.lang.Math.abs($ax);
+         |  if (${ev.value}_v > ${ev.value}_m) ${ev.value}_m = ${ev.value}_v;
+         |}
+         |${ev.value} = ${ev.value}_m;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** max reconstruction error of symmetric scalar quantization at a given
+  * step: maxᵢ |rint(aᵢ/scale)·scale − aᵢ| (rint = round-half-even, the
+  * standard quantizer). Null when scale ≤ 0 — the caller decides what a
+  * degenerate (all-zero) vector means. One fused pass: quantize,
+  * dequantize, and track the error without materializing the int8
+  * array — the verification shape; a storage pipeline would emit the
+  * quantized array itself from the same loop. */
+case class ArrayQuantError(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val scale = s.asInstanceOf[Double]
+    if (scale <= 0.0) return null
+    val x = VecGen.toDoubles(left.dataType, a)
+    var m = 0.0
+    var i = 0
+    while (i < x.length) {
+      val e = math.abs(math.rint(x(i) / scale) * scale - x(i))
+      if (e > m) m = e
+      i += 1
+    }
+    m
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ax = VecGen.getter(left.dataType, a, i)
+      s"""
+         |if ($s <= 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double ${ev.value}_m = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double ${ev.value}_x = $ax;
+         |    double ${ev.value}_e = java.lang.Math.abs(
+         |      java.lang.Math.rint(${ev.value}_x / $s) * $s - ${ev.value}_x);
+         |    if (${ev.value}_e > ${ev.value}_m) ${ev.value}_m = ${ev.value}_e;
+         |  }
+         |  ${ev.value} = ${ev.value}_m;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def arrayDot(a: Column, b: Column): Column =
     column(ArrayDot(expression(a), expression(b)))
   def arrayNorm(a: Column): Column = column(ArrayNorm(expression(a)))
+  def arrayMaxAbs(a: Column): Column = column(ArrayMaxAbs(expression(a)))
+  def arrayQuantError(a: Column, scale: Column): Column =
+    column(ArrayQuantError(expression(a), expression(scale)))
   /** cos(a,b) with the same arithmetic as the interpreted/oracle form.
     * A zero vector yields null (nullif guard) instead of an ANSI-mode
     * DIVIDE_BY_ZERO crash — degenerate rows then drop out of any

@@ -121,7 +121,16 @@ object DedupOps {
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     minhashCandidatesFrom(Tables.documents(s, d))
 
-  private[graft] def minhashCandidatesFrom(documents: DataFrame): DataFrame = {
+  /** (doc_id, band, bucket) banded MinHash signature relation over any
+    * (doc_id, text) relation — the STORED LSH INDEX shape (what a
+    * deployment persists and probes incrementally, see d11). The
+    * relation feeds the bucket-size guard AND both sides of d03's
+    * candidate self-join — without materialization the whole
+    * tokenize→shingle→signature subtree would be recomputed 4×
+    * (self-joins defeat common-subexpression reuse). localCheckpoint is
+    * eager, cuts lineage, and its blocks are GC-released after the query
+    * (a bare persist() would leak cache across the shared session). */
+  private[graft] def minhashBands(documents: DataFrame): DataFrame = {
     val tokenized = graft.sources.Scans
       .widenForFanout(documents.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
@@ -129,17 +138,15 @@ object DedupOps {
       TextFunctions.withNgrams(tokenized, "words", "shingles", 3)
         .select(col("doc_id"), array_distinct(col("shingles")).as("toks"))
         .filter(size(col("toks")) > 0))
-    // The banded relation feeds the bucket-size guard AND both sides of
-    // the candidate self-join — without materialization the whole
-    // tokenize→shingle→signature subtree would be recomputed 4×
-    // (self-joins defeat common-subexpression reuse). localCheckpoint is
-    // eager, cuts lineage, and its blocks are GC-released after the query
-    // (a bare persist() would leak cache across the shared session).
-    val banded = docs.select(col("doc_id"), posexplode(
+    docs.select(col("doc_id"), posexplode(
       array((0 until Bands).map(b =>
         xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .localCheckpoint()
+  }
+
+  private[graft] def minhashCandidatesFrom(documents: DataFrame): DataFrame = {
+    val banded = minhashBands(documents)
     val smallBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, MaxBucketSize))
@@ -342,6 +349,55 @@ object DedupOps {
       |SELECT doc_id FROM inc WHERE md5(text) NOT IN (SELECT h FROM seen)
       |ORDER BY doc_id""".stripMargin
 
+  /** d11 — incremental NEAR-dup dedup against a stored LSH index (the
+    * near-dup twin of d08's exact incremental path, and the steady-state
+    * 100 TB shape: the corpus's banded signature relation
+    * ([[minhashBands]]) is persisted once; each incoming batch computes
+    * its own bands and equi-joins the index — batch ⋈ index, never
+    * corpus ⋈ corpus). The incoming batch = odd-id docs plus even docs
+    * with id < 200 re-fetched under fresh crawl ids (plantOffset-shifted,
+    * identical text — the same scenario as d08). A re-fetch shares all 8
+    * band buckets with its source, so the probe join must surface every
+    * planted (in_id, src_id) pair whose doc has ≥ 1 shingle — projected
+    * to those pairs, a full recall oracle through the asymmetric
+    * stored-index path (organic batch↔corpus collisions are
+    * LSH-specific and excluded by the projection, as in d05). The index
+    * side drops oversized buckets at build time (a stored index caps its
+    * degenerate buckets once, not per probe). */
+  def incrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val refetched = existing.filter(col("doc_id") < 200)
+      .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(refetched)
+    val index = minhashBands(existing)
+    // 1-entry buckets stay (they match probes); only degenerate
+    // boilerplate buckets are excluded, as at any index build
+    val okBuckets = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    val prunedIndex = index.join(okBuckets, Seq("band", "bucket"))
+      .select(col("doc_id").as("src_id"), col("band"), col("bucket"))
+    minhashBands(incoming)
+      .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
+      .join(prunedIndex, Seq("band", "bucket"))
+      .select(col("in_id"), col("src_id"))
+      .distinct()
+      .filter(col("in_id") === col("src_id") + lit(off))
+      .orderBy(col("in_id"))
+  }
+
+  private val incrementalNeardupSql =
+    s"""SELECT doc_id + ${plantOffsetSql("doc_id", "documents")} AS in_id,
+      |  doc_id AS src_id
+      |FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id < 200
+      |  AND len(list_filter(${graft.oracle.DuckFragments.tokListSql},
+      |                      x -> x <> '')) >= 3
+      |ORDER BY in_id""".stripMargin
+
   /** d09 — eval-benchmark decontamination: corpus documents sharing any
     * 5-token shingle with the held-out eval set (doc_id ≡ 0 mod 97 —
     * the benchmark stand-in) are flagged with their overlap count, the
@@ -413,5 +469,7 @@ object DedupOps {
       Some(simhashPlantedRecallSql)),
     QueryDef("d08_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql)),
-    QueryDef("d09_decontaminate", decontaminate, Some(decontaminateSql)))
+    QueryDef("d09_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("d11_incremental_neardup", incrementalNeardup,
+      Some(incrementalNeardupSql)))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.expressions.VectorExpressions.{arrayDot, arrayNorm, fastCosine}
+import graft.expressions.VectorExpressions.{arrayDot, arrayMaxAbs, arrayNorm, arrayQuantError, fastCosine}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -377,6 +377,38 @@ object EmbeddingOps {
       |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")} AS b_id
       |FROM embeddings ORDER BY a_id""".stripMargin
 
+  /** e09 — int8 symmetric scalar quantization with a reconstruction
+    * error-bound oracle (the standard embedding-storage optimization:
+    * 4× smaller vectors for ANN shortlists, exact re-rank on demand).
+    * Per vector: step = max|xᵢ|/127, quantize q = rint(x/step),
+    * dequantize, and assert max|q·step − x| ≤ step/2 — the defining
+    * guarantee of round-to-nearest, so `within_half_step` is an
+    * invariant flag (1e-6 relative slack absorbs the two float ops'
+    * ulps), and the step itself is closed-form for the oracle. An
+    * all-zero vector has step 0 and is exactly representable — flagged
+    * 1 directly (the quantizer kernel returns null at scale ≤ 0).
+    * Map-only pass through two codegen'd kernels
+    * ([[graft.expressions.ArrayMaxAbs]]/[[ArrayQuantError]] — the HOF
+    * `aggregate` forms stay interpreted); at 100 TB this is a
+    * scan-shaped stage with no shuffle at all. */
+  def quantizeEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        (arrayMaxAbs(col("embedding")) / 127).as("qstep"))
+      .select(col("vec_id"), round(col("qstep"), 6).as("step"),
+        when(col("qstep") === 0, lit(1)).otherwise(
+          (arrayQuantError(col("embedding"), col("qstep"))
+            <= col("qstep") * lit(0.5000001)).cast("int"))
+          .as("within_half_step"))
+      .orderBy(col("vec_id"))
+
+  private val quantizeEmbeddingsSql =
+    """WITH z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, max(abs(x)) AS amax FROM z GROUP BY vec_id)
+      |SELECT vec_id, round(amax / 127, 6) AS step, 1 AS within_half_step
+      |FROM m ORDER BY vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),
     QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
@@ -386,5 +418,7 @@ object EmbeddingOps {
     QueryDef("e06_ann_planted_recall", annPlantedRecall, Some(annPlantedRecallSql)),
     QueryDef("e07_ivf_planted_recall", ivfPlantedRecall, Some(ivfPlantedRecallSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
-      Some(neardupEmbeddingsSql)))
+      Some(neardupEmbeddingsSql)),
+    QueryDef("e09_quantize_embeddings", quantizeEmbeddings,
+      Some(quantizeEmbeddingsSql)))
 }

@@ -71,6 +71,22 @@ class DedupInvariantSpec extends SparkSpec {
     assert(found >= 4, s"LSH found only $found/5 planted twins: $got")
   }
 
+  test("d11 incremental near-dup recalls every re-fetch through the stored index") {
+    import spark.implicits._
+    val got = DedupOps.incrementalNeardup(spark, sfTiny)
+      .as[(Long, Long)].collect().toSeq
+    // closed form: every even doc with id < 200 and >= 3 tokens
+    val expectSrc = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") < 200 &&
+        size(filter(TextFunctions.tokens(col("text")), t => t =!= "")) >= 3)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(got.map(_._2).sorted === expectSrc)
+    // every pair is (src + off, src) under one consistent offset
+    assert(got.nonEmpty)
+    val off = got.head._1 - got.head._2
+    assert(got.forall { case (in, src) => in == src + off })
+  }
+
   test("exact dedup groups: keep_id is the min doc_id of each text group") {
     val got = DedupOps.exactDedup(spark, sfTiny)
     val agg = got.agg(sum(col("n_copies")).as("total")).collect().head.getLong(0)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.VectorExpressions.{arrayDot, arrayNorm, fastCosine}
+import graft.expressions.VectorExpressions.{arrayDot, arrayMaxAbs, arrayNorm, arrayQuantError, fastCosine}
 import org.apache.spark.sql.functions._
 
 /** Codegen'd vector kernels vs the interpreted higher-order-function
@@ -62,6 +62,39 @@ class VectorExpressionsSpec extends SparkSpec {
       graft.functions.VectorFunctions.l2Norm(col("a")).as("in"),
       arrayNorm(col("a")).as("fn")).collect()
     norms.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("ArrayMaxAbs matches the interpreted HOF maximum and is 0 for empty arrays") {
+    val got = vecs.select(
+        arrayMaxAbs(col("a")).as("fast"),
+        expr("aggregate(a, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("a")
+    assert(empty.select(arrayMaxAbs(col("a"))).as[Double].collect().head === 0.0)
+  }
+
+  test("ArrayQuantError honors the half-step bound and nulls at scale <= 0") {
+    // symmetric int8 step: every reconstruction error must stay within
+    // half a step — the defining round-to-nearest guarantee (e09's oracle)
+    val checked = vecs.select(col("a"),
+        (arrayMaxAbs(col("a")) / 127).as("s"))
+      .filter(col("s") > 0)
+      .select(arrayQuantError(col("a"), col("s")).as("e"), col("s"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach(r =>
+      assert(r.getDouble(0) <= r.getDouble(1) * 0.5000001,
+        s"err ${r.getDouble(0)} exceeds half step ${r.getDouble(1) / 2}"))
+    // exact half-integer quotient: error == exactly scale/2
+    val half = Seq(Tuple1(Array(0.5f, 1.0f))).toDF("a")
+    val e = half.select(arrayQuantError(col("a"), lit(1.0))).as[Double]
+      .collect().head
+    assert(e === 0.5)
+    // degenerate scale nulls instead of dividing by zero
+    val z = vecs.select(arrayQuantError(col("a"), lit(0.0)).as("e"))
+      .collect()
+    assert(z.forall(_.isNullAt(0)))
   }
 
   test("fastCosine of identical vectors is 1") {
