@@ -213,12 +213,7 @@ object MlQueries {
   def modelPredict(s: SparkSession, d: String): DataFrame = {
     import graft.api.{ModelPipeline, ModelStore}
     val fm = ModelPipeline.fitted(s, d)
-    // applicationId in the path: concurrent sessions must not race the dir
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_m10_model_${s.sparkContext.applicationId}_" +
-        Integer.toHexString(d.hashCode)).getAbsolutePath
-    val dir = ModelStore.versionedDir(base, fm.model.getK,
-      java.time.LocalDate.of(2026, 1, 1))
+    val dir = tmpModelDir(s, d, "m10", fm.model.getK)
     ModelStore.save(dir, fm.model, fm.vocab, fm.counts, Tables.documents(s, d))
     val saved = ModelStore.load(s, dir)
     ModelStore.predict(
@@ -240,15 +235,23 @@ object MlQueries {
     * flow). Full DuckDB oracle: every sampled doc, flag 1 — a lossy
     * write, a vocab/weighting drift, or a dropped doc breaks rows or
     * hash. */
+  /** Deterministic per-(app, dataset) model dir under java.io.tmpdir —
+    * the applicationId keeps concurrent sessions off each other's paths;
+    * the fixed date keeps the versioned path stable across runs. */
+  private def tmpModelDir(s: SparkSession, d: String, tag: String,
+                          k: Int): String = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_model_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    graft.api.ModelStore.versionedDir(base, k,
+      java.time.LocalDate.of(2026, 1, 1))
+  }
+
   def modelRoundtrip(s: SparkSession, d: String): DataFrame = {
     import graft.api.{ModelPipeline, ModelStore}
     val fm = ModelPipeline.fitted(s, d)
     val docs = Tables.documents(s, d)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_s09_model_${s.sparkContext.applicationId}_" +
-        Integer.toHexString(d.hashCode)).getAbsolutePath
-    val dir = ModelStore.versionedDir(base, fm.model.getK,
-      java.time.LocalDate.of(2026, 1, 1))
+    val dir = tmpModelDir(s, d, "s09", fm.model.getK)
     ModelStore.save(dir, fm.model, fm.vocab, fm.counts, docs)
     val loaded = ModelStore.load(s, dir)
     val mem = ModelStore.inMemory(fm.model, fm.vocab, fm.counts, docs)
@@ -257,9 +260,17 @@ object MlQueries {
       .withColumnRenamed("cluster", "c_loaded")
     val p2 = ModelStore.predict(sample, mem)
       .withColumnRenamed("cluster", "c_mem")
-    p1.join(p2, "doc_id")
+    // left-join from the SAMPLE with null-safe equality: a doc the
+    // predict path drops (no in-vocab terms — Featurize.vectors'
+    // documented behavior) still emits a row, and it is `ok` only when
+    // BOTH paths dropped it identically (null <=> null). An inner join
+    // would silently delete such docs from the compare while the oracle
+    // still lists them — a corpus-dependent rows mismatch.
+    sample.select(col("doc_id"))
+      .join(p1, Seq("doc_id"), "left")
+      .join(p2, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (col("c_loaded") === col("c_mem")).cast("int").as("roundtrip_ok"))
+        (col("c_loaded") <=> col("c_mem")).cast("int").as("roundtrip_ok"))
       .orderBy(col("doc_id"))
   }
 

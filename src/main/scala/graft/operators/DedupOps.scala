@@ -145,11 +145,18 @@ object DedupOps {
       .localCheckpoint()
   }
 
-  private[graft] def minhashCandidatesFrom(documents: DataFrame): DataFrame = {
+  /** @param bucketCap oversized-bucket guard. Planted-union harnesses
+    *   (d05/d10) pass `copies × MaxBucketSize`: a k-fold union multiplies
+    *   every bucket's population by k, so an unscaled cap would narrow
+    *   the documented degenerate-content margin from MaxBucketSize/2
+    *   near-identical docs to MaxBucketSize/(2k) — scaling by k keeps the
+    *   single-corpus margin intact. */
+  private[graft] def minhashCandidatesFrom(
+      documents: DataFrame, bucketCap: Long = MaxBucketSize): DataFrame = {
     val banded = minhashBands(documents)
     val smallBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n").between(2, MaxBucketSize))
+      .filter(col("bucket_n").between(2, bucketCap))
       .select(col("band"), col("bucket"))
     val pruned = banded.join(smallBuckets, Seq("band", "bucket"))
     pruned.as("a").join(pruned.as("b"),
@@ -273,7 +280,9 @@ object DedupOps {
   def lshPlantedRecall(s: SparkSession, d: String): DataFrame = {
     val (union, off) = plantedUnion(
       Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
-    minhashCandidatesFrom(union)
+    // 2× union ⇒ 2× bucket cap: preserves the MaxBucketSize/2 margin the
+    // recall argument above relies on (see minhashCandidatesFrom)
+    minhashCandidatesFrom(union, bucketCap = 2L * MaxBucketSize)
       .filter(col("b_id") === col("a_id") + lit(off))
       .orderBy(col("a_id"))
   }

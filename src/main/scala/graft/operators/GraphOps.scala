@@ -214,7 +214,13 @@ object GraphOps {
     val union = docs
       .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(off)))
       .unionByName(docs.withColumn("doc_id", col("doc_id") + lit(2 * off)))
-    val edges = DedupOps.minhashCandidatesFrom(union)
+    // 3× union ⇒ 3× bucket cap: without it the tripled bucket loads
+    // would narrow the degenerate-content safety margin to
+    // MaxBucketSize/6 near-identical docs and could drop ALL of a
+    // boilerplate group's planted edges while the oracle still expects
+    // clique_ok = 1 (see DedupOps.minhashCandidatesFrom)
+    val edges = DedupOps
+      .minhashCandidatesFrom(union, bucketCap = 3L * DedupOps.MaxBucketSize)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val nodes = union.select(col("doc_id").as("id"))
     (connectedComponents(nodes, edges), off)

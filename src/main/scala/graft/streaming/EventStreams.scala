@@ -104,8 +104,14 @@ object EventStreams {
   /** Ceiling on streaming state width — see [[streamSession]]. */
   private val StreamStateMaxPartitions = 8
 
-  private val streamSessionCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // weak keys: a stopped/discarded parent session (and with it the
+  // clone + its catalog, which pins the last memory-sink result rows on
+  // the driver) must stay collectable — a strong map would retain every
+  // session a long-lived JVM ever created. synchronizedMap's
+  // computeIfAbsent is atomic; contention is nil (harness is sequential).
+  private val streamSessionCache: java.util.Map[SparkSession, SparkSession] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   /** Dedicated cloned session (shared SparkContext, isolated SQLConf)
     * for the streaming parity rows. Stateful streaming queries
@@ -311,7 +317,13 @@ object EventStreams {
     * dropping each user's LAST batch session. Inclusive gap compare
     * (`≤ gap` merges), the same boundary semantics as q17's
     * reference-style sessionizer — distinct from s04's gap-exclusive
-    * native `session_window`, and oracled separately. */
+    * native `session_window`, and oracled separately. The oracle's lag
+    * AND running sum share one total order (`ts, event_id`): with a
+    * sec-only sum order, two same-truncated-second events straddling a
+    * session boundary could tie-break the brk=1 row after its follower
+    * and mis-assign the follower to the previous session — session
+    * membership itself is tie-order-free (same-second gaps are 0), only
+    * the two windows' order consistency matters. */
   def streamClosedSessions(s: SparkSession, d: String): DataFrame =
     runToMemory(
         closedSessions(readEvents(streamSession(s), d), gapSec = 1800,
@@ -323,15 +335,15 @@ object EventStreams {
 
   private val streamClosedSessionsSql =
     """WITH x AS (
-      |  SELECT user_id,
+      |  SELECT user_id, event_id, ts,
       |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, value,
       |    lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
-      |      OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |  FROM events),
       |y AS (
       |  SELECT user_id, sec, value,
       |    sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY sec
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
       |            ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM x),
       |z AS (

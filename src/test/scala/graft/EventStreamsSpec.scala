@@ -222,10 +222,14 @@ class EventStreamsSpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val got = EventStreams.streamClosedSessions(spark, sfTiny)
       .collect().map(_.toSeq).toSeq
-    // batch analog: inclusive-gap sessionize, drop the last session per user
+    // batch analog: inclusive-gap sessionize, drop the last session per
+    // user; lag and the running sum share one full-precision total order
+    // (ts, event_id) so same-second boundary ties cannot mis-assign
     val ev = graft.sources.Tables.events(spark, sfTiny)
-      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("value"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
     val sess = ev
       .withColumn("prev", lag(col("sec"), 1).over(w))
       .withColumn("brk",
