@@ -92,6 +92,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("e09: quantization is map-only — zero exchanges before the final sort") {
+    // the per-vector kernel pass must not shuffle anything; the only
+    // exchange allowed is the query-contract total ORDER BY at the top
+    val p = plan("e09_quantize_embeddings")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"expected exactly the ORDER BY range exchange, got:\n$p")
+    assert(p.contains("rangepartitioning"), s"sole exchange should be the sort:\n$p")
+    // and the codegen'd kernels are in the plan, not interpreted HOFs
+    assert(p.contains("arraymaxabs") || p.contains("ArrayMaxAbs"))
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
