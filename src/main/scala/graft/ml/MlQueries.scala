@@ -320,6 +320,34 @@ object MlQueries {
       |  min(doc_id) OVER (PARTITION BY doc_id % 5) AS cluster_rep
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** m12 — K-means FRAME invariants under the oracle: the fit must
+    * assign exactly the vectorizable docs (those with ≥ 1 top-2000-vocab
+    * term — [[Featurize.vectors]] drops the rest), carry all k centers,
+    * and produce non-negative within-cluster SSQs. The per-cluster stats
+    * stay rows-only (m06 — Lloyd's result isn't SQL-expressible); this
+    * row pins the frame any correct fit must fill, with the doc count
+    * reproduced relationally on the oracle side from the SAME
+    * mass-ranked vocabulary definition m03 already hash-matches. */
+  def kmeansInvariants(s: SparkSession, d: String): DataFrame = {
+    val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
+    val nonneg = ClusterPipeline.withinss(fm.assignments, fm.model)
+      .agg(min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"))
+    fm.assignments.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(nonneg)
+      .select(lit(fm.model.clusterCenters.length.toLong).as("n_centers"),
+        col("n_docs"), col("nonneg_ok").cast("int").as("nonneg_ok"))
+  }
+
+  private val kmeansInvariantsSql =
+    "WITH " + termsCte + """,
+      |mass AS (SELECT term, round(sum(weight), 6) AS mass
+      |         FROM weights GROUP BY term),
+      |vocab AS (SELECT term FROM mass ORDER BY mass DESC, term LIMIT 2000)
+      |SELECT CAST(15 AS BIGINT) AS n_centers,
+      |  (SELECT count(DISTINCT doc_id) FROM tc
+      |   WHERE term IN (SELECT term FROM vocab)) AS n_docs,
+      |  1 AS nonneg_ok""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -332,5 +360,7 @@ object MlQueries {
     QueryDef("m09_refiner_report", refinerReport, None),
     QueryDef("m10_model_predict", modelPredict, None),
     QueryDef("m11_predict_planted", predictPlanted, Some(predictPlantedSql)),
+    QueryDef("m12_kmeans_invariants", kmeansInvariants,
+      Some(kmeansInvariantsSql)),
     QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }
