@@ -82,12 +82,22 @@ object MlQueries {
       .select(col("term"), col("idx").cast("long").as("idx"))
       .orderBy(col("idx"))
 
+  /** The mass-ranked vocabulary CTE pair (mass, vocab) — ONE source of
+    * truth for the top-2000 selection rule on the SQL side, shared by
+    * m03's full oracle and m12's vectorizable-doc count (same factoring
+    * rationale as DedupOps.jaccardCtesSql: the consumers must not be
+    * able to drift apart). */
+  private val massVocabCte =
+    """mass AS (SELECT term, round(sum(weight), 6) AS mass
+      |         FROM weights GROUP BY term),
+      |vocab AS (SELECT term, mass FROM mass
+      |          ORDER BY mass DESC, term LIMIT 2000)""".stripMargin
+
   private val topVocabSql =
-    "WITH " + termsCte + """,
-       |mass AS (SELECT term, round(sum(weight), 6) AS mass FROM weights GROUP BY term)
+    "WITH " + termsCte + s""",
+       |$massVocabCte
        |SELECT term, CAST(row_number() OVER (ORDER BY mass DESC, term) - 1 AS BIGINT) AS idx
-       |FROM (SELECT term, mass FROM mass ORDER BY mass DESC, term LIMIT 2000) t
-       |ORDER BY idx""".stripMargin
+       |FROM vocab ORDER BY idx""".stripMargin
 
   /** m04 — A2/T3: top-5 terms per cluster by TF-IDF mass (ref
     * extract_cluster_terms 02_build_models.R:617-642), over hash-clusters. */
@@ -330,22 +340,21 @@ object MlQueries {
     * mass-ranked vocabulary definition m03 already hash-matches. */
   def kmeansInvariants(s: SparkSession, d: String): DataFrame = {
     val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
-    val nonneg = ClusterPipeline.withinss(fm.assignments, fm.model)
-      .agg(min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"))
-    fm.assignments.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(nonneg)
+    // one pass: withinss already carries per-cluster doc counts, so the
+    // assignments relation is scanned once, not once per invariant
+    ClusterPipeline.withinss(fm.assignments, fm.model)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"))
       .select(lit(fm.model.clusterCenters.length.toLong).as("n_centers"),
         col("n_docs"), col("nonneg_ok").cast("int").as("nonneg_ok"))
   }
 
   private val kmeansInvariantsSql =
-    "WITH " + termsCte + """,
-      |mass AS (SELECT term, round(sum(weight), 6) AS mass
-      |         FROM weights GROUP BY term),
-      |vocab AS (SELECT term FROM mass ORDER BY mass DESC, term LIMIT 2000)
+    "WITH " + termsCte + s""",
+      |$massVocabCte
       |SELECT CAST(15 AS BIGINT) AS n_centers,
-      |  (SELECT count(DISTINCT doc_id) FROM tc
-      |   WHERE term IN (SELECT term FROM vocab)) AS n_docs,
+      |  CAST((SELECT count(DISTINCT doc_id) FROM tc
+      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS nonneg_ok""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -377,14 +377,19 @@ object EventStreams {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_s11_sink_${s.sparkContext.applicationId}_" +
         Integer.toHexString(d.hashCode)).getAbsolutePath
-    val q = hourlyCounts(readEvents(ss, d))
+    val agg = hourlyCounts(readEvents(ss, d))
+    val q = agg
       .writeStream.outputMode("append").format("parquet")
       .option("path", s"$dir/out")
       .option("checkpointLocation", s"$dir/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    ss.read.parquet(s"$dir/out")
+    // explicit schema (the streaming plan's own): a corpus whose span
+    // never closes a window leaves the sink with zero data files, and a
+    // schema-inferring read would crash where the oracle cleanly
+    // returns the empty set
+    ss.read.schema(agg.schema).parquet(s"$dir/out")
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))

@@ -115,8 +115,11 @@ class DedupInvariantSpec extends SparkSpec {
   }
 
   test("simhash planted recall recovers every tokenized doc (d06 invariant)") {
+    // same verification window as the production path — on a corpus with
+    // ids past the window the full-corpus count would over-expect
     val expected = Tables.documents(spark, sfTiny)
-      .filter(size(TextFunctions.tokens(col("text"))) >= 1).count()
+      .filter(col("doc_id") < graft.operators.VerifyWindow.MaxId &&
+        size(TextFunctions.tokens(col("text"))) >= 1).count()
     val got = DedupOps.simhashPlantedRecall(spark, sfTiny).count()
     assert(got === expected,
       s"d06 recovered $got of $expected planted simhash twins")
