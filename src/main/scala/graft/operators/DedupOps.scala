@@ -90,6 +90,51 @@ object DedupOps {
 
   private val jaccardPairsSql = s"WITH $jaccardCtesSql\n$jaccardSelectSql"
 
+  /** d12 — asymmetric token-set CONTAINMENT, top-100 pairs:
+    * |A∩B| / |A| — the subset-duplicate detector Jaccard structurally
+    * misses (a short doc quoted whole inside a long one has low Jaccard
+    * but containment ≈ 1; near-dup pipelines run both). Directional:
+    * (a_id, b_id) scores how much of A lies inside B, so both
+    * orientations of a pair can appear. Same verification-window
+    * discipline and relational decomposition as d02; the LSH families
+    * remain the full-scale candidate path. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsFrom(Tables.documents(s, d))
+
+  private[graft] def containmentPairsFrom(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .filter(col("doc_id") < VerifyWindow.MaxId)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+      .localCheckpoint()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_terms", "a_terms"), "a_id")
+      .withColumn("containment", round(col("n_inter") / col("a_terms"), 6))
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  private val containmentPairsSql =
+    s"""WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(${graft.oracle.DuckFragments.tokListSql}) AS term
+      |  FROM documents WHERE doc_id < ${VerifyWindow.MaxId}),
+      |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM toks2 a JOIN toks2 b ON a.term = b.term AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, round(n_inter / s.n_terms, 6) AS containment
+      |FROM inter JOIN sizes s ON s.doc_id = a_id
+      |ORDER BY containment DESC, a_id, b_id LIMIT 100""".stripMargin
+
   /** Number of hash functions in the MinHash signature and LSH banding
     * shape (8 bands × 4 rows). Seeded xxhash64 keeps it deterministic. */
   val MinHashFns = 32
@@ -504,5 +549,7 @@ object DedupOps {
       Some(incrementalDedupSql)),
     QueryDef("d09_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("d11_incremental_neardup", incrementalNeardup,
-      Some(incrementalNeardupSql)))
+      Some(incrementalNeardupSql)),
+    QueryDef("d12_containment_pairs", containmentPairs,
+      Some(containmentPairsSql)))
 }

@@ -560,7 +560,51 @@ object Relational {
     QueryDef("q27_dow_pivot", dowPivot, Some(dowPivotSql)),
     QueryDef("q28_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q29_above_customer_avg", aboveCustomerAvg, Some(aboveCustomerAvgSql)),
-    QueryDef("q30_sliding_windows", eventsSliding, Some(eventsSlidingSql)))
+    QueryDef("q30_sliding_windows", eventsSliding, Some(eventsSlidingSql)),
+    QueryDef("q31_event_funnel", eventFunnel, Some(eventFunnelSql)))
+
+  /** q31 — ordered-step funnel (view → click → purchase): per user, the
+    * first view, the first click strictly AFTER it, the first purchase
+    * strictly after that; one summary row of stage survivor counts (the
+    * standard product-analytics funnel reduction). Sequencing needs the
+    * conditional joins — a user's first click overall may precede their
+    * first view, so per-(user, type) mins alone cannot express it. Scale
+    * shape: each stage is a type-filtered scan + keyed equi-join on
+    * user_id + partial min-agg; the survivor relations shrink
+    * monotonically, so later stages join ever-smaller sides; the final
+    * counts are three 1-row aggregates cross-joined. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame =
+    eventFunnelFrom(Tables.events(s, d))
+
+  private[graft] def eventFunnelFrom(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  private val eventFunnelSql =
+    """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS tv
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tc
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.tv
+      |      GROUP BY 1),
+      |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tp
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.tc
+      |      GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
 
   /** q26 — RANGE-frame window (value-based frame, distinct from q20's
     * ROWS frame): per event type, the trailing-one-hour event count and

@@ -87,6 +87,21 @@ class DedupInvariantSpec extends SparkSpec {
     assert(got.forall { case (in, src) => in == src + off })
   }
 
+  test("d12 containment is asymmetric: a quoted subset scores 1.0, its host scores fractionally") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                                   // fully inside 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "omicron sigma tau")                                   // disjoint
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairsFrom(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) === 1.0, "subset doc must be fully contained in its host")
+    assert(got((2L, 1L)) === 0.333333, "host containment is round(3/9, 6)")
+    assert(!got.contains((3L, 1L)) && !got.contains((1L, 3L)),
+      "disjoint docs share no terms, so no pair row")
+  }
+
   test("exact dedup groups: keep_id is the min doc_id of each text group") {
     val got = DedupOps.exactDedup(spark, sfTiny)
     val agg = got.agg(sum(col("n_copies")).as("total")).collect().head.getLong(0)

@@ -30,16 +30,40 @@ class QueryRegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("approx_count_distinct is within 10% of exact counts") {
-    val approx = graft.operators.Relational.approxDistinct(spark, sfTiny)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+  test("q21's error-bound flag holds on a second corpus (sfTiny)") {
+    // the harness oracle pins sf0.01; this checks the emitted bound flag
+    // on a different corpus, and that the exact counts really are exact
+    val rows = graft.operators.Relational.approxDistinct(spark, sfTiny)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("within_bound") === 1,
+        s"flag ${r.getString(0)}: HLL estimate left the 5% bound")
+    }
     val exact = graft.sources.Tables.lineitem(spark, sfTiny)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k).toDouble
-      assert(math.abs(ap - ex) / ex <= 0.10, s"flag $k: approx $ap vs exact $ex")
-    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_parts") === exact(r.getString(0))))
+  }
+
+  test("q31 funnel orders the stages strictly (fixture)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: click BEFORE first view — no ordered click stage
+      (2L, "click", ts(0)), (2L, "view", ts(10)), (2L, "purchase", ts(20)),
+      // user 3: view + click, purchase before the click — stops at click
+      (3L, "purchase", ts(0)), (3L, "view", ts(5)), (3L, "click", ts(15)),
+      // user 4: never viewed
+      (4L, "click", ts(0)), (4L, "purchase", ts(5)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Relational.eventFunnelFrom(ev)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((3L, 2L, 1L)))
   }
 }
