@@ -38,14 +38,18 @@ object DedupOps {
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsFrom(Tables.documents(s, d))
 
-  private[operators] def jaccardPairsFrom(documents: DataFrame): DataFrame = {
-    // All-pairs is O(n²) by construction — cap to the shared
-    // verification window (same cap in the oracle) so the operator stays
-    // exact but bounded at every SF. The MinHash path handles full scale.
-    // localCheckpoint (eager): materialized once for the three downstream
-    // uses, lineage cut, and the backing blocks are released by the
-    // ContextCleaner when the plan is GC'd — no cross-query cache leak
-    // (a bare persist() would stay pinned for the whole shared session).
+  /** Shared verification-window scaffold of the exact pair family
+    * (d02 Jaccard, d12 containment): the distinct-token relation —
+    * all-pairs is O(n²) by construction, so the window cap (same cap in
+    * the oracles) keeps it exact but bounded at every SF; the MinHash
+    * path handles full scale — per-doc set sizes, and ORDERED pair
+    * intersections (a_id < b_id; |A∩B| is symmetric, so one pass of the
+    * expensive join+groupBy serves both orientations). localCheckpoint
+    * (eager): materialized once for the downstream uses, lineage cut,
+    * and the backing blocks are released by the ContextCleaner when the
+    * plan is GC'd — no cross-query cache leak (a bare persist() would
+    * stay pinned for the whole shared session). */
+  private def windowTokenPairs(documents: DataFrame): (DataFrame, DataFrame) = {
     val toks = documents
       .filter(col("doc_id") < VerifyWindow.MaxId)
       .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
@@ -55,6 +59,11 @@ object DedupOps {
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_inter"))
+    (sizes, inter)
+  }
+
+  private[operators] def jaccardPairsFrom(documents: DataFrame): DataFrame = {
+    val (sizes, inter) = windowTokenPairs(documents)
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_terms", "a_terms"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_terms", "b_terms"), "b_id")
@@ -65,10 +74,10 @@ object DedupOps {
       .limit(100)
   }
 
-  /** The d02 oracle split into (CTE list, final select) so
-    * [[GraphOps]]' d07 oracle can embed the IDENTICAL pair definition
-    * inside its own WITH RECURSIVE — one source of truth for the
-    * verification-window near-dup graph on the SQL side. */
+  /** The shared pair-CTE block (toks/toks2/sizes/inter) — ONE source of
+    * truth for the verification-window pair definition on the SQL side,
+    * embedded verbatim by d02, d12, and [[GraphOps]]' d07 recursive
+    * oracle so the consumers cannot drift apart. */
   private[operators] val jaccardCtesSql =
     s"""toks AS (
       |  SELECT DISTINCT doc_id, unnest(${graft.oracle.DuckFragments.tokListSql}) AS term
@@ -102,17 +111,12 @@ object DedupOps {
     containmentPairsFrom(Tables.documents(s, d))
 
   private[graft] def containmentPairsFrom(documents: DataFrame): DataFrame = {
-    val toks = documents
-      .filter(col("doc_id") < VerifyWindow.MaxId)
-      .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
-      .localCheckpoint()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
-    val inter = toks.as("a").join(toks.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    val (sizes, inter) = windowTokenPairs(documents)
+    // |A∩B| is symmetric: mirror the one ordered intersection pass into
+    // both orientations instead of running the heavy join twice
+    val both = inter.unionByName(inter.select(
+      col("b_id").as("a_id"), col("a_id").as("b_id"), col("n_inter")))
+    both
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_terms", "a_terms"), "a_id")
       .withColumn("containment", round(col("n_inter") / col("a_terms"), 6))
@@ -122,17 +126,11 @@ object DedupOps {
   }
 
   private val containmentPairsSql =
-    s"""WITH toks AS (
-      |  SELECT DISTINCT doc_id, unnest(${graft.oracle.DuckFragments.tokListSql}) AS term
-      |  FROM documents WHERE doc_id < ${VerifyWindow.MaxId}),
-      |toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-      |sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks2 GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-      |  FROM toks2 a JOIN toks2 b ON a.term = b.term AND a.doc_id <> b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id)
+    s"""WITH $jaccardCtesSql,
+      |oriented AS (SELECT a_id, b_id, n_inter FROM inter
+      |             UNION ALL SELECT b_id, a_id, n_inter FROM inter)
       |SELECT a_id, b_id, round(n_inter / s.n_terms, 6) AS containment
-      |FROM inter JOIN sizes s ON s.doc_id = a_id
+      |FROM oriented JOIN sizes s ON s.doc_id = a_id
       |ORDER BY containment DESC, a_id, b_id LIMIT 100""".stripMargin
 
   /** Number of hash functions in the MinHash signature and LSH banding

@@ -578,11 +578,16 @@ object Relational {
 
   private[graft] def eventFunnelFrom(ev0: DataFrame): DataFrame = {
     val ev = ev0.select(col("user_id"), col("event_type"), col("ts"))
+    // v and c each feed the next stage AND a count — materialize once
+    // (localCheckpoint, eager) so the upstream scan+join isn't replayed
+    // per consumer
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      .localCheckpoint()
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
       .filter(col("ts") > col("tv"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      .localCheckpoint()
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("ts") > col("tc"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
