@@ -561,7 +561,75 @@ object Relational {
     QueryDef("q28_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q29_above_customer_avg", aboveCustomerAvg, Some(aboveCustomerAvgSql)),
     QueryDef("q30_sliding_windows", eventsSliding, Some(eventsSlidingSql)),
-    QueryDef("q31_event_funnel", eventFunnel, Some(eventFunnelSql)))
+    QueryDef("q31_event_funnel", eventFunnel, Some(eventFunnelSql)),
+    QueryDef("q32_approx_percentile", approxPercentileBound,
+      Some(approxPercentileBoundSql)),
+    QueryDef("q33_bloom_filter", bloomFilterCheck, Some(bloomFilterCheckSql)))
+
+  /** q32 — approximate-median rank-error bound (completes the sketch
+    * family's oracle coverage with q21's HLL and q33's Bloom filter):
+    * `percentile_approx` (Greenwald-Khanna) guarantees the returned
+    * element's RANK lies within ±εn of the target (ε = 1/accuracy); the
+    * estimate itself is engine-specific, so the oracle pins the exact
+    * group sizes plus a flag that the measured rank honors the bound
+    * (2ε slack absorbs the ≤-vs-< rank convention on tied doubles).
+    * Scale shape: the sketch is one partial-aggregable pass; the rank
+    * measurement joins the 5-row estimate table back broadcast. */
+  def approxPercentileBound(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val est = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(100)).as("est"),
+        count(lit(1)).as("n_values"))
+    ev.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_values")).as("n_values"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("rnk"))
+      .select(col("event_type"), col("n_values"),
+        (abs(col("rnk") - col("n_values") * 0.5)
+          <= col("n_values") * 0.02 + 1).cast("int").as("rank_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val approxPercentileBoundSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_values, 1 AS rank_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q33 — Bloom-filter membership contract: build the sketch over one
+    * key class (`df.stat.bloomFilter`, the runtime-join-pruning sketch)
+    * and assert its defining guarantee — ZERO false negatives over every
+    * true member — plus the tunable one: the measured false-positive
+    * rate on non-members stays within 3× the nominal 3% fpp. At 100 TB
+    * this is the semi-join pruning tool: ship the small side's ~1 MB
+    * bitset instead of shuffling the big side. The probe is a driver
+    * -broadcast closure over the immutable sketch (sketch probes aren't
+    * Column expressions; the scan stays a single map-only pass). */
+  def bloomFilterCheck(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag")).localCheckpoint()
+    val members = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    val bf = members.stat.bloomFilter("l_orderkey", 100000L, 0.03)
+    val mc = udf((k: Long) => bf.mightContain(k))
+    val nonMembers = li.select(col("l_orderkey")).distinct()
+      .join(members, Seq("l_orderkey"), "left_anti")
+    val fn = members.agg(count(lit(1)).as("n_members"),
+      sum(when(mc(col("l_orderkey")), 0L).otherwise(1L)).as("n_false_neg"))
+    val fp = nonMembers.agg(count(lit(1)).as("n_non_members"),
+      sum(when(mc(col("l_orderkey")), 1L).otherwise(0L)).as("n_fp"))
+    fn.crossJoin(fp)
+      .select(col("n_members"), col("n_false_neg"), col("n_non_members"),
+        (col("n_fp") <= col("n_non_members") * 0.09).cast("int").as("fpp_ok"))
+  }
+
+  private val bloomFilterCheckSql =
+    """WITH m AS (SELECT DISTINCT l_orderkey FROM lineitem
+      |           WHERE l_returnflag = 'R'),
+      |nm AS (SELECT DISTINCT l_orderkey FROM lineitem
+      |       WHERE l_orderkey NOT IN (SELECT l_orderkey FROM m))
+      |SELECT (SELECT count(*) FROM m) AS n_members,
+      |       CAST(0 AS BIGINT) AS n_false_neg,
+      |       (SELECT count(*) FROM nm) AS n_non_members,
+      |       1 AS fpp_ok""".stripMargin
 
   /** q31 — ordered-step funnel (view → click → purchase): per user, the
     * first view, the first click strictly AFTER it, the first purchase

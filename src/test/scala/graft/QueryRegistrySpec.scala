@@ -48,6 +48,18 @@ class QueryRegistrySpec extends SparkSpec {
       assert(r.getAs[Long]("n_parts") === exact(r.getString(0))))
   }
 
+  test("q32/q33 sketch bounds hold on a second corpus (sfTiny)") {
+    // rank-error bound of the GK quantile sketch
+    graft.operators.Relational.approxPercentileBound(spark, sfTiny)
+      .collect().foreach(r => assert(r.getAs[Int]("rank_ok") === 1,
+        s"approx median rank bound violated for ${r.getString(0)}"))
+    // bloom: the defining no-false-negative guarantee + the fpp bound
+    val b = graft.operators.Relational.bloomFilterCheck(spark, sfTiny)
+      .collect().head
+    assert(b.getAs[Long]("n_false_neg") === 0L)
+    assert(b.getAs[Int]("fpp_ok") === 1)
+  }
+
   test("q31 funnel orders the stages strictly (fixture)") {
     import spark.implicits._
     import java.sql.Timestamp
