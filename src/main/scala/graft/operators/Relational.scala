@@ -564,7 +564,8 @@ object Relational {
     QueryDef("q31_event_funnel", eventFunnel, Some(eventFunnelSql)),
     QueryDef("q32_approx_percentile", approxPercentileBound,
       Some(approxPercentileBoundSql)),
-    QueryDef("q33_bloom_filter", bloomFilterCheck, Some(bloomFilterCheckSql)))
+    QueryDef("q33_bloom_filter", bloomFilterCheck, Some(bloomFilterCheckSql)),
+    QueryDef("q34_count_min", countMinBound, Some(countMinBoundSql)))
 
   /** q32 — approximate-median rank-error bound (completes the sketch
     * family's oracle coverage with q21's HLL and q33's Bloom filter):
@@ -630,6 +631,39 @@ object Relational {
       |       CAST(0 AS BIGINT) AS n_false_neg,
       |       (SELECT count(*) FROM nm) AS n_non_members,
       |       1 AS fpp_ok""".stripMargin
+
+  /** q34 — count-min sketch frequency contract (the last of the four
+    * sketch families: HLL q21, GK q32, Bloom q33): `df.stat
+    * .countMinSketch` estimates per-key frequency in one
+    * partial-aggregable pass — the 100 TB heavy-hitter tool when a full
+    * groupBy shuffle on a hot column is too expensive. Its two
+    * guarantees are checked over the top-20 true heavy hitters: CMS
+    * NEVER under-counts (row-wise min of non-decreasing counters), and
+    * over-counts by at most ε·N with probability ≥ confidence (seeded →
+    * deterministic per corpus, not flaky). Estimates stay out of the
+    * compared columns; exact counts + both flags are the oracle. */
+  def countMinBound(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"))
+    val cms = li.stat.countMinSketch("l_partkey", 0.001, 0.99, 42)
+    val bound = 0.001 * cms.totalCount()
+    val est = udf((k: Long) => cms.estimateCount(k))
+    li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("l_partkey")).limit(20)
+      .select(col("l_partkey"), col("n_true"),
+        (est(col("l_partkey")) >= col("n_true")).cast("int")
+          .as("no_undercount"),
+        (est(col("l_partkey")) <= col("n_true") + lit(bound)).cast("int")
+          .as("within_bound"))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val countMinBoundSql =
+    """WITH exact AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_true
+      |              FROM lineitem GROUP BY 1),
+      |top AS (SELECT l_partkey, n_true FROM exact
+      |        ORDER BY n_true DESC, l_partkey LIMIT 20)
+      |SELECT l_partkey, n_true, 1 AS no_undercount, 1 AS within_bound
+      |FROM top ORDER BY l_partkey""".stripMargin
 
   /** q31 — ordered-step funnel (view → click → purchase): per user, the
     * first view, the first click strictly AFTER it, the first purchase

@@ -48,7 +48,7 @@ class QueryRegistrySpec extends SparkSpec {
       assert(r.getAs[Long]("n_parts") === exact(r.getString(0))))
   }
 
-  test("q32/q33 sketch bounds hold on a second corpus (sfTiny)") {
+  test("q32/q33/q34 sketch bounds hold on a second corpus (sfTiny)") {
     // rank-error bound of the GK quantile sketch
     graft.operators.Relational.approxPercentileBound(spark, sfTiny)
       .collect().foreach(r => assert(r.getAs[Int]("rank_ok") === 1,
@@ -58,6 +58,14 @@ class QueryRegistrySpec extends SparkSpec {
       .collect().head
     assert(b.getAs[Long]("n_false_neg") === 0L)
     assert(b.getAs[Int]("fpp_ok") === 1)
+    // count-min: never under-counts, over-counts within eps*N
+    graft.operators.Relational.countMinBound(spark, sfTiny)
+      .collect().foreach { r =>
+        assert(r.getAs[Int]("no_undercount") === 1,
+          s"CMS under-counted partkey ${r.getLong(0)}")
+        assert(r.getAs[Int]("within_bound") === 1,
+          s"CMS over-count bound violated for partkey ${r.getLong(0)}")
+      }
   }
 
   test("q31 funnel orders the stages strictly (fixture)") {
