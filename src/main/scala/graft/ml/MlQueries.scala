@@ -357,6 +357,35 @@ object MlQueries {
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS nonneg_ok""".stripMargin
 
+  /** m13 — LDA-refiner FRAME invariants under the oracle (the m12
+    * pattern applied to the adaptive split→merge→renumber→refresh path
+    * m07 leaves rows-only): whatever clusters the coherence-gated sweep
+    * settles on, it must (1) conserve the corpus — Σ n_docs equals the
+    * vectorizable-doc count, reproduced relationally from the same
+    * mass-ranked vocabulary m03 hash-matches (a split or merge that
+    * drops or duplicates docs breaks the hash); (2) renumber dense
+    * (ids exactly 0..k'−1, pinned without fixing engine-specific k');
+    * (3) keep every within-cluster SSQ non-negative. Reuses m07's
+    * memoized sweep — one extra agg, not a second LDA fit. */
+  def ldaInvariants(s: SparkSession, d: String): DataFrame =
+    graft.api.ModelPipeline.optimize(s, d, k = 15, seed = 123,
+        params = splitParams, mergeThreshold = 0.9)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (min(col("cluster")) === 0 &&
+          max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
+          countDistinct(col("cluster")) === count(lit(1)))
+          .cast("int").as("dense_ok"),
+        min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"))
+      .select(col("n_docs"), col("dense_ok"),
+        col("nonneg_ok").cast("int").as("nonneg_ok"))
+
+  private val ldaInvariantsSql =
+    "WITH " + termsCte + s""",
+      |$massVocabCte
+      |SELECT CAST((SELECT count(DISTINCT doc_id) FROM tc
+      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
+      |  1 AS dense_ok, 1 AS nonneg_ok""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -371,5 +400,6 @@ object MlQueries {
     QueryDef("m11_predict_planted", predictPlanted, Some(predictPlantedSql)),
     QueryDef("m12_kmeans_invariants", kmeansInvariants,
       Some(kmeansInvariantsSql)),
+    QueryDef("m13_lda_invariants", ldaInvariants, Some(ldaInvariantsSql)),
     QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class QueryRegistrySpec extends SparkSpec {
 
   private val mlFits = Set("m06_kmeans_stats", "m07_lda_optimize",
-    "m08_cluster_merge", "m09_refiner_report")
+    "m08_cluster_merge", "m09_refiner_report", "m13_lda_invariants")
 
   test("query names are unique and every oracle belongs to a query") {
     val names = QueryRegistry.all.map(_.name)
