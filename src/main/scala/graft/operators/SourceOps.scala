@@ -137,6 +137,66 @@ object SourceOps {
       |    AS frame_hash
       |FROM u ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Write-once cache for the bucketed table pair: bucketing pays its
+    * one-time shuffle-and-write so every LATER join on the bucket key is
+    * exchange-free — re-writing per bench run would charge the
+    * amortized cost back. Keyed by (applicationId, sfDir): table NAMES
+    * are data-keyed (stable across sessions, overwrite-safe), the cache
+    * entry is session-keyed (a fresh session must re-register the name
+    * in its in-memory catalog). */
+  private val bucketedOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** lineitem + orders as 8-bucket parquet catalog tables on the order
+    * key. `repartition(8, key)` before the bucketed write aligns write
+    * tasks with buckets (same Murmur3 hash space) → one file per bucket
+    * instead of numTasks × 8 fragments. */
+  private def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = s.sparkContext.applicationId + "|" + d
+    val names = bucketedOnce.computeIfAbsent(key, _ => {
+      val hex = Integer.toHexString(d.hashCode)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bucketed_${s.sparkContext.applicationId}_$hex").getAbsolutePath
+      val li = s"graft_li_$hex"
+      val ord = s"graft_ord_$hex"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$base/li")
+        .bucketBy(8, "l_orderkey").saveAsTable(li)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$base/ord")
+        .bucketBy(8, "o_orderkey").saveAsTable(ord)
+      (li, ord)
+    })
+    (s.table(names._1), s.table(names._2))
+  }
+
+  /** s12 — bucketed co-located fact join (the 100 TB amortized-shuffle
+    * pattern: bucket both fact tables on the join key ONCE at ingest,
+    * then every downstream equi-join on that key is exchange-free —
+    * bucketed scans already satisfy the join's HashPartitioning). The
+    * merge hint keeps the small-SF plan on the co-located sort-merge
+    * path the pattern exists for; PlanAuditSpec pins `Bucketed: true`
+    * on both scans and ZERO shuffles on the join keys. The oracle is
+    * the plain join — bucketing must not change a row. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (li, ord) = bucketedTables(s, d)
+    li.hint("merge").join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_systematic_sample", systematicSample, Some(systematicSampleSql)),
     QueryDef("s03_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
@@ -144,5 +204,6 @@ object SourceOps {
       Some(consolidatedRoundtripSql)),
     QueryDef("b01_media_table", mediaTable, Some(mediaTableSql)),
     QueryDef("b02_media_features", mediaFeatures, None),
-    QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)))
+    QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)),
+    QueryDef("s12_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
 }

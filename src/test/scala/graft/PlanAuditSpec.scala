@@ -103,6 +103,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("arraymaxabs") || p.contains("ArrayMaxAbs"))
   }
 
+  test("s12: bucketed join — both scans bucketed, zero shuffles on the join keys") {
+    val p = plan("s12_bucketed_join")
+    // the join is the co-located sort-merge the bucketing exists for
+    assert(p.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$p")
+    // both sides read bucketed files (scan satisfies HashPartitioning)
+    assert("Bucketed: true".r.findAllIn(p).size === 2,
+      s"expected two bucketed scans:\n$p")
+    // and NO exchange repartitions either join key — the whole point;
+    // the only exchanges left are the agg's and the final ORDER BY's
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side shuffled on the join key:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side shuffled on the join key:\n$p")
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
