@@ -51,7 +51,40 @@ object Bench {
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    // Storage/heap footprint line for the family-boundary log below —
+    // the instrumentation that localizes any future sweep-pollution
+    // regression to the family that accumulated the state.
+    def footprint(): String = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val rt = Runtime.getRuntime
+      f"cachedRdds=${infos.length} storageMemMB=${infos.map(_.memSize).sum / 1048576}%d " +
+        f"storageDiskMB=${infos.map(_.diskSize).sum / 1048576}%d " +
+        f"heapUsedMB=${(rt.totalMemory - rt.freeMemory) / 1048576}%d"
+    }
+    // Family-boundary release (registry is name-sorted, so each
+    // one-letter family runs contiguously): once a family's last query
+    // has run, its pinned materializations (d/e-family component labels,
+    // the m-family DFM + fitted models) and the streaming memory sinks
+    // have no future consumer — but left resident they squeeze the later
+    // families' share of the 8 GiB unified pool. r6 evidence: t04/t05/t09
+    // (which pin nothing) ran 3-5x slower at the END of the 107-query
+    // sweep than standalone, at zero source diff. Cost: a family whose
+    // first query re-triggers a shared build re-bills that build to its
+    // own first run (s09 rebuilds the fitted model the m-family had) —
+    // more honest than inheriting a neighbor family's leftovers.
+    def familyBoundary(prevFam: String, fam: String): Unit = {
+      System.err.println(s"[bench] family $prevFam done: ${footprint()}")
+      graft.api.Intermediates.releaseAll(spark)
+      graft.streaming.EventStreams.releaseSinks(spark)
+      spark.catalog.clearCache()
+      System.gc()
+      System.err.println(s"[bench] family $fam start: ${footprint()}")
+    }
+    var prevFam = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val fam = name.take(1)
+      if (prevFam.nonEmpty && fam != prevFam) familyBoundary(prevFam, fam)
+      prevFam = fam
       System.err.println(s"[bench] start $name ($runsPerQuery runs)")
       val runs = (1 to runsPerQuery).map { i =>
         val t0 = System.nanoTime()
@@ -87,6 +120,8 @@ object Bench {
         if (good.isEmpty) -1.0 else good.head,
         runs.count(_ < 0))
     }
+    if (prevFam.nonEmpty)
+      System.err.println(s"[bench] family $prevFam done: ${footprint()}")
     val failed = results.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
     // intermittent crashes (some-but-not-all runs failed) must stay
     // distinguishable in the metric line even though a median exists

@@ -11,7 +11,20 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var prevFam = ""
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Family-boundary release (same rationale as Bench): a finished
+      // family's pinned materializations and streaming memory sinks have
+      // no future consumer in the name-sorted sweep — drop them so the
+      // later families run against a clean pool instead of the
+      // accumulated ballast.
+      val fam = name.take(1)
+      if (prevFam.nonEmpty && fam != prevFam) {
+        graft.api.Intermediates.releaseAll(spark)
+        graft.streaming.EventStreams.releaseSinks(spark)
+        spark.catalog.clearCache()
+      }
+      prevFam = fam
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

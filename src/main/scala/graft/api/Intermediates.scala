@@ -85,4 +85,22 @@ object Intermediates {
   /** Drop every memoized entry and pin (test isolation; the data blocks
     * themselves are released by the caller's unpersist sweep). */
   def clear(): Unit = { cache.clear(); pinnedRdds.clear() }
+
+  /** Release EVERY materialization — pinned and scratch — and forget the
+    * memo entries that reference them. The harness calls this at
+    * query-family boundaries: the registry is name-sorted, so once a
+    * family's last query has run its materializations have no future
+    * consumer, and keeping their localCheckpoint blocks resident only
+    * squeezes later families' share of the unified memory pool (observed
+    * in the r6 bench: the t-family, which pins nothing, ran 3-5x slower
+    * at the end of the 107-query sweep than standalone — the accumulated
+    * d/e/m/s-family checkpoints were the ballast). Callers must not hold
+    * DataFrames obtained from [[memo]] across a release: their
+    * checkpoint blocks are gone and the truncated lineage cannot
+    * recompute them. A later memo of the same key simply rebuilds. */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    clear()
+  }
 }

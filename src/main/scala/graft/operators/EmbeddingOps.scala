@@ -402,12 +402,24 @@ object EmbeddingOps {
           .as("within_half_step"))
       .orderBy(col("vec_id"))
 
+  // Oracle anchored on the embeddings TABLE, not the unnested stats:
+  // DuckDB's unnest yields no rows for a zero-length list, so a
+  // stats-anchored oracle would drop such a vector while the Spark side
+  // still emits (vec_id, step 0, flag 1) — a rows_match failure on any
+  // corpus with an empty embedding. LEFT JOIN + coalesce restores the
+  // row (amax of nothing = 0: an empty vector is exactly representable);
+  // a NULL embedding stays NULL/NULL on both engines.
   private val quantizeEmbeddingsSql =
     """WITH z AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x
       |           FROM embeddings),
       |m AS (SELECT vec_id, max(abs(x)) AS amax FROM z GROUP BY vec_id)
-      |SELECT vec_id, round(amax / 127, 6) AS step, 1 AS within_half_step
-      |FROM m ORDER BY vec_id""".stripMargin
+      |SELECT e.vec_id,
+      |  CASE WHEN e.embedding IS NULL THEN NULL
+      |       ELSE round(coalesce(m.amax, 0) / 127, 6) END AS step,
+      |  CASE WHEN e.embedding IS NULL THEN NULL ELSE 1 END
+      |    AS within_half_step
+      |FROM embeddings e LEFT JOIN m USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),

@@ -509,11 +509,20 @@ object Relational {
     * with an error-bound oracle: the sketch ESTIMATE is engine-specific
     * by construction (kept out of the compared columns), but its
     * relative error against the exact count is a checkable contract —
-    * `within_bound` asserts |approx − exact| ≤ 5% · exact (the 2% rsd
-    * sketch leaves ample margin), and HLL++ is deterministic for a
-    * given dataset, so the flag is stable, not flaky. The oracle pins
-    * exact counts AND the all-ones bound column — an estimator
-    * regression breaks the hash. */
+    * `within_bound` asserts |approx − exact| ≤ 8% · exact (4 sigma at
+    * the 2% rsd: the flag must be an invariant at every SF, not a
+    * 2.5-sigma bet), and HLL++ is deterministic for a given dataset, so
+    * the flag is stable, not flaky. The oracle pins exact counts AND the
+    * all-ones bound column — an estimator regression breaks the hash.
+    *
+    * Bench-shape note (deliberate): the exact `countDistinct` beside the
+    * sketch adds a partial-distinct shuffle of (flag, partkey) pairs, so
+    * this query benches VERIFICATION cost, not the sketch alone — the
+    * bound oracle needs the exact counts in the compared columns, and a
+    * sketch-only twin row would land in the no-oracle bucket. A
+    * deployment using the sketch for speed runs only the
+    * `approx_count_distinct` half: one partial-aggregable pass, no
+    * distinct shuffle. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -522,7 +531,7 @@ object Relational {
         count(lit(1)).as("n_items"))
       .select(col("l_returnflag"), col("n_parts"), col("n_items"),
         (abs(col("approx_parts") - col("n_parts"))
-          <= col("n_parts") * lit(0.05)).cast("int").as("within_bound"))
+          <= col("n_parts") * lit(0.08)).cast("int").as("within_bound"))
       .orderBy(col("l_returnflag"))
 
   private val approxDistinctSql =
@@ -609,7 +618,14 @@ object Relational {
       .select(col("l_orderkey"), col("l_returnflag")).localCheckpoint()
     val members = li.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey")).distinct()
-    val bf = members.stat.bloomFilter("l_orderkey", 100000L, 0.03)
+    // Size the filter from the ACTUAL member count (one cheap action over
+    // the checkpointed ids): a fixed expectedNumItems is the classic
+    // scale fragility — once membership exceeds ~1.5x capacity the
+    // measured fpp blows past the asserted bound and the oracle-pinned
+    // flag fails at a larger SF even though the sketch is behaving as
+    // specified. Sized-to-n, the 3x-nominal fpp margin holds at every SF.
+    val nMembers = members.count()
+    val bf = members.stat.bloomFilter("l_orderkey", math.max(nMembers, 1L), 0.03)
     val mc = udf((k: Long) => bf.mightContain(k))
     val nonMembers = li.select(col("l_orderkey")).distinct()
       .join(members, Seq("l_orderkey"), "left_anti")
@@ -644,8 +660,15 @@ object Relational {
     * compared columns; exact counts + both flags are the oracle. */
   def countMinBound(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_partkey"))
-    val cms = li.stat.countMinSketch("l_partkey", 0.001, 0.99, 42)
-    val bound = 0.001 * cms.totalCount()
+    // confidence 0.999 (depth ~7) and a 2x eps*N asserted margin: the
+    // one-sided CMS guarantee at 1x eps*N holds per key only with
+    // probability `confidence`, so over 20 keys a 0.99-confidence 1x
+    // assertion is a ~18% a-priori bet against SOME corpus — the flag
+    // must be an invariant, not a high-probability event. At depth 7 the
+    // chance any row's collision mass exceeds 2 eps*N is ~(2e)^-7 per
+    // key (Markov per row, min over rows): negligible at every SF.
+    val cms = li.stat.countMinSketch("l_partkey", 0.001, 0.999, 42)
+    val bound = 2.0 * 0.001 * cms.totalCount()
     val est = udf((k: Long) => cms.estimateCount(k))
     li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_true"))
       .orderBy(col("n_true").desc, col("l_partkey")).limit(20)

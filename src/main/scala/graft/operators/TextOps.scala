@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.expressions.StringArrayExpressions
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -87,13 +88,21 @@ object TextOps {
     * the definition: both engines round the ratio BEFORE it enters the
     * quality blend. */
   private[operators] object Score {
-    private val toks = TextFunctions.tokens(col("text"))
+    // Raw (empties included) token split: the counting paths below never
+    // materialize the filtered array, so the tokenizer's interpreted
+    // empty-filter HOF is skipped — every count here is a codegen'd
+    // ArrayCountIn probe (see StringArrayExpressions; "" is in none of
+    // the word lists, so counting over the raw split is identical to
+    // counting over TextFunctions.tokens).
+    private val rawToks = split(TextFunctions.cleanText(col("text")), " ")
     private def ratio(num: org.apache.spark.sql.Column,
                       den: org.apache.spark.sql.Column) =
       round(num / when(den === 0, null).otherwise(den), 6)
-    val nTokens = size(toks).cast("long")
+    val nTokens =
+      StringArrayExpressions.arrayCountNotIn(rawToks, Seq("")).cast("long")
     val nStop =
-      size(filter(toks, t => t.isin(TextFunctions.stopWords: _*))).cast("long")
+      StringArrayExpressions.arrayCountIn(rawToks, TextFunctions.stopWords)
+        .cast("long")
     val alphaRatio =
       round(length(regexp_replace(lower(col("text")), "[^a-z]", "")) /
         when(length(col("text")) === 0, null).otherwise(length(col("text"))), 6)
@@ -101,7 +110,8 @@ object TextOps {
     val qualityScore =
       round(lit(0.6) * alphaRatio + lit(0.4) * (lit(1.0) - stopRatio), 6)
     val markers = Seq("the", "a", "and", "of", "is")
-    val nMarker = size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    val nMarker =
+      StringArrayExpressions.arrayCountIn(rawToks, markers).cast("long")
     val markerRatio = ratio(nMarker, nTokens)
     val langGuess = when(markerRatio >= 0.08, "en").otherwise("und")
   }
@@ -280,7 +290,10 @@ object TextOps {
   def tokenStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("ws_tokens"),
+        // codegen'd non-empty count over the raw split (no filter HOF)
+        StringArrayExpressions.arrayCountNotIn(
+          split(TextFunctions.cleanText(col("text")), " "), Seq(""))
+          .cast("long").as("ws_tokens"),
         // regexp_count: counting must not materialize the match array
         regexp_count(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_pieces"),

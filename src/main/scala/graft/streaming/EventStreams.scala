@@ -146,8 +146,26 @@ object EventStreams {
     * invisible to `clearCache`. Dropping only the predecessor is safe —
     * by the time a query re-runs, the prior run's result has been fully
     * materialized by the harness. */
-  private def runToMemory(df: DataFrame, mode: String,
-                          prefix: String): DataFrame = {
+  /** Drop every retained memory-sink table in the parent's stream-clone
+    * catalog. Each sink holds its full result rows on the driver and is
+    * invisible to `clearCache` (it is a temp view over an in-memory
+    * relation, not a cached plan), so a long sweep otherwise carries one
+    * result set per streaming query to the end of the run. The harness
+    * calls this at query-family boundaries — by then the results have
+    * been fully materialized into the round's artifacts and the views
+    * have no future reader. The clone session itself is kept (it is only
+    * a conf holder; re-running a streaming query re-creates its sink). */
+  def releaseSinks(parent: SparkSession): Unit = {
+    val clone = streamSessionCache.get(parent)
+    if (clone != null) {
+      lastSink.values.forEach(v => clone.catalog.dropTempView(v))
+      lastSink.clear()
+      clone.catalog.clearCache()
+    }
+  }
+
+  private def runToMemory(df: DataFrame, mode: String, prefix: String,
+                          requireSingleBatch: Boolean = false): DataFrame = {
     val s = df.sparkSession
     val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
     Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
@@ -155,6 +173,18 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Loud precondition for parity rows whose batch-analog oracle is
+    // only valid when the whole source lands in ONE data micro-batch
+    // (AvailableNow is documented to split large scans): a silent
+    // multi-batch run could mis-order events across batches and fail
+    // the oracle with no hint at the cause. Failing here names the fix.
+    if (requireSingleBatch) {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= 1,
+        s"$prefix: oracle assumes one data micro-batch, got $dataBatches " +
+          "(AvailableNow split the scan) — pre-sort the source by ts for " +
+          "this parity row or raise the per-trigger file/byte cap")
+    }
     s.table(name)
   }
 
@@ -328,7 +358,12 @@ object EventStreams {
     runToMemory(
         closedSessions(readEvents(streamSession(s), d), gapSec = 1800,
           idleFlush = false).toDF(),
-        "append", "s10_closed_sessions")
+        // single-batch precondition enforced: the sessionizer orders
+        // events within each micro-batch slice only, so the batch-analog
+        // oracle is valid iff the whole file source lands in one data
+        // batch (it does — one parquet file; the require turns a future
+        // multi-batch split into a named failure, not a hash mystery)
+        "append", "s10_closed_sessions", requireSingleBatch = true)
       .select(col("user_id"), col("start_sec"), col("end_sec"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("user_id"), col("start_sec"))

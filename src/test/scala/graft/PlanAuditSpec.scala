@@ -118,6 +118,18 @@ class PlanAuditSpec extends SparkSpec {
       s"orders side shuffled on the join key:\n$p")
   }
 
+  test("t04/t05: scoring counts are codegen'd — no interpreted lambda HOFs") {
+    // the quality/language gates are the hottest 100 TB path (they also
+    // feed c01): the stopword/marker/token counts must plan as the
+    // codegen'd array_count_in kernel, not an interpreted filter() over
+    // a per-token isin chain
+    for (q <- Seq("t04_doc_quality", "t05_lang_guess", "t09_token_stats")) {
+      val p = plan(q)
+      assert(p.contains("array_count_in"), s"$q lost the codegen'd kernel:\n$p")
+      assert(!p.contains("lambdafunction"), s"$q plans an interpreted HOF:\n$p")
+    }
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
