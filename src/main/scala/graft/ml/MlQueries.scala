@@ -205,7 +205,9 @@ object MlQueries {
 
   /** m09 — M10/A10: the refiner pipeline — coherence-gated split, top
     * terms, deterministic labels, labeled report sorted best-first.
-    * Rows-only (K-means/LDA dependent). */
+    * Rows-only (K-means/LDA dependent); its frame — corpus
+    * conservation, coherence range, labels, id shape — is oracled by
+    * m14 over the same memoized fit/split. */
   def refinerReport(s: SparkSession, d: String): DataFrame =
     graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
         params = splitParams)
@@ -386,6 +388,44 @@ object MlQueries {
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS dense_ok, 1 AS nonneg_ok""".stripMargin
 
+  /** m14 — refiner-report FRAME invariants under the oracle (the
+    * m12/m13 pattern applied to the REPORT entry point m09 leaves
+    * rows-only — ref runPhase1Pipeline 04_cluster_refiner.R:726-794):
+    * whatever the coherence-gated split settles on, the labeled report
+    * must (1) conserve the corpus — Σ n_docs equals the
+    * vectorizable-doc count reproduced relationally from the same
+    * mass-ranked vocabulary m03 hash-matches (a report that drops or
+    * double-counts a cluster's docs breaks the hash); (2) keep every
+    * coherence inside its algebraic range — each Mimno-style pair score
+    * is a [0,1] co-occurrence share minus a [0,1] marginal share, so
+    * the per-cluster mean lies in [−1,1]; (3) label every cluster
+    * (non-null, non-empty — the "Unlabeled" fallback included); and
+    * (4) emit one row per distinct non-negative cluster id. Dense ids
+    * are deliberately NOT asserted: the report is the pre-renumber view
+    * (split emits fresh ids above the fit's max; [[graft.refine
+    * .Renumber.dense]] runs in the optimize path, oracled by m13).
+    * Reuses m09's memoized fit/split — one extra agg, not a second
+    * sweep. */
+  def refinerInvariants(s: SparkSession, d: String): DataFrame =
+    graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
+        params = splitParams)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        min(when(col("coherence") >= -1 && col("coherence") <= 1, 1)
+          .otherwise(0)).as("range_ok"),
+        min(when(col("label").isNotNull && col("label") =!= "", 1)
+          .otherwise(0)).as("label_ok"),
+        (countDistinct(col("cluster")) === count(lit(1)) &&
+          min(col("cluster")) >= 0).cast("int").as("ids_ok"))
+      .select(col("n_docs"), col("range_ok").cast("int").as("range_ok"),
+        col("label_ok").cast("int").as("label_ok"), col("ids_ok"))
+
+  private val refinerInvariantsSql =
+    "WITH " + termsCte + s""",
+      |$massVocabCte
+      |SELECT CAST((SELECT count(DISTINCT doc_id) FROM tc
+      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
+      |  1 AS range_ok, 1 AS label_ok, 1 AS ids_ok""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -401,5 +441,7 @@ object MlQueries {
     QueryDef("m12_kmeans_invariants", kmeansInvariants,
       Some(kmeansInvariantsSql)),
     QueryDef("m13_lda_invariants", ldaInvariants, Some(ldaInvariantsSql)),
+    QueryDef("m14_refiner_invariants", refinerInvariants,
+      Some(refinerInvariantsSql)),
     QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }

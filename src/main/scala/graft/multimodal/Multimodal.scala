@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * stage with per-executor decoder init (same O4 pattern as the POS
   * stage).
   *
-  * The decode step itself is a clearly-marked STUB — this container has
-  * no image/audio codecs — but everything Spark-side is real and tested:
-  * the schema, the binary payload handling, the mapPartitions batch
-  * shape, and the downstream embedding hand-off (the produced
-  * `Array[Float]` column feeds [[graft.operators.EmbeddingOps]]-style
-  * ANN directly).
+  * The decoder is a REAL binary parser for the simplest raster format
+  * there is — binary PPM (P6: ASCII header `P6 <w> <h> <maxval>`, then
+  * w·h RGB byte triples) — chosen because the container ships no codec
+  * libraries and PPM needs none. A production deployment swaps in a
+  * JPEG/mel-spectrogram decoder behind the same [[MediaDecoder]] trait;
+  * everything Spark-side (schema, binary payloads, mapPartitions batch
+  * shape, per-executor decoder cache, the `Array[Float]` hand-off to
+  * [[graft.operators.EmbeddingOps]]-style ANN) is unchanged by that
+  * swap.
   */
 object Multimodal {
 
@@ -28,32 +31,67 @@ object Multimodal {
     def create(): MediaDecoder
   }
 
-  /** STUB decoder — a real implementation would wrap a codec library
-    * (JPEG decode, mel spectrogram, frame sampling) loaded once per
-    * executor; offline here, so features are a deterministic hash mix of
-    * the payload bytes. Shape and determinism are what the pipeline
-    * tests exercise. */
-  final class FakeDecoder(val featureDim: Int = 16) extends MediaDecoder {
+  /** Real decoder for binary PPM (P6): parses the ASCII header
+    * (magic, width, height, maxval — whitespace-delimited, the format's
+    * entire metadata surface) and computes strided pixel statistics over
+    * the RGB payload. Features (all integer-valued, so float32 carries
+    * them exactly and an oracle can reproduce them bit-for-bit):
+    * [w, h, maxval, ΣR, ΣG, ΣB, min byte, max byte], the channel sums
+    * and extrema taken over pixels 0, stride, 2·stride, … — the
+    * subsampling a 100 TB ingest uses to keep per-image decode cost
+    * bounded regardless of resolution. Malformed input fails loudly
+    * (corrupt payloads must surface, not silently zero-fill). */
+  final class PpmDecoder(val stride: Int = 1) extends MediaDecoder {
+    override val featureDim: Int = 8
     override def decode(mediaType: String, content: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](featureDim)
-      var h = 1125899906842597L ^ mediaType.hashCode.toLong
-      var i = 0
-      while (i < content.length) { h = 31 * h + content(i); i += 1 }
-      var j = 0
-      while (j < featureDim) {
-        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-        out(j) = ((h & 0xFFFF).toFloat / 65535.0f) - 0.5f
-        j += 1
+      var pos = 0
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"bad PPM: $msg at byte $pos")
+      def skipWs(): Unit = {
+        while (pos < content.length &&
+          Character.isWhitespace(content(pos).toChar)) pos += 1
       }
-      out
+      def ascInt(): Int = {
+        skipWs()
+        if (pos >= content.length || content(pos) < '0' || content(pos) > '9')
+          fail("expected ASCII integer")
+        var v = 0
+        while (pos < content.length &&
+          content(pos) >= '0' && content(pos) <= '9') {
+          v = v * 10 + (content(pos) - '0'); pos += 1
+        }
+        v
+      }
+      if (content.length < 2 || content(0) != 'P' || content(1) != '6')
+        fail("missing P6 magic")
+      pos = 2
+      val w = ascInt(); val h = ascInt(); val maxval = ascInt()
+      pos += 1 // single whitespace byte terminates the header
+      val nPx = w * h
+      if (content.length - pos < nPx * 3) fail(s"payload short of $nPx pixels")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var lo = 256; var hi = -1
+      var p = 0
+      while (p < nPx) {
+        val base = pos + p * 3
+        val r = content(base) & 0xFF
+        val g = content(base + 1) & 0xFF
+        val b = content(base + 2) & 0xFF
+        sr += r; sg += g; sb += b
+        lo = math.min(lo, math.min(r, math.min(g, b)))
+        hi = math.max(hi, math.max(r, math.max(g, b)))
+        p += stride
+      }
+      Array(w.toFloat, h.toFloat, maxval.toFloat,
+        sr.toFloat, sg.toFloat, sb.toFloat, lo.toFloat, hi.toFloat)
     }
   }
 
   /** Case class: the per-JVM decoder cache is keyed by factory, and each
     * task deserializes its own copy — structural equality maps every copy
-    * (same dim) to one shared decoder, while a different dim gets its own. */
-  final case class FakeDecoderFactory(dim: Int = 16) extends MediaDecoderFactory {
-    override def create(): MediaDecoder = new FakeDecoder(dim)
+    * (same stride) to one shared decoder; a different stride gets its own. */
+  final case class PpmDecoderFactory(stride: Int = 1) extends MediaDecoderFactory {
+    override def create(): MediaDecoder = new PpmDecoder(stride)
   }
 
   // per-executor-JVM cache keyed by factory (two pipelines with
@@ -62,6 +100,37 @@ object Multimodal {
     new java.util.concurrent.ConcurrentHashMap[MediaDecoderFactory, MediaDecoder]()
   private def decoder(factory: MediaDecoderFactory): MediaDecoder =
     cachedDecoders.computeIfAbsent(factory, f => f.create())
+
+  /** Deterministic planted P6 image for a doc id: fixed 8×6 geometry,
+    * channel bytes closed-form in (id, pixel index) — so the REAL
+    * header-parse + pixel-stat decode path ([[PpmDecoder]]) becomes
+    * oracle-able: DuckDB reproduces the expected stats from the same
+    * arithmetic without ever touching bytes (the m11
+    * planted-corpus-through-real-path pattern). */
+  private[graft] def ppmBytes(docId: Long, w: Int = 8, h: Int = 6): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = 0
+    while (p < w * h) {
+      val base = header.length + p * 3
+      out(base) = ((docId * 7 + p * 13) % 256).toByte
+      out(base + 1) = ((docId * 11 + p * 17) % 256).toByte
+      out(base + 2) = ((docId * 3 + p * 19) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Planted-PPM media table: one synthetic 8×6 image per document.
+    * The generator UDF is FIXTURE code (stands in for a binary scan of
+    * real image files — the corpus ships none), not pipeline code: the
+    * operator under test is the partition-wise decode that consumes it. */
+  def ppmTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => ppmBytes(id))
+    docs.select(col("doc_id"), gen(col("doc_id")).as("content"),
+      lit("image").as("media_type"))
+  }
 
   /** Synthetic media table derived from the documents corpus (the test
     * corpus ships no binary column): payload = UTF-8 bytes of the text,

@@ -103,17 +103,50 @@ object SourceOps {
       |  length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** b02 — partition-wise media decode (stub codec, real plumbing):
-    * binary → per-executor decoder → feature vector → norm. Rows-only:
-    * the fake decoder's hash mix is not SQL-expressible. */
+  /** b02 — partition-wise media decode through a REAL binary parser
+    * ([[Multimodal.PpmDecoder]]): planted fixed-geometry P6 images (one
+    * per doc, channel bytes closed-form in (doc_id, pixel)) stream
+    * through the per-executor-cached decoder, which parses the ASCII
+    * header and computes stride-5 pixel statistics. Full oracle — the
+    * planted arithmetic reproduces every feature relationally in DuckDB
+    * (the m11 planted-through-the-real-path pattern), so a header
+    * fencepost, a sign error on byte widening, or a stride drift breaks
+    * the hash. All features are integer-valued: float32 carries them
+    * exactly. */
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(
-        Multimodal.mediaTable(Tables.documents(s, d)),
-        new Multimodal.FakeDecoderFactory(16))
-      .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        round(graft.expressions.VectorExpressions.arrayNorm(col("features")), 6)
-          .as("feat_norm"))
+        Multimodal.ppmTable(Tables.documents(s, d)),
+        Multimodal.PpmDecoderFactory(stride = 5))
+      .select(col("doc_id"), col("n_bytes"),
+        element_at(col("features"), 1).cast("long").as("width"),
+        element_at(col("features"), 2).cast("long").as("height"),
+        element_at(col("features"), 3).cast("long").as("maxval"),
+        element_at(col("features"), 4).cast("long").as("sum_r"),
+        element_at(col("features"), 5).cast("long").as("sum_g"),
+        element_at(col("features"), 6).cast("long").as("sum_b"),
+        element_at(col("features"), 7).cast("long").as("px_min"),
+        element_at(col("features"), 8).cast("long").as("px_max"))
       .orderBy(col("doc_id"))
+
+  // planted geometry: 8x6 pixels, 11-byte header => 155 bytes; stride 5
+  // samples pixels 0,5,...,45
+  private val mediaFeaturesSql =
+    """WITH px AS (
+      |  SELECT d.doc_id, t.p,
+      |    (d.doc_id * 7 + t.p * 13) % 256 AS r,
+      |    (d.doc_id * 11 + t.p * 17) % 256 AS g,
+      |    (d.doc_id * 3 + t.p * 19) % 256 AS b
+      |  FROM documents d,
+      |       (SELECT unnest(generate_series(0, 47, 5)) AS p) t)
+      |SELECT doc_id, CAST(155 AS BIGINT) AS n_bytes,
+      |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+      |  CAST(255 AS BIGINT) AS maxval,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(least(min(r), min(g), min(b)) AS BIGINT) AS px_min,
+      |  CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS px_max
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** b03 — frame sampling over the video-typed payloads (doc_id % 3 = 2
     * under b01's media-type rotation): up to 8 evenly-strided 32-char
@@ -203,7 +236,7 @@ object SourceOps {
     QueryDef("s08_consolidated_roundtrip", consolidatedRoundtrip,
       Some(consolidatedRoundtripSql)),
     QueryDef("b01_media_table", mediaTable, Some(mediaTableSql)),
-    QueryDef("b02_media_features", mediaFeatures, None),
+    QueryDef("b02_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("s12_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
 }

@@ -74,30 +74,59 @@ class SinksSpec extends SparkSpec {
   }
 
   test("multimodal decode: schema, determinism, and dimensionality") {
-    val media = Multimodal.mediaTable(Tables.documents(spark, sfTiny).limit(30))
+    val media = Multimodal.ppmTable(Tables.documents(spark, sfTiny).limit(30))
     assert(media.schema("content").dataType === BinaryType)
-    val feats = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(16))
+    val feats = Multimodal.extractFeatures(media, Multimodal.PpmDecoderFactory())
     val rows = feats.collect()
     assert(rows.length === 30)
     rows.foreach { r =>
-      assert(r.getSeq[Float](r.fieldIndex("features")).length === 16)
-      assert(Set("image", "audio", "video").contains(r.getString(1)))
+      assert(r.getSeq[Float](r.fieldIndex("features")).length === 8)
+      assert(r.getString(1) === "image")
     }
     // deterministic across runs
-    val again = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(16))
+    val again = Multimodal.extractFeatures(media, Multimodal.PpmDecoderFactory())
       .collect().map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("features")))).toMap
     rows.foreach(r => assert(again(r.getLong(0)) === r.getSeq[Float](r.fieldIndex("features"))))
   }
 
-  test("two pipelines with different featureDims get different decoders") {
+  test("two pipelines with different strides get different decoders") {
     // regression: the per-JVM decoder cache is keyed by factory — an
-    // unkeyed singleton would hand the dim-8 pipeline the dim-16 decoder
-    val media = Multimodal.mediaTable(Tables.documents(spark, sfTiny).limit(5))
-    val d16 = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(16))
-      .collect().map(r => r.getSeq[Float](r.fieldIndex("features")).length).toSet
-    val d8 = Multimodal.extractFeatures(media, new Multimodal.FakeDecoderFactory(8))
-      .collect().map(r => r.getSeq[Float](r.fieldIndex("features")).length).toSet
-    assert(d16 === Set(16))
-    assert(d8 === Set(8))
+    // unkeyed singleton would hand the stride-5 pipeline the stride-1
+    // decoder (channel sums over 48 vs 10 pixels diverge immediately)
+    val media = Multimodal.ppmTable(Tables.documents(spark, sfTiny).limit(5))
+    def sums(stride: Int) =
+      Multimodal.extractFeatures(media, Multimodal.PpmDecoderFactory(stride))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("features"))(3)))
+        .toMap
+    val full = sums(1)
+    val strided = sums(5)
+    assert(full.keySet === strided.keySet)
+    // stride-1 sums 48 pixels, stride-5 only 10 — strictly larger ΣR
+    full.foreach { case (id, sr) => assert(sr > strided(id)) }
+  }
+
+  test("PpmDecoder parses the header and matches the planted closed form") {
+    val dec = new Multimodal.PpmDecoder(stride = 5)
+    val f = dec.decode("image", Multimodal.ppmBytes(42L))
+    assert(f(0) === 8.0f && f(1) === 6.0f && f(2) === 255.0f)
+    val ps = 0 until 48 by 5
+    assert(f(3) === ps.map(p => (42L * 7 + p * 13) % 256).sum.toFloat)
+    assert(f(4) === ps.map(p => (42L * 11 + p * 17) % 256).sum.toFloat)
+    assert(f(5) === ps.map(p => (42L * 3 + p * 19) % 256).sum.toFloat)
+    val all = ps.flatMap(p => Seq((42L * 7 + p * 13) % 256,
+      (42L * 11 + p * 17) % 256, (42L * 3 + p * 19) % 256))
+    assert(f(6) === all.min.toFloat && f(7) === all.max.toFloat)
+    // a non-trivial header (multi-digit dims) parses too
+    val wide = Multimodal.ppmBytes(7L, w = 12, h = 10)
+    val fw = new Multimodal.PpmDecoder().decode("image", wide)
+    assert(fw(0) === 12.0f && fw(1) === 10.0f)
+    // malformed input fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      dec.decode("image", "not a ppm".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated payload
+      dec.decode("image", Multimodal.ppmBytes(1L).dropRight(10))
+    }
   }
 }
