@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe behind SCALE.md: times the heaviest
+  * document-table queries at the base SF and at a synthetic `mult`x
+  * blow-up, printing the per-query ratio. The blow-up keeps the
+  * workload's SHAPE linear: copy i is the base corpus under a
+  * per-copy Caesar substitution (letters rotated by i, case
+  * preserved, ids offset past the base range), so each copy is
+  * isomorphic to the original — organic near-dup structure is
+  * replicated WITHIN copies, while shingles never collide ACROSS
+  * copies (verbatim copies would plant artificial mult-member
+  * cliques and drive the dedup joins super-linear for data reasons,
+  * not engine reasons).
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [bigDir] [mult]
+  */
+object ScaleProbe {
+
+  private val Heaviest = Seq(
+    "c01_corpus_prep", "d10_production_dedup", "t08_winnow_fingerprints",
+    "t05_lang_guess", "s09_model_roundtrip")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val bigDir = if (args.length > 1) args(1) else "/tmp/graft_scale_synth"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    (0 until mult).map { i =>
+      val rotL = lower.drop(i % 26) + lower.take(i % 26)
+      val rotU = upper.drop(i % 26) + upper.take(i % 26)
+      docs
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * (maxId + 1)))
+        .withColumn("text", translate(col("text"), lower + upper, rotL + rotU))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    def run(dir: String, q: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sweep(dir: String): Map[String, Double] = {
+      // clean pool per dataset, same as the bench's family boundaries
+      graft.api.Intermediates.releaseAll(spark)
+      graft.streaming.EventStreams.releaseSinks(spark)
+      spark.catalog.clearCache()
+      Heaviest.map(q => q -> run(dir, q)).toMap
+    }
+    val baseT = sweep(base)
+    val bigT = sweep(bigDir)
+    println(f"| query | ${mult}%dx rows | base s | big s | ratio |")
+    println("|---|---|---|---|---|")
+    Heaviest.foreach { q =>
+      println(f"| $q | x$mult | ${baseT(q)}%.2f | ${bigT(q)}%.2f | " +
+        f"${bigT(q) / baseT(q)}%.1f |")
+    }
+    spark.stop()
+  }
+}

@@ -176,7 +176,12 @@ object SourceOps {
     * amortized cost back. Keyed by (applicationId, sfDir): table NAMES
     * are data-keyed (stable across sessions, overwrite-safe), the cache
     * entry is session-keyed (a fresh session must re-register the name
-    * in its in-memory catalog). */
+    * in its in-memory catalog). Same benign concurrent-session caveat
+    * as csvRoundtrip: the tmpdir path is keyed by applicationId +
+    * dataset, so two APPLICATIONS never collide, but two sessions of
+    * one application sweeping the same dataset would share the write —
+    * fine for the sequential harness, a real deployment buckets into
+    * its warehouse once at ingest. */
   private val bucketedOnce =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
