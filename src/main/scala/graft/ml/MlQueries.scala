@@ -426,6 +426,46 @@ object MlQueries {
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS range_ok, 1 AS label_ok, 1 AS ids_ok""".stripMargin
 
+  /** m15 — quality-classifier filtering through the REAL MLlib
+    * LogisticRegression fit/predict path (the GPT-3-style learned
+    * quality gate: score every document with a classifier trained on a
+    * curated positive set, keep the high scorers — the one standard
+    * pipeline component the engine had no surface for). Oracled with
+    * the m11 planted pattern: training features are planted linearly
+    * separable with a wide margin (class centers ±1, deterministic
+    * jitter ±0.05, L2-regularized so the separable fit stays bounded),
+    * so the learned boundary must classify every point to its planted
+    * class — predictions = doc_id % 2 in closed form, and the oracle
+    * pins the whole assemble→fit→transform path. A real deployment
+    * swaps the planted frame for labeled examples and the same
+    * fit/predict code scores the corpus; scoring is a broadcast of the
+    * tiny coefficient vector — map-only over 100 TB. */
+  def classifierPlanted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegressionModel
+    val frame = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("doc_id") % 2).cast("double").as("label"),
+        ((col("doc_id") % 2) * 2 - 1).cast("double")
+          .plus(((col("doc_id") * 37 % 100).cast("double") / 100 - 0.5) * 0.1)
+          .as("x"))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features")
+      .transform(frame)
+    val model: LogisticRegressionModel =
+      graft.api.Intermediates.memo(s, s"m15-lr|$d") {
+        new org.apache.spark.ml.classification.LogisticRegression()
+          .setRegParam(0.01).setMaxIter(50)
+          .fit(assembled)
+      }
+    model.transform(assembled)
+      .select(col("doc_id"), col("prediction").cast("long").as("pred_class"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val classifierPlantedSql =
+    """SELECT doc_id, doc_id % 2 AS pred_class
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -443,5 +483,7 @@ object MlQueries {
     QueryDef("m13_lda_invariants", ldaInvariants, Some(ldaInvariantsSql)),
     QueryDef("m14_refiner_invariants", refinerInvariants,
       Some(refinerInvariantsSql)),
+    QueryDef("m15_classifier_planted", classifierPlanted,
+      Some(classifierPlantedSql)),
     QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }

@@ -535,6 +535,63 @@ object DedupOps {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** d13 — passage-level dedup (the RefinedWeb/CCNet paragraph-dedup
+    * shape): split each document into consecutive fixed-width token
+    * passages, hash each, and report every passage that recurs — across
+    * documents or within one. Real corpora split on newlines; this
+    * corpus is single-line bag-of-words, so the unit is a 20-token
+    * window (same role, same plan). Removal is the natural follow-up
+    * join (anti-join docs ⋈ dup passages keeping first occurrence) —
+    * the REPORT is the verified operator here, the join is d01/d09's
+    * well-covered shape.
+    *
+    * 100 TB shape: tokenize → generator fanout (map-only, codegen'd) →
+    * ONE groupBy on a 128-bit passage hash — uniform keys, no skew, and
+    * the shuffle carries (hash, doc_id) pairs only, never passage text.
+    * This is the only formulation that survives corpus scale: the
+    * passage universe grows linearly with the corpus and the hash
+    * groupBy distributes it evenly. */
+  private val PassageTokens = 20
+
+  def passageDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L),
+          expr(s"cast((size(ts) - 1) div $PassageTokens as bigint)")))
+          .as("pi"))
+      .select(col("doc_id"),
+        array_join(slice(col("ts"),
+          (col("pi") * PassageTokens + 1).cast("int"),
+          lit(PassageTokens)), " ").as("passage"))
+      .filter(length(col("passage")) > 0)
+      .groupBy(md5(col("passage").cast("binary")).as("passage_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("passage_hash"))
+
+  private val passageDedupSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |              FROM documents),
+       |u AS (SELECT doc_id, ts,
+       |        unnest(generate_series(0, (len(ts) - 1) // $PassageTokens))
+       |          AS pi
+       |      FROM toks),
+       |ch AS (SELECT doc_id,
+       |         array_to_string(
+       |           ts[(pi * $PassageTokens + 1):((pi + 1) * $PassageTokens)],
+       |           ' ') AS passage
+       |       FROM u),
+       |h AS (SELECT md5(passage) AS passage_hash,
+       |        CAST(count(*) AS BIGINT) AS n_copies,
+       |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |        min(doc_id) AS first_doc
+       |      FROM ch WHERE length(passage) > 0 GROUP BY 1)
+       |SELECT passage_hash, n_copies, n_docs, first_doc
+       |FROM h WHERE n_copies > 1 ORDER BY passage_hash""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
@@ -548,6 +605,7 @@ object DedupOps {
     QueryDef("d09_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("d11_incremental_neardup", incrementalNeardup,
       Some(incrementalNeardupSql)),
+    QueryDef("d13_passage_dedup", passageDedup, Some(passageDedupSql)),
     QueryDef("d12_containment_pairs", containmentPairs,
       Some(containmentPairsSql)))
 }

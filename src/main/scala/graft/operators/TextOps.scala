@@ -462,6 +462,48 @@ object TextOps {
        |      $ChunkWidth)) AS chunk_hash
        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** t13 — unigram cross-entropy quality score (the CCNet/Gopher
+    * LM-perplexity filter in its simplest honest form): train a unigram
+    * language model on the corpus itself (term frequency / total
+    * tokens) and score each document by the mean negative log2
+    * probability of its tokens — high surprisal flags gibberish,
+    * low flags boilerplate. Unlike a real KenLM this needs no external
+    * model artifact, so the WHOLE path (train + score) is exact and
+    * relational — a full hash oracle, not a planted one.
+    *
+    * 100 TB shape: one corpus-wide term-frequency aggregation (uniform
+    * hash shuffle), then tokens ⋈ broadcast term-probs (the unigram
+    * table is vocabulary-sized — fits executors at any corpus size
+    * worth training on; a trillion-type vocab would fall back to a
+    * shuffle join on term, same plan minus the hint), then one per-doc
+    * aggregation. Documents with zero tokens drop on both engines (no
+    * tokens, no score — the pipeline gate treats them as P4's
+    * non-empty-doc filter's problem). */
+  def unigramCe(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    toks.join(broadcast(tf), "term").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(log2(col("cnt") / col("total"))) / count(lit(1)), 6)
+          .as("ce_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unigramCeSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokListSql) AS term
+       |              FROM documents),
+       |t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |tf AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  round(-sum(log2(cnt / total)) / count(*), 6) AS ce_bits
+       |FROM t2 JOIN tf USING (term) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
@@ -474,5 +516,6 @@ object TextOps {
     QueryDef("t09_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("t10_repetition_stats", repetitionStats, Some(repetitionStatsSql)),
     QueryDef("t11_redact_pii", redactPii, Some(redactPiiSql)),
-    QueryDef("t12_chunk_docs", chunkDocs, Some(chunkDocsSql)))
+    QueryDef("t12_chunk_docs", chunkDocs, Some(chunkDocsSql)),
+    QueryDef("t13_unigram_ce", unigramCe, Some(unigramCeSql)))
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the r7 quality-signal additions: passage-level dedup
+  * (d13), unigram cross-entropy scoring (t13), and the planted
+  * quality-classifier path (m15). The harness oracle pins the exact
+  * values; these specs pin the properties that make the values RIGHT. */
+class QualitySignalsSpec extends SparkSpec {
+
+  test("d13: every reported passage recurs, and a planted shared passage is found") {
+    val rep = DedupOps.passageDedup(spark, sfTiny).collect()
+    assert(rep.nonEmpty, "corpus near-dups should share at least one passage")
+    rep.foreach { r =>
+      val (n, nd) = (r.getLong(r.fieldIndex("n_copies")),
+        r.getLong(r.fieldIndex("n_docs")))
+      assert(n > 1, "reported passages must recur")
+      assert(nd <= n && nd >= 1, "doc spread bounded by copy count")
+    }
+    // hashes are distinct (one report row per passage)
+    val hs = rep.map(_.getString(0))
+    assert(hs.distinct.length === hs.length)
+  }
+
+  test("t13: cross-entropy is positive, bounded by the uniform-model rate, and token counts agree") {
+    val rows = TextOps.unigramCe(spark, sfTiny).collect()
+    assert(rows.length > 0)
+    // a unigram model's per-token code length is in (0, log2 corpus_tokens]:
+    // p(term) >= 1/total ⇒ -log2 p <= log2 total; p <= 1 ⇒ -log2 p >= 0
+    val totalTokens = rows.map(_.getLong(1)).sum.toDouble
+    val maxBits = math.log(totalTokens) / math.log(2.0)
+    rows.foreach { r =>
+      val bits = r.getDouble(2)
+      assert(bits > 0.0 && bits <= maxBits + 1e-6,
+        s"doc ${r.getLong(0)}: ce=$bits outside (0, $maxBits]")
+    }
+    // n_tokens matches the tokenizer the score averaged over
+    val mismatch = TextOps.unigramCe(spark, sfTiny).as("c")
+      .join(graft.sources.Tables.documents(spark, sfTiny)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("nt")), "doc_id")
+      .filter(col("n_tokens") =!= col("nt")).count()
+    assert(mismatch === 0L)
+  }
+
+  test("m15: the fitted classifier recovers every planted class") {
+    val pred = graft.ml.MlQueries.classifierPlanted(spark, sfTiny)
+      .withColumn("expected", col("doc_id") % 2)
+      .filter(col("pred_class") =!= col("expected"))
+    assert(pred.count() === 0L,
+      "wide-margin separable fit must classify every point to its class")
+  }
+}
