@@ -130,6 +130,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t13: term-probability join broadcasts — no shuffle join on tokens") {
+    // the unigram table is vocabulary-sized: the tokens-side relation
+    // (corpus-scale) must never shuffle on term for the probability
+    // lookup; only the tf agg and the per-doc agg may exchange
+    val p = plan("t13_unigram_ce")
+    assert(p.contains("BroadcastHashJoin"), s"term join lost the broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tokens shuffled on term:\n$p")
+  }
+
+  test("d13: passage report is pure uniform hash aggregation — no joins at all") {
+    val p = plan("d13_passage_dedup")
+    assert(!p.contains("Join"), s"passage dedup should not join:\n$p")
+    // exactly the two-level distinct-agg shape: one exchange on
+    // (passage_hash, doc_id) for the n_docs distinct count, one on
+    // passage_hash for the final report — both keys uniform (128-bit
+    // hashes), nothing else may shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected the two distinct-agg exchanges and nothing more:\n$p")
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
