@@ -27,6 +27,11 @@ object ScaleProbe {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val bigDir = if (args.length > 1) args(1) else "/tmp/graft_scale_synth"
     val mult = if (args.length > 2) args(2).toInt else 10
+    // one substitution alphabet of 26 rotations: copy 26 would equal
+    // copy 0 verbatim and plant exactly the artificial cross-copy
+    // cliques the cipher construction exists to avoid
+    require(mult >= 1 && mult <= 26,
+      s"mult must be in [1, 26] (got $mult): rotations repeat past 26")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -45,21 +50,31 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
+    def clean(): Unit = {
+      // clean pool before every timed run, same as the bench's family
+      // boundaries — memoized fits must be REBUILT inside the timing
+      // (they are the work being scaled), only JIT/codegen stay warm
+      graft.api.Intermediates.releaseAll(spark)
+      graft.streaming.EventStreams.releaseSinks(spark)
+      spark.catalog.clearCache()
+    }
     def run(dir: String, q: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def sweep(dir: String): Map[String, Double] = {
-      // clean pool per dataset, same as the bench's family boundaries
-      graft.api.Intermediates.releaseAll(spark)
-      graft.streaming.EventStreams.releaseSinks(spark)
-      spark.catalog.clearCache()
-      Heaviest.map(q => q -> run(dir, q)).toMap
-    }
-    val baseT = sweep(base)
-    val bigT = sweep(bigDir)
+    // Symmetric warmth: an UNTIMED warm-up run of each query first (the
+    // plan is identical for both dirs, so one warm-up compiles the
+    // generated code and JITs the hot paths for both), then a timed
+    // state-clean run per dir. Without this, whichever dir runs first
+    // pays all one-time compilation and every ratio biases low.
+    val (baseT, bigT) = Heaviest.map { q =>
+      clean(); run(base, q)
+      clean(); val b0 = run(base, q)
+      clean(); val b1 = run(bigDir, q)
+      (q -> b0, q -> b1)
+    }.unzip match { case (a, b) => (a.toMap, b.toMap) }
     println(f"| query | ${mult}%dx rows | base s | big s | ratio |")
     println("|---|---|---|---|---|")
     Heaviest.foreach { q =>

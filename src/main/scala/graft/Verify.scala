@@ -12,7 +12,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var prevFam = ""
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // NAME-SORTED iteration (SparkEntry.queries is a hash Map — bare
+    // foreach visits families interleaved, which would make the boundary
+    // release below fire between most queries and thrash the shared
+    // materializations it exists to protect)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Family-boundary release (same rationale as Bench): a finished
       // family's pinned materializations and streaming memory sinks have
       // no future consumer in the name-sorted sweep — drop them so the

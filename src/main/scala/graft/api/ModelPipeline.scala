@@ -190,7 +190,18 @@ object ModelPipeline {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("rnk"), col("term")))),
           x => x("term")), " / ").as("label"))
-    coh.join(broadcast(labels), Seq("cluster"), "left")
+    // Frame anchored on the ASSIGNMENT-side cluster universe, not the
+    // coherence output: perCluster needs ≥ 2 scored top terms to form a
+    // pair, so a degenerate cluster (one distinct present term) would
+    // silently vanish from an inner-joined report, taking its docs with
+    // it. Left-joining from the sizes relation conserves the corpus by
+    // construction — such a cluster reports a null coherence (no score,
+    // sorted last) instead of disappearing, the same warn-don't-fail
+    // stance as the "Unlabeled" fallback.
+    val sizes = asgSlim.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+    sizes
+      .join(coh.select(col("cluster"), col("coherence")), Seq("cluster"), "left")
+      .join(broadcast(labels), Seq("cluster"), "left")
       .withColumn("label", coalesce(col("label"), lit("Unlabeled")))
       .select(col("cluster"), col("n_docs"), col("coherence"), col("label"))
       .orderBy(col("coherence").desc, col("cluster"))

@@ -395,10 +395,13 @@ object MlQueries {
     * must (1) conserve the corpus — Σ n_docs equals the
     * vectorizable-doc count reproduced relationally from the same
     * mass-ranked vocabulary m03 hash-matches (a report that drops or
-    * double-counts a cluster's docs breaks the hash); (2) keep every
-    * coherence inside its algebraic range — each Mimno-style pair score
-    * is a [0,1] co-occurrence share minus a [0,1] marginal share, so
-    * the per-cluster mean lies in [−1,1]; (3) label every cluster
+    * double-counts a cluster's docs breaks the hash — the report is
+    * anchored on the assignment-side cluster universe precisely so a
+    * degenerate cluster carries a null score instead of vanishing with
+    * its docs); (2) keep every PRESENT coherence inside its algebraic
+    * range — each Mimno-style pair score is a [0,1] co-occurrence share
+    * minus a [0,1] marginal share, so the per-cluster mean lies in
+    * [−1,1], and a null (unscorable cluster) is legal; (3) label every cluster
     * (non-null, non-empty — the "Unlabeled" fallback included); and
     * (4) emit one row per distinct non-negative cluster id. Dense ids
     * are deliberately NOT asserted: the report is the pre-renumber view
@@ -410,7 +413,8 @@ object MlQueries {
     graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
         params = splitParams)
       .agg(sum(col("n_docs")).as("n_docs"),
-        min(when(col("coherence") >= -1 && col("coherence") <= 1, 1)
+        min(when(col("coherence").isNull ||
+          (col("coherence") >= -1 && col("coherence") <= 1), 1)
           .otherwise(0)).as("range_ok"),
         min(when(col("label").isNotNull && col("label") =!= "", 1)
           .otherwise(0)).as("label_ok"),

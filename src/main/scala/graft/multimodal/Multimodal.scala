@@ -43,6 +43,9 @@ object Multimodal {
     * (corrupt payloads must surface, not silently zero-fill). */
   final class PpmDecoder(val stride: Int = 1) extends MediaDecoder {
     override val featureDim: Int = 8
+    /** Per-dimension ceiling (2^14): keeps w·h·3 far from Int overflow
+      * while admitting any realistic raster. */
+    private val MaxDim = 1 << 14
     override def decode(mediaType: String, content: Array[Byte]): Array[Float] = {
       var pos = 0
       def fail(msg: String) =
@@ -59,6 +62,9 @@ object Multimodal {
         while (pos < content.length &&
           content(pos) >= '0' && content(pos) <= '9') {
           v = v * 10 + (content(pos) - '0'); pos += 1
+          // cap during accumulation: a hostile digit run must fail here,
+          // not overflow into a plausible-looking value
+          if (v > MaxDim) fail("integer field too large")
         }
         v
       }
@@ -66,7 +72,19 @@ object Multimodal {
         fail("missing P6 magic")
       pos = 2
       val w = ascInt(); val h = ascInt(); val maxval = ascInt()
-      pos += 1 // single whitespace byte terminates the header
+      // dimension sanity BEFORE any arithmetic: w*h*3 must stay far from
+      // Int overflow, zero-pixel images must not emit the 256/-1 min/max
+      // sentinels as features, and only 1-byte-per-channel payloads are
+      // this decoder's format (maxval > 255 means 2-byte samples)
+      if (w <= 0 || h <= 0) fail(s"degenerate dimensions ${w}x$h")
+      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+      // the header ends in EXACTLY one whitespace byte before pixel
+      // data; anything else (CR LF, comments, junk) would silently shift
+      // every RGB read — fail loudly instead of mis-parsing
+      if (pos >= content.length ||
+        !Character.isWhitespace(content(pos).toChar))
+        fail("header must terminate in one whitespace byte")
+      pos += 1
       val nPx = w * h
       if (content.length - pos < nPx * 3) fail(s"payload short of $nPx pixels")
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -95,7 +113,8 @@ object Multimodal {
   }
 
   // per-executor-JVM cache keyed by factory (two pipelines with
-  // different featureDims must not share one decoder)
+  // different decoder parameterizations — e.g. sampling strides — must
+  // not share one decoder)
   @transient private lazy val cachedDecoders =
     new java.util.concurrent.ConcurrentHashMap[MediaDecoderFactory, MediaDecoder]()
   private def decoder(factory: MediaDecoderFactory): MediaDecoder =

@@ -122,11 +122,16 @@ class SinksSpec extends SparkSpec {
     val fw = new Multimodal.PpmDecoder().decode("image", wide)
     assert(fw(0) === 12.0f && fw(1) === 10.0f)
     // malformed input fails loudly, not silently
-    intercept[IllegalArgumentException] {
-      dec.decode("image", "not a ppm".getBytes("US-ASCII"))
-    }
-    intercept[IllegalArgumentException] { // truncated payload
-      dec.decode("image", Multimodal.ppmBytes(1L).dropRight(10))
-    }
+    def bad(payload: Array[Byte]): Unit =
+      intercept[IllegalArgumentException] { dec.decode("image", payload) }
+    bad("not a ppm".getBytes("US-ASCII"))
+    bad(Multimodal.ppmBytes(1L).dropRight(10)) // truncated payload
+    bad("P6\n0 5\n255\n".getBytes("US-ASCII")) // zero-pixel dims
+    bad(("P6\n65536 65536\n255\n" + "x" * 64).getBytes("US-ASCII")) // dim cap
+    bad("P6\n2 2\n65535\n".getBytes("US-ASCII")) // 2-byte samples unsupported
+    // header not terminated by whitespace must fail, not shift every read
+    val shifted = Multimodal.ppmBytes(1L)
+    shifted(10) = 'X' // the '\n' after maxval in "P6\n8 6\n255\n"
+    bad(shifted)
   }
 }
