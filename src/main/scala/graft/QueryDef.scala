@@ -27,6 +27,7 @@ final case class QueryDef(
 object QueryRegistry {
   def all: Seq[QueryDef] =
     graft.operators.Relational.defs ++
+      graft.operators.TemporalOps.defs ++
       graft.operators.TextOps.defs ++
       graft.operators.EmbeddingOps.defs ++
       graft.operators.DedupOps.defs ++

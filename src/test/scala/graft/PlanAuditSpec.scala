@@ -150,6 +150,25 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the two distinct-agg exchanges and nothing more:\n$p")
   }
 
+  test("q35: as-of join is JOIN-FREE — one union+window pass, one key exchange") {
+    // the naive as-of is an inequality join (BroadcastNestedLoop with a
+    // per-row candidate scan); the engine's shape is tag-union + running
+    // window — no join operator anywhere, and the only hash exchange is
+    // the as-of key's (the final ORDER BY adds a range exchange)
+    val p = plan("q35_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the as-of-key exchange:\n$p")
+  }
+
+  test("q36: range join planned as a bin EQUI-join, never a nested loop") {
+    val p = plan("q36_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to the O(L*R) nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the time bin:\n$p")
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+
+/** Semantic edge cases of the temporal operators — the boundaries the
+  * sf-corpus oracle rows are unlikely to hit on their own: equal-time
+  * inclusivity, tie-breaks, tolerance expiry, radius boundary
+  * inclusion, and pair uniqueness across bin edges. */
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: latest-within-tolerance match, inclusive equal time, max-id tie-break") {
+    val left = Seq(
+      (10L, 1L, 1000L), // key 1 at t=1000
+      (11L, 2L, 500L), // key 2: right rows exist only later -> no match
+      (12L, 3L, 900L) // key 3: only an expired (t=100, tol=500) right row
+    ).toDF("event_id", "k", "us")
+    val right = Seq(
+      (1L, 1L, 400L), // older
+      (2L, 1L, 1000L), // equal time — must match (inclusive)
+      (3L, 1L, 1000L), // equal time, larger id — tie-break winner
+      (4L, 2L, 600L), // after left's 500 — unmatched
+      (5L, 3L, 100L) // within no tolerance of 900 (gap 800 > 500)
+    ).toDF("event_id", "k", "us")
+    val out = TemporalOps.asofJoin(left, right, "k", "us", "event_id",
+        toleranceUs = 500L)
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L) === Some(3L)) // inclusive + max-id among equal times
+    assert(out(11L) === None) // no right row at or before
+    assert(out(12L) === None) // only match is beyond tolerance -> nulled
+  }
+
+  test("asofJoin keeps exactly the left relation's rows") {
+    val left = Seq((1L, 7L, 10L), (2L, 7L, 20L), (3L, 8L, 5L))
+      .toDF("event_id", "k", "us")
+    val right = Seq((9L, 7L, 1L)).toDF("event_id", "k", "us")
+    val out = TemporalOps.asofJoin(left, right, "k", "us", "event_id",
+      toleranceUs = Long.MaxValue / 2)
+    assert(out.count() === 3)
+    assert(out.columns.toSeq === Seq("event_id", "k", "us", "asof"))
+  }
+
+  test("rangeJoinPairs: boundary-inclusive, no duplicate pairs across bins") {
+    val probes = Seq((1L, 1000L)).toDF("p_id", "p_us")
+    val events = Seq(
+      (10L, 900L), // inside
+      (11L, 1100L), // exactly +radius — inclusive
+      (12L, 899L), // exactly -radius-1 — outside
+      (13L, 1101L) // outside
+    ).toDF("event_id", "us")
+    val hits = TemporalOps.rangeJoinPairs(probes, events, "p_us", "us", 100L)
+      .select(col("event_id")).as[Long].collect().sorted
+    assert(hits.toSeq === Seq(10L, 11L))
+    // a probe whose window spans a bin edge still yields each pair once
+    val spanning = Seq((2L, 199L)).toDF("p_id", "p_us") // bins 0 and 1 at w=200
+    val dense = (0L to 400L by 50L).map(t => (t, t)).toDF("event_id", "us")
+    val matched = TemporalOps.rangeJoinPairs(spanning, dense, "p_us", "us", 100L)
+      .select(col("event_id")).as[Long].collect()
+    assert(matched.length === matched.distinct.length)
+    assert(matched.sorted.toSeq === Seq(100L, 150L, 200L, 250L))
+  }
+
+  test("retention cohorts: every cohort has an offset-0 row counting its full cohort") {
+    val out = TemporalOps.retentionCohorts(spark, sfTiny)
+    val day0 = out.filter(col("day_offset") === 0)
+      .agg(sum(col("n_users"))).as[Long].head()
+    val users = graft.sources.Tables.events(spark, sfTiny)
+      .select(col("user_id")).distinct().count()
+    assert(day0 === users) // each user appears in their own cohort's day 0
+    // offsets are non-negative and n_users never exceeds the day-0 cohort size
+    import org.apache.spark.sql.Row
+    val byCohort = out.collect().groupBy { case Row(c, _, _) => c }
+    byCohort.values.foreach { rs =>
+      val sizes = rs.map { case Row(_, off: Long, n: Long) => off -> n }.toMap
+      assert(sizes.keySet.forall(_ >= 0))
+      assert(sizes.values.forall(_ <= sizes(0L)))
+    }
+  }
+}
