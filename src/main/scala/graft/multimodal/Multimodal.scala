@@ -112,6 +112,102 @@ object Multimodal {
     override def create(): MediaDecoder = new PpmDecoder(stride)
   }
 
+  /** Real decoder for RIFF/WAVE audio, PCM16 mono: walks the chunk list
+    * (id + little-endian size, word-aligned — unknown chunks like LIST
+    * or fact are SKIPPED, the property that makes this a real RIFF
+    * parser rather than a fixed-offset reader), validates the `fmt `
+    * contract (PCM format 1, 1 channel, 16-bit, coherent block/byte
+    * rates), then computes amplitude statistics over the `data` payload.
+    * Features (integer-valued, so float32 carries the planted corpus
+    * exactly): [channels, sample rate, bits, n samples, Σ amplitude,
+    * min, max, strict zero crossings]. Malformed input — bad magic,
+    * truncated payload, stereo, 8/24-bit, float PCM, odd data size,
+    * missing chunks — fails loudly (corrupt audio must surface, not
+    * zero-fill). */
+  final class WavDecoder extends MediaDecoder {
+    override val featureDim: Int = 8
+    override def decode(mediaType: String, content: Array[Byte]): Array[Float] = {
+      var pos = 0
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"bad WAV: $msg at byte $pos")
+      def need(n: Int): Unit =
+        if (pos + n > content.length) fail(s"truncated ($n bytes needed)")
+      def u16(): Int = {
+        need(2)
+        val v = (content(pos) & 0xFF) | ((content(pos + 1) & 0xFF) << 8)
+        pos += 2; v
+      }
+      def u32(): Long = {
+        need(4)
+        val v = (content(pos) & 0xFFL) | ((content(pos + 1) & 0xFFL) << 8) |
+          ((content(pos + 2) & 0xFFL) << 16) | ((content(pos + 3) & 0xFFL) << 24)
+        pos += 4; v
+      }
+      def tag(): String = {
+        need(4)
+        val t = new String(content, pos, 4, "US-ASCII"); pos += 4; t
+      }
+      if (tag() != "RIFF") fail("missing RIFF magic")
+      val riffSize = u32()
+      if (riffSize != content.length - 8L)
+        fail(s"RIFF size $riffSize != payload ${content.length - 8}")
+      if (tag() != "WAVE") fail("missing WAVE form type")
+      var sampleRate = 0L; var haveFmt = false
+      var dataAt = -1; var dataSize = 0L
+      while (dataAt < 0 && pos + 8 <= content.length) {
+        val id = tag(); val size = u32()
+        if (pos + size > content.length) fail(s"chunk $id overruns payload")
+        id match {
+          case "fmt " =>
+            if (size < 16) fail(s"fmt chunk too small ($size)")
+            val end = pos + size.toInt
+            val audioFormat = u16()
+            if (audioFormat != 1) fail(s"not integer PCM (format $audioFormat)")
+            val channels = u16()
+            if (channels != 1) fail(s"mono only (got $channels channels)")
+            sampleRate = u32()
+            if (sampleRate <= 0 || sampleRate > 192000)
+              fail(s"implausible sample rate $sampleRate")
+            val byteRate = u32(); val blockAlign = u16(); val bits = u16()
+            if (bits != 16) fail(s"16-bit only (got $bits)")
+            if (blockAlign != 2) fail(s"block align $blockAlign != 2")
+            if (byteRate != sampleRate * 2)
+              fail(s"byte rate $byteRate != rate*2")
+            pos = end // skip any fmt extension bytes
+            haveFmt = true
+          case "data" =>
+            if (!haveFmt) fail("data chunk before fmt")
+            if (size % 2 != 0) fail(s"odd data size $size for 16-bit samples")
+            dataAt = pos; dataSize = size
+          case _ =>
+            pos += size.toInt + (size.toInt & 1) // RIFF chunks word-align
+        }
+      }
+      if (dataAt < 0) fail("no data chunk")
+      val n = (dataSize / 2).toInt
+      var sum = 0L; var lo = 32768; var hi = -32769
+      var zc = 0L; var prev = 0
+      var i = 0
+      while (i < n) {
+        val base = dataAt + i * 2
+        val s = (((content(base + 1) & 0xFF) << 8) | (content(base) & 0xFF)).toShort.toInt
+        sum += s
+        if (s < lo) lo = s
+        if (s > hi) hi = s
+        if (i > 0 && prev * s < 0) zc += 1
+        prev = s
+        i += 1
+      }
+      if (n == 0) { lo = 0; hi = 0 } // no 32768/-32769 sentinels on empty audio
+      Array(1f, sampleRate.toFloat, 16f, n.toFloat,
+        sum.toFloat, lo.toFloat, hi.toFloat, zc.toFloat)
+    }
+  }
+
+  final case class WavDecoderFactory() extends MediaDecoderFactory {
+    override def create(): MediaDecoder = new WavDecoder()
+  }
+
   // per-executor-JVM cache keyed by factory (two pipelines with
   // different decoder parameterizations — e.g. sampling strides — must
   // not share one decoder)
@@ -149,6 +245,45 @@ object Multimodal {
     val gen = udf((id: Long) => ppmBytes(id))
     docs.select(col("doc_id"), gen(col("doc_id")).as("content"),
       lit("image").as("media_type"))
+  }
+
+  /** Deterministic planted PCM16 mono WAV for a doc id: canonical
+    * 44-byte header, 240 samples closed-form in (id, sample index) with
+    * amplitudes in [−200, 200] — every [[WavDecoder]] feature (sums,
+    * extrema, strict zero crossings) reproduces relationally in DuckDB,
+    * and all values stay far inside float32's exact-integer range. */
+  private[graft] def wavBytes(docId: Long, n: Int = 240,
+      rate: Int = 8000): Array[Byte] = {
+    val dataSize = n * 2
+    val out = new Array[Byte](44 + dataSize)
+    def put4(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, off, 4)
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32(off: Int, v: Int): Unit = {
+      le16(off, v & 0xFFFF); le16(off + 2, (v >> 16) & 0xFFFF)
+    }
+    put4(0, "RIFF"); le32(4, 36 + dataSize); put4(8, "WAVE")
+    put4(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    put4(36, "data"); le32(40, dataSize)
+    var i = 0
+    while (i < n) {
+      val v = ((docId * 31 + i * 17) % 401).toInt - 200
+      le16(44 + i * 2, v & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  /** Planted-WAV media table: one synthetic 240-sample clip per
+    * document (fixture generator, same stance as [[ppmTable]]). */
+  def wavTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => wavBytes(id))
+    docs.select(col("doc_id"), gen(col("doc_id")).as("content"),
+      lit("audio").as("media_type"))
   }
 
   /** Synthetic media table derived from the documents corpus (the test

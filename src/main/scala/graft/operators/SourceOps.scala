@@ -148,6 +148,55 @@ object SourceOps {
       |  CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS px_max
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** b04 — partition-wise AUDIO decode through the REAL RIFF/WAVE chunk
+    * parser ([[Multimodal.WavDecoder]]): planted 240-sample PCM16 mono
+    * clips (amplitudes closed-form in (doc_id, sample index)) stream
+    * through the per-executor-cached decoder, which walks the chunk
+    * list, validates the fmt contract, and computes amplitude
+    * statistics. Full oracle — DuckDB reproduces every feature
+    * (including the strict-sign zero-crossing count, a lag-window
+    * reconstruction) from the same arithmetic; a chunk-walk fencepost,
+    * an endianness slip, or a sign-extension bug on the 16-bit decode
+    * breaks the hash. Completes the image (b02) / audio (b04) / video
+    * (b03 frames) modality triple, each behind the one MediaDecoder
+    * trait. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.wavTable(Tables.documents(s, d)),
+        Multimodal.WavDecoderFactory())
+      .select(col("doc_id"), col("n_bytes"),
+        element_at(col("features"), 1).cast("long").as("channels"),
+        element_at(col("features"), 2).cast("long").as("sample_rate"),
+        element_at(col("features"), 3).cast("long").as("bits"),
+        element_at(col("features"), 4).cast("long").as("n_samples"),
+        element_at(col("features"), 5).cast("long").as("sum_amp"),
+        element_at(col("features"), 6).cast("long").as("amp_min"),
+        element_at(col("features"), 7).cast("long").as("amp_max"),
+        element_at(col("features"), 8).cast("long").as("zero_cross"))
+      .orderBy(col("doc_id"))
+
+  // planted clip: 240 samples, 44-byte canonical header => 524 bytes;
+  // amplitude v(i) = ((doc_id*31 + i*17) % 401) - 200
+  private val audioFeaturesSql =
+    """WITH smp AS (
+      |  SELECT d.doc_id, t.i,
+      |    ((d.doc_id * 31 + t.i * 17) % 401) - 200 AS v
+      |  FROM documents d,
+      |       (SELECT unnest(generate_series(0, 239)) AS i) t),
+      |seq AS (
+      |  SELECT doc_id, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM smp)
+      |SELECT doc_id, CAST(524 AS BIGINT) AS n_bytes,
+      |  CAST(1 AS BIGINT) AS channels, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits, CAST(240 AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS sum_amp,
+      |  CAST(min(v) AS BIGINT) AS amp_min,
+      |  CAST(max(v) AS BIGINT) AS amp_max,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+      |FROM seq GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** b03 — frame sampling over the video-typed payloads (doc_id % 3 = 2
     * under b01's media-type rotation): up to 8 evenly-strided 32-char
     * frames per payload, one row per frame with its content digest.
@@ -243,5 +292,6 @@ object SourceOps {
     QueryDef("b01_media_table", mediaTable, Some(mediaTableSql)),
     QueryDef("b02_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)),
+    QueryDef("b04_audio_features", audioFeatures, Some(audioFeaturesSql)),
     QueryDef("s12_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
 }

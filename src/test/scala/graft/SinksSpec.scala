@@ -134,4 +134,40 @@ class SinksSpec extends SparkSpec {
     shifted(10) = 'X' // the '\n' after maxval in "P6\n8 6\n255\n"
     bad(shifted)
   }
+
+  test("WavDecoder walks RIFF chunks and matches the planted closed form") {
+    val dec = new Multimodal.WavDecoder()
+    val f = dec.decode("audio", Multimodal.wavBytes(42L))
+    val amps = (0 until 240).map(i => ((42L * 31 + i * 17) % 401).toInt - 200)
+    assert(f(0) === 1.0f && f(1) === 8000.0f && f(2) === 16.0f)
+    assert(f(3) === 240.0f)
+    assert(f(4) === amps.sum.toFloat)
+    assert(f(5) === amps.min.toFloat && f(6) === amps.max.toFloat)
+    val zc = amps.sliding(2).count(p => p(0) * p(1) < 0)
+    assert(f(7) === zc.toFloat)
+    // a REAL parser skips unknown chunks: splice a junk chunk between
+    // fmt and data (a fixed-offset reader would mis-read every sample)
+    val base = Multimodal.wavBytes(42L)
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++
+      "extra!".getBytes("US-ASCII")
+    val spliced = base.slice(0, 36) ++ junk ++ base.drop(36)
+    // patch the RIFF size for the inserted 14 bytes
+    val riffSize = spliced.length - 8
+    for (b <- 0 until 4) spliced(4 + b) = ((riffSize >> (8 * b)) & 0xFF).toByte
+    assert(dec.decode("audio", spliced).toSeq === f.toSeq)
+    // malformed input fails loudly, not silently
+    def bad(mutate: Array[Byte] => Array[Byte]): Unit =
+      intercept[IllegalArgumentException] {
+        dec.decode("audio", mutate(Multimodal.wavBytes(1L)))
+      }
+    bad(_ => "not a wav".getBytes("US-ASCII"))
+    bad(_.dropRight(10)) // truncated: RIFF size no longer matches
+    bad { w => w(22) = 2; w } // stereo rejected
+    bad { w => w(34) = 8; w } // 8-bit rejected
+    bad { w => w(20) = 3; w } // float PCM rejected
+    bad { w => w(39) = 'x'; w } // no data chunk found ("datx")
+    // odd data size: shrink the declared data chunk by one byte
+    bad { w => w(40) = (w(40) - 1).toByte; w(4) = (w(4) - 1).toByte
+      w.dropRight(1) }
+  }
 }
