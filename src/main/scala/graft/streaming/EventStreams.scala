@@ -440,8 +440,38 @@ object EventStreams {
       |      + INTERVAL 3 HOUR <= m
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** s13 — stream-static enrichment join, the at-ingest dimension
+    * lookup every deployment runs (events → customer segment here;
+    * doc → license/source metadata in a training-data ingest): the
+    * event stream inner-joins a BATCH dimension relation broadcast per
+    * micro-batch (stateless — neither side buffers join state, unlike
+    * the stream-stream s07), then aggregates per segment in complete
+    * mode. The oracle is the identical batch join+agg. At 100 TB the
+    * dimension is broadcast-sized by definition (segments, licenses,
+    * languages); a data-scale dimension would bucket at ingest (s12)
+    * instead. */
+  def streamEnriched(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val dim = graft.sources.Tables.customer(ss, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = readEvents(ss, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("value"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    runToMemory(joined, "complete", "s13_stream_enriched")
+      .orderBy(col("segment"))
+  }
+
+  private val streamEnrichedSql =
+    """SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+      |  round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1 ORDER BY segment""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
+    QueryDef("s13_stream_enriched", streamEnriched, Some(streamEnrichedSql)),
     QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("s05_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("s06_stream_sliding", streamSliding,

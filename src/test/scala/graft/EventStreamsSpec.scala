@@ -208,6 +208,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s13 stream-static enrichment reproduces the batch dimension join") {
+    val streamed = EventStreams.streamEnriched(spark, sfTiny)
+      .collect().map(_.toSeq)
+    val batch = graft.sources.Tables.events(spark, sfTiny)
+      .join(graft.sources.Tables.customer(spark, sfTiny)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("value"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("segment"))
+      .collect().map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("s05 streaming dedup collapses at-least-once replay to the distinct id set") {
     import spark.implicits._
     val got = EventStreams.streamDedup(spark, sfTiny)
