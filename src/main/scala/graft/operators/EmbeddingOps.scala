@@ -377,6 +377,65 @@ object EmbeddingOps {
       |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")} AS b_id
       |FROM embeddings ORDER BY a_id""".stripMargin
 
+  /** e10 — PRODUCTION semantic dedup (the SemDeDup shape, d10's
+    * composition for the embedding modality): the FULL corpus is
+    * cell-partitioned by the real IVF coarse quantizer ([[ivfBuild]] —
+    * shared memo with e07, it is the same index), near-duplicate edges
+    * are generated by an all-pairs cosine pass WITHIN each cell only
+    * (an equi-join on the cell id — never a corpus×corpus cross join),
+    * and the ≥ 0.95 pair graph collapses through the d07 connected
+    * components to one representative per component. At scale the cell
+    * count grows ∝ √n so per-cell quadratic work stays linear overall
+    * (the SemDeDup trade: cross-cell near-dups are out of reach by
+    * design — the planted proof below only relies on same-cell
+    * recall, which the quantizer guarantees for identical vectors);
+    * production would feed the e09 int8 vectors through the same plan
+    * to shrink the cell shuffle 4×.
+    *
+    * Oracle (planted clique-collapse proof, closed form): corpus ∪
+    * id-shifted identical copy ⇒ every copy lands in its original's
+    * cell (deterministic nearest-center of identical features), every
+    * planted pair scores cosine 1.0 ≥ 0.95, and NO native pair
+    * qualifies (max native cosine ≤ 0.61 at every shipped SF, measured;
+    * isotropic 64-dim noise keeps it far from 0.95 at any n) — so the
+    * components are exactly the planted twins: base rows keep
+    * (component = own id), copies collapse onto their originals. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.api.Intermediates.memo(s, s"semdedup|$d") {
+      val (union, off) = DedupOps.plantedUnion(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+      val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$IvfCells") {
+        ivfBuild(union)
+      }
+      val cells = index.assigned
+        .select(col("cell"), col("vec_id"), col("embedding"))
+      val a = cells.select(col("cell"), col("vec_id").as("src"),
+        col("embedding").as("a_emb"))
+      val b = cells.select(col("cell"), col("vec_id").as("dst"),
+        col("embedding").as("b_emb"))
+      val edges = a.join(b, Seq("cell"))
+        .filter(col("src") < col("dst"))
+        .filter(fastCosine(col("a_emb"), col("b_emb")) >= 0.95)
+        .select(col("src"), col("dst"))
+      val nodes = union.select(col("vec_id").as("id"))
+      GraphOps.connectedComponents(nodes, edges,
+        maxRounds = VerifyWindow.CcMaxRounds)
+    }
+    labels
+      .select(col("id").as("vec_id"), col("component"),
+        (col("id") === col("component")).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticDedupSql =
+    s"""SELECT vec_id, vec_id AS component, 1 AS keep FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")}
+      |    AS vec_id,
+      |  vec_id AS component, 0 AS keep
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   /** e09 — int8 symmetric scalar quantization with a reconstruction
     * error-bound oracle (the standard embedding-storage optimization:
     * 4× smaller vectors for ANN shortlists, exact re-rank on demand).
@@ -431,6 +490,7 @@ object EmbeddingOps {
     QueryDef("e07_ivf_planted_recall", ivfPlantedRecall, Some(ivfPlantedRecallSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
+    QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("e09_quantize_embeddings", quantizeEmbeddings,
       Some(quantizeEmbeddingsSql)))
 }

@@ -574,7 +574,8 @@ object Relational {
     QueryDef("q32_approx_percentile", approxPercentileBound,
       Some(approxPercentileBoundSql)),
     QueryDef("q33_bloom_filter", bloomFilterCheck, Some(bloomFilterCheckSql)),
-    QueryDef("q34_count_min", countMinBound, Some(countMinBoundSql)))
+    QueryDef("q34_count_min", countMinBound, Some(countMinBoundSql)),
+    QueryDef("q38_freq_items", freqItemsBound, Some(freqItemsBoundSql)))
 
   /** q32 — approximate-median rank-error bound (completes the sketch
     * family's oracle coverage with q21's HLL and q33's Bloom filter):
@@ -687,6 +688,40 @@ object Relational {
       |        ORDER BY n_true DESC, l_partkey LIMIT 20)
       |SELECT l_partkey, n_true, 1 AS no_undercount, 1 AS within_bound
       |FROM top ORDER BY l_partkey""".stripMargin
+
+  /** q38 — frequent-items sketch contract (fifth and last sketch
+    * family: HLL q21, GK q32, Bloom q33, CMS q34): `df.stat.freqItems`
+    * is the one-pass, mergeable Karp-Papadimitriou-Shenker candidate
+    * pass — at 100 TB the cheap pre-filter that turns "group the whole
+    * hot column" into "count 1/support candidates exactly". Its
+    * defining guarantee is SUPERSET: every value with frequency >
+    * support appears in the result (false positives allowed, so the
+    * candidate list itself stays engine-specific and out of the
+    * compared columns). Checked over the exact hitters: one row per
+    * true frequent item with its exact count and the membership flag
+    * the guarantee forces to 1. Support 0.10 makes every l_linenumber
+    * value (~1/7 ≈ 14% each) a true hitter at every SF — 7 asserted
+    * rows, no razor-thin threshold bets. */
+  def freqItemsBound(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_linenumber"))
+    // k-bounded driver fetch: the sketch row carries ≤ ~1/support items
+    val sketch = li.stat.freqItems(Seq("l_linenumber"), 0.10)
+      .head().getSeq[Any](0).toSeq
+    val total = li.count()
+    li.groupBy(col("l_linenumber")).agg(count(lit(1)).as("n_true"))
+      .filter(col("n_true") > lit(total * 0.10))
+      .select(col("l_linenumber"), col("n_true"),
+        col("l_linenumber").isin(sketch: _*).cast("int").as("in_sketch"))
+      .orderBy(col("l_linenumber"))
+  }
+
+  private val freqItemsBoundSql =
+    """WITH exact AS (SELECT l_linenumber, CAST(count(*) AS BIGINT) AS n_true
+      |              FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_true) AS BIGINT) AS total FROM exact)
+      |SELECT e.l_linenumber, e.n_true, 1 AS in_sketch
+      |FROM exact e, t WHERE e.n_true > 0.10 * t.total
+      |ORDER BY l_linenumber""".stripMargin
 
   /** q31 — ordered-step funnel (view → click → purchase): per user, the
     * first view, the first click strictly AFTER it, the first purchase

@@ -164,6 +164,35 @@ class DedupInvariantSpec extends SparkSpec {
     assert(flagged.filter(_ > maxId).subsetOf(leakable))
   }
 
+  test("e10 semantic dedup collapses each planted twin onto its original, keeps the rest") {
+    import spark.implicits._
+    val out = graft.operators.EmbeddingOps.semanticDedup(spark, sfTiny)
+      .select(col("vec_id"), col("component"), col("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val base = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val maxId = base.max
+    // every base vector is its own component representative
+    out.filter { case (id, _, _) => id <= maxId }.foreach {
+      case (id, comp, keep) =>
+        assert(comp === id && keep === 1, s"base $id must keep itself")
+    }
+    // every planted copy collapsed onto a base id and was dropped
+    out.filter { case (id, _, _) => id > maxId }.foreach {
+      case (id, comp, keep) =>
+        assert(base.contains(comp) && keep === 0,
+          s"copy $id must collapse onto its original")
+    }
+    assert(out.count(_._3 == 1) === base.size)
+  }
+
+  test("q38 freqItems result is a superset of every true frequent item") {
+    val out = graft.operators.Relational.freqItemsBound(spark, sfTiny)
+    // the sketch's defining guarantee, asserted over the exact hitters
+    val flags = out.select(col("in_sketch")).collect().map(_.getInt(0))
+    assert(flags.nonEmpty && flags.forall(_ === 1))
+  }
+
   test("d08 drops every re-submitted doc and keeps every novel one") {
     import spark.implicits._
     val kept = DedupOps.incrementalDedup(spark, sfTiny)
