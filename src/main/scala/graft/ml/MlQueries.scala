@@ -470,6 +470,51 @@ object MlQueries {
     """SELECT doc_id, doc_id % 2 AS pred_class
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** m16 — hyperparameter selection through the REAL MLlib
+    * CrossValidator (3-fold, areaUnderROC, regParam grid {0.01, 0.1,
+    * 1.0}) over m15's planted wide-margin frame. The oracle logic: L2
+    * regularization shrinks the coefficient MAGNITUDE but never flips
+    * its sign on linearly separable data, so every grid point's decision
+    * boundary classifies every point to its planted class — whichever
+    * model the evaluator crowns, bestModel predictions = doc_id % 2 in
+    * closed form (the selection itself stays engine-specific and out of
+    * the compared columns). Pins the whole grid→fold→fit→select→refit
+    * machinery; a real deployment swaps the planted frame and grid for
+    * its own. Fold fits are driver-orchestrated jobs over partitioned
+    * data — at scale each fit is distributed; CV multiplies cost by
+    * |grid|·folds, which is why the gate ships with a 3×3 grid, not a
+    * sweep. */
+  def crossValPlanted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val frame = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("doc_id") % 2).cast("double").as("label"),
+        ((col("doc_id") % 2) * 2 - 1).cast("double")
+          .plus(((col("doc_id") * 37 % 100).cast("double") / 100 - 0.5) * 0.1)
+          .as("x"))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features")
+      .transform(frame)
+    val best = graft.api.Intermediates.memo(s, s"m16-cv|$d") {
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(50)
+      val grid = new ParamGridBuilder()
+        .addGrid(lr.regParam, Array(0.01, 0.1, 1.0)).build()
+      new CrossValidator()
+        .setEstimator(lr)
+        .setEvaluator(
+          new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator())
+        .setEstimatorParamMaps(grid)
+        .setNumFolds(3).setSeed(123)
+        .fit(assembled)
+    }
+    best.transform(assembled)
+      .select(col("doc_id"), col("prediction").cast("long").as("pred_class"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val crossValPlantedSql = classifierPlantedSql
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -489,5 +534,7 @@ object MlQueries {
       Some(refinerInvariantsSql)),
     QueryDef("m15_classifier_planted", classifierPlanted,
       Some(classifierPlantedSql)),
+    QueryDef("m16_crossval_planted", crossValPlanted,
+      Some(crossValPlantedSql)),
     QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }

@@ -288,7 +288,7 @@ object DedupOps {
     * `where` restricts the max-id probe when the Spark side derives the
     * offset from a filtered relation (d06's verification window) — the
     * two sides must measure the SAME max or the planted ids diverge. */
-  private[operators] def plantOffsetSql(idCol: String, table: String,
+  private[graft] def plantOffsetSql(idCol: String, table: String,
                                         where: String = ""): String =
     s"greatest(1000000, CAST('1' || repeat('0', " +
       s"length(CAST((SELECT max($idCol) FROM $table $where) AS VARCHAR))) AS BIGINT))"

@@ -440,6 +440,63 @@ object EventStreams {
       |      + INTERVAL 3 HOUR <= m
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Streaming scan of the documents table (same glob-filter shape as
+    * [[readEvents]]) — the ingest-side source for streaming dedup. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** s14 — STREAMING ingest dedup (d08's steady-state exact-dedup shape
+    * on the live path): the incoming document stream — novel docs plus
+    * crawl re-fetches of already-stored content under fresh ids, d08's
+    * exact scenario — is digest-anti-joined per micro-batch against the
+    * STATIC stored digest index, emitting only novel doc ids. The
+    * anti-join is stream-static left-outer + null filter: STATELESS
+    * (nothing buffers across batches; the index is broadcast per
+    * micro-batch), so the streaming plan carries no state store at all
+    * and the batch oracle (d08's SQL) transfers row-for-row. This is
+    * the at-ingest dedup every 100 TB pipeline runs before anything
+    * else touches a new crawl shard; the stored index at scale is the
+    * bucketed digest table (s12) rather than a broadcast. */
+  def streamIngestDedup(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val docsStatic = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(docsStatic, "doc_id"))
+    val stream = readDocuments(ss, d).select(col("doc_id"), col("text"))
+    val incoming = stream.filter(col("doc_id") % 2 === 1)
+      .unionByName(stream
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+    val seen = docsStatic.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text").cast("binary")).as("text_hash")).distinct()
+      .withColumn("__seen", lit(1))
+    val novel = incoming
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .join(broadcast(seen), Seq("text_hash"), "left_outer")
+      .filter(col("__seen").isNull)
+      .select(col("doc_id"))
+    runToMemory(novel, "append", "s14_stream_ingest_dedup")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Identical oracle to d08: the stream must reproduce the batch
+    * incremental dedup exactly. */
+  private val streamIngestDedupSql =
+    s"""WITH inc AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + ${graft.operators.DedupOps.plantOffsetSql(
+            "doc_id", "documents")}, text
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
+      |seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |         WHERE doc_id % 2 = 0)
+      |SELECT doc_id FROM inc WHERE md5(text) NOT IN (SELECT h FROM seen)
+      |ORDER BY doc_id""".stripMargin
+
   /** s13 — stream-static enrichment join, the at-ingest dimension
     * lookup every deployment runs (events → customer segment here;
     * doc → license/source metadata in a training-data ingest): the
@@ -472,6 +529,8 @@ object EventStreams {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
     QueryDef("s13_stream_enriched", streamEnriched, Some(streamEnrichedSql)),
+    QueryDef("s14_stream_ingest_dedup", streamIngestDedup,
+      Some(streamIngestDedupSql)),
     QueryDef("s04_stream_sessions", streamSessions, Some(streamSessionsSql)),
     QueryDef("s05_stream_dedup", streamDedup, Some(streamDedupSql)),
     QueryDef("s06_stream_sliding", streamSliding,

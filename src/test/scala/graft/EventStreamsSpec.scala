@@ -225,6 +225,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s14 streaming ingest dedup reproduces the batch incremental dedup") {
+    import spark.implicits._
+    val streamed = EventStreams.streamIngestDedup(spark, sfTiny)
+      .as[Long].collect().toSeq
+    val batch = graft.operators.DedupOps.incrementalDedup(spark, sfTiny)
+      .as[Long].collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("s05 streaming dedup collapses at-least-once replay to the distinct id set") {
     import spark.implicits._
     val got = EventStreams.streamDedup(spark, sfTiny)

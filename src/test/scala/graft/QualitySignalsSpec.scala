@@ -52,4 +52,12 @@ class QualitySignalsSpec extends SparkSpec {
     assert(pred.count() === 0L,
       "wide-margin separable fit must classify every point to its class")
   }
+
+  test("m16: cross-validated best model recovers every planted class") {
+    val pred = graft.ml.MlQueries.crossValPlanted(spark, sfTiny)
+      .withColumn("expected", col("doc_id") % 2)
+      .filter(col("pred_class") =!= col("expected"))
+    assert(pred.count() === 0L,
+      "every grid point separates the planted frame; so must the winner")
+  }
 }
