@@ -219,6 +219,43 @@ object SourceOps {
       |    AS frame_hash
       |FROM u ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** s15 — partitioned data-lake sink + partition-PRUNED scan (the
+    * standard 100 TB corpus layout: shard by a low-cardinality ingest
+    * dimension — language, source, date — so per-slice jobs read only
+    * their directories): documents written `partitionBy(lang)`, read
+    * back with a `lang = 'en'` predicate that must resolve at the FILE
+    * INDEX level (PlanAuditSpec pins `PartitionFilters` on the scan —
+    * the non-en directories are never opened, which at 100 TB is the
+    * difference between scanning 2 TB and 100 TB). Oracle is the plain
+    * filtered table — any divergence in partition encode/decode (nulls,
+    * escaping, type inference) breaks the hash. Write-once per
+    * (application, dataset) like [[bucketedTables]]; same benign
+    * concurrent-session tmpdir caveat. */
+  def partitionedSink(s: SparkSession, d: String): DataFrame = {
+    val dir = partitionedOnce.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + d, _ => {
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_s15_${s.sparkContext.applicationId}_" +
+            Integer.toHexString(d.hashCode)).getAbsolutePath
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"),
+            col("n_chars"), col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(path)
+        path
+      })
+    s.read.parquet(dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val partitionedOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val partitionedSinkSql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
   /** Write-once cache for the bucketed table pair: bucketing pays its
     * one-time shuffle-and-write so every LATER join on the bucket key is
     * exchange-free — re-writing per bench run would charge the
@@ -293,5 +330,7 @@ object SourceOps {
     QueryDef("b02_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("b04_audio_features", audioFeatures, Some(audioFeaturesSql)),
-    QueryDef("s12_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
+    QueryDef("s12_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    QueryDef("s15_partitioned_sink", partitionedSink,
+      Some(partitionedSinkSql)))
 }

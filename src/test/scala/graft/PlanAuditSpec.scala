@@ -169,6 +169,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected an equi-join on the time bin:\n$p")
   }
 
+  test("s15: the lang predicate resolves as a PARTITION filter, not a row filter") {
+    // the partitioned layout's whole point: the scan's file index drops
+    // the non-en directories before any file is opened
+    val p = plan("s15_partitioned_sink")
+    assert("PartitionFilters: \\[isnotnull\\(lang".r.findFirstIn(p).isDefined,
+      s"lang must prune at the file index:\n$p")
+    assert(p.contains("= en"), s"the en partition filter is missing:\n$p")
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
