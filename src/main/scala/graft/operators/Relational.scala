@@ -575,7 +575,8 @@ object Relational {
       Some(approxPercentileBoundSql)),
     QueryDef("q33_bloom_filter", bloomFilterCheck, Some(bloomFilterCheckSql)),
     QueryDef("q34_count_min", countMinBound, Some(countMinBoundSql)),
-    QueryDef("q38_freq_items", freqItemsBound, Some(freqItemsBoundSql)))
+    QueryDef("q38_freq_items", freqItemsBound, Some(freqItemsBoundSql)),
+    QueryDef("q39_welford_var", welfordVariance, Some(welfordVarianceSql)))
 
   /** q32 — approximate-median rank-error bound (completes the sketch
     * family's oracle coverage with q21's HLL and q33's Bloom filter):
@@ -875,4 +876,32 @@ object Relational {
       |                      FROM orders o2
       |                      WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q39 — custom typed `Aggregator` (SURVEY §2.13 UDAF row): sample
+    * variance of `l_quantity` per return flag through
+    * [[graft.functions.StatAggregators.WelfordVar]] — Welford's online
+    * update with Chan's parallel merge, the formulation whose partial
+    * states combine associatively across the partial-agg tree. The oracle
+    * is DuckDB's `var_samp`, so the row proves the hand-written
+    * reduce/merge/finish contract end-to-end against an independent
+    * engine, not against Spark's own `var_samp`. Scale shape: one pass,
+    * map-side partials, O(1) buffer per group — a typed `Aggregator`
+    * plans as ObjectHashAggregate (off the codegen path, the documented
+    * cost of the UDAF surface vs the relational decompositions used
+    * everywhere else, e.g. ProbCoherence). */
+  def welfordVariance(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(avg(col("l_quantity")), 6).as("mean_qty"),
+        round(graft.functions.StatAggregators
+          .welfordVar(col("l_quantity").cast("double")), 6).as("var_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val welfordVarianceSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(avg(l_quantity), 6) AS mean_qty,
+      |       round(var_samp(l_quantity), 6) AS var_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 }
