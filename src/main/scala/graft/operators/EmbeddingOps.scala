@@ -272,6 +272,28 @@ object EmbeddingOps {
   val IvfCells = 16
   val IvfProbes = 4
 
+  /** Upper bound on the quantizer's cell count: past it the flat
+    * k-means assignment itself becomes the bottleneck (O(n·cells) dot
+    * products) and a production index would switch to a two-level
+    * coarse quantizer (IVF-in-IVF); the degenerate-cell guard in
+    * [[semanticDedup]] keeps the within-cell pass bounded even in the
+    * capped regime. */
+  val IvfMaxCells = 65536
+
+  /** Target mean cell population the quantizer aims for — the SemDeDup
+    * regime (cells ∝ corpus size at fixed cell load) that keeps the
+    * within-cell all-pairs pass LINEAR in the corpus: per-cell work is
+    * O(targetCellSize²) regardless of n. */
+  val IvfTargetCellSize = 256L
+
+  /** Corpus-scaled cell count: n/targetCellSize, floored at the legacy
+    * 16 (so every shipped SF — ≤4000 vectors even in the planted-union
+    * harnesses — builds the identical 16-cell index the recall oracles
+    * were validated on) and capped at [[IvfMaxCells]]. */
+  private[graft] def ivfCellsFor(n: Long): Int =
+    math.max(IvfCells.toLong,
+      math.min(IvfMaxCells.toLong, n / IvfTargetCellSize)).toInt
+
   /** A built IVF index: cell-assigned vectors + the quantizer's centers.
     * Built ONCE per (relation, cells) — the index is the expensive part;
     * every query probes it. */
@@ -336,8 +358,12 @@ object EmbeddingOps {
     * corpus is isotropic noise — real recall behavior is pinned by the
     * planted-structure fixture in SkewOpsSpec. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
-    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$IvfCells") {
-      ivfBuild(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // metadata-only count: sizes the quantizer BEFORE the build so the
+    // memo key pins the cell count the index was actually built with
+    val cells = ivfCellsFor(emb.count())
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(emb, cells)
     }
     ivfTopK(index, queryId = 0, k = 20)
   }
@@ -355,12 +381,14 @@ object EmbeddingOps {
     * self-join, which would be O(n²/cells) at scale). Full DuckDB
     * oracle: one row per corpus vector. */
   def ivfPlantedRecall(s: SparkSession, d: String): DataFrame = {
-    val (union, off) = DedupOps.plantedUnion(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (union, off) = DedupOps.plantedUnion(base, "vec_id")
     // memoized like e05's index: the k-means build is the expensive part
-    // and is identical across bench runs
-    val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$IvfCells") {
-      ivfBuild(union)
+    // and is identical across bench runs. The quantizer is sized from
+    // the UNION row count (2× the corpus) — the relation it indexes.
+    val cells = ivfCellsFor(2L * base.count())
+    val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$cells") {
+      ivfBuild(union, cells)
     }
     val a = index.assigned.filter(col("vec_id") < off)
       .select(col("vec_id").as("a_id"), col("cell").as("a_cell"))
@@ -384,13 +412,18 @@ object EmbeddingOps {
     * are generated by an all-pairs cosine pass WITHIN each cell only
     * (an equi-join on the cell id — never a corpus×corpus cross join),
     * and the ≥ 0.95 pair graph collapses through the d07 connected
-    * components to one representative per component. At scale the cell
-    * count grows ∝ √n so per-cell quadratic work stays linear overall
-    * (the SemDeDup trade: cross-cell near-dups are out of reach by
-    * design — the planted proof below only relies on same-cell
-    * recall, which the quantizer guarantees for identical vectors);
-    * production would feed the e09 int8 vectors through the same plan
-    * to shrink the cell shuffle 4×.
+    * components to one representative per component. The cell count
+    * grows with the corpus ([[ivfCellsFor]]: n/[[IvfTargetCellSize]],
+    * the SemDeDup regime) so per-cell work is O(targetCellSize²) at
+    * ANY n and the pair pass stays linear overall; a degenerate-cell
+    * guard (16× the mean cell load, mirroring
+    * [[DedupOps.scaledBucketCap]]) excludes any hot cell the quantizer
+    * mis-balances, so one collapsed cell can never go quadratic — its
+    * vectors simply keep themselves, logged loudly (the SemDeDup trade:
+    * cross-cell near-dups are out of reach by design — the planted
+    * proof below only relies on same-cell recall, which the quantizer
+    * guarantees for identical vectors); production would feed the e09
+    * int8 vectors through the same plan to shrink the cell shuffle 4×.
     *
     * Oracle (planted clique-collapse proof, closed form): corpus ∪
     * id-shifted identical copy ⇒ every copy lands in its original's
@@ -399,24 +432,68 @@ object EmbeddingOps {
     * qualifies (max native cosine ≤ 0.61 at every shipped SF, measured;
     * isotropic 64-dim noise keeps it far from 0.95 at any n) — so the
     * components are exactly the planted twins: base rows keep
-    * (component = own id), copies collapse onto their originals. */
+    * (component = own id), copies collapse onto their originals. Both
+    * planting assumptions are now ASSERTED on the edge set (one count
+    * over the tiny edge frame): a native/cross pair that qualifies, a
+    * zero-norm embedding whose planted edge vanishes (cosine null), or
+    * a guard-dropped cell each fail loudly with the violated assumption
+    * named, instead of as a bare downstream hash mismatch. */
+  /** The guarded within-cell pair pass behind [[semanticDedup]]:
+    * all-pairs cosine ≥ `threshold` restricted to each cell of a
+    * (cell, vec_id, embedding) assignment. Degenerate-cell guard: a
+    * cell past 16× the mean load (floor 4× the target cell size) is
+    * the quantizer failing on that region (duplicate-heavy or
+    * collapsed data), and its all-pairs pass would be the one
+    * quadratic stage in the plan — excluded cells keep their vectors
+    * un-deduped (self-component): graceful degradation, loudly logged.
+    * The guard count is near-free (a 1-column agg over ids). */
+  private[graft] def withinCellEdges(assigned: DataFrame, nTotal: Long,
+                                     nCells: Int,
+                                     threshold: Double = 0.95): DataFrame = {
+    val cap = DedupOps.scaledBucketCap(nTotal, nCells.toLong,
+      4L * IvfTargetCellSize)
+    val cellSizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+    val hot = cellSizes.filter(col("cell_n") > cap).count()
+    if (hot > 0)
+      System.err.println(s"[semdedup] $hot/$nCells cells exceed the " +
+        s"degenerate-cell cap ($cap) and are excluded from the pair pass")
+    val cells = assigned
+      .join(cellSizes.filter(col("cell_n") <= cap).select(col("cell")), Seq("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("a_emb"))
+    val b = cells.select(col("cell"), col("vec_id").as("dst"),
+      col("embedding").as("b_emb"))
+    a.join(b, Seq("cell"))
+      .filter(col("src") < col("dst"))
+      .filter(fastCosine(col("a_emb"), col("b_emb")) >= threshold)
+      .select(col("src"), col("dst"))
+  }
+
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val labels = graft.api.Intermediates.memo(s, s"semdedup|$d") {
-      val (union, off) = DedupOps.plantedUnion(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
-      val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$IvfCells") {
-        ivfBuild(union)
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val nBase = base.count()
+      val (union, off) = DedupOps.plantedUnion(base, "vec_id")
+      val nCells = ivfCellsFor(2L * nBase)
+      val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$nCells") {
+        ivfBuild(union, nCells)
       }
-      val cells = index.assigned
-        .select(col("cell"), col("vec_id"), col("embedding"))
-      val a = cells.select(col("cell"), col("vec_id").as("src"),
-        col("embedding").as("a_emb"))
-      val b = cells.select(col("cell"), col("vec_id").as("dst"),
-        col("embedding").as("b_emb"))
-      val edges = a.join(b, Seq("cell"))
-        .filter(col("src") < col("dst"))
-        .filter(fastCosine(col("a_emb"), col("b_emb")) >= 0.95)
-        .select(col("src"), col("dst"))
+      val edges = withinCellEdges(
+        index.assigned.select(col("cell"), col("vec_id"), col("embedding")),
+        2L * nBase, nCells).localCheckpoint()
+      // Loud planting invariants (ADVICE r7): the closed-form oracle is
+      // only valid when the edge set is EXACTLY the planted twins.
+      val nonPlanted = edges.filter(col("dst") =!= col("src") + lit(off)).count()
+      require(nonPlanted == 0,
+        s"semanticDedup oracle assumption violated: $nonPlanted non-planted " +
+          "pair(s) at cosine >= 0.95 — the corpus's max native cosine has " +
+          "drifted into the threshold; re-measure and re-derive the oracle")
+      val nEdges = edges.count()
+      require(nEdges == nBase,
+        s"semanticDedup oracle assumption violated: $nEdges planted edges " +
+          s"for $nBase vectors — a zero-norm embedding (cosine null) or a " +
+          "guard-excluded hot cell dropped a planted pair")
       val nodes = union.select(col("vec_id").as("id"))
       GraphOps.connectedComponents(nodes, edges,
         maxRounds = VerifyWindow.CcMaxRounds)

@@ -60,4 +60,46 @@ class SkewOpsSpec extends SparkSpec {
     val sameCluster = got.count(i => i % 8 === 0 || i === 1L)
     assert(sameCluster >= 15, s"cluster recall too low: $sameCluster/20")
   }
+
+  test("IVF cell count scales with the corpus, floored and capped") {
+    import EmbeddingOps.{ivfCellsFor, IvfCells, IvfMaxCells, IvfTargetCellSize}
+    // every shipped SF (≤ 4000 union vectors) stays on the legacy
+    // 16-cell index the recall oracles were validated on
+    assert(ivfCellsFor(500) === IvfCells)
+    assert(ivfCellsFor(4000) === IvfCells)
+    // past the floor the count is linear in the corpus at fixed cell
+    // load — the SemDeDup regime that keeps within-cell work bounded
+    assert(ivfCellsFor(40000) === (40000 / IvfTargetCellSize).toInt)
+    assert(ivfCellsFor(1 << 24) === (1 << 24) / IvfTargetCellSize.toInt)
+    // two-level-quantizer territory: capped, not unbounded
+    assert(ivfCellsFor(Long.MaxValue / 2) === IvfMaxCells)
+  }
+
+  test("semantic-dedup pair pass excludes degenerate hot cells") {
+    import spark.implicits._
+    // cell 0: 1100 identical vectors (a collapsed region the quantizer
+    // failed on — 600k pairs if admitted); cells 1/2: 30 vectors each
+    // with one planted near-identical pair. nCells=200 puts the scaled
+    // cap at its floor (4×256=1024 > 16·1160/200), so cell 0 trips it.
+    val hot = (0 until 1100).map(i => (0, i.toLong, Array(1.0f, 0.0f)))
+    val small = Seq(1, 2).flatMap { c =>
+      (0 until 30).map { i =>
+        val id = 2000L + c * 100 + i
+        // ids ending the cell range are the planted twins (same vector)
+        val v = if (i >= 28) Array(c.toFloat, 1.0f)
+                else Array(c + 0.5f * i, i.toFloat + 1.0f)
+        (c, id, v)
+      }
+    }
+    val assigned = (hot ++ small).toDF("cell", "vec_id", "embedding")
+    val edges = EmbeddingOps.withinCellEdges(assigned, nTotal = 1160,
+        nCells = 200, threshold = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot cell contributes NOTHING (guard) — without it this set
+    // would carry ~600k identical-vector pairs
+    assert(edges.forall(_._1 >= 2000L), s"hot-cell pair leaked: $edges")
+    // the small cells' planted identical pairs survive the guard
+    assert(edges.contains((2128L, 2129L)) && edges.contains((2228L, 2229L)),
+      s"planted small-cell pairs missing: $edges")
+  }
 }
