@@ -700,9 +700,15 @@ object Relational {
     * candidate list itself stays engine-specific and out of the
     * compared columns). Checked over the exact hitters: one row per
     * true frequent item with its exact count and the membership flag
-    * the guarantee forces to 1. Support 0.10 makes every l_linenumber
-    * value (~1/7 ≈ 14% each) a true hitter at every SF — 7 asserted
-    * rows, no razor-thin threshold bets. */
+    * the guarantee forces to 1. TPC-H linenumbers are NOT uniform: an
+    * order has 1-7 lines uniformly, so linenumber k appears in (8-k)
+    * of the 28 order-size slots — frequency (8-k)/28, from ~25% (k=1)
+    * down to ~3.6% (k=7). At support 0.10 the true-hitter set is
+    * k ∈ {1..5} (5 asserted rows), with the k=5 hitter at ~10.7% —
+    * a thin ~0.7pp margin over the threshold, but a SAFE one: both
+    * sides filter on the same exact counts, so the compared rows can
+    * never diverge on sampling noise, and the KPS superset guarantee
+    * covers any item above support regardless of margin. */
   def freqItemsBound(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_linenumber"))
     // k-bounded driver fetch: the sketch row carries ≤ ~1/support items

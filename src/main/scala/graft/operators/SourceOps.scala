@@ -243,7 +243,15 @@ object SourceOps {
           .write.mode("overwrite").partitionBy("lang").parquet(path)
         path
       })
-    s.read.parquet(dir)
+    // Explicit read schema (ADVICE r7): default partition-column TYPE
+    // INFERENCE parses the directory value — a lang that happens to look
+    // numeric ("88" as a code) would round-trip as int and break the
+    // oracle only on that future corpus. Pinning the writer's own schema
+    // keeps `lang` a string whatever the directory names look like.
+    val readSchema = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"),
+        col("n_chars"), col("lang")).schema
+    s.read.schema(readSchema).parquet(dir)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))

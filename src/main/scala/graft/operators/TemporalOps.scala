@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object TemporalOps {
 
+  /** The generic operators below stage their plumbing in reserved
+    * internal columns; an input that already carries one would be
+    * silently clobbered (`withColumn` replaces) or produce ambiguous
+    * references. Cheap driver-side check, loud failure naming the
+    * clash — the generic API must not mis-join quietly. */
+  private def requireFreeNames(df: DataFrame, side: String,
+                               reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$side relation carries reserved internal column name(s) " +
+        s"${clash.mkString(", ")} — rename before calling")
+  }
+
   /** Generic backward as-of join, implemented WITHOUT a join: tag both
     * relations, union them, and take `last(right_row, ignoreNulls)` over
     * a (key, time, side, id)-ordered running window — one shuffle on the
@@ -46,6 +59,9 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       timeUs: String, idCol: String, toleranceUs: Long): DataFrame = {
+    val reserved = Seq("__l", "__r", "__k", "__t", "__id", "__side", "__m", "asof")
+    requireFreeNames(left, "asofJoin left", reserved)
+    requireFreeNames(right, "asofJoin right", reserved)
     val rStructT = right.select(struct(right.columns.map(col): _*).as("__r"))
       .schema("__r").dataType
     val lStructT = left.select(struct(left.columns.map(col): _*).as("__l"))
@@ -84,6 +100,8 @@ object TemporalOps {
     */
   def rangeJoinPairs(probes: DataFrame, events: DataFrame,
       probeTimeUs: String, eventTimeUs: String, radiusUs: Long): DataFrame = {
+    requireFreeNames(probes, "rangeJoinPairs probes", Seq("__bin"))
+    requireFreeNames(events, "rangeJoinPairs events", Seq("__bin"))
     val w = 2 * radiusUs
     val binned = events.withColumn("__bin", expr(s"$eventTimeUs div ${w}L"))
     probes
