@@ -32,6 +32,10 @@ object Bench {
     catch { case NonFatal(e) =>
       System.err.println(s"[bench] warm-up failed (continuing): $e")
     }
+    // Corpus-drift canary (footer reads only): a regenerated corpus is
+    // named loudly here as the root cause, not as N opaque per-query
+    // -1.0s; the sweep still runs whatever the drift didn't break.
+    graft.sources.SchemaCanary.warn(spark, sfDir)
     // Shared Intermediates builds (DFM, K-means fit, IVF index) are
     // deliberately billed to the first query that triggers them: they are
     // real pipeline work and must stay inside the benchmark total —

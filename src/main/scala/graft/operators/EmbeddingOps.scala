@@ -357,11 +357,18 @@ object EmbeddingOps {
     * build-offline/probe-online IVF deployment shape. Note the test
     * corpus is isotropic noise — real recall behavior is pinned by the
     * planted-structure fixture in SkewOpsSpec. */
+  /** Corpus row count, memoized per dataset alongside the index memos:
+    * quantizer sizing needs it BEFORE the build (the memo key pins the
+    * cell count the index was actually built with), but repeat probes
+    * must not pay a sizing scan per call (ADVICE r8). */
+  private def corpusCount(s: SparkSession, d: String): Long =
+    graft.api.Intermediates.memo(s, s"embcount|$d") {
+      Tables.embeddings(s, d).count()
+    }
+
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // metadata-only count: sizes the quantizer BEFORE the build so the
-    // memo key pins the cell count the index was actually built with
-    val cells = ivfCellsFor(emb.count())
+    val cells = ivfCellsFor(corpusCount(s, d))
     val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
       ivfBuild(emb, cells)
     }
@@ -386,7 +393,7 @@ object EmbeddingOps {
     // memoized like e05's index: the k-means build is the expensive part
     // and is identical across bench runs. The quantizer is sized from
     // the UNION row count (2× the corpus) — the relation it indexes.
-    val cells = ivfCellsFor(2L * base.count())
+    val cells = ivfCellsFor(2L * corpusCount(s, d))
     val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$cells") {
       ivfBuild(union, cells)
     }
@@ -452,8 +459,12 @@ object EmbeddingOps {
                                      threshold: Double = 0.95): DataFrame = {
     val cap = DedupOps.scaledBucketCap(nTotal, nCells.toLong,
       4L * IvfTargetCellSize)
+    // one row per cell — localCheckpoint so the hot-cell guard count and
+    // the keep-join below read one materialized aggregation, not two
+    // passes over the assignment (ADVICE r8)
     val cellSizes = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("cell_n"))
+      .localCheckpoint()
     val hot = cellSizes.filter(col("cell_n") > cap).count()
     if (hot > 0)
       System.err.println(s"[semdedup] $hot/$nCells cells exceed the " +
@@ -473,7 +484,7 @@ object EmbeddingOps {
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val labels = graft.api.Intermediates.memo(s, s"semdedup|$d") {
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val nBase = base.count()
+      val nBase = corpusCount(s, d)
       val (union, off) = DedupOps.plantedUnion(base, "vec_id")
       val nCells = ivfCellsFor(2L * nBase)
       val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$nCells") {

@@ -21,18 +21,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
-    * reads as nano-epoch longs (spark.sql.legacy.parquet.nanosAsLong —
-    * set by graft.Sessions.configure). Truncate to micros to match the
-    * oracle's CAST(ts_ns AS TIMESTAMP) semantics. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
+  /** Normalize every historical on-disk encoding of `events.ts` to one
+    * engine-wide TimestampType (SURVEY §1.3 fail-fast schema: a 100 TB
+    * lake accumulates files written by different producers over years, so
+    * the reader — not every downstream operator — owns type drift):
+    *   - TIMESTAMP(NANOS) parquet arrives as nano-epoch longs
+    *     (spark.sql.legacy.parquet.nanosAsLong, set by Sessions.configure)
+    *     → truncate to micros, matching the oracle's CAST semantics;
+    *   - timestamp[us] without timezone arrives as TIMESTAMP_NTZ → cast to
+    *     TIMESTAMP (session TZ is pinned UTC, so the cast is a no-op
+    *     relabeling, deterministic everywhere);
+    *   - TIMESTAMP passes through.
+    * Anything else fails loudly here instead of deep in an operator. */
+  def normalizeEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+      case LongType           => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType      => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected TIMESTAMP, TIMESTAMP_NTZ, or nano-epoch LONG")
     }
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTime(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

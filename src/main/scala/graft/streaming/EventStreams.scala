@@ -23,17 +23,16 @@ object EventStreams {
   /** File-source streaming scan of an events directory (S5-as-stream:
     * new parquet files are discovered per micro-batch). Schema comes
     * from a batch peek — streaming sources require one up front. The
-    * TIMESTAMP(NANOS) column arrives as nano-epoch longs (same
-    * `nanosAsLong` handling as the batch reader) and is truncated to
-    * micros here. */
+    * on-disk `ts` encoding (nano-epoch long, TIMESTAMP_NTZ, or TIMESTAMP)
+    * is normalized to TimestampType by the same dispatch as the batch
+    * reader ([[graft.sources.Tables.normalizeEventTime]]), so watermarks
+    * see event-time regardless of which producer wrote the file. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file streams want a directory; glob-filter to the events table
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    graft.sources.Tables.normalizeEventTime(raw)
   }
 
   /** Streaming form of q15: tumbling hourly counts per event type.

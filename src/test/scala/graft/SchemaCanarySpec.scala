@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.{SchemaCanary, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-drift canary behavior: green on the shipped corpus, loud and
+  * NAMED on a drifted one (the r8 incident: events.ts flipped to
+  * TIMESTAMP_NTZ and surfaced as 9 operator-deep AnalysisExceptions). */
+class SchemaCanarySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canary passes on the shipped corpus") {
+    SchemaCanary.check(spark, sfTiny) // must not throw
+  }
+
+  test("normalizeEventTime maps all three historical ts encodings to TIMESTAMP") {
+    val dir = java.nio.file.Files.createTempDirectory("canary").toString
+
+    // TIMESTAMP_NTZ encoding (the r8 corpus): write a tz-less ts
+    spark.sql(
+      """select 1L as event_id,
+        |  timestamp_ntz'2024-01-02 03:04:05.123456' as ts,
+        |  7L as user_id, 'click' as event_type, 1.5 as value, '{}' as props
+        |""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ntz = Tables.events(spark, dir)
+    assert(ntz.schema("ts").dataType === TimestampType)
+    // UTC session TZ: the cast is a pure relabeling of the same instant
+    assert(ntz.select(unix_micros($"ts")).as[Long].head ===
+      1704164645123456L)
+
+    // nanos-as-long encoding (the pre-r8 corpus under nanosAsLong)
+    spark.sql(
+      """select 1L as event_id, 1704164645123456789L as ts,
+        |  7L as user_id, 'click' as event_type, 1.5 as value, '{}' as props
+        |""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val nanos = Tables.events(spark, dir)
+    assert(nanos.schema("ts").dataType === TimestampType)
+    assert(nanos.select(unix_micros($"ts")).as[Long].head ===
+      1704164645123456L)
+
+    // plain TIMESTAMP passes through unchanged
+    spark.sql(
+      """select 1L as event_id, timestamp'2024-01-02 03:04:05.123456' as ts,
+        |  7L as user_id, 'click' as event_type, 1.5 as value, '{}' as props
+        |""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.events(spark, dir).schema("ts").dataType === TimestampType)
+  }
+
+  test("a drifted corpus fails the canary with a named column diff, not an operator error") {
+    val dir = java.nio.file.Files.createTempDirectory("canary-drift").toString
+    // copy the tiny corpus's footers by re-pointing all tables except a
+    // deliberately drifted events: ts as STRING (a type normalization
+    // cannot absorb)
+    for (t <- Seq("documents", "embeddings", "lineitem", "orders"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfTiny/$t.parquet"))
+    spark.sql(
+      """select 1L as event_id, '2024-01-02' as ts, 7L as user_id,
+        |  'click' as event_type, 1.5 as value, '{}' as props
+        |""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SchemaCanary.check(spark, dir)
+    }
+    assert(e.getMessage.contains("events.ts"))
+  }
+
+  test("canary names a missing column") {
+    val dir = java.nio.file.Files.createTempDirectory("canary-missing").toString
+    for (t <- Seq("events", "embeddings", "lineitem", "orders"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfTiny/$t.parquet"))
+    Tables.documents(spark, sfTiny).drop("lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException] { SchemaCanary.check(spark, dir) }
+    assert(e.getMessage.contains("documents.lang"))
+    assert(e.getMessage.contains("MISSING"))
+  }
+}
