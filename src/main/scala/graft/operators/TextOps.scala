@@ -233,38 +233,21 @@ object TextOps {
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     winnowFrom(Tables.documents(s, d))
 
-  private[graft] def winnowFrom(documents: DataFrame): DataFrame = {
-    val k = 5
-    val w = 8
-    val poly = (1 until k).foldLeft((ascii(expr("substring(c, pos, 1)")) % 32)
-        .cast("long")) { (acc, i) =>
-      acc * 32L + (ascii(expr(s"substring(c, pos + $i, 1)")) % 32).cast("long")
-    }
-    val gramHash = (poly * 2654435761L) % 4294967296L
-    // Widened BEFORE the char-gram fanout: the window then needs no
-    // further exchange (already hash-partitioned by doc_id), and clean +
-    // fanout + window all parallelize (A/B at sf0.1: 1.7s vs 9.3s for
-    // the narrow scan shape). The too-short guard lives INSIDE the
-    // explode expression (empty array → row drops) rather than as a
-    // filter: a filter on the cleaned text would be predicate-pushed
-    // below the widening repartition and run the whole regex clean
-    // chain twice, once single-threaded in the narrow scan stage.
-    val grams = graft.sources.Scans
+  private[graft] def winnowFrom(documents: DataFrame): DataFrame =
+    // Whole-doc codegen'd kernel ([[graft.expressions.WinnowFingerprints]]):
+    // clean → per-doc fingerprint SET in one map-only pass — no
+    // per-position row explosion, no window sort, no distinct exchange
+    // (r8's relational shape shuffled ~300 narrow rows per doc through a
+    // window + distinct; the kernel emits the identical selection
+    // directly). Still widened before the CPU-heavy clean+winnow
+    // projection so a narrow scan can't serialize the per-doc work onto
+    // a handful of input splits.
+    graft.sources.Scans
       .widenForFanout(documents.select(col("doc_id"), col("text")), col("doc_id"))
-      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
-      .select(col("doc_id"), col("c"),
-        explode(when(length(col("c")) >= k,
-            sequence(lit(1), length(col("c")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("pos"))
-      .select(col("doc_id"), col("pos"), gramHash.as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), Window.currentRow)
-    grams.withColumn("mh", min(col("h")).over(win))
-      .filter(col("h") === col("mh"))
-      .select(col("doc_id"), col("h").as("fp"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.expressions.WinnowFingerprints.winnowFingerprints(
+          TextFunctions.cleanText(col("text")), 5, 8)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
-  }
 
   private val winnowFingerprintsSql = {
     val poly = (1 until 5).foldLeft("(ascii(substr(c, pos, 1)) % 32)::BIGINT") {
