@@ -21,7 +21,7 @@ object ScaleProbe {
 
   private val Heaviest = Seq(
     "c01_corpus_prep", "d10_production_dedup", "t08_winnow_fingerprints",
-    "t05_lang_guess", "s09_model_roundtrip")
+    "t05_lang_guess", "s09_model_roundtrip", "e10_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -49,6 +49,28 @@ object ScaleProbe {
         .withColumn("text", translate(col("text"), lower + upper, rotL + rotU))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    // Embeddings blow-up for the e10 probe — the vector analog of the
+    // Caesar cipher: copy i cyclically ROLLS each vector's dimensions by
+    // i. A coordinate permutation preserves every within-copy inner
+    // product exactly (the copy keeps the corpus's native cosine
+    // structure, including the absence of ≥0.95 pairs), while a rolled
+    // isotropic vector is just another isotropic vector to every other
+    // copy — cross-copy cosines stay far from the dedup threshold, so
+    // the semantic-dedup workload grows linearly by construction. The
+    // quantizer's cell count scales with the union (ivfCellsFor), which
+    // is exactly the knob this probe exercises.
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0)
+    (0 until mult).map { i =>
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * (maxVec + 1)))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, $i % size(embedding) + 1, " +
+            s"size(embedding) - $i % size(embedding)), " +
+            s"slice(embedding, 1, $i % size(embedding)))"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
 
     def clean(): Unit = {
       // clean pool before every timed run, same as the bench's family

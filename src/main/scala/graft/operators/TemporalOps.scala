@@ -23,16 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object TemporalOps {
 
-  /** The generic operators below stage their plumbing in reserved
-    * internal columns; an input that already carries one would be
-    * silently clobbered (`withColumn` replaces) or produce ambiguous
-    * references. Cheap driver-side check, loud failure naming the
-    * clash — the generic API must not mis-join quietly. */
+  /** The generic operators below stage their plumbing in internal
+    * columns. Rather than reserving names (and erroring on user frames
+    * that happen to carry them), each internal name is generated FRESH
+    * against the union of both inputs' columns — a numeric suffix is
+    * appended until it clashes with nothing, so any input schema works.
+    * Only documented OUTPUT columns (e.g. asofJoin's `asof`) still
+    * require a free name, with a loud driver-side error. */
+  private def freshName(base: String, taken: Set[String]): String = {
+    var cand = base
+    var i = 0
+    while (taken.contains(cand)) { cand = s"$base$i"; i += 1 }
+    cand
+  }
+
   private def requireFreeNames(df: DataFrame, side: String,
                                reserved: Seq[String]): Unit = {
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
-      s"$side relation carries reserved internal column name(s) " +
+      s"$side relation carries reserved output column name(s) " +
         s"${clash.mkString(", ")} — rename before calling")
   }
 
@@ -59,32 +68,37 @@ object TemporalOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       timeUs: String, idCol: String, toleranceUs: Long): DataFrame = {
-    val reserved = Seq("__l", "__r", "__k", "__t", "__id", "__side", "__m", "asof")
-    requireFreeNames(left, "asofJoin left", reserved)
-    requireFreeNames(right, "asofJoin right", reserved)
-    val rStructT = right.select(struct(right.columns.map(col): _*).as("__r"))
-      .schema("__r").dataType
-    val lStructT = left.select(struct(left.columns.map(col): _*).as("__l"))
-      .schema("__l").dataType
+    // `asof` is the documented output column — a left frame already
+    // carrying it would make the result ambiguous, so that one stays a
+    // loud error; every internal staging name is generated fresh below.
+    requireFreeNames(left, "asofJoin left", Seq("asof"))
+    val taken = left.columns.toSet ++ right.columns.toSet + "asof"
+    val Seq(cL, cR, cK, cT, cId, cSide, cM) =
+      Seq("__l", "__r", "__k", "__t", "__id", "__side", "__m")
+        .map(freshName(_, taken))
+    val rStructT = right.select(struct(right.columns.map(col): _*).as(cR))
+      .schema(cR).dataType
+    val lStructT = left.select(struct(left.columns.map(col): _*).as(cL))
+      .schema(cL).dataType
     val lPart = left.select(
-      struct(left.columns.map(col): _*).as("__l"),
-      col(key).as("__k"), col(timeUs).as("__t"), col(idCol).as("__id"),
-      lit(1).as("__side"), lit(null).cast(rStructT).as("__r"))
+      struct(left.columns.map(col): _*).as(cL),
+      col(key).as(cK), col(timeUs).as(cT), col(idCol).as(cId),
+      lit(1).as(cSide), lit(null).cast(rStructT).as(cR))
     val rPart = right.select(
-      lit(null).cast(lStructT).as("__l"),
-      col(key).as("__k"), col(timeUs).as("__t"), col(idCol).as("__id"),
-      lit(0).as("__side"), struct(right.columns.map(col): _*).as("__r"))
-    // right rows (side 0) sort before left rows (side 1) at equal __t —
+      lit(null).cast(lStructT).as(cL),
+      col(key).as(cK), col(timeUs).as(cT), col(idCol).as(cId),
+      lit(0).as(cSide), struct(right.columns.map(col): _*).as(cR))
+    // right rows (side 0) sort before left rows (side 1) at equal time —
     // that single bit IS the inclusive-match semantics
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__id"))
+    val w = Window.partitionBy(col(cK))
+      .orderBy(col(cT), col(cSide), col(cId))
       .rowsBetween(Window.unboundedPreceding, 0)
     lPart.unionByName(rPart)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .withColumn("asof", when(col("__m").isNotNull &&
-        col("__t") - col("__m").getField(timeUs) <= toleranceUs, col("__m")))
-      .select(col("__l.*") +: Seq(col("asof")): _*)
+      .withColumn(cM, last(col(cR), ignoreNulls = true).over(w))
+      .filter(col(cSide) === 1)
+      .withColumn("asof", when(col(cM).isNotNull &&
+        col(cT) - col(cM).getField(timeUs) <= toleranceUs, col(cM)))
+      .select(col(s"$cL.*") +: Seq(col("asof")): _*)
   }
 
   /** Generic radius range join via bin bucketing: events carry ONE bin
@@ -100,17 +114,17 @@ object TemporalOps {
     */
   def rangeJoinPairs(probes: DataFrame, events: DataFrame,
       probeTimeUs: String, eventTimeUs: String, radiusUs: Long): DataFrame = {
-    requireFreeNames(probes, "rangeJoinPairs probes", Seq("__bin"))
-    requireFreeNames(events, "rangeJoinPairs events", Seq("__bin"))
+    val bin = freshName("__bin",
+      probes.columns.toSet ++ events.columns.toSet)
     val w = 2 * radiusUs
-    val binned = events.withColumn("__bin", expr(s"$eventTimeUs div ${w}L"))
+    val binned = events.withColumn(bin, expr(s"$eventTimeUs div ${w}L"))
     probes
-      .withColumn("__bin", explode(sequence(
+      .withColumn(bin, explode(sequence(
         expr(s"($probeTimeUs - ${radiusUs}L) div ${w}L"),
         expr(s"($probeTimeUs + ${radiusUs}L) div ${w}L"))))
-      .join(binned, "__bin")
+      .join(binned, bin)
       .filter(abs(col(eventTimeUs) - col(probeTimeUs)) <= radiusUs)
-      .drop("__bin")
+      .drop(bin)
   }
 
   /** q35 — backward as-of join with tolerance over two relations (most

@@ -42,6 +42,36 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("event_id", "k", "us", "asof"))
   }
 
+  test("internal staging names are generated fresh — user columns named __l/__t/__bin work") {
+    // columns that collide with every historical internal name; the
+    // operators must suffix around them, not clobber or error
+    val left = Seq((10L, 1L, 1000L, "x"))
+      .toDF("event_id", "k", "us", "__l")
+    val right = Seq((2L, 1L, 900L, "y", 7))
+      .toDF("event_id", "k", "us", "__t", "__side")
+    val out = TemporalOps.asofJoin(left, right, "k", "us", "event_id",
+      toleranceUs = 500L)
+    assert(out.columns.toSeq === Seq("event_id", "k", "us", "__l", "asof"))
+    val row = out.select(col("__l"), col("asof.__t")).collect().head
+    assert(row.getString(0) === "x") // user column survives untouched
+    assert(row.getString(1) === "y") // right struct keeps user fields
+
+    val probes = Seq((1L, 1000L, 9L)).toDF("p_id", "p_us", "__bin")
+    val events = Seq((10L, 950L)).toDF("event_id", "us")
+    val hits = TemporalOps.rangeJoinPairs(probes, events, "p_us", "us", 100L)
+    assert(hits.columns.contains("__bin")) // user's own __bin preserved
+    assert(hits.select(col("__bin")).as[Long].head() === 9L)
+  }
+
+  test("asofJoin still rejects a left frame carrying the documented output column asof") {
+    val left = Seq((10L, 1L, 1000L, "boom")).toDF("event_id", "k", "us", "asof")
+    val right = Seq((2L, 1L, 900L)).toDF("event_id", "k", "us")
+    val e = intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(left, right, "k", "us", "event_id", 500L)
+    }
+    assert(e.getMessage.contains("asof"))
+  }
+
   test("rangeJoinPairs: boundary-inclusive, no duplicate pairs across bins") {
     val probes = Seq((1L, 1000L)).toDF("p_id", "p_us")
     val events = Seq(
