@@ -258,20 +258,32 @@ object PackOps {
     * corpus. The oracle composes the t04/t05 fragments and the p01
     * window verbatim, so any drift between a stage and its standalone
     * query breaks this hash too. */
-  def corpusPrep(s: SparkSession, d: String): DataFrame = {
-    // gates share ONE Spark-side definition with t04/t05 (TextOps.Score),
-    // evaluated in a single corpus-scan select
+  /** c01's gate+dedup head, exposed for the plan audit (the packing
+    * tail checkpoints, hiding this stage from the final executed plan).
+    * Gates share ONE Spark-side definition with t04/t05
+    * (TextOps.Score), evaluated in a single corpus-scan select; the
+    * min-id keep is a digest-partitioned window rather than the
+    * d01-style agg + semi-join — the semi-join's two plan arms each
+    * recompute the regex-gated scan (the expensive stage), while the
+    * window dedups in ONE pass over it: one shuffle on the uniform
+    * digest, per-group sort of tiny duplicate sets, same keep
+    * semantics (lowest doc_id per digest survives). */
+  private[graft] def gatedDeduped(s: SparkSession, d: String): DataFrame = {
     val gated = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         TextOps.Score.qualityScore.as("quality_score"),
         TextOps.Score.markerRatio.as("marker_ratio"))
       .filter(col("quality_score") >= 0.85 && col("marker_ratio") >= 0.08)
-    val keep = gated
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val deduped = gated.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    packByBudget(deduped.select(col("doc_id"), bpePieces.as("n_tokens")))
+    val byDigest = Window.partitionBy(md5(col("text").cast("binary")))
+      .orderBy(col("doc_id"))
+    gated
+      .withColumn("__rn", row_number().over(byDigest))
+      .filter(col("__rn") === 1)
   }
+
+  def corpusPrep(s: SparkSession, d: String): DataFrame =
+    packByBudget(gatedDeduped(s, d)
+      .select(col("doc_id"), bpePieces.as("n_tokens")))
 
   private val corpusPrepSql =
     s"""WITH gated AS (

@@ -103,6 +103,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("arraymaxabs") || p.contains("ArrayMaxAbs"))
   }
 
+  test("t08: winnowing is map-only — kernel in plan, no window, no aggregate") {
+    // the codegen'd WinnowFingerprints kernel replaced the relational
+    // explode→window-min→distinct shape: the plan must carry the kernel
+    // and NO WindowExec / aggregation — the only exchanges are the
+    // widening repartition and the query-contract ORDER BY
+    val p = plan("t08_winnow_fingerprints")
+    assert(p.contains("winnow_fingerprints") || p.contains("WinnowFingerprints"),
+      s"kernel missing from plan:\n$p")
+    assert(!p.contains("Window"), s"window exec reappeared:\n$p")
+    assert(!p.contains("HashAggregate"), s"distinct aggregate reappeared:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"expected at most widen + sort exchanges:\n$p")
+  }
+
+  test("c01: the gated corpus scan is computed ONCE — single documents read, window keep") {
+    // the dedup is a digest-window keep, not an agg + self-semi-join:
+    // the expensive regex-gate projection must appear in exactly one
+    // plan arm (one parquet scan of documents), and the keep must be a
+    // window, not a join. Pinned on the gate+dedup head — the packing
+    // tail checkpoints, which would hide the scan from the final plan.
+    val p = graft.operators.PackOps.gatedDeduped(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"gated scan duplicated:\n$p")
+    assert(!p.contains("Join"), s"dedup regressed to a join:\n$p")
+    assert(p.contains("Window"), s"window keep missing:\n$p")
+  }
+
   test("s12: bucketed join — both scans bucketed, zero shuffles on the join keys") {
     val p = plan("s12_bucketed_join")
     // the join is the co-located sort-merge the bucketing exists for
