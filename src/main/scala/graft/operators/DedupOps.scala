@@ -210,6 +210,90 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Hash-function count for the ESTIMATE-accuracy row (d14) — wider
+    * than the 32-fn candidate signature so the bound below is an
+    * invariant, not a bet: with m independent min-hash components each
+    * agreeing w.p. J, Hoeffding gives P(|est − J| > 0.25) ≤
+    * 2·exp(−2·256·0.0625) ≈ 2.5e-14 per pair — safe over every
+    * verification-window pair set at any SF. */
+  val EstimateHashes = 256
+
+  /** d14 — MinHash Jaccard-ESTIMATE accuracy contract (completes the
+    * sketch-contract family — HLL/GK/Bloom/CMS/freqItems — for the
+    * dedup modality): the LSH pipeline's banding math (d03's 8-band
+    * threshold, every tuning decision) assumes signature agreement
+    * estimates true shingle-set Jaccard; this row ASSERTS it. Over the
+    * d02-style verification window, compute the exact 3-token-shingle
+    * Jaccard relationally AND the 256-fn signature-agreement estimate
+    * through the real min(xxhash64) path, and flag
+    * |est − jaccard| ≤ 0.25 per intersecting pair (see
+    * [[EstimateHashes]] for why the bound is an invariant). The
+    * estimate itself stays engine-specific (seeded hashes) — the oracle
+    * pins the exact Jaccard and the bound flag, q21/q33's pattern. At
+    * full scale the signature relation is the linear-cost artifact that
+    * ships (d11's stored index); the exact side exists only inside the
+    * capped window, same discipline as d02/d12. */
+  def minhashEstimateBound(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < VerifyWindow.MaxId)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
+    val sh = TextFunctions.withNgrams(docs, "words", "shingles", 3)
+      .select(col("doc_id"),
+        explode(array_distinct(col("shingles"))).as("sh"))
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val aggs = (0 until EstimateHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until EstimateHashes).map(i => col(s"h$i")): _*).as("sig"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_sh")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_sh")), "b_id")
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("jaccard",
+        col("n_inter") / (col("a_sh") + col("b_sh") - col("n_inter")))
+      .withColumn("est",
+        aggregate(
+          zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / EstimateHashes)
+      .select(col("a_id"), col("b_id"),
+        round(col("jaccard"), 6).as("jaccard"),
+        (abs(col("est") - col("jaccard")) <= 0.25).cast("int").as("est_ok"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val minhashEstimateSql = {
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    s"""WITH t AS (SELECT doc_id, list_filter($tokList, x -> x <> '') AS l
+      |           FROM documents WHERE doc_id < ${VerifyWindow.MaxId}),
+      |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
+      |      FROM t),
+      |g AS (SELECT doc_id,
+      |        word || ' ' || lead(word, 1) OVER win || ' ' ||
+      |        lead(word, 2) OVER win AS sh
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |gs AS (SELECT DISTINCT doc_id, sh FROM g WHERE sh IS NOT NULL),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM gs GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |            count(*) AS n_inter
+      |          FROM gs a JOIN gs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
+      |  1 AS est_ok
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** 64-bit SimHash per document from token xxhash64 bit-votes, plus its
     * 4×16-bit bands (Hamming-distance candidates join on any equal band).
     * Single-pass: 64 conditional-sum aggregates over (doc, token) rows —
@@ -607,5 +691,7 @@ object DedupOps {
       Some(incrementalNeardupSql)),
     QueryDef("d13_passage_dedup", passageDedup, Some(passageDedupSql)),
     QueryDef("d12_containment_pairs", containmentPairs,
-      Some(containmentPairsSql)))
+      Some(containmentPairsSql)),
+    QueryDef("d14_minhash_estimate", minhashEstimateBound,
+      Some(minhashEstimateSql)))
 }
