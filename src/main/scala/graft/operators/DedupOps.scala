@@ -36,7 +36,7 @@ object DedupOps {
     * |A∩B| / (|A|+|B|−|A∩B|). Verification-scale only (all-pairs); the
     * LSH variants below are the 100 TB path. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    jaccardPairsFrom(Tables.documents(s, d))
+    jaccardPairsFrom(Tables.documents(s, d), memoKey = Some(d))
 
   /** Shared verification-window scaffold of the exact pair family
     * (d02 Jaccard, d12 containment): the distinct-token relation —
@@ -49,21 +49,37 @@ object DedupOps {
     * and the backing blocks are released by the ContextCleaner when the
     * plan is GC'd — no cross-query cache leak (a bare persist() would
     * stay pinned for the whole shared session). */
-  private def windowTokenPairs(documents: DataFrame): (DataFrame, DataFrame) = {
-    val toks = documents
-      .filter(col("doc_id") < VerifyWindow.MaxId)
-      .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
-      .localCheckpoint()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
-    val inter = toks.as("a").join(toks.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-    (sizes, inter)
+  private def windowTokenPairs(documents: DataFrame,
+      memoKey: Option[String]): (DataFrame, DataFrame) = {
+    def build: (DataFrame, DataFrame) = {
+      val toks = documents
+        .filter(col("doc_id") < VerifyWindow.MaxId)
+        .select(col("doc_id"), explode(array_distinct(TextFunctions.tokens(col("text")))).as("term"))
+        .localCheckpoint()
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+      val inter = toks.as("a").join(toks.as("b"),
+          col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_inter"))
+      (sizes, inter)
+    }
+    // dataset-keyed calls (d02 / d07 / d12 all fan out of this relation)
+    // share ONE materialized build via Intermediates — same posture as
+    // the DFM; the expensive term self-join runs once per family, not
+    // once per consumer. Frame-level calls (specs) build per-call.
+    memoKey match {
+      case Some(k) =>
+        graft.api.Intermediates.memo(documents.sparkSession, s"winpairs|$k") {
+          val (sizes, inter) = build
+          (sizes.localCheckpoint(), inter.localCheckpoint())
+        }
+      case None => build
+    }
   }
 
-  private[operators] def jaccardPairsFrom(documents: DataFrame): DataFrame = {
-    val (sizes, inter) = windowTokenPairs(documents)
+  private[operators] def jaccardPairsFrom(documents: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
+    val (sizes, inter) = windowTokenPairs(documents, memoKey)
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_terms", "a_terms"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_terms", "b_terms"), "b_id")
@@ -108,10 +124,11 @@ object DedupOps {
     * discipline and relational decomposition as d02; the LSH families
     * remain the full-scale candidate path. */
   def containmentPairs(s: SparkSession, d: String): DataFrame =
-    containmentPairsFrom(Tables.documents(s, d))
+    containmentPairsFrom(Tables.documents(s, d), memoKey = Some(d))
 
-  private[graft] def containmentPairsFrom(documents: DataFrame): DataFrame = {
-    val (sizes, inter) = windowTokenPairs(documents)
+  private[graft] def containmentPairsFrom(documents: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
+    val (sizes, inter) = windowTokenPairs(documents, memoKey)
     // |A∩B| is symmetric: mirror the one ordered intersection pass into
     // both orientations instead of running the heavy join twice
     val both = inter.unionByName(inter.select(

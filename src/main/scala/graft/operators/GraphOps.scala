@@ -106,7 +106,7 @@ object GraphOps {
   private def componentLabels(s: SparkSession, d: String): DataFrame =
     graft.api.Intermediates.memo(s, s"neardup-components|$d") {
       val docs = Tables.documents(s, d)
-      val edges = DedupOps.jaccardPairsFrom(docs)
+      val edges = DedupOps.jaccardPairsFrom(docs, memoKey = Some(d))
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       val nodes = docs.filter(col("doc_id") < VerifyWindow.MaxId)
         .select(col("doc_id").as("id"))
