@@ -33,13 +33,20 @@ object SchemaCanary {
   def check(spark: SparkSession, dir: String): Unit = {
     val drift = scala.collection.mutable.ListBuffer.empty[String]
 
-    def audit(table: String, schema: StructType, wants: Seq[Want]): Unit =
-      wants.foreach { w =>
-        schema.find(_.name == w.col) match {
-          case None => drift += s"$table.${w.col}: MISSING (expected ${w.desc})"
-          case Some(f) if !w.ok(f.dataType) =>
-            drift += s"$table.${w.col}: expected ${w.desc}, got ${f.dataType.simpleString}"
-          case _ => ()
+    // schema is by-name: a table that cannot be READ (missing file, an
+    // encoding normalizeEventTime rejects) becomes a named drift line
+    // too — the canary's single exception is the one failure surface
+    def audit(table: String, schema: => StructType, wants: Seq[Want]): Unit =
+      scala.util.Try(schema) match {
+        case scala.util.Failure(e) =>
+          drift += s"$table: unreadable — ${e.getMessage.linesIterator.next()}"
+        case scala.util.Success(sch) => wants.foreach { w =>
+          sch.find(_.name == w.col) match {
+            case None => drift += s"$table.${w.col}: MISSING (expected ${w.desc})"
+            case Some(f) if !w.ok(f.dataType) =>
+              drift += s"$table.${w.col}: expected ${w.desc}, got ${f.dataType.simpleString}"
+            case _ => ()
+          }
         }
       }
 
@@ -73,6 +80,27 @@ object SchemaCanary {
       exact("o_orderkey", LongType), exact("o_custkey", LongType),
       exact("o_orderstatus", StringType), exact("o_totalprice", DoubleType),
       temporal("o_orderdate"), exact("o_orderpriority", StringType)))
+
+    audit("region", Tables.region(spark, dir).schema, Seq(
+      exact("r_regionkey", IntegerType), exact("r_name", StringType)))
+
+    audit("nation", Tables.nation(spark, dir).schema, Seq(
+      exact("n_nationkey", IntegerType), exact("n_name", StringType),
+      exact("n_regionkey", IntegerType)))
+
+    audit("customer", Tables.customer(spark, dir).schema, Seq(
+      exact("c_custkey", LongType), exact("c_name", StringType),
+      exact("c_nationkey", IntegerType), exact("c_acctbal", DoubleType),
+      exact("c_mktsegment", StringType)))
+
+    audit("supplier", Tables.supplier(spark, dir).schema, Seq(
+      exact("s_suppkey", LongType), exact("s_name", StringType),
+      exact("s_nationkey", IntegerType), exact("s_acctbal", DoubleType)))
+
+    audit("part", Tables.part(spark, dir).schema, Seq(
+      exact("p_partkey", LongType), exact("p_name", StringType),
+      exact("p_brand", StringType), exact("p_type", StringType),
+      exact("p_size", IntegerType), exact("p_retailprice", DoubleType)))
 
     if (drift.nonEmpty) throw new IllegalStateException(
       s"""corpus drift detected in $dir — the test corpus no longer matches

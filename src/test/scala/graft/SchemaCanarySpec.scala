@@ -50,36 +50,44 @@ class SchemaCanarySpec extends SparkSpec {
     assert(Tables.events(spark, dir).schema("ts").dataType === TimestampType)
   }
 
-  test("a drifted corpus fails the canary with a named column diff, not an operator error") {
-    val dir = java.nio.file.Files.createTempDirectory("canary-drift").toString
-    // copy the tiny corpus's footers by re-pointing all tables except a
-    // deliberately drifted events: ts as STRING (a type normalization
-    // cannot absorb)
-    for (t <- Seq("documents", "embeddings", "lineitem", "orders"))
+  private val AllTables = Seq("events", "documents", "embeddings",
+    "lineitem", "orders", "region", "nation", "customer", "supplier", "part")
+
+  private def linkedCorpus(tag: String, except: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    for (t <- AllTables if t != except)
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$dir/$t.parquet"),
         java.nio.file.Paths.get(s"$sfTiny/$t.parquet"))
+    dir
+  }
+
+  test("a drifted corpus fails the canary with a named column diff, not an operator error") {
+    // deliberately drifted events: ts as STRING (a type normalization
+    // cannot absorb) — surfaces as the canary's named drift line
+    val dir = linkedCorpus("canary-drift", except = "events")
     spark.sql(
       """select 1L as event_id, '2024-01-02' as ts, 7L as user_id,
         |  'click' as event_type, 1.5 as value, '{}' as props
         |""".stripMargin)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val e = intercept[IllegalArgumentException] {
-      SchemaCanary.check(spark, dir)
-    }
+    val e = intercept[IllegalStateException] { SchemaCanary.check(spark, dir) }
+    assert(e.getMessage.contains("events"))
     assert(e.getMessage.contains("events.ts"))
   }
 
   test("canary names a missing column") {
-    val dir = java.nio.file.Files.createTempDirectory("canary-missing").toString
-    for (t <- Seq("events", "embeddings", "lineitem", "orders"))
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$dir/$t.parquet"),
-        java.nio.file.Paths.get(s"$sfTiny/$t.parquet"))
+    val dir = linkedCorpus("canary-missing", except = "documents")
     Tables.documents(spark, sfTiny).drop("lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val e = intercept[IllegalStateException] { SchemaCanary.check(spark, dir) }
     assert(e.getMessage.contains("documents.lang"))
     assert(e.getMessage.contains("MISSING"))
+  }
+
+  test("canary names an unreadable (missing) table instead of leaking a path error") {
+    val dir = linkedCorpus("canary-unreadable", except = "part")
+    val e = intercept[IllegalStateException] { SchemaCanary.check(spark, dir) }
+    assert(e.getMessage.contains("part: unreadable"))
   }
 }
