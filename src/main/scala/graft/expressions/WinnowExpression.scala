@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-document winnowing fingerprints (Schleimer et al. 2003) as ONE
@@ -36,6 +37,17 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
   require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1 (got k=$k, w=$w)")
+  // base-32 polynomial accumulates without reduction: p < 32^k must fit a
+  // Long (k <= 12 ⇒ p < 2^60); past that p itself wraps and the gram hash
+  // silently diverges from the documented mod-2^32 definition
+  require(k <= 12, s"winnow gram hash overflows past k = 12 (got k=$k)")
+  // analysis-time input check: a non-string child fails with a named error
+  // instead of a runtime ClassCastException / generated-code compile error
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string child, got ${other.simpleString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
 
@@ -92,7 +104,11 @@ object WinnowFingerprints {
       var p = 0L
       var j = 0
       while (j < k) { p = p * 32L + (codes(i + j) % 32); j += 1 }
-      h(i) = (p * 2654435761L) % 4294967296L
+      // floorMod: for k <= 5 the product fits 2^57 and this equals plain %,
+      // byte-identical to the DuckDB oracle; for k in 6..12 the product may
+      // wrap the Long, where floorMod still yields the true low 32 bits
+      // (mod-2^64 wrap preserves them) instead of %'s negative remainder
+      h(i) = Math.floorMod(p * 2654435761L, 4294967296L)
       i += 1
     }
     // winnow selection: keep h(i) iff it equals the min over the window

@@ -279,6 +279,7 @@ object PackOps {
     gated
       .withColumn("__rn", row_number().over(byDigest))
       .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   def corpusPrep(s: SparkSession, d: String): DataFrame =

@@ -39,7 +39,9 @@ object SchemaCanary {
     def audit(table: String, schema: => StructType, wants: Seq[Want]): Unit =
       scala.util.Try(schema) match {
         case scala.util.Failure(e) =>
-          drift += s"$table: unreadable — ${e.getMessage.linesIterator.next()}"
+          drift += s"$table: unreadable — ${
+            Option(e.getMessage).flatMap(_.linesIterator.toSeq.headOption)
+              .getOrElse(e.getClass.getName)}"
         case scala.util.Success(sch) => wants.foreach { w =>
           sch.find(_.name == w.col) match {
             case None => drift += s"$table.${w.col}: MISSING (expected ${w.desc})"
