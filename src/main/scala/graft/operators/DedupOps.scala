@@ -235,6 +235,56 @@ object DedupOps {
     * verification-window pair set at any SF. */
   val EstimateHashes = 256
 
+  /** Shared verification-window scaffold of the exact SHINGLE-pair
+    * family (d14 estimate bound, d03 candidate bound): the distinct
+    * 3-token-shingle relation, per-doc shingle-set sizes, and ordered
+    * pair intersections — the shingle-level twin of
+    * [[windowTokenPairs]], memoized per dataset the same way so the
+    * expensive shingle self-join builds ONCE per sweep however many
+    * bound contracts fan out of it. */
+  private def windowShinglePairs(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) =
+    graft.api.Intermediates.memo(s, s"winshingles|$d") {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < VerifyWindow.MaxId)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
+      val sh = TextFunctions.withNgrams(docs, "words", "shingles", 3)
+        .select(col("doc_id"),
+          explode(array_distinct(col("shingles"))).as("sh"))
+        .localCheckpoint()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .localCheckpoint()
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_inter"))
+        .localCheckpoint()
+      (sh, sizes, inter)
+    }
+
+  /** The shared exact-shingle CTE block (t/w/g/gs/sizes/inter) — ONE
+    * source of truth for the window's 3-shingle pair definition on the
+    * SQL side, embedded by d14 AND d03's bound oracle so the two
+    * contracts cannot drift apart (the shingle-level mirror of
+    * [[jaccardCtesSql]]). */
+  private[operators] val shingleCtesSql = {
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    s"""t AS (SELECT doc_id, list_filter($tokList, x -> x <> '') AS l
+      |           FROM documents WHERE doc_id < ${VerifyWindow.MaxId}),
+      |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
+      |      FROM t),
+      |g AS (SELECT doc_id,
+      |        word || ' ' || lead(word, 1) OVER win || ' ' ||
+      |        lead(word, 2) OVER win AS sh
+      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |gs AS (SELECT DISTINCT doc_id, sh FROM g WHERE sh IS NOT NULL),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM gs GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |            count(*) AS n_inter
+      |          FROM gs a JOIN gs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+  }
+
   /** d14 — MinHash Jaccard-ESTIMATE accuracy contract (completes the
     * sketch-contract family — HLL/GK/Bloom/CMS/freqItems — for the
     * dedup modality): the LSH pipeline's banding math (d03's 8-band
@@ -251,18 +301,7 @@ object DedupOps {
     * ships (d11's stored index); the exact side exists only inside the
     * capped window, same discipline as d02/d12. */
   def minhashEstimateBound(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .filter(col("doc_id") < VerifyWindow.MaxId)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
-    val sh = TextFunctions.withNgrams(docs, "words", "shingles", 3)
-      .select(col("doc_id"),
-        explode(array_distinct(col("shingles"))).as("sh"))
-      .localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
+    val (sh, sizes, inter) = windowShinglePairs(s, d)
     val aggs = (0 until EstimateHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -286,22 +325,8 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  private val minhashEstimateSql = {
-    val tokList = graft.oracle.DuckFragments.tokListSql
-    s"""WITH t AS (SELECT doc_id, list_filter($tokList, x -> x <> '') AS l
-      |           FROM documents WHERE doc_id < ${VerifyWindow.MaxId}),
-      |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS word
-      |      FROM t),
-      |g AS (SELECT doc_id,
-      |        word || ' ' || lead(word, 1) OVER win || ' ' ||
-      |        lead(word, 2) OVER win AS sh
-      |      FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-      |gs AS (SELECT DISTINCT doc_id, sh FROM g WHERE sh IS NOT NULL),
-      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM gs GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |            count(*) AS n_inter
-      |          FROM gs a JOIN gs b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
+  private val minhashEstimateSql =
+    s"""WITH $shingleCtesSql
       |SELECT a_id, b_id,
       |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
       |  1 AS est_ok
@@ -309,7 +334,76 @@ object DedupOps {
       |JOIN sizes sa ON sa.doc_id = a_id
       |JOIN sizes sb ON sb.doc_id = b_id
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Exact-Jaccard threshold above which the 8×4 LSH banding CANNOT miss
+    * a pair, to invariant precision: P(miss) = (1 − J⁴)⁸ ≤ 1.3e-9 at
+    * J = 0.98 (and falls fast above), so over every window pair set at
+    * any SF a missed ≥ 0.98 pair means a BUG, not luck. Below 0.98 a
+    * miss is legitimate banding behavior (recall at the nominal ~0.595
+    * design threshold is only ~66% by construction) — those pairs pass
+    * the flag unconditionally, and the planted d05 proof plus this
+    * organic bound together pin the recall surface. */
+  val LshSureRecallJaccard = 0.98
+
+  /** d03 — MinHash-LSH candidate BOUND contract (the d14 pattern in
+    * reverse, closing the rows-only gap the r9 verdict named): over the
+    * verification window, run the REAL candidate path
+    * ([[minhashCandidatesFrom]] — same signature/banding/bucket-guard
+    * code the production d10/d11 compositions use) and grade it against
+    * the exact relational 3-shingle Jaccard:
+    *
+    *  - `recall_ok` (per pair): no window pair with exact J ≥
+    *    [[LshSureRecallJaccard]] may be missing from the candidate set
+    *    (see the constant for why that threshold is an invariant, not a
+    *    bet — this corpus's planted near-dup pairs sit at J ≈ 0.98–0.99,
+    *    so the flag is exercised by real pairs every run);
+    *  - `n_disjoint_cand` (precision floor, corpus-wide): every emitted
+    *    candidate pair must share ≥ 1 shingle — a band match between
+    *    shingle-DISJOINT docs requires a 64-bit xxhash64 collision
+    *    (P ≈ 2⁻⁶⁴ per comparison), so the count is 0 to Bloom-grade
+    *    certainty. A bucketing bug that sprays candidates across
+    *    unrelated docs (the failure d05's planted proof cannot see)
+    *    turns this column nonzero and the row red.
+    *
+    * The candidate set itself stays engine-specific (seeded hashes);
+    * the oracle pins the exact Jaccard column and both flags — exactly
+    * the q21/q33/d14 discipline. Window-capped on both engines; the
+    * full-corpus candidate path remains [[minhashCandidates]] (API) and
+    * is exercised at scale by d10/d11. */
+  def minhashCandidateBound(s: SparkSession, d: String): DataFrame = {
+    val (_, sizes, inter) = windowShinglePairs(s, d)
+    val cand = minhashCandidatesFrom(
+        Tables.documents(s, d)
+          .filter(col("doc_id") < VerifyWindow.MaxId)
+          .select(col("doc_id"), col("text")))
+      .localCheckpoint()
+    // precision floor: candidates sharing zero shingles (one tiny count
+    // job over the materialized candidate set — anti-join on the pair key)
+    val nDisjoint = cand.join(inter, Seq("a_id", "b_id"), "left_anti").count()
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_sh")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_sh")), "b_id")
+      .withColumn("j_raw",
+        col("n_inter") / (col("a_sh") + col("b_sh") - col("n_inter")))
+      .join(cand.withColumn("__cand", lit(1)), Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        round(col("j_raw"), 6).as("jaccard"),
+        when(col("j_raw") >= LshSureRecallJaccard && col("__cand").isNull, 0)
+          .otherwise(1).as("recall_ok"),
+        lit(nDisjoint).as("n_disjoint_cand"))
+      .orderBy(col("a_id"), col("b_id"))
   }
+
+  private val minhashCandidateBoundSql =
+    s"""WITH $shingleCtesSql
+      |SELECT a_id, b_id,
+      |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
+      |  1 AS recall_ok,
+      |  CAST(0 AS BIGINT) AS n_disjoint_cand
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = a_id
+      |JOIN sizes sb ON sb.doc_id = b_id
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** 64-bit SimHash per document from token xxhash64 bit-votes, plus its
     * 4×16-bit bands (Hamming-distance candidates join on any equal band).
@@ -371,6 +465,116 @@ object DedupOps {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** d04's bound-contract thresholds. The contract grades the engine's
+    * 64-bit count-weighted SimHash against the exact weighted token
+    * cosine (SAME vector space: simhash votes are count-weighted, so
+    * the hyperplane-concentration argument relates hamming distance to
+    * the angle between the count vectors):
+    *
+    *  - `n_close_far`: window pairs at hamming ≤ 3 with weighted cosine
+    *    < 0.15. Per-bit disagreement probability is θ/π (random
+    *    hyperplane); at cos < 0.15, θ/π > 0.45, and
+    *    P(Bin(64, 0.45) ≤ 3) ≈ 3e-12 per pair — ≈ 4e-7 over the whole
+    *    ~125k-pair window, an invariant. For fully token-DISJOINT pairs
+    *    the bits are independent fair coins and the margin is 2.4e-15.
+    *    A vote-summing bug that collapses fingerprints (all-equal or
+    *    all-zero simhashes) pulls the ~170 organic sub-0.15 pairs into
+    *    hamming 0 and turns this count nonzero.
+    *  - `n_far_close`: window pairs at weighted cosine ≥ 0.995 with
+    *    hamming > 13. At cos 0.995, θ/π ≈ 0.032, E[hamming] ≈ 2, and
+    *    P(Bin(64, 0.032) > 13) ≈ 2e-8 per pair over the ~dozen planted
+    *    near-dup pairs per corpus — a lost-bit bug (wrong shift, sign
+    *    flip) moves planted twins far apart and trips it.
+    *
+    * Exactly-proportional count vectors ⇒ identical vote signs ⇒
+    * hamming 0 is the d06 planted invariant; these two flags pin the
+    * ORGANIC neighborhood around it. */
+  val SimhashCloseHamming = 3
+  val SimhashFarHamming = 13
+  val SimhashFarCosine = 0.15
+  val SimhashCloseCosine = 0.995
+
+  /** d04 — SimHash fingerprint BOUND contract (the d14 pattern for the
+    * Hamming family, closing the rows-only gap the r9 verdict named):
+    * over the verification window, compute the REAL count-weighted
+    * SimHash ([[simhashFrom]] — same hash/vote/band code d06/d10 use)
+    * for every doc, the exact weighted token cosine for every pair
+    * relationally, and grade the fingerprint geometry against the exact
+    * geometry (see the threshold constants above for why both flags are
+    * invariants). Emitted rows: the deterministic exact side — window
+    * pairs at weighted cosine ≥ 0.8 (the near-dup-adjacent band, which
+    * includes every planted near-dup pair) — plus the two corpus-wide
+    * flag counts; the fingerprints stay engine-specific and the oracle
+    * pins the cosines and the flags, q21/q33/d14's discipline. The
+    * full-corpus per-doc fingerprint relation remains [[simhashDocs]]
+    * (API), exercised at scale by d06/d10.
+    *
+    * Exactness note: token counts are integers, so dots/norms are
+    * order-independent in double precision and the rounded cosine
+    * hash-matches DuckDB without ulp slack. */
+  def simhashBound(s: SparkSession, d: String): DataFrame = {
+    val win = Tables.documents(s, d)
+      .filter(col("doc_id") < VerifyWindow.MaxId)
+      .select(col("doc_id"), col("text"))
+    // weighted (doc, term, count) relation — counts, NOT windowTokenPairs'
+    // distinct sets: the exact side must live in simhash's vector space
+    val wtoks = win
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint()
+    val norms = wtoks.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
+    val wcos = wtoks.as("a").join(wtoks.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("dot") / (col("a_nrm") * col("b_nrm"))).as("wc_raw"))
+      .localCheckpoint()
+    val sim = simhashFrom(win).select(col("doc_id"), col("simhash"))
+      .localCheckpoint()
+    // full window pair grid (disjoint pairs included — their cosine is 0
+    // by definition and must still obey the close-pair floor); the
+    // non-equi self-join broadcasts a ≤1000-row one-long-per-doc relation
+    val graded = sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("ham"))
+      .join(wcos, Seq("a_id", "b_id"), "left")
+      .withColumn("wc", coalesce(col("wc_raw"), lit(0.0)))
+    val flags = graded.agg(
+      sum((col("ham") <= SimhashCloseHamming &&
+        col("wc") < SimhashFarCosine).cast("long")).as("n_close_far"),
+      sum((col("wc") >= SimhashCloseCosine &&
+        col("ham") > SimhashFarHamming).cast("long")).as("n_far_close")).head()
+    wcos.filter(round(col("wc_raw"), 6) >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("wc_raw"), 6).as("wcos"),
+        lit(flags.getLong(0)).as("n_close_far"),
+        lit(flags.getLong(1)).as("n_far_close"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val simhashBoundSql = {
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    s"""WITH c AS (
+      |  SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM (SELECT doc_id, unnest(list_filter($tokList, x -> x <> '')) AS w
+      |        FROM documents WHERE doc_id < ${VerifyWindow.MaxId})
+      |  GROUP BY doc_id, w),
+      |n AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY doc_id),
+      |dt AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |         sum(a.cnt * b.cnt) AS dot
+      |       FROM c a JOIN c b ON a.term = b.term AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS wcos,
+      |  CAST(0 AS BIGINT) AS n_close_far, CAST(0 AS BIGINT) AS n_far_close
+      |FROM dt JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+      |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Id offset for the planted-twin recall harnesses: the smallest power
@@ -696,8 +900,9 @@ object DedupOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
-    QueryDef("d03_minhash_candidates", minhashCandidates, None),
-    QueryDef("d04_simhash", simhashDocs, None),
+    QueryDef("d03_minhash_candidates", minhashCandidateBound,
+      Some(minhashCandidateBoundSql)),
+    QueryDef("d04_simhash", simhashBound, Some(simhashBoundSql)),
     QueryDef("d05_lsh_planted_recall", lshPlantedRecall, Some(lshPlantedRecallSql)),
     QueryDef("d06_simhash_planted_recall", simhashPlantedRecall,
       Some(simhashPlantedRecallSql)),

@@ -62,8 +62,18 @@ object EmbeddingOps {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** The ≥ 0.3 window pair relation, memoized per dataset: e02 reports
+    * it, e08 derives its ≥ 0.4 edges from it (rounded cosines, so the
+    * subset filter is exact), and e04's bound contract grades the LSH
+    * candidate set against it — one all-pairs window pass per sweep for
+    * three consumers, the windowTokenPairs posture. */
+  private def windowSimilarPairs(s: SparkSession, d: String): DataFrame =
+    graft.api.Intermediates.memo(s, s"simpairs03|$d") {
+      similarPairsAt(s, d, 0.3).localCheckpoint()
+    }
+
   def similarPairs(s: SparkSession, d: String): DataFrame =
-    similarPairsAt(s, d, 0.3)
+    windowSimilarPairs(s, d)
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
 
   /** The matching DuckDB CTE pair (p, s) plus a threshold select —
@@ -95,7 +105,10 @@ object EmbeddingOps {
     // Intermediates-memoized like d07's label pass: the all-pairs edge
     // generation + propagation rounds build once per dataset per session
     val labels = graft.api.Intermediates.memo(s, s"embedding-components|$d") {
-      val edges = similarPairsAt(s, d, 0.4)
+      // ≥ 0.4 edges are a rounded-cosine subset of the shared ≥ 0.3
+      // window relation — filter the memoized build instead of paying a
+      // second all-pairs pass
+      val edges = windowSimilarPairs(s, d).filter(col("cos_sim") >= 0.4)
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       val nodes = Tables.embeddings(s, d)
         .filter(col("vec_id") < VerifyWindow.MaxId)
@@ -242,6 +255,64 @@ object EmbeddingOps {
       .distinct()
   }
 
+  /** e04's bound-contract thresholds.
+    *
+    *  - `recall_ok`: a window pair at exact cosine ≥ 0.9999 missing from
+    *    the candidate set. At that cosine θ/π ≤ 0.0045, a band of 8
+    *    sign bits agrees w.p. ≥ 0.9645, and missing all 4 bands has
+    *    P ≤ 1.6e-6 per pair — and exactly-proportional vectors (cos 1)
+    *    agree on every sign bit deterministically, the e06 planted
+    *    invariant. Below that cosine a miss is legitimate banding
+    *    behavior (the 4×8 construction's 50%-recall point sits near
+    *    cos 0.8) — those pairs pass unconditionally.
+    *  - `cand_rate_ok`: total windowed candidates ≤ 10% of window pairs.
+    *    Sign-bit agreement between isotropic vectors is a fair coin, so
+    *    the organic collision rate is ≈ 4/2⁸ ≈ 2% of pairs (measured
+    *    ~1.6%); the 10% ceiling is hundreds of binomial standard
+    *    deviations above organic yet a 4× candidate spray (the
+    *    bucket-join bug class d05/e06's planted proofs cannot see)
+    *    trips it. There is NO per-pair precision floor for hyperplane
+    *    LSH — orthogonal pairs legitimately collide at ~2% — so the
+    *    precision statement is rate-level by design (documented trade;
+    *    the exact re-rank downstream is what consumes the candidates). */
+  val LshSureRecallCosine = 0.9999
+  val LshCandRateCeiling = 0.10
+
+  /** e04 — hyperplane-LSH candidate BOUND contract (the d03 pattern for
+    * the embedding modality, closing the rows-only gap the r9 verdict
+    * named): over the verification window, run the REAL candidate path
+    * ([[lshCandidatePairs]] — same plane/band/bucket-guard code) and
+    * grade it against the exact all-pairs cosine relation (shared with
+    * e02/e08 via [[windowSimilarPairs]]). Emitted rows: the
+    * deterministic exact side (window pairs at cosine ≥ 0.3) with the
+    * per-pair recall flag and the corpus-wide candidate-rate flag; the
+    * buckets stay engine-specific and the oracle pins the cosines and
+    * both flags (see the threshold constants for the invariant margins).
+    * The full-corpus candidate path remains [[annLshCandidates]] (API),
+    * exercised at scale by e06's planted union. */
+  def annLshBound(s: SparkSession, d: String): DataFrame = {
+    val winEmb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < VerifyWindow.MaxId)
+      .select(col("vec_id"), col("embedding"))
+    val cand = lshCandidatePairs(winEmb).localCheckpoint()
+    val nCand = cand.count()
+    val nWin = winEmb.count()
+    val rateOk =
+      if (nCand.toDouble <= LshCandRateCeiling * nWin * (nWin - 1) / 2) 1 else 0
+    windowSimilarPairs(s, d)
+      .join(cand.withColumn("__cand", lit(1)), Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("cos_sim"),
+        when(col("cos_sim") >= LshSureRecallCosine && col("__cand").isNull, 0)
+          .otherwise(1).as("recall_ok"),
+        lit(rateOk).as("cand_rate_ok"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+  }
+
+  private val annLshBoundSql =
+    s"""WITH ${similarCtesSql(0.3)}
+      |SELECT a_id, b_id, cos_sim, 1 AS recall_ok, 1 AS cand_rate_ok FROM pr
+      |ORDER BY cos_sim DESC, a_id, b_id""".stripMargin
+
   /** e06 — ANN-LSH recall invariant, oracle-checked (mirrors
     * d05): union the embeddings with an id-shifted copy and demand the
     * REAL hyperplane-LSH path recover every planted identical pair. An
@@ -327,14 +398,22 @@ object EmbeddingOps {
     * the partition key — a probe touches IvfProbes/IvfCells of the data
     * instead of all of it. Rows-only (k-means-dependent); the
     * brute-force e01 is the exact baseline. */
-  def ivfTopK(index: IvfIndex, queryId: Long, k: Int,
-              probes: Int = IvfProbes): DataFrame = {
+  /** A query's probe set: its `probes` nearest quantizer cells by center
+    * distance (the query's own cell is always included — its center is
+    * nearest by definition). Driver-side over the k cell centers. */
+  private[graft] def probedCells(index: IvfIndex, queryId: Long,
+                                 probes: Int): Seq[Int] = {
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     val qFeatures = index.assigned.filter(col("vec_id") === queryId)
       .select(col("features")).collect().head.getAs[Vector](0)
-    val probed = index.model.clusterCenters.zipWithIndex
+    index.model.clusterCenters.zipWithIndex
       .sortBy { case (c, _) => Vectors.sqdist(c, qFeatures) }
-      .take(probes).map(_._2)
+      .take(probes).map(_._2).toIndexedSeq
+  }
+
+  def ivfTopK(index: IvfIndex, queryId: Long, k: Int,
+              probes: Int = IvfProbes): DataFrame = {
+    val probed = probedCells(index, queryId, probes)
     val qEmb = index.assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     index.assigned
@@ -374,6 +453,55 @@ object EmbeddingOps {
     }
     ivfTopK(index, queryId = 0, k = 20)
   }
+
+  /** e05 — IVF probe BOUND contract (closes the last rows-only gap the
+    * r9 verdict named): the deterministic exact side is e01's
+    * brute-force top-20 for query 0 (oracle-pinned ids and cosines);
+    * the engine side probes the REAL shared IVF index ([[annIvf]]'s
+    * memoized build — same quantizer, same probe code) and each exact
+    * neighbor is flagged `in_ivf_or_unprobed`:
+    *
+    *  - if the neighbor's cell IS probed, it MUST appear in the IVF
+    *    top-20 — within the probed subset its (cos desc, vec_id) rank
+    *    can only improve on its global rank ≤ 20, and the within-cell
+    *    re-rank is exact, so absence is a probe/re-rank/limit BUG (the
+    *    defining IVF guarantee, e07's planted argument extended to
+    *    every ORGANIC neighbor every run);
+    *  - if its cell is NOT probed, missing it is the documented IVF
+    *    recall/latency trade (IvfProbes of the cells searched), and the
+    *    flag passes unconditionally.
+    *
+    * The cell assignment stays engine-specific (k-means); the oracle
+    * pins the exact neighbors, their cosines, and the flag — the
+    * q21/q33/d14 discipline. The raw probe API remains [[annIvf]];
+    * both run the same memoized index, so the sweep builds it once. */
+  def annIvfBound(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cells = ivfCellsFor(corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(emb, cells)
+    }
+    val probed = probedCells(index, queryId = 0, IvfProbes)
+    val found = ivfTopK(index, queryId = 0, k = 20)
+      .select(col("vec_id"), lit(1).as("__found"))
+    knnBruteForce(s, d)
+      .join(found, Seq("vec_id"), "left")
+      .join(index.assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("cos_sim"),
+        when(col("__found").isNotNull || !col("cell").isin(probed: _*), 1)
+          .otherwise(0).as("in_ivf_or_unprobed"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  private val annIvfBoundSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+      |      FROM embeddings e, q WHERE e.vec_id <> 0),
+      |s AS (SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+      |      FROM z GROUP BY vec_id)
+      |SELECT vec_id, round(dot / (nx * ny), 6) AS cos_sim,
+      |  1 AS in_ivf_or_unprobed
+      |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
   /** e07 — IVF recall invariant, oracle-checked (completes the d05/e06
     * family for the last approximate path): union the embeddings with an
@@ -572,8 +700,8 @@ object EmbeddingOps {
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),
     QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
     QueryDef("e03_label_centroids", labelCentroids, Some(labelCentroidsSql)),
-    QueryDef("e04_ann_lsh", annLshCandidates, None),
-    QueryDef("e05_ann_ivf", annIvf, None),
+    QueryDef("e04_ann_lsh", annLshBound, Some(annLshBoundSql)),
+    QueryDef("e05_ann_ivf", annIvfBound, Some(annIvfBoundSql)),
     QueryDef("e06_ann_planted_recall", annPlantedRecall, Some(annPlantedRecallSql)),
     QueryDef("e07_ivf_planted_recall", ivfPlantedRecall, Some(ivfPlantedRecallSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,

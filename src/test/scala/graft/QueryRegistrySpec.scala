@@ -68,6 +68,55 @@ class QueryRegistrySpec extends SparkSpec {
       }
   }
 
+  test("d03/d04 candidate-bound flags hold on a second corpus (sfTiny)") {
+    // the harness oracle pins sf0.01; this checks the bound flags on a
+    // different corpus AND that the flags are non-vacuous there (the
+    // recall conditions actually fire on the planted near-dup pairs)
+    val d03 = graft.operators.DedupOps.minhashCandidateBound(spark, sfTiny)
+      .collect()
+    assert(d03.nonEmpty)
+    d03.foreach { r =>
+      assert(r.getAs[Int]("recall_ok") === 1,
+        s"LSH missed a >=0.98-Jaccard pair (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getAs[Long]("n_disjoint_cand") === 0L,
+        "LSH emitted a shingle-disjoint candidate pair")
+    }
+    assert(d03.count(_.getAs[Double]("jaccard") >=
+      graft.operators.DedupOps.LshSureRecallJaccard) > 0,
+      "no pair above the sure-recall threshold — the flag was vacuous")
+    val d04 = graft.operators.DedupOps.simhashBound(spark, sfTiny).collect()
+    assert(d04.nonEmpty)
+    d04.foreach { r =>
+      assert(r.getAs[Long]("n_close_far") === 0L,
+        "a hamming<=3 pair has weighted cosine < 0.15")
+      assert(r.getAs[Long]("n_far_close") === 0L,
+        "a >=0.995-cosine pair is further than hamming 13")
+    }
+    assert(d04.count(_.getAs[Double]("wcos") >=
+      graft.operators.DedupOps.SimhashCloseCosine) > 0,
+      "no pair above the close-cosine threshold — the flag was vacuous")
+  }
+
+  test("e04/e05 ANN-bound flags hold on a second corpus (sfTiny)") {
+    val e04 = graft.operators.EmbeddingOps.annLshBound(spark, sfTiny).collect()
+    assert(e04.nonEmpty)
+    e04.foreach { r =>
+      assert(r.getAs[Int]("recall_ok") === 1)
+      assert(r.getAs[Int]("cand_rate_ok") === 1,
+        "windowed LSH candidate rate above the 10% spray ceiling")
+    }
+    val e05 = graft.operators.EmbeddingOps.annIvfBound(spark, sfTiny).collect()
+    assert(e05.nonEmpty)
+    e05.foreach(r => assert(r.getAs[Int]("in_ivf_or_unprobed") === 1,
+      s"IVF lost neighbor ${r.getLong(0)} despite probing its cell"))
+    // non-vacuity: the probe really returns some of the true top-20 (the
+    // flag would also pass if every neighbor sat in an unprobed cell)
+    val ivfIds = graft.operators.EmbeddingOps.annIvf(spark, sfTiny)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(e05.count(r => ivfIds(r.getLong(0))) > 0,
+      "IVF found none of the exact top-20 — the flag was vacuous")
+  }
+
   test("q31 funnel orders the stages strictly (fixture)") {
     import spark.implicits._
     import java.sql.Timestamp
