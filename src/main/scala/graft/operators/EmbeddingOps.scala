@@ -554,10 +554,14 @@ object EmbeddingOps {
     * guard (16× the mean cell load, mirroring
     * [[DedupOps.scaledBucketCap]]) excludes any hot cell the quantizer
     * mis-balances, so one collapsed cell can never go quadratic — its
-    * vectors simply keep themselves, logged loudly (the SemDeDup trade:
-    * cross-cell near-dups are out of reach by design — the planted
-    * proof below only relies on same-cell recall, which the quantizer
-    * guarantees for identical vectors); production would feed the e09
+    * vectors simply keep themselves, logged loudly. The pair pass is
+    * boundary MULTI-PROBE ([[multiProbeEdges]]): each vector's two
+    * nearest cells are probed, so near-dups straddling a cell boundary
+    * — single-probe SemDeDup's documented blind spot — are recovered at
+    * ≤ 2× pair-pass cost (the planted proof below only relies on
+    * same-cell recall, which the quantizer guarantees for identical
+    * vectors; the boundary gain is proved by its own planted fixture in
+    * SkewOpsSpec); production would feed the e09
     * int8 vectors through the same plan to shrink the cell shuffle 4×.
     *
     * Oracle (planted clique-collapse proof, closed form): corpus ∪
@@ -582,23 +586,33 @@ object EmbeddingOps {
     * quadratic stage in the plan — excluded cells keep their vectors
     * un-deduped (self-component): graceful degradation, loudly logged.
     * The guard count is near-free (a 1-column agg over ids). */
-  private[graft] def withinCellEdges(assigned: DataFrame, nTotal: Long,
-                                     nCells: Int,
-                                     threshold: Double = 0.95): DataFrame = {
+  /** The degenerate-cell guard shared by both pair passes: cells past
+    * 16× the mean PRIMARY load (floor 4× the target cell size) are the
+    * quantizer failing on a region, and their all-pairs pass would be
+    * the one quadratic stage in the plan — excluded cells keep their
+    * vectors un-deduped (self-component): graceful degradation, loudly
+    * logged. The count is near-free (a 1-column agg over ids). */
+  private def admittedCells(primary: DataFrame, nTotal: Long,
+                            nCells: Int): DataFrame = {
     val cap = DedupOps.scaledBucketCap(nTotal, nCells.toLong,
       4L * IvfTargetCellSize)
     // one row per cell — localCheckpoint so the hot-cell guard count and
-    // the keep-join below read one materialized aggregation, not two
-    // passes over the assignment (ADVICE r8)
-    val cellSizes = assigned.groupBy(col("cell"))
+    // the keep-joins read one materialized aggregation, not two passes
+    // over the assignment (ADVICE r8)
+    val cellSizes = primary.groupBy(col("cell"))
       .agg(count(lit(1)).as("cell_n"))
       .localCheckpoint()
     val hot = cellSizes.filter(col("cell_n") > cap).count()
     if (hot > 0)
       System.err.println(s"[semdedup] $hot/$nCells cells exceed the " +
         s"degenerate-cell cap ($cap) and are excluded from the pair pass")
-    val cells = assigned
-      .join(cellSizes.filter(col("cell_n") <= cap).select(col("cell")), Seq("cell"))
+    cellSizes.filter(col("cell_n") <= cap).select(col("cell"))
+  }
+
+  private[graft] def withinCellEdges(assigned: DataFrame, nTotal: Long,
+                                     nCells: Int,
+                                     threshold: Double = 0.95): DataFrame = {
+    val cells = assigned.join(admittedCells(assigned, nTotal, nCells), Seq("cell"))
     val a = cells.select(col("cell"), col("vec_id").as("src"),
       col("embedding").as("a_emb"))
     val b = cells.select(col("cell"), col("vec_id").as("dst"),
@@ -607,6 +621,68 @@ object EmbeddingOps {
       .filter(col("src") < col("dst"))
       .filter(fastCosine(col("a_emb"), col("b_emb")) >= threshold)
       .select(col("src"), col("dst"))
+  }
+
+  /** Per-vector two-nearest-cell PROBE relation (cell, vec_id,
+    * embedding — two rows per vector): the e10 pair pass's boundary
+    * multi-probe. Computed over the index's normalized features against
+    * the quantizer's broadcast centers — the same O(n·k) dot-product
+    * shape as the k-means assignment itself, so the probe build never
+    * dominates the build it extends (at [[IvfMaxCells]] × 64 dims the
+    * broadcast is ~32 MB; past that a production index is a two-level
+    * quantizer anyway, see [[IvfMaxCells]]). */
+  private[graft] def probeAssignments(index: IvfIndex): DataFrame = {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val centers = index.assigned.sparkSession.sparkContext
+      .broadcast(index.model.clusterCenters)
+    val top2 = udf { f: Vector =>
+      val cs = centers.value
+      var b1 = -1; var b2 = -1
+      var d1 = Double.MaxValue; var d2 = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val dd = Vectors.sqdist(cs(i), f)
+        if (dd < d1) { d2 = d1; b2 = b1; d1 = dd; b1 = i }
+        else if (dd < d2) { d2 = dd; b2 = i }
+        i += 1
+      }
+      if (b2 < 0) Seq(b1) else Seq(b1, b2)
+    }
+    index.assigned
+      .select(col("vec_id"), col("embedding"),
+        explode(top2(col("features"))).as("cell"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+  }
+
+  /** Boundary multi-probe pair pass (replaces single-probe in e10): the
+    * PRIMARY assignment joins each vector's TWO nearest cells on the
+    * other side, so a near-dup pair straddling a cell boundary meets
+    * whenever either vector's primary cell is within the other's probe
+    * set — the pairs the single-probe design provably sacrificed
+    * (SemDeDup's documented blind spot). Cost is ≤ 2× the single-probe
+    * pass (one side stays 1×, the probe side is 2×), not the 4× of
+    * duplicating both sides; the residual blind spot shrinks to pairs
+    * whose cell sets overlap ONLY in both SECOND cells (two boundary
+    * vectors leaning toward each other from two different primaries),
+    * plus guard-excluded cells as before. Emitted pairs are
+    * canonicalized (least, greatest) and deduplicated — a same-cell
+    * pair meets in up to two shared cells and both orientations. The
+    * guard stays keyed on primary loads: probe-side load is ≤ 2× the
+    * primary load, so admitted-cell work stays O(cap²) bounded. */
+  private[graft] def multiProbeEdges(primary: DataFrame, probes: DataFrame,
+                                     nTotal: Long, nCells: Int,
+                                     threshold: Double = 0.95): DataFrame = {
+    val ok = admittedCells(primary, nTotal, nCells)
+    val a = primary.join(ok, Seq("cell"))
+      .select(col("cell"), col("vec_id").as("u"), col("embedding").as("a_emb"))
+    val b = probes.join(ok, Seq("cell"))
+      .select(col("cell"), col("vec_id").as("v"), col("embedding").as("b_emb"))
+    a.join(b, Seq("cell"))
+      .filter(col("u") =!= col("v"))
+      .filter(fastCosine(col("a_emb"), col("b_emb")) >= threshold)
+      .select(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst"))
+      .distinct()
   }
 
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
@@ -618,9 +694,14 @@ object EmbeddingOps {
       val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$nCells") {
         ivfBuild(union, nCells)
       }
-      val edges = withinCellEdges(
+      // boundary multi-probe (r9 verdict item 2): the pair pass joins
+      // each vector's TWO nearest cells, so boundary-straddling
+      // near-dups are no longer sacrificed; membership for
+      // representative selection stays single-cell (the components are
+      // keyed on vec_id, not cells)
+      val edges = multiProbeEdges(
         index.assigned.select(col("cell"), col("vec_id"), col("embedding")),
-        2L * nBase, nCells).localCheckpoint()
+        probeAssignments(index), 2L * nBase, nCells).localCheckpoint()
       // Loud planting invariants (ADVICE r7): the closed-form oracle is
       // only valid when the edge set is EXACTLY the planted twins.
       val nonPlanted = edges.filter(col("dst") =!= col("src") + lit(off)).count()

@@ -75,6 +75,79 @@ class SkewOpsSpec extends SparkSpec {
     assert(ivfCellsFor(Long.MaxValue / 2) === IvfMaxCells)
   }
 
+  test("multi-probe pair pass finds the boundary pair single-probe misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 8 well-separated direction clusters × 25 members (the recall
+    // fixture), plus a planted BOUNDARY near-dup pair: ids 1000/1001 mix
+    // two base directions 55/45 and 45/55 — cosine(u, w) = 0.495/0.505 ≈
+    // 0.980 ≥ 0.95, but each leans toward a different cluster, so the
+    // real quantizer assigns them different primary cells and the
+    // single-probe pass can never compare them. Multi-probe must.
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val base = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 200).map { i =>
+      val v = base(i % 8).map(x => x + 0.4f * rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    // fit the REAL quantizer on the corpus alone, then craft the twins
+    // from the two NEAREST fitted centers — mixing 55/45 and 45/55
+    // guarantees u is Euclid-closer to c_i and w to c_j by construction
+    val index0 = EmbeddingOps.ivfBuild(corpus.toDF("vec_id", "embedding"), cells = 8)
+    val centers = index0.model.clusterCenters
+    val (i0, j0) = (for (i <- centers.indices; j <- centers.indices if i < j)
+      yield (i, j)).minBy { case (i, j) =>
+        org.apache.spark.ml.linalg.Vectors.sqdist(centers(i), centers(j)) }
+    def mix(a: Double): Array[Float] =
+      centers(i0).toArray.zip(centers(j0).toArray)
+        .map { case (x, y) => (a * x + (1 - a) * y).toFloat }
+    val u = mix(0.55)
+    val w = mix(0.45)
+    // replicate ivfBuild's feature normalization exactly
+    def feat(v: Array[Float]) = {
+      val x = v.map(_.toDouble)
+      val n = math.sqrt(x.map(d => d * d).sum)
+      org.apache.spark.ml.linalg.Vectors.dense(x.map(_ / n))
+    }
+    val cos = {
+      val (fu, fw) = (feat(u).toArray, feat(w).toArray)
+      fu.zip(fw).map { case (a, b) => a * b }.sum
+    }
+    assert(cos >= 0.95, s"fixture degenerate: twin cosine $cos below threshold")
+    val cellU = index0.model.predict(feat(u))
+    val cellW = index0.model.predict(feat(w))
+    // precondition of the proof: the quantizer really splits the pair
+    assert(cellU !== cellW,
+      s"fixture degenerate: boundary twins share primary cell $cellU")
+    val twins = Seq((1000L, u, feat(u), cellU), (1001L, w, feat(w), cellW))
+      .toDF("vec_id", "embedding", "features", "cell")
+    val index = EmbeddingOps.IvfIndex(
+      index0.assigned.unionByName(twins.select(index0.assigned.columns.map(col): _*)),
+      index0.model)
+    // each twin's probe set reaches across the boundary
+    val probes = EmbeddingOps.probeAssignments(index)
+      .filter(col("vec_id") >= 1000L)
+      .select(col("vec_id"), col("cell")).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getInt(1)).toSet }
+    assert(probes(1000L).contains(cellW) || probes(1001L).contains(cellU),
+      s"fixture degenerate: probe sets $probes never cross the boundary")
+    val primary = index.assigned.select(col("cell"), col("vec_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(EmbeddingOps.withinCellEdges(primary,
+      nTotal = 202, nCells = 8, threshold = 0.95))
+    val multi = pairs(EmbeddingOps.multiProbeEdges(primary,
+      EmbeddingOps.probeAssignments(index),
+      nTotal = 202, nCells = 8, threshold = 0.95))
+    assert(!single.contains((1000L, 1001L)),
+      "single-probe unexpectedly found the cross-cell pair — fixture stale")
+    assert(multi.contains((1000L, 1001L)),
+      s"multi-probe missed the planted boundary pair: $multi")
+    // multi-probe strictly extends single-probe (same threshold/guard)
+    assert(single.subsetOf(multi), s"multi lost pairs: ${single.diff(multi)}")
+  }
+
   test("semantic-dedup pair pass excludes degenerate hot cells") {
     import spark.implicits._
     // cell 0: 1100 identical vectors (a collapsed region the quantizer
