@@ -616,12 +616,18 @@ object Relational {
     * -broadcast closure over the immutable sketch (sketch probes aren't
     * Column expressions; the scan stays a single map-only pass). */
   def bloomFilterCheck(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_returnflag")).localCheckpoint()
-    val members = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey")).distinct()
+    // ONE distinct-shuffle produces the member AND non-member universes
+    // with a per-key flag (was: two distincts + an anti-join + two probe
+    // aggregates crossJoined — the r9→r10 stage A/B showed q33's ~1.2 s
+    // was JOB COUNT, not any single stage: every warm stage timed
+    // 0.3–0.6 s, so the fix is fewer actions, not a faster probe)
+    val keys = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("is_member"))
+      .localCheckpoint()
+    val members = keys.filter(col("is_member") === 1)
     // Size the filter from the ACTUAL member count (one cheap action over
-    // the checkpointed ids): a fixed expectedNumItems is the classic
+    // the checkpointed keys): a fixed expectedNumItems is the classic
     // scale fragility — once membership exceeds ~1.5x capacity the
     // measured fpp blows past the asserted bound and the oracle-pinned
     // flag fails at a larger SF even though the sketch is behaving as
@@ -629,13 +635,16 @@ object Relational {
     val nMembers = members.count()
     val bf = members.stat.bloomFilter("l_orderkey", math.max(nMembers, 1L), 0.03)
     val mc = udf((k: Long) => bf.mightContain(k))
-    val nonMembers = li.select(col("l_orderkey")).distinct()
-      .join(members, Seq("l_orderkey"), "left_anti")
-    val fn = members.agg(count(lit(1)).as("n_members"),
-      sum(when(mc(col("l_orderkey")), 0L).otherwise(1L)).as("n_false_neg"))
-    val fp = nonMembers.agg(count(lit(1)).as("n_non_members"),
-      sum(when(mc(col("l_orderkey")), 1L).otherwise(0L)).as("n_fp"))
-    fn.crossJoin(fp)
+    // one probe pass over the checkpointed key universe computes all
+    // four counters (members, false negs, non-members, false positives)
+    keys.withColumn("hit", mc(col("l_orderkey")))
+      .agg(
+        sum(col("is_member").cast("long")).as("n_members"),
+        sum(when(col("is_member") === 1 && !col("hit"), 1L).otherwise(0L))
+          .as("n_false_neg"),
+        sum(lit(1L) - col("is_member")).as("n_non_members"),
+        sum(when(col("is_member") === 0 && col("hit"), 1L).otherwise(0L))
+          .as("n_fp"))
       .select(col("n_members"), col("n_false_neg"), col("n_non_members"),
         (col("n_fp") <= col("n_non_members") * 0.09).cast("int").as("fpp_ok"))
   }
