@@ -205,16 +205,52 @@ object MlQueries {
 
   /** m09 — M10/A10: the refiner pipeline — coherence-gated split, top
     * terms, deterministic labels, labeled report sorted best-first.
-    * The registry row emits the report's ORACLE-CHECKED frame view
-    * (see [[refinerInvariants]], which this row now runs — the r7
-    * companion row m14 folded into m09 itself so the refiner path's
-    * own correctness line is green rather than rows-only); the full
-    * per-cluster labeled report stays the API surface
-    * ([[graft.api.ModelPipeline.refinerReport]], exercised by
-    * RefineSpec) — its per-cluster values are K-means/LDA internals no
-    * relational oracle can reproduce. */
-  def refinerReport(s: SparkSession, d: String): DataFrame =
-    refinerInvariants(s, d)
+    * The registry row now emits the report's OWN per-cluster rows (r9
+    * verdict item 4 — previously a 1-row frame summary), each graded
+    * by invariant flags the oracle pins:
+    *
+    *  - the CLUSTER ID UNIVERSE is pinned closed-form: ids are exactly
+    *    0..k−1 while the coherence gate does not fire on this corpus
+    *    (it never has at any shipped SF — splits mint fresh ids above
+    *    k−1). The assumption is ASSERTED loudly (e10's discipline): a
+    *    corpus drift that trips the gate fails with the assumption
+    *    named instead of a bare hash mismatch, and a dropped,
+    *    duplicated or renumbered cluster now breaks rows/hash directly;
+    *  - per-row flags: coherence within its algebraic [−1,1] range
+    *    (null legal — an unscorable cluster sorts last, it must not
+    *    vanish), label non-null/non-empty ("Unlabeled" fallback
+    *    included), n_docs ≥ 1 (the report is anchored on the
+    *    assignment-side universe, so a present cluster always carries
+    *    its docs);
+    *  - `n_docs_total` (constant column): Σ n_docs must equal the
+    *    vectorizable-doc count reproduced relationally from the same
+    *    mass-ranked vocabulary m03 hash-matches — corpus conservation,
+    *    the m12/m13 pattern.
+    *
+    * The labeled report itself (labels, coherences, per-cluster sizes —
+    * K-means/LDA internals no relational oracle can reproduce) stays
+    * the API surface ([[graft.api.ModelPipeline.refinerReport]]),
+    * exercised by RefineSpec including the forced-split fixtures. */
+  def refinerReport(s: SparkSession, d: String): DataFrame = {
+    val rep = graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
+        params = splitParams)
+      .localCheckpoint()
+    val ids = rep.select(col("cluster")).collect().map(_.getInt(0)).sorted
+    require(ids.sameElements(0 until 15),
+      s"m09 closed-form oracle assumption violated: report cluster ids " +
+        s"[${ids.mkString(",")}] != 0..14 — the coherence gate split a " +
+        "cluster on this corpus; re-derive the oracle's id universe")
+    val total = rep.agg(sum(col("n_docs"))).head().getLong(0)
+    rep.select(col("cluster").cast("long").as("cluster"),
+        when(col("coherence").isNull ||
+          (col("coherence") >= -1 && col("coherence") <= 1), 1)
+          .otherwise(0).as("range_ok"),
+        when(col("label").isNotNull && col("label") =!= "", 1)
+          .otherwise(0).as("label_ok"),
+        (col("n_docs") >= 1).cast("int").as("docs_ok"),
+        lit(total).as("n_docs_total"))
+      .orderBy(col("cluster"))
+  }
 
   /** m10 — S7/S8/S9 + V9/M8 under the harness: persist the fitted
     * model and its df/N-weighted vocabulary to a versioned directory,
@@ -390,47 +426,25 @@ object MlQueries {
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS dense_ok, 1 AS nonneg_ok""".stripMargin
 
-  /** Refiner-report FRAME invariants under the oracle — m09's oracle
-    * body (the m12/m13 pattern applied to the REPORT entry point — ref
-    * runPhase1Pipeline 04_cluster_refiner.R:726-794):
-    * whatever the coherence-gated split settles on, the labeled report
-    * must (1) conserve the corpus — Σ n_docs equals the
-    * vectorizable-doc count reproduced relationally from the same
-    * mass-ranked vocabulary m03 hash-matches (a report that drops or
-    * double-counts a cluster's docs breaks the hash — the report is
-    * anchored on the assignment-side cluster universe precisely so a
-    * degenerate cluster carries a null score instead of vanishing with
-    * its docs); (2) keep every PRESENT coherence inside its algebraic
-    * range — each Mimno-style pair score is a [0,1] co-occurrence share
-    * minus a [0,1] marginal share, so the per-cluster mean lies in
-    * [−1,1], and a null (unscorable cluster) is legal; (3) label every cluster
-    * (non-null, non-empty — the "Unlabeled" fallback included); and
-    * (4) emit one row per distinct non-negative cluster id. Dense ids
-    * are deliberately NOT asserted: the report is the pre-renumber view
-    * (split emits fresh ids above the fit's max; [[graft.refine
-    * .Renumber.dense]] runs in the optimize path, oracled by m13).
-    * Reuses m09's memoized fit/split — one extra agg, not a second
-    * sweep. */
-  def refinerInvariants(s: SparkSession, d: String): DataFrame =
-    graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
-        params = splitParams)
-      .agg(sum(col("n_docs")).as("n_docs"),
-        min(when(col("coherence").isNull ||
-          (col("coherence") >= -1 && col("coherence") <= 1), 1)
-          .otherwise(0)).as("range_ok"),
-        min(when(col("label").isNotNull && col("label") =!= "", 1)
-          .otherwise(0)).as("label_ok"),
-        (countDistinct(col("cluster")) === count(lit(1)) &&
-          min(col("cluster")) >= 0).cast("int").as("ids_ok"))
-      .select(col("n_docs"), col("range_ok").cast("int").as("range_ok"),
-        col("label_ok").cast("int").as("label_ok"), col("ids_ok"))
-
-  private val refinerInvariantsSql =
+  /** m09's oracle: one row per closed-form cluster id (0..14, see
+    * [[refinerReport]]'s loud universe assertion), the per-row
+    * invariant flags pinned to 1, and the conserved doc total
+    * reproduced relationally from the same mass-ranked vocabulary m03
+    * hash-matches (each Mimno-style pair score is a [0,1] co-occurrence
+    * share minus a [0,1] marginal share, so the per-cluster mean lies
+    * in [−1,1] and the range flag is an algebraic invariant). Dense
+    * POST-renumber ids are m13's oracle; this is the pre-renumber
+    * report view. */
+  private val refinerReportSql =
     "WITH " + termsCte + s""",
       |$massVocabCte
-      |SELECT CAST((SELECT count(DISTINCT doc_id) FROM tc
-      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
-      |  1 AS range_ok, 1 AS label_ok, 1 AS ids_ok""".stripMargin
+      |SELECT CAST(ids.c AS BIGINT) AS cluster,
+      |  1 AS range_ok, 1 AS label_ok, 1 AS docs_ok,
+      |  CAST((SELECT count(DISTINCT doc_id) FROM tc
+      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT)
+      |    AS n_docs_total
+      |FROM (SELECT unnest(generate_series(0, 14)) AS c) ids
+      |ORDER BY cluster""".stripMargin
 
   /** m15 — quality-classifier filtering through the REAL MLlib
     * LogisticRegression fit/predict path (the GPT-3-style learned
@@ -526,7 +540,7 @@ object MlQueries {
     QueryDef("m06_kmeans_stats", kmeansStats, None),
     QueryDef("m07_lda_optimize", ldaOptimize, None),
     QueryDef("m08_cluster_merge", clusterMerge, None),
-    QueryDef("m09_refiner_report", refinerReport, Some(refinerInvariantsSql)),
+    QueryDef("m09_refiner_report", refinerReport, Some(refinerReportSql)),
     QueryDef("m10_model_predict", modelPredict, None),
     QueryDef("m11_predict_planted", predictPlanted, Some(predictPlantedSql)),
     QueryDef("m12_kmeans_invariants", kmeansInvariants,
