@@ -21,7 +21,8 @@ object ScaleProbe {
 
   private val Heaviest = Seq(
     "c01_corpus_prep", "d10_production_dedup", "t08_winnow_fingerprints",
-    "t05_lang_guess", "s09_model_roundtrip", "e10_semantic_dedup")
+    "t05_lang_guess", "s09_model_roundtrip", "e10_semantic_dedup",
+    "s04_stream_sessions")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -71,6 +72,25 @@ object ScaleProbe {
             s"slice(embedding, 1, $i % size(embedding)))"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    // Events blow-up for the streaming probe (s04): copy i offsets
+    // user_id and event_id past the base ranges with timestamps
+    // UNCHANGED — mult× the state-store keys (sessions per
+    // session_window state shard) under the identical watermark
+    // progression. This is the streaming analog of the keyed-shuffle
+    // claim in SCALE.md: session state is partitioned by user like any
+    // keyed exchange, so state size should scale with keys while
+    // per-microbatch progress stays time-shaped.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val (maxEvent, maxUser) = {
+      val r = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    (0 until mult).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i.toLong * (maxEvent + 1)))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * (maxUser + 1)))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
 
     def clean(): Unit = {
       // clean pool before every timed run, same as the bench's family

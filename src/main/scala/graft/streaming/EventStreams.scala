@@ -29,9 +29,18 @@ object EventStreams {
     * see event-time regardless of which producer wrote the file. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file streams want a directory; glob-filter to the events table
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // Both on-disk layouts stream: a bare `events.parquet` FILE (the
+    // generated corpus) needs a directory scan glob-filtered to that
+    // name, while an `events.parquet/` DIRECTORY of part files (any
+    // Spark-written copy, e.g. the scale probe's blow-up) is the
+    // stream path itself — the filename filter would silently exclude
+    // every part-*.parquet and the source would read ZERO rows.
+    val raw =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
     graft.sources.Tables.normalizeEventTime(raw)
   }
 
