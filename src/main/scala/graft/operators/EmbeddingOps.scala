@@ -48,7 +48,7 @@ object EmbeddingOps {
     * [[annLshCandidates]] is the scale path. */
   /** e02's pair generation at an arbitrary threshold — shared by e02
     * (0.3, the report form) and e08 (0.4, the collapse edges). */
-  private def similarPairsAt(s: SparkSession, d: String,
+  private[graft] def similarPairsAt(s: SparkSession, d: String,
                              threshold: Double): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .filter(col("vec_id") < VerifyWindow.MaxId)

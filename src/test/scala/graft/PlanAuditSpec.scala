@@ -30,7 +30,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("e02: the verification cap is pushed into BOTH scan sides") {
-    val p = plan("e02_similar_pairs")
+    // audit the RELATION BUILDER, not the registry row: since r10 the
+    // registry row reads the memoized localCheckpoint (whose truncated
+    // lineage hides the scans by design) — the pushdown property
+    // belongs to the underlying all-pairs build that checkpoint runs
+    val p = graft.operators.EmbeddingOps.similarPairsAt(spark, sfTiny, 0.3)
+      .queryExecution.executedPlan.toString
     assert("LessThan\\(vec_id,1000\\)".r.findAllIn(p).size === 2)
   }
 
@@ -204,6 +209,50 @@ class PlanAuditSpec extends SparkSpec {
     assert("PartitionFilters: \\[isnotnull\\(lang".r.findFirstIn(p).isDefined,
       s"lang must prune at the file index:\n$p")
     assert(p.contains("= en"), s"the en partition filter is missing:\n$p")
+  }
+
+  test("AQE splits a planted skewed JOIN; aggregation skew still needs salting") {
+    // The boundary between built-in and manual skew handling (SCALE.md):
+    // AQE's OptimizeSkewedJoin splits a hot sort-merge-join partition at
+    // runtime, so q23-style JOIN skew needs no manual salt on a cluster
+    // with AQE; aggregation skew (q22) has no AQE remedy — a group must
+    // be co-located to finish, only a two-phase salted agg spreads it.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      // shrink the detection thresholds so a test-sized fixture trips
+      // the same machinery a multi-GB hot partition trips in production
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of rows on one key, wide payload: the hot shuffle partition
+      // is ~100x the median — unambiguous skew for the detector
+      val probe = spark.range(0, 400000).select(
+        when(col("id") % 20 < 19, 0L).otherwise(col("id") % 97).as("key"),
+        concat(lit("x"), col("id").cast("string"), lit("y" * 100)).as("payload"))
+      val build = spark.range(0, 97).select(col("id").as("key"), lit("dim").as("d"))
+      val j = probe.join(build, "key")
+      assert(j.collect().length === 400000)
+      val jp = j.queryExecution.executedPlan.toString
+      assert(jp.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the skewed join:\n${jp.take(1500)}")
+      // rendered as "AQEShuffleRead skewed" or "... coalesced and skewed"
+      assert(jp.contains("skewed"),
+        "AQE did not split the hot partition into skew-read slices")
+      // contrast: the SAME hot key under a plain aggregation gets NO
+      // skew split from AQE — the q22 salted two-phase shape exists
+      // because this seam is the operator's to handle, not the planner's
+      val agg = probe.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      assert(agg.collect().length === 97)
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("skewed"),
+        "unexpected: AQE skew-split an aggregation — revisit q22's doc")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("no registered query plans an unconditioned CartesianProduct") {
