@@ -348,6 +348,113 @@ object PackOps {
        |FROM b, c, v""".stripMargin
   }
 
+  /** Epoch-shuffle scramble: Knuth's multiplicative hash over the
+    * 2^31-reduced id, mod 2^32. Every term stays < 2^63 for ANY long
+    * input (the reduction precedes the multiply), so the formula is
+    * bit-exact portable arithmetic — DuckDB errors on BIGINT overflow
+    * where the JVM wraps, and a wrapped key would silently diverge
+    * from the oracle (same discipline as the winnow gram hash). The
+    * map x → x·2654435761 mod 2^32 is a bijection on [0, 2^31), so
+    * distinct ids below 2^31 get distinct keys; the id itself is the
+    * final tie-break regardless. A deployment with >2^31 ids per epoch
+    * swaps in xxhash64 via the [[epochShuffle]] key parameter — the
+    * shard/pos mechanics are key-agnostic. */
+  private[graft] def shuffleKey(id: Column, seed: Long): Column =
+    ((id + lit(seed)) % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
+
+  private def shuffleKeySql(id: String, seed: Long): String =
+    s"(($id + $seed) % 2147483648) * 2654435761 % 4294967296"
+
+  /** p07 shape constants: seed picks the epoch's permutation; the shard
+    * count at deployment is corpus_bytes / target_shard_bytes (hundreds
+    * of thousands at 100 TB), far exceeding cores — 64 here keeps the
+    * sf0.01 oracle populated at ~8 docs/shard. */
+  private val ShuffleSeed = 17L
+  private val EpochShards = 64L
+
+  /** Deterministic seeded epoch shuffle: assign every row a scrambled
+    * key, a shard (key mod nShards) and a dense 0-based position within
+    * its shard (ordered by key, then id). Reading shards in
+    * (shard, pos) order replays one globally pseudorandom document
+    * order — the reproducible global shuffle every pretraining run
+    * needs, where `ORDER BY rand()` is non-reproducible across retries
+    * and a true global sort is a scale hazard. Positions come from the
+    * grouped distributed scan ([[exclusivePrefixSum]] with the shard as
+    * the stratum), NOT `Window.partitionBy(shard)` — the window form
+    * moves each whole shard to one task, which matters exactly when a
+    * deployment picks few-but-huge shards; the scan's cost profile is
+    * independent of the shard count. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+      nShards: Long): DataFrame = {
+    val keyed = df
+      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("shard", col("shuffle_key") % nShards)
+    exclusivePrefixSum(keyed, Seq("shuffle_key", idCol), lit(1L), "pos",
+      strata = Seq("shard"))
+  }
+
+  /** p07 — the registered epoch-shuffle row over the documents table:
+    * (doc_id, shuffle_key, shard, pos), ordered by the replay order
+    * (shard, pos). The oracle recomputes the identical portable
+    * scramble and numbers shards with a window — the engine side must
+    * reproduce the window's semantics through the distributed scan. */
+  def epochShuffleDocs(s: SparkSession, d: String): DataFrame =
+    epochShuffle(Tables.documents(s, d).select(col("doc_id")), "doc_id",
+        ShuffleSeed, EpochShards)
+      .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  private val epochShuffleSql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    ${shuffleKeySql("doc_id", ShuffleSeed)} AS shuffle_key
+       |  FROM documents)
+       |SELECT doc_id, shuffle_key,
+       |  shuffle_key % $EpochShards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shuffle_key % $EpochShards
+       |    ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+       |FROM k ORDER BY shard, pos""".stripMargin
+
+  /** Per-source document cap (C4/RefinedWeb-style domain cap). */
+  private val SourceCapN = 10L
+
+  /** p08 — per-source quality cap: keep at most [[SourceCapN]] documents
+    * per source, ranked by t04's quality score (descending, nulls last,
+    * doc_id tie-break). This is the domain-cap curation rule every web
+    * corpus applies so no single host dominates the mixture; ranking
+    * reuses the SAME scoring definition as t04/p03 (TextOps.Score on
+    * the Spark side, docQualityInnerSql verbatim in the oracle). The
+    * per-source rank comes from the grouped distributed scan — a hot
+    * source (most of a crawl) never lands on one task, the exact skew
+    * scenario the cap exists to correct. */
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    val q = TextOps.docQuality(s, d).select(col("doc_id"), col("quality_score"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ranked = docs.join(q, "doc_id")
+      // ascending scan order ≡ descending quality: negate the coalesced
+      // score (-1 sentinel ranks null scores last, matching NULLS LAST)
+      .withColumn("__negq", -coalesce(col("quality_score"), lit(-1.0)))
+    exclusivePrefixSum(ranked, Seq("__negq", "doc_id"), lit(1L), "src_rank",
+        strata = Seq("source"))
+      .filter(col("src_rank") < SourceCapN)
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("src_rank"))
+      .orderBy(col("source"), col("src_rank"))
+  }
+
+  private val sourceCapSql =
+    s"""WITH r AS (
+       |  SELECT d.doc_id, d.source, q.quality_score,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY COALESCE(q.quality_score, -1.0) DESC, d.doc_id) - 1
+       |      AS src_rank
+       |  FROM documents d
+       |  JOIN (${TextOps.docQualityInnerSql}) q ON q.doc_id = d.doc_id)
+       |SELECT doc_id, source, quality_score,
+       |  CAST(src_rank AS BIGINT) AS src_rank
+       |FROM r WHERE src_rank < $SourceCapN
+       |ORDER BY source, src_rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
@@ -355,5 +462,7 @@ object PackOps {
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("p05_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
-    QueryDef("p06_packed_sequences", packedSequences, Some(packedSequencesSql)))
+    QueryDef("p06_packed_sequences", packedSequences, Some(packedSequencesSql)),
+    QueryDef("p07_epoch_shuffle", epochShuffleDocs, Some(epochShuffleSql)),
+    QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)))
 }

@@ -45,7 +45,7 @@ object TemporalOps {
         s"${clash.mkString(", ")} — rename before calling")
   }
 
-  /** Generic backward as-of join, implemented WITHOUT a join: tag both
+  /** Generic as-of join, implemented WITHOUT a join: tag both
     * relations, union them, and take `last(right_row, ignoreNulls)` over
     * a (key, time, side, id)-ordered running window — one shuffle on the
     * key, state bounded by the window frame, no range-candidate fanout.
@@ -58,16 +58,24 @@ object TemporalOps {
     * subtraction must be exact integer arithmetic) and `idCol` (the
     * deterministic tie-break within equal timestamps). Matching is
     * time-INCLUSIVE (a right row at exactly the left row's timestamp
-    * matches — right rows sort before left rows at equal times); among
-    * equal-time right rows the largest `idCol` wins. A match older than
-    * `toleranceUs` is nulled, not dropped — the output keeps exactly the
-    * left relation's rows (left-outer semantics).
+    * matches — right rows sort before left rows at equal times in the
+    * traversal direction). `forward = false` (default) matches the most
+    * recent right row at-or-before the left time, largest `idCol`
+    * winning among equal-time right rows; `forward = true` is the exact
+    * mirror — the EARLIEST right row at-or-after the left time within
+    * tolerance, smallest `idCol` winning — via the same single window
+    * pass with the traversal order reversed (time and id descending;
+    * the side bit is direction-invariant: right rows must precede left
+    * rows at equal times either way). A match outside `toleranceUs` is
+    * nulled, not dropped — the output keeps exactly the left relation's
+    * rows (left-outer semantics).
     *
     * Returns the left frame's columns plus `asof`: a struct of the
     * matched right row, or null when no right row qualifies.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      timeUs: String, idCol: String, toleranceUs: Long): DataFrame = {
+      timeUs: String, idCol: String, toleranceUs: Long,
+      forward: Boolean = false): DataFrame = {
     // `asof` is the documented output column — a left frame already
     // carrying it would make the result ambiguous, so that one stays a
     // loud error; every internal staging name is generated fresh below.
@@ -89,15 +97,22 @@ object TemporalOps {
       col(key).as(cK), col(timeUs).as(cT), col(idCol).as(cId),
       lit(0).as(cSide), struct(right.columns.map(col): _*).as(cR))
     // right rows (side 0) sort before left rows (side 1) at equal time —
-    // that single bit IS the inclusive-match semantics
+    // that single bit IS the inclusive-match semantics; reversing time
+    // and id (but not the side bit) turns backward into forward
+    val ord =
+      if (forward) Seq(col(cT).desc, col(cSide), col(cId).desc)
+      else Seq(col(cT), col(cSide), col(cId))
     val w = Window.partitionBy(col(cK))
-      .orderBy(col(cT), col(cSide), col(cId))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val gap =
+      if (forward) col(cM).getField(timeUs) - col(cT)
+      else col(cT) - col(cM).getField(timeUs)
     lPart.unionByName(rPart)
       .withColumn(cM, last(col(cR), ignoreNulls = true).over(w))
       .filter(col(cSide) === 1)
-      .withColumn("asof", when(col(cM).isNotNull &&
-        col(cT) - col(cM).getField(timeUs) <= toleranceUs, col(cM)))
+      .withColumn("asof", when(col(cM).isNotNull && gap <= toleranceUs,
+        col(cM)))
       .select(col(s"$cL.*") +: Seq(col("asof")): _*)
   }
 
@@ -174,6 +189,51 @@ object TemporalOps {
       |FROM p LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1
       |ORDER BY p.event_id""".stripMargin
 
+  /** q40 — FORWARD as-of join with tolerance: for each `view`, the first
+    * `purchase` by the same user at-or-after it within 2 h — the
+    * view→conversion attribution latency shape (and the mirror of q35's
+    * price-at-order lookback), through [[asofJoin]]'s reversed-traversal
+    * window path. Same join-free plan: one hash exchange on the key, no
+    * inequality-join candidate fanout. */
+  def asofConversions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        round(col("value"), 2).as("purchase_value"))
+    asofJoin(views, purchases, "user_id", "us", "event_id",
+        toleranceUs = 2L * 3600 * 1000000, forward = true)
+      .select(col("event_id"), col("user_id"),
+        col("asof.event_id").as("purchase_id"),
+        col("asof.purchase_value").as("purchase_value"),
+        when(col("asof").isNotNull,
+          expr("(asof.us - us) div 1000000")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Mirror of q35's oracle: the naive forward inequality join +
+    * row_number, rn ordered (us ASC, event_id ASC) ≙ the reversed
+    * window's last-over-(us DESC, id DESC). */
+  private val asofConversionsSql =
+    """WITH v AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    round(value, 2) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT v.event_id, p.event_id AS purchase_id, p.purchase_value,
+      |    (p.us - v.us) // 1000000 AS gap_s,
+      |    row_number() OVER (PARTITION BY v.event_id
+      |      ORDER BY p.us ASC, p.event_id ASC) AS rn
+      |  FROM v JOIN p ON p.user_id = v.user_id AND p.us >= v.us
+      |    AND p.us - v.us <= 7200000000)
+      |SELECT v.event_id, v.user_id, c.purchase_id, c.purchase_value, c.gap_s
+      |FROM v LEFT JOIN cand c ON c.event_id = v.event_id AND c.rn = 1
+      |ORDER BY v.event_id""".stripMargin
+
   /** q36 — radius range join (all events within ±5 min of each purchase,
     * any user — keyless, so only the time axis prunes) through
     * [[rangeJoinPairs]]'s bin-bucketed equi-join; per-purchase neighbor
@@ -241,5 +301,6 @@ object TemporalOps {
     QueryDef("q35_asof_join", asofViews, Some(asofViewsSql)),
     QueryDef("q36_range_join", nearbyEvents, Some(nearbyEventsSql)),
     QueryDef("q37_retention_cohorts", retentionCohorts,
-      Some(retentionCohortsSql)))
+      Some(retentionCohortsSql)),
+    QueryDef("q40_asof_forward", asofConversions, Some(asofConversionsSql)))
 }

@@ -534,6 +534,93 @@ object EventStreams {
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
       |GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** Latest store version strictly BELOW the current batch id: on a
+    * foreachBatch replay after a crash, a partially-written
+    * `store_v{batchId}` from the failed attempt must never be read as
+    * the previous state — strictly-less + full overwrite makes the
+    * merge exactly-once under at-least-once batch delivery. */
+  private def prevStoreVersion(dir: String, batchId: Long): Option[Long] = {
+    val f = new java.io.File(dir)
+    Option(f.list()).toSeq.flatten
+      .collect { case n if n.startsWith("store_v") =>
+        n.stripPrefix("store_v").toLong }
+      .filter(_ < batchId)
+      .sortBy(identity).lastOption
+  }
+
+  /** One foreachBatch merge step: reduce the incoming micro-batch to its
+    * latest row per key FIRST (shrinks the union side to ≤ |batch keys|
+    * rows before any store-sized work), union with the previous store
+    * version, keep the per-key latest by (us, event_id), write the next
+    * version. The store rewrite is O(|keys|) per batch — at deployment
+    * scale the same merge lands on a mutable table format (Delta/Iceberg
+    * MERGE) or a key-partitioned overwrite touching only dirty
+    * partitions; the per-key reduction and tie-break contract carry
+    * over unchanged. */
+  private[graft] def upsertLatest(batch: Dataset[org.apache.spark.sql.Row],
+      dir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    def latest(df: DataFrame): DataFrame = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val reduced = latest(batch.toDF())
+    val merged = prevStoreVersion(dir, batchId) match {
+      case Some(v) =>
+        latest(s.read.parquet(s"$dir/store_v$v").unionByName(reduced))
+      case None => reduced
+    }
+    merged.write.mode("overwrite").parquet(s"$dir/store_v$batchId")
+  }
+
+  /** s16 — streaming UPSERT through a `foreachBatch` merge sink (the
+    * Delta-MERGE / CDC keyed-state shape none of the other streaming
+    * rows exercise): each micro-batch folds into a versioned keyed
+    * store keeping the latest event per user, tie-broken by
+    * (us, event_id) — deterministic under ANY AvailableNow batch split,
+    * because latest-per-key is associative over batches (no
+    * single-batch precondition needed, unlike the order-sensitive
+    * parity rows). Restart safety comes from the checkpoint (committed
+    * batches never re-fire) plus [[prevStoreVersion]]'s strictly-less
+    * rule (an uncommitted batch replays over the untouched previous
+    * version). The oracle is the batch latest-row-per-key query — the
+    * stream's final store must reproduce it row-for-row. */
+  def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s16_store_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val src = readEvents(ss, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+    val q = src.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => upsertLatest(batch, dir, batchId))
+      .option("checkpointLocation", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val v = prevStoreVersion(dir, Long.MaxValue).getOrElse(
+      throw new IllegalStateException(
+        s"s16: no store version written under $dir — empty source?"))
+    ss.read.parquet(s"$dir/store_v$v")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val streamUpsertSql =
+    """SELECT user_id, event_id AS last_event_id,
+      |  round(value, 2) AS last_value
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+      |               event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s02_stream_hourly", streamHourly, Some(streamHourlySql)),
     QueryDef("s13_stream_enriched", streamEnriched, Some(streamEnrichedSql)),
@@ -547,7 +634,8 @@ object EventStreams {
     QueryDef("s10_closed_sessions", streamClosedSessions,
       Some(streamClosedSessionsSql)),
     QueryDef("s11_stream_hourly_append", streamHourlyAppend,
-      Some(streamHourlyAppendSql)))
+      Some(streamHourlyAppendSql)),
+    QueryDef("s16_stream_upsert", streamUpsert, Some(streamUpsertSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

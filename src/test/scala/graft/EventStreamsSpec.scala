@@ -300,6 +300,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("s16 foreachBatch merge is batch-split invariant and replay-idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s16_spec").toFile.getAbsolutePath
+    // rows: (user_id, us, event_id, value) with an equal-time tie for
+    // user 1 (event 5 must win: larger event_id at the same us)
+    val all = Seq(
+      (1L, 100L, 1L, 10.0), (1L, 300L, 4L, 40.0), (1L, 300L, 5L, 50.0),
+      (2L, 200L, 2L, 20.0), (3L, 50L, 3L, 30.0))
+    def df(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("user_id", "us", "event_id", "value")
+    // split A: two batches cutting across users and times
+    EventStreams.upsertLatest(df(all.take(2)), s"$dir/a", 0L)
+    EventStreams.upsertLatest(df(all.drop(2)), s"$dir/a", 1L)
+    // split B: everything in one batch
+    EventStreams.upsertLatest(df(all), s"$dir/b", 0L)
+    def state(p: String): Set[(Long, Long, Double)] =
+      spark.read.parquet(p)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)].collect().toSet
+    val a = state(s"$dir/a/store_v1")
+    assert(a === state(s"$dir/b/store_v0"))
+    assert(a === Set((1L, 5L, 50.0), (2L, 2L, 20.0), (3L, 3L, 30.0)))
+    // replay of batch 1 (at-least-once redelivery): same final state —
+    // the strictly-less version rule re-merges over store_v0, not over
+    // the partially/fully written store_v1
+    EventStreams.upsertLatest(df(all.drop(2)), s"$dir/a", 1L)
+    assert(state(s"$dir/a/store_v1") === a)
+  }
+
+  test("s16 harness row reproduces the batch latest-event-per-user query") {
+    import org.apache.spark.sql.functions._
+    val got = rows(EventStreams.streamUpsert(spark, sfTiny))
+    val ev = graft.sources.Tables.events(spark, sfTiny)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(desc("ts"), desc("event_id"))
+    val want = rows(ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id")))
+    assert(got === want)
+  }
+
   test("typed Dataset readers expose the corpus entities") {
     val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
     val first = docs.head()

@@ -97,6 +97,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("p07/p08: shuffle and cap rank through the grouped scan — no per-group window, no single-partition stage") {
+    // both operators' whole point is that per-group numbering never
+    // co-locates a group: the data window keys on (__pid, stratum) and
+    // the offsets window on the stratum — nothing plans SinglePartition,
+    // and no windowspec partitions on the bare stratum alone
+    val p7 = plan("p07_epoch_shuffle")
+    assert("windowspecdefinition\\(__pid#\\d+, shard".r.findFirstIn(p7).isDefined,
+      s"p07 data window must key on (__pid, shard):\n$p7")
+    assert(!p7.contains("Exchange SinglePartition"), s"p07:\n$p7")
+    val p8 = plan("p08_source_cap")
+    assert("windowspecdefinition\\(__pid#\\d+, source".r.findFirstIn(p8).isDefined,
+      s"p08 data window must key on (__pid, source):\n$p8")
+    assert(!p8.contains("Exchange SinglePartition"), s"p08:\n$p8")
+  }
+
   test("e09: quantization is map-only — zero exchanges before the final sort") {
     // the per-vector kernel pass must not shuffle anything; the only
     // exchange allowed is the query-contract total ORDER BY at the top
@@ -190,6 +205,15 @@ class PlanAuditSpec extends SparkSpec {
     // the as-of key's (the final ORDER BY adds a range exchange)
     val p = plan("q35_asof_join")
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the as-of-key exchange:\n$p")
+  }
+
+  test("q40: forward as-of shares the JOIN-FREE single-exchange shape") {
+    // the reversed traversal direction must not change the physical
+    // shape: same tag-union + running window, same single key exchange
+    val p = plan("q40_asof_forward")
+    assert(!p.contains("Join"), s"forward as-of must not plan a join:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"expected exactly the as-of-key exchange:\n$p")
   }

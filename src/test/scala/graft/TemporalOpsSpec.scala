@@ -32,6 +32,47 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out(12L) === None) // only match is beyond tolerance -> nulled
   }
 
+  test("asofJoin forward: earliest-within-tolerance match, inclusive equal time, min-id tie-break") {
+    val left = Seq(
+      (10L, 1L, 1000L), // key 1 at t=1000
+      (11L, 2L, 500L), // key 2: right rows exist only earlier -> no match
+      (12L, 3L, 900L) // key 3: only an expired (t=1700, tol=500) right row
+    ).toDF("event_id", "k", "us")
+    val right = Seq(
+      (1L, 1L, 1600L), // later — not the nearest
+      (2L, 1L, 1000L), // equal time — must match (inclusive)
+      (3L, 1L, 1000L), // equal time, larger id — must LOSE (min-id wins)
+      (4L, 2L, 400L), // before left's 500 — unmatched in forward mode
+      (5L, 3L, 1700L) // gap 800 > tolerance 500 -> nulled
+    ).toDF("event_id", "k", "us")
+    val out = TemporalOps.asofJoin(left, right, "k", "us", "event_id",
+        toleranceUs = 500L, forward = true)
+      .select(col("event_id"), col("asof.event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L) === Some(2L)) // inclusive + MIN-id among equal times
+    assert(out(11L) === None) // no right row at or after
+    assert(out(12L) === None) // only match is beyond tolerance -> nulled
+  }
+
+  test("asofJoin forward and backward are exact mirrors under time negation") {
+    // reflecting every timestamp (t -> -t) must swap the two directions,
+    // up to the tie-break (avoided here: distinct times throughout)
+    val left = Seq((10L, 1L, 100L), (11L, 1L, 250L), (12L, 1L, 400L))
+      .toDF("event_id", "k", "us")
+    val right = Seq((1L, 1L, 90L), (2L, 1L, 240L), (3L, 1L, 390L))
+      .toDF("event_id", "k", "us")
+    def matches(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame, fwd: Boolean): Map[Long, Option[Any]] =
+      TemporalOps.asofJoin(l, r, "k", "us", "event_id", 1000L, forward = fwd)
+        .select(col("event_id"), col("asof.event_id").as("m"))
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val back = matches(left, right, fwd = false)
+    val fwdNeg = matches(
+      left.withColumn("us", -col("us")), right.withColumn("us", -col("us")),
+      fwd = true)
+    assert(back === fwdNeg)
+  }
+
   test("asofJoin keeps exactly the left relation's rows") {
     val left = Seq((1L, 7L, 10L), (2L, 7L, 20L), (3L, 8L, 5L))
       .toDF("event_id", "k", "us")
