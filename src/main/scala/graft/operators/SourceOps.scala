@@ -329,6 +329,99 @@ object SourceOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** Records per compacted shard (the sizing stand-in: a deployment
+    * computes shards from bytes — corpus_bytes / target_shard_bytes —
+    * or lets `spark.sql.files.maxRecordsPerFile` + AQE-coalesced
+    * writes bound file sizes; the record-count form keeps the oracle
+    * closed-form). */
+  private val CompactRecordsPerShard = 200L
+
+  private def parquetFileCount(dir: String): Int =
+    Option(new java.io.File(dir).list()).toSeq.flatten
+      .count(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith("."))
+
+  /** s17 — ingest COMPACTION round-trip (the small-files operator every
+    * 100 TB lake runs continuously: streaming ingest and per-chunk
+    * writers fragment a table into thousands of tiny files, and scan
+    * cost becomes file-open cost — compaction rewrites a fragmented
+    * table into few bounded shards WITHOUT changing a row). The row
+    * materializes a deliberately fragmented copy (one tiny file per
+    * write task), compacts it to ⌈n / recordsPerShard⌉ round-robin
+    * shards, and emits the compacted read-back plus the shard count as
+    * a column — the oracle pins BOTH that content survived compaction
+    * byte-for-byte and that the file count is exactly the closed-form
+    * target (round-robin repartition balances within ±1 row, so one
+    * file per shard task). Fragmentation degree is runtime-asserted,
+    * not oracle-encoded: it is the scenario setup, not the contract. */
+  def compactedSink(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
+        col("n_chars").cast("long").as("n_chars"))
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s17_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val fragDir = s"$base/frag"
+    val compDir = s"$base/comp"
+    proj.repartition(50).write.mode("overwrite").parquet(fragDir)
+    val frag = s.read.schema(proj.schema).parquet(fragDir)
+    val shards = math.max(1L, (frag.count() + CompactRecordsPerShard - 1) /
+      CompactRecordsPerShard).toInt
+    frag.repartition(shards).write.mode("overwrite").parquet(compDir)
+    val nFrag = parquetFileCount(fragDir)
+    val nComp = parquetFileCount(compDir)
+    require(nComp == shards,
+      s"s17: expected $shards compacted shards, found $nComp files")
+    require(nFrag > nComp,
+      s"s17: fragmentation scenario broken — $nFrag fragment files vs " +
+        s"$nComp compacted (nothing to compact)")
+    s.read.schema(proj.schema).parquet(compDir)
+      .withColumn("n_files", lit(nComp.toLong))
+      .orderBy(col("doc_id"))
+  }
+
+  private val compactedSinkSql =
+    s"""SELECT doc_id, md5(text) AS digest, n_chars,
+       |  (SELECT CAST(ceil(count(*) / $CompactRecordsPerShard.0) AS BIGINT)
+       |   FROM documents) AS n_files
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** s18 — SCHEMA-EVOLUTION merge read (the crawl-generation drift every
+    * long-lived corpus accumulates: an early shard generation lacks
+    * columns later generations carry). Two parquet generations are
+    * written — gen1 without the `lang` column, gen2 with it — and read
+    * back in ONE scan with `mergeSchema`: the unified schema is the
+    * union, and gen1 rows surface `lang` as null instead of failing the
+    * read or silently dropping the column. The oracle reproduces the
+    * generation split closed-form (even ids = gen1 ⇒ null lang), so a
+    * merge that drops, re-types or misaligns the evolved column breaks
+    * the hash. Directory names deliberately avoid `k=v` so partition
+    * discovery cannot masquerade as the merge; a production lake pins
+    * the evolved schema in a catalog — this row exercises the read-side
+    * mechanics that make that evolution safe. */
+  def schemaMergeScan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s18_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
+        col("lang"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .select(col("doc_id"), col("digest"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val schemaMergeSql =
+    """SELECT doc_id, md5(text) AS digest,
+      |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_systematic_sample", systematicSample, Some(systematicSampleSql)),
     QueryDef("s03_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
@@ -340,5 +433,7 @@ object SourceOps {
     QueryDef("b04_audio_features", audioFeatures, Some(audioFeaturesSql)),
     QueryDef("s12_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("s15_partitioned_sink", partitionedSink,
-      Some(partitionedSinkSql)))
+      Some(partitionedSinkSql)),
+    QueryDef("s17_compacted_sink", compactedSink, Some(compactedSinkSql)),
+    QueryDef("s18_schema_merge", schemaMergeScan, Some(schemaMergeSql)))
 }

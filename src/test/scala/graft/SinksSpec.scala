@@ -36,6 +36,32 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readChunks(spark, dir, schema).count() === df.count())
   }
 
+  test("s17 compaction collapses the file count and preserves every row") {
+    val out = graft.operators.SourceOps.compactedSink(spark, sfTiny)
+    val docs = Tables.documents(spark, sfTiny)
+    // content survives compaction row-for-row
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // closed-form shard count rides the row (500 docs / 200 per shard)
+    val nFiles = out.select("n_files").distinct().collect().map(_.getLong(0))
+    assert(nFiles.toSeq === Seq(3L))
+    // digest parity against the table itself
+    val want = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("digest"))
+    assert(out.select("doc_id", "digest").except(want).count() === 0)
+  }
+
+  test("s18 mergeSchema read unions generations — evolved column null on old shards") {
+    val out = graft.operators.SourceOps.schemaMergeScan(spark, sfTiny)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(out.length === Tables.documents(spark, sfTiny).count())
+    out.foreach { case (id, lang) =>
+      if (id % 2 == 0) assert(lang.isEmpty, s"gen1 doc $id must have null lang")
+      else assert(lang.nonEmpty, s"gen2 doc $id lost its lang")
+    }
+  }
+
   test("seeded Bernoulli sample is deterministic; systematic sample is exact (S3)") {
     val df = Tables.documents(spark, sfTiny)
     val s1 = Sinks.sample(df, 0.2, seed = 7).select("doc_id").collect().map(_.getLong(0)).toSet
