@@ -209,13 +209,17 @@ object MlQueries {
     * verdict item 4 — previously a 1-row frame summary), each graded
     * by invariant flags the oracle pins:
     *
-    *  - the CLUSTER ID UNIVERSE is pinned closed-form: ids are exactly
-    *    0..k−1 while the coherence gate does not fire on this corpus
-    *    (it never has at any shipped SF — splits mint fresh ids above
-    *    k−1). The assumption is ASSERTED loudly (e10's discipline): a
-    *    corpus drift that trips the gate fails with the assumption
-    *    named instead of a bare hash mismatch, and a dropped,
-    *    duplicated or renumbered cluster now breaks rows/hash directly;
+    *  - the CLUSTER ID UNIVERSE: ids are always dense 0..k'−1 (the
+    *    split path renumbers — ModelPipeline.split → Renumber.dense —
+    *    and splitting never shrinks the count below the fitted k);
+    *    that true invariant is ASSERTED. The closed-form ORACLE
+    *    universe 0..14 additionally assumes the coherence gate is
+    *    quiet — which holds at the sf0.01 correctness corpus but not
+    *    at every SF (sf0.1 splits to 0..16), so a firing gate is a
+    *    loud stderr WARNING naming the assumption, not a failure: the
+    *    correctness compare turns it into a 15-vs-k' red row, while
+    *    bench SFs time the real split. A dropped, duplicated or
+    *    non-dense cluster id still fails hard;
     *  - per-row flags: coherence within its algebraic [−1,1] range
     *    (null legal — an unscorable cluster sorts last, it must not
     *    vanish), label non-null/non-empty ("Unlabeled" fallback
@@ -236,10 +240,24 @@ object MlQueries {
         params = splitParams)
       .localCheckpoint()
     val ids = rep.select(col("cluster")).collect().map(_.getInt(0)).sorted
-    require(ids.sameElements(0 until 15),
-      s"m09 closed-form oracle assumption violated: report cluster ids " +
-        s"[${ids.mkString(",")}] != 0..14 — the coherence gate split a " +
-        "cluster on this corpus; re-derive the oracle's id universe")
+    // True invariant at ANY corpus: the split path renumbers densely
+    // (ModelPipeline.split → Renumber.dense) and splitting never
+    // shrinks the cluster count below the fitted k. The closed-form
+    // 0..14 ORACLE universe additionally assumes the coherence gate
+    // does not fire — which holds on the sf0.01 correctness corpus but
+    // NOT at every SF (sf0.1 legitimately splits to 0..16), so the
+    // gate firing must stay a loud WARNING here, not a failure: at the
+    // correctness SF the 15-vs-k' row diff turns it into a named red
+    // row, while bench SFs time the real split instead of crashing
+    // (r10: the exact-15 require failed every sf0.1 bench run).
+    require(ids.length >= 15 && ids.sameElements(0 until ids.length),
+      s"m09 invariant violated: report cluster ids [${ids.mkString(",")}] " +
+        "are not dense 0..k'-1 with k' >= 15 — split/renumber defect")
+    if (ids.length != 15)
+      System.err.println(s"[m09] coherence gate fired: k'=${ids.length} " +
+        "clusters (closed-form 0..14 oracle universe applies only where " +
+        "the gate is quiet — expected at sf>=0.1; at the sf0.01 " +
+        "correctness corpus this means corpus drift)")
     val total = rep.agg(sum(col("n_docs"))).head().getLong(0)
     rep.select(col("cluster").cast("long").as("cluster"),
         when(col("coherence").isNull ||
@@ -426,15 +444,17 @@ object MlQueries {
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS dense_ok, 1 AS nonneg_ok""".stripMargin
 
-  /** m09's oracle: one row per closed-form cluster id (0..14, see
-    * [[refinerReport]]'s loud universe assertion), the per-row
-    * invariant flags pinned to 1, and the conserved doc total
-    * reproduced relationally from the same mass-ranked vocabulary m03
-    * hash-matches (each Mimno-style pair score is a [0,1] co-occurrence
-    * share minus a [0,1] marginal share, so the per-cluster mean lies
-    * in [−1,1] and the range flag is an algebraic invariant). Dense
-    * POST-renumber ids are m13's oracle; this is the pre-renumber
-    * report view. */
+  /** m09's oracle: one row per closed-form cluster id (0..14 — valid
+    * exactly where the coherence gate is quiet, see
+    * [[refinerReport]]'s universe note; the sf0.01 correctness corpus
+    * satisfies it), the per-row invariant flags pinned to 1, and the
+    * conserved doc total reproduced relationally from the same
+    * mass-ranked vocabulary m03 hash-matches (each Mimno-style pair
+    * score is a [0,1] co-occurrence share minus a [0,1] marginal
+    * share, so the per-cluster mean lies in [−1,1] and the range flag
+    * is an algebraic invariant). The report is the POST-renumber view
+    * (dense by construction); m13 additionally oracles the
+    * renumbering on the optimize path. */
   private val refinerReportSql =
     "WITH " + termsCte + s""",
       |$massVocabCte

@@ -514,30 +514,44 @@ object DedupOps {
     * Exactness note: token counts are integers, so dots/norms are
     * order-independent in double precision and the rounded cosine
     * hash-matches DuckDB without ulp slack. */
+  /** d04's exact-vs-fingerprint relations — the weighted-cosine pair
+    * relation (a term self-join over the window: the expensive side)
+    * and the per-doc fingerprints — memoized per dataset like
+    * [[windowTokenPairs]]/[[windowShinglePairs]], so a sweep's repeat
+    * runs grade against ONE build instead of re-joining per run. */
+  private def simhashBoundRelations(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    graft.api.Intermediates.memo(s, s"simhashbound|$d") {
+      val win = Tables.documents(s, d)
+        .filter(col("doc_id") < VerifyWindow.MaxId)
+        .select(col("doc_id"), col("text"))
+      // weighted (doc, term, count) relation — counts, NOT
+      // windowTokenPairs' distinct sets: the exact side must live in
+      // simhash's vector space
+      val wtoks = win
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .localCheckpoint()
+      val norms = wtoks.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
+      val wcos = wtoks.as("a").join(wtoks.as("b"),
+          col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
+        .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          (col("dot") / (col("a_nrm") * col("b_nrm"))).as("wc_raw"))
+        .localCheckpoint()
+      val sim = simhashFrom(win).select(col("doc_id"), col("simhash"))
+        .localCheckpoint()
+      (wcos, sim)
+    }
+
   def simhashBound(s: SparkSession, d: String): DataFrame = {
-    val win = Tables.documents(s, d)
-      .filter(col("doc_id") < VerifyWindow.MaxId)
-      .select(col("doc_id"), col("text"))
-    // weighted (doc, term, count) relation — counts, NOT windowTokenPairs'
-    // distinct sets: the exact side must live in simhash's vector space
-    val wtoks = win
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-      .localCheckpoint()
-    val norms = wtoks.groupBy(col("doc_id"))
-      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
-    val wcos = wtoks.as("a").join(wtoks.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(sum(col("a.cnt") * col("b.cnt")).as("dot"))
-      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("a_nrm")), "a_id")
-      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("b_nrm")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (col("dot") / (col("a_nrm") * col("b_nrm"))).as("wc_raw"))
-      .localCheckpoint()
-    val sim = simhashFrom(win).select(col("doc_id"), col("simhash"))
-      .localCheckpoint()
+    val (wcos, sim) = simhashBoundRelations(s, d)
     // full window pair grid (disjoint pairs included — their cosine is 0
     // by definition and must still obey the close-pair floor); the
     // non-equi self-join broadcasts a ≤1000-row one-long-per-doc relation

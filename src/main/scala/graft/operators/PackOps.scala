@@ -386,6 +386,12 @@ object PackOps {
     * independent of the shard count. */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long,
       nShards: Long): DataFrame = {
+    // documented output columns — a frame already carrying one would be
+    // silently clobbered by withColumn; fail loudly instead
+    val clash = df.columns.toSet.intersect(Set("shuffle_key", "shard", "pos"))
+    require(clash.isEmpty,
+      s"epochShuffle input carries reserved output column name(s) " +
+        s"${clash.mkString(", ")} — rename before calling")
     val keyed = df
       .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .withColumn("shard", col("shuffle_key") % nShards)

@@ -231,6 +231,14 @@ class PackOpsSpec extends SparkSpec {
     assert(shuffledSomewhere, "epoch shuffle produced the identity order")
   }
 
+  test("epochShuffle rejects a frame already carrying a reserved output column") {
+    val df = Seq((1L, 2L)).toDF("id", "shard")
+    val e = intercept[IllegalArgumentException] {
+      PackOps.epochShuffle(df, "id", 17L, 8L)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
   test("p08 source cap keeps at most N per source and exactly the top-quality docs") {
     val out = PackOps.sourceCap(spark, sfTiny)
       .select(col("doc_id"), col("source"), col("src_rank"))
