@@ -360,7 +360,11 @@ object PackOps {
     * swaps in xxhash64 via the [[epochShuffle]] key parameter — the
     * shard/pos mechanics are key-agnostic. */
   private[graft] def shuffleKey(id: Column, seed: Long): Column =
-    ((id + lit(seed)) % lit(2147483648L)) * lit(2654435761L) % lit(4294967296L)
+    // pmod, not %: identical on the oracle's non-negative domain, but a
+    // negative id (legal for the generic API) still lands in
+    // [0, 2^32) instead of minting negative shards
+    pmod(pmod(id + lit(seed), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
 
   private def shuffleKeySql(id: String, seed: Long): String =
     s"(($id + $seed) % 2147483648) * 2654435761 % 4294967296"

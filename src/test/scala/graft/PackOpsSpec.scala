@@ -231,6 +231,30 @@ class PackOpsSpec extends SparkSpec {
     assert(shuffledSomewhere, "epoch shuffle produced the identity order")
   }
 
+  test("epochShuffle is a permutation with dense shard positions on seeded random ids") {
+    // generic-API property on an id space the registered row never sees:
+    // sparse, unordered, including 0 and values near the 2^31 reduction
+    // boundary — the shuffle must stay a permutation with dense 0-based
+    // positions per shard and keys in [0, 2^32)
+    val rnd = new scala.util.Random(424242L)
+    val ids = (Seq(0L, 2147483646L, 2147483647L, 2147483648L, 3000000000L) ++
+      Seq.fill(300)(rnd.nextLong(4000000000L))).distinct
+    val out = PackOps.epochShuffle(
+        spark.createDataset(ids).toDF("id"), "id", 99L, 16L)
+      .select(col("id"), col("shuffle_key"), col("shard"), col("pos"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === ids.length)
+    assert(out.map(_._1).toSet === ids.toSet)
+    out.foreach { case (_, k, sh, _) =>
+      assert(k >= 0 && k < 4294967296L)
+      assert(sh === k % 16)
+    }
+    out.groupBy(_._3).foreach { case (sh, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $sh positions not dense")
+    }
+  }
+
   test("epochShuffle rejects a frame already carrying a reserved output column") {
     val df = Seq((1L, 2L)).toDF("id", "shard")
     val e = intercept[IllegalArgumentException] {

@@ -73,6 +73,47 @@ class TemporalOpsSpec extends SparkSpec {
     assert(back === fwdNeg)
   }
 
+  test("asofJoin matches a brute-force reference on seeded random fixtures, both directions") {
+    // deterministic randomized property (same style as the clean-chain
+    // properties): small key/time domains force heavy collisions —
+    // equal-time ties, empty keys, expired tolerances — the exact edges
+    // the window's (t, side, id) ordering encodes
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 4; forward <- Seq(false, true)) {
+      val tol = 5L + rnd.nextInt(10)
+      val left = (1 to 60).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))
+      val right = (101 to 180).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))
+      def brute(lk: Long, lt: Long): Option[Long] = {
+        val cand = right.filter { case (_, rk, rt) =>
+          rk == lk && (if (forward) rt >= lt && rt - lt <= tol
+                       else rt <= lt && lt - rt <= tol)
+        }
+        if (cand.isEmpty) None
+        else if (forward)
+          // earliest time; min id among equal times
+          Some(cand.minBy { case (id, _, rt) => (rt, id) }._1)
+        else
+          // latest time; MAX id among equal times
+          Some(cand.maxBy { case (id, _, rt) => (rt, id) }._1)
+      }
+      val out = TemporalOps.asofJoin(
+          left.toDF("event_id", "k", "us"), right.toDF("event_id", "k", "us"),
+          "k", "us", "event_id", tol, forward = forward)
+        .select(col("event_id"), col("k"), col("us"),
+          col("asof.event_id").as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      left.foreach { case (id, k, t) =>
+        assert(out(id) === brute(k, t),
+          s"round=$round forward=$forward tol=$tol left=($id,$k,$t): " +
+            s"engine=${out(id)} brute=${brute(k, t)}")
+      }
+    }
+  }
+
   test("asofJoin keeps exactly the left relation's rows") {
     val left = Seq((1L, 7L, 10L), (2L, 7L, 20L), (3L, 8L, 5L))
       .toDF("event_id", "k", "us")
