@@ -872,7 +872,10 @@ object DedupOps {
     * groupBy distributes it evenly. */
   private val PassageTokens = 20
 
-  def passageDedup(s: SparkSession, d: String): DataFrame =
+  /** The (doc_id, passage) instance relation — ONE definition shared by
+    * d13's corpus report and d15's per-doc fraction, so the passage
+    * slicing cannot drift between the two rows. */
+  private def passageInstances(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"),
@@ -884,15 +887,12 @@ object DedupOps {
           (col("pi") * PassageTokens + 1).cast("int"),
           lit(PassageTokens)), " ").as("passage"))
       .filter(length(col("passage")) > 0)
-      .groupBy(md5(col("passage").cast("binary")).as("passage_hash"))
-      .agg(count(lit(1)).as("n_copies"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("first_doc"))
-      .filter(col("n_copies") > 1)
-      .orderBy(col("passage_hash"))
 
-  private val passageDedupSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+  /** The shared passage-CTE block (toks/u/ch) — the oracle-side twin of
+    * [[passageInstances]], embedded verbatim by BOTH d13 and d15 so a
+    * slicing change breaks both hashes together. */
+  private val passageCtesSql =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts
        |              FROM documents),
        |u AS (SELECT doc_id, ts,
        |        unnest(generate_series(0, (len(ts) - 1) // $PassageTokens))
@@ -902,14 +902,70 @@ object DedupOps {
        |         array_to_string(
        |           ts[(pi * $PassageTokens + 1):((pi + 1) * $PassageTokens)],
        |           ' ') AS passage
-       |       FROM u),
+       |       FROM u
+       |       WHERE length(array_to_string(
+       |         ts[(pi * $PassageTokens + 1):((pi + 1) * $PassageTokens)],
+       |         ' ')) > 0)""".stripMargin
+
+  def passageDedup(s: SparkSession, d: String): DataFrame =
+    passageInstances(s, d)
+      .groupBy(md5(col("passage").cast("binary")).as("passage_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("passage_hash"))
+
+  private val passageDedupSql =
+    s"""WITH $passageCtesSql,
        |h AS (SELECT md5(passage) AS passage_hash,
        |        CAST(count(*) AS BIGINT) AS n_copies,
        |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |        min(doc_id) AS first_doc
-       |      FROM ch WHERE length(passage) > 0 GROUP BY 1)
+       |      FROM ch GROUP BY 1)
        |SELECT passage_hash, n_copies, n_docs, first_doc
        |FROM h WHERE n_copies > 1 ORDER BY passage_hash""".stripMargin
+
+  /** d15 — per-document duplicated-passage FRACTION (the Gopher /
+    * RefinedWeb dedup diagnostic: how much of each document lives in
+    * passages that also appear in OTHER documents — the per-doc signal
+    * a curation pipeline thresholds on, where d13 is the corpus-level
+    * report). A passage instance counts as duplicated when its hash
+    * occurs in ≥ 2 distinct documents (cross-doc; within-doc repetition
+    * is t10's separate signal). Composes [[passageInstances]] verbatim.
+    *
+    * 100 TB shape: two hash aggregations on the uniform 128-bit passage
+    * hash (the recurring-hash set and the per-doc roll-up) plus one
+    * shuffled equi-join between them — the recurring set grows with the
+    * corpus, so it joins as an ordinary uniform-key shuffle, never a
+    * broadcast. */
+  def passageDupFraction(s: SparkSession, d: String): DataFrame = {
+    val hs = passageInstances(s, d)
+      .select(col("doc_id"), md5(col("passage").cast("binary")).as("h"))
+    val multi = hs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("__dup"))
+    hs.join(multi, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup"),
+        round(col("n_dup") / col("n_passages"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val passageDupFractionSql =
+    s"""WITH $passageCtesSql,
+       |hs AS (SELECT doc_id, md5(passage) AS h FROM ch),
+       |multi AS (SELECT h FROM hs GROUP BY h
+       |          HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       |  CAST(sum(CASE WHEN h IN (SELECT h FROM multi) THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_dup,
+       |  round(sum(CASE WHEN h IN (SELECT h FROM multi) THEN 1 ELSE 0 END)
+       |        / count(*), 6) AS dup_frac
+       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
@@ -926,6 +982,8 @@ object DedupOps {
     QueryDef("d11_incremental_neardup", incrementalNeardup,
       Some(incrementalNeardupSql)),
     QueryDef("d13_passage_dedup", passageDedup, Some(passageDedupSql)),
+    QueryDef("d15_passage_dup_fraction", passageDupFraction,
+      Some(passageDupFractionSql)),
     QueryDef("d12_containment_pairs", containmentPairs,
       Some(containmentPairsSql)),
     QueryDef("d14_minhash_estimate", minhashEstimateBound,

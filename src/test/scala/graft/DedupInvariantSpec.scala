@@ -186,6 +186,37 @@ class DedupInvariantSpec extends SparkSpec {
     assert(out.count(_._3 == 1) === base.size)
   }
 
+  test("d15 dup fraction matches an independent raw-text formulation") {
+    import spark.implicits._
+    val out = DedupOps.passageDupFraction(spark, sfTiny)
+      .select(col("doc_id"), col("n_passages"), col("n_dup"))
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, np, nd) =>
+      assert(np >= 1 && nd >= 0 && nd <= np, s"doc $id: n_dup $nd of $np")
+    }
+    // independent reference: same slicing re-derived here, duplication
+    // decided on the RAW passage text (no hashing) — an md5 bug or a
+    // join/aggregation bug in the operator diverges from this
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val inst = docs.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1)
+      ts.grouped(20).map(g => id -> g.mkString(" ")).filter(_._2.nonEmpty)
+    }
+    val multi = inst.groupBy(_._2).filter(_._2.map(_._1).distinct.length >= 2)
+      .keySet
+    val want = inst.groupBy(_._1).map { case (id, ps) =>
+      id -> (ps.length.toLong, ps.count(p => multi.contains(p._2)).toLong)
+    }
+    out.foreach { case (id, np, nd) =>
+      assert(want(id) === ((np, nd)), s"doc $id: engine ($np,$nd) vs " +
+        s"reference ${want(id)}")
+    }
+  }
+
   test("q38 freqItems result is a superset of every true frequent item") {
     val out = graft.operators.Relational.freqItemsBound(spark, sfTiny)
     // the sketch's defining guarantee, asserted over the exact hitters
