@@ -539,13 +539,14 @@ object EventStreams {
     * `store_v{batchId}` from the failed attempt must never be read as
     * the previous state — strictly-less + full overwrite makes the
     * merge exactly-once under at-least-once batch delivery. */
+  private val StoreVersion = "store_v(\\d+)".r
+
   private def prevStoreVersion(dir: String, batchId: Long): Option[Long] = {
     val f = new java.io.File(dir)
     Option(f.list()).toSeq.flatten
-      .collect { case n if n.startsWith("store_v") =>
-        n.stripPrefix("store_v").toLong }
+      .collect { case StoreVersion(v) => v.toLong }
       .filter(_ < batchId)
-      .sortBy(identity).lastOption
+      .maxOption
   }
 
   /** One foreachBatch merge step: reduce the incoming micro-batch to its
