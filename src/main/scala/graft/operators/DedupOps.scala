@@ -872,9 +872,11 @@ object DedupOps {
     * groupBy distributes it evenly. */
   private val PassageTokens = 20
 
-  /** The (doc_id, passage) instance relation — ONE definition shared by
-    * d13's corpus report and d15's per-doc fraction, so the passage
-    * slicing cannot drift between the two rows. */
+  /** The (doc_id, pi, passage) instance relation — ONE definition shared
+    * by d13's corpus report, d15's per-doc fraction, and d16's
+    * boilerplate strip, so the passage slicing cannot drift between the
+    * rows. `pi` is the passage's 0-based position within its document
+    * (d16 reassembles in this order; d13/d15 aggregate it away). */
   private def passageInstances(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -882,7 +884,7 @@ object DedupOps {
         explode(sequence(lit(0L),
           expr(s"cast((size(ts) - 1) div $PassageTokens as bigint)")))
           .as("pi"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pi"),
         array_join(slice(col("ts"),
           (col("pi") * PassageTokens + 1).cast("int"),
           lit(PassageTokens)), " ").as("passage"))
@@ -898,7 +900,7 @@ object DedupOps {
        |        unnest(generate_series(0, (len(ts) - 1) // $PassageTokens))
        |          AS pi
        |      FROM toks),
-       |ch AS (SELECT doc_id,
+       |ch AS (SELECT doc_id, pi,
        |         array_to_string(
        |           ts[(pi * $PassageTokens + 1):((pi + 1) * $PassageTokens)],
        |           ' ') AS passage
@@ -967,6 +969,61 @@ object DedupOps {
        |        / count(*), 6) AS dup_frac
        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Passages occurring in at least this many DISTINCT documents are
+    * treated as boilerplate by d16 (headers/footers/licence blurbs in a
+    * real crawl; ≥3 distinguishes shared furniture from a one-off
+    * quotation, which is d12/d13's business). */
+  private val BoilerplateDocs = 3
+
+  /** d16 — boilerplate strip (the C4/CCNet line-dedup curation rule,
+    * applied to the same fixed 20-token passages as d13/d15): a passage
+    * whose hash appears in ≥ [[BoilerplateDocs]] distinct documents is
+    * shared furniture, not content — every instance of it is removed,
+    * and each document is REASSEMBLED from its surviving passages in
+    * original order. d13 reports the duplication, d15 scores it per
+    * doc; d16 is the transform a pipeline actually applies before
+    * training. Composes [[passageInstances]] verbatim, so a slicing
+    * change breaks d13/d15/d16 together.
+    *
+    * 100 TB shape: one uniform 128-bit-hash aggregation builds the
+    * boilerplate set (grows with the corpus — joined as an ordinary
+    * shuffled equi-join, never broadcast), then one per-doc aggregation
+    * reassembles; the per-doc sort is bounded by document length. The
+    * shuffle carries passage TEXT only on the reassembly leg, where the
+    * output needs it. */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val inst = passageInstances(s, d)
+      .select(col("doc_id"), col("pi"), col("passage"),
+        md5(col("passage").cast("binary")).as("h"))
+    val boiler = inst.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerplateDocs)
+      .select(col("h"), lit(1L).as("__b"))
+    inst.join(boiler, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__b").isNull, struct(col("pi"), col("passage"))))),
+            x => x.getField("passage")),
+          " ").as("stripped_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val boilerplateStripSql =
+    s"""WITH $passageCtesSql,
+       |hs AS (SELECT doc_id, pi, passage, md5(passage) AS h FROM ch),
+       |b AS (SELECT h FROM hs GROUP BY h
+       |      HAVING count(DISTINCT doc_id) >= $BoilerplateDocs)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       |  CAST(sum(CASE WHEN h IN (SELECT h FROM b) THEN 0 ELSE 1 END)
+       |       AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(passage, ' ' ORDER BY pi)
+       |    FILTER (WHERE h NOT IN (SELECT h FROM b)), '') AS stripped_text
+       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
@@ -987,5 +1044,7 @@ object DedupOps {
     QueryDef("d12_containment_pairs", containmentPairs,
       Some(containmentPairsSql)),
     QueryDef("d14_minhash_estimate", minhashEstimateBound,
-      Some(minhashEstimateSql)))
+      Some(minhashEstimateSql)),
+    QueryDef("d16_boilerplate_strip", boilerplateStrip,
+      Some(boilerplateStripSql)))
 }

@@ -217,6 +217,41 @@ class DedupInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d16 boilerplate strip matches an independent raw-text formulation") {
+    import spark.implicits._
+    val out = DedupOps.boilerplateStrip(spark, sfTiny)
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        col("stripped_text"))
+      .as[(Long, Long, Long, String)]
+      .collect()
+    assert(out.nonEmpty)
+    // independent reference: same slicing re-derived here, boilerplate
+    // decided on the RAW passage text (no hashing), docs reassembled in
+    // passage order — an md5/join/sort bug in the operator diverges
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val inst = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(20).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+        .filter(_._3.nonEmpty)
+    }
+    val boiler = inst.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 3).keySet
+    val want = inst.groupBy(_._1).map { case (id, ps) =>
+      val kept = ps.sortBy(_._2).filterNot(p => boiler.contains(p._3))
+      id -> ((ps.length.toLong, kept.length.toLong,
+        kept.map(_._3).mkString(" ")))
+    }
+    out.foreach { case (id, np, nk, txt) =>
+      assert(want(id) === ((np, nk, txt)),
+        s"doc $id: engine ($np,$nk) diverges from the raw-text reference")
+    }
+    // the strip is a real transform on this corpus, not a no-op pass
+    assert(out.exists { case (_, np, nk, _) => nk < np },
+      "expected at least one document to lose a boilerplate passage")
+  }
+
   test("q38 freqItems result is a superset of every true frequent item") {
     val out = graft.operators.Relational.freqItemsBound(spark, sfTiny)
     // the sketch's defining guarantee, asserted over the exact hitters
