@@ -41,52 +41,70 @@ object Multimodal {
     * subsampling a 100 TB ingest uses to keep per-image decode cost
     * bounded regardless of resolution. Malformed input fails loudly
     * (corrupt payloads must surface, not silently zero-fill). */
+  /** Parsed P6 header: dimensions, maxval, and the byte offset where
+    * pixel data begins. Shared by [[PpmDecoder]] (strided stats) and
+    * [[ppmThumbnails]] (box-filter downsample) so the two consumers of
+    * the format cannot drift on header semantics. All the guards fail
+    * loudly: corrupt payloads must surface, not silently zero-fill or
+    * mis-parse. */
+  private[graft] final case class PpmHeader(
+      w: Int, h: Int, maxval: Int, dataOffset: Int)
+
+  /** Per-dimension ceiling (2^14): keeps w·h·3 far from Int overflow
+    * while admitting any realistic raster. */
+  private val MaxPpmDim = 1 << 14
+
+  private[graft] def parsePpm(content: Array[Byte]): PpmHeader = {
+    var pos = 0
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"bad PPM: $msg at byte $pos")
+    def skipWs(): Unit = {
+      while (pos < content.length &&
+        Character.isWhitespace(content(pos).toChar)) pos += 1
+    }
+    def ascInt(): Int = {
+      skipWs()
+      if (pos >= content.length || content(pos) < '0' || content(pos) > '9')
+        fail("expected ASCII integer")
+      var v = 0
+      while (pos < content.length &&
+        content(pos) >= '0' && content(pos) <= '9') {
+        v = v * 10 + (content(pos) - '0'); pos += 1
+        // cap during accumulation: a hostile digit run must fail here,
+        // not overflow into a plausible-looking value
+        if (v > MaxPpmDim) fail("integer field too large")
+      }
+      v
+    }
+    if (content.length < 2 || content(0) != 'P' || content(1) != '6')
+      fail("missing P6 magic")
+    pos = 2
+    val w = ascInt(); val h = ascInt(); val maxval = ascInt()
+    // dimension sanity BEFORE any arithmetic: w*h*3 must stay far from
+    // Int overflow, zero-pixel images must not emit the 256/-1 min/max
+    // sentinels as features, and only 1-byte-per-channel payloads are
+    // this decoder's format (maxval > 255 means 2-byte samples)
+    if (w <= 0 || h <= 0) fail(s"degenerate dimensions ${w}x$h")
+    if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+    // the header ends in EXACTLY one whitespace byte before pixel
+    // data; anything else (CR LF, comments, junk) would silently shift
+    // every RGB read — fail loudly instead of mis-parsing
+    if (pos >= content.length ||
+      !Character.isWhitespace(content(pos).toChar))
+      fail("header must terminate in one whitespace byte")
+    pos += 1
+    if (content.length - pos < w * h * 3)
+      fail(s"payload short of ${w * h} pixels")
+    PpmHeader(w, h, maxval, pos)
+  }
+
   final class PpmDecoder(val stride: Int = 1) extends MediaDecoder {
     override val featureDim: Int = 8
-    /** Per-dimension ceiling (2^14): keeps w·h·3 far from Int overflow
-      * while admitting any realistic raster. */
-    private val MaxDim = 1 << 14
     override def decode(mediaType: String, content: Array[Byte]): Array[Float] = {
-      var pos = 0
-      def fail(msg: String) =
-        throw new IllegalArgumentException(s"bad PPM: $msg at byte $pos")
-      def skipWs(): Unit = {
-        while (pos < content.length &&
-          Character.isWhitespace(content(pos).toChar)) pos += 1
-      }
-      def ascInt(): Int = {
-        skipWs()
-        if (pos >= content.length || content(pos) < '0' || content(pos) > '9')
-          fail("expected ASCII integer")
-        var v = 0
-        while (pos < content.length &&
-          content(pos) >= '0' && content(pos) <= '9') {
-          v = v * 10 + (content(pos) - '0'); pos += 1
-          // cap during accumulation: a hostile digit run must fail here,
-          // not overflow into a plausible-looking value
-          if (v > MaxDim) fail("integer field too large")
-        }
-        v
-      }
-      if (content.length < 2 || content(0) != 'P' || content(1) != '6')
-        fail("missing P6 magic")
-      pos = 2
-      val w = ascInt(); val h = ascInt(); val maxval = ascInt()
-      // dimension sanity BEFORE any arithmetic: w*h*3 must stay far from
-      // Int overflow, zero-pixel images must not emit the 256/-1 min/max
-      // sentinels as features, and only 1-byte-per-channel payloads are
-      // this decoder's format (maxval > 255 means 2-byte samples)
-      if (w <= 0 || h <= 0) fail(s"degenerate dimensions ${w}x$h")
-      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
-      // the header ends in EXACTLY one whitespace byte before pixel
-      // data; anything else (CR LF, comments, junk) would silently shift
-      // every RGB read — fail loudly instead of mis-parsing
-      if (pos >= content.length ||
-        !Character.isWhitespace(content(pos).toChar))
-        fail("header must terminate in one whitespace byte")
-      pos += 1
+      val hdr = parsePpm(content)
+      val w = hdr.w; val h = hdr.h; val maxval = hdr.maxval
+      val pos = hdr.dataOffset
       val nPx = w * h
-      if (content.length - pos < nPx * 3) fail(s"payload short of $nPx pixels")
       var sr = 0L; var sg = 0L; var sb = 0L
       var lo = 256; var hi = -1
       var p = 0
@@ -325,6 +343,50 @@ object Multimodal {
           .substr((col("frame_idx") * expr("n div k") + 1).cast("int"),
             lit(frameWidth))
           .cast("binary")).as("frame_hash"))
+
+  /** Partition-wise box-filter downsample of P6 images → one row per
+    * THUMBNAIL pixel: (doc_id, ty, tx, r, g, b), each output channel the
+    * truncated mean (sum div factor²) of its factor×factor source
+    * block. This is the image-resize preprocessing step of a multimodal
+    * ingest (thumbnail for dedup/embedding at bounded cost); the byte
+    * work happens executor-side through the SAME [[parsePpm]] header
+    * contract as the stats decoder, and only the small thumbnail rows
+    * ever ride a shuffle — payload bytes stay inside the map task.
+    * Trailing rows/columns that don't fill a whole block are dropped
+    * (floor geometry), the standard pooling convention. */
+  def ppmThumbnails(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"downsample factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, Array[Byte])] =
+      media.select(col("doc_id").cast("long"), col("content"))
+        .as[(Long, Array[Byte])]
+    in.flatMap { case (id, bytes) =>
+      val hdr = parsePpm(bytes)
+      val tw = hdr.w / factor; val th = hdr.h / factor
+      val area = factor * factor
+      for {
+        ty <- 0 until th
+        tx <- 0 until tw
+      } yield {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            val p = (ty * factor + dy) * hdr.w + (tx * factor + dx)
+            val base = hdr.dataOffset + p * 3
+            sr += bytes(base) & 0xFF
+            sg += bytes(base + 1) & 0xFF
+            sb += bytes(base + 2) & 0xFF
+            dx += 1
+          }
+          dy += 1
+        }
+        (id, ty.toLong, tx.toLong, sr / area, sg / area, sb / area)
+      }
+    }.toDF("doc_id", "ty", "tx", "r", "g", "b")
+  }
 
   /** Partition-wise decode → (doc_id, media_type, n_bytes, features).
     * One decoder per executor JVM; rows stream through without

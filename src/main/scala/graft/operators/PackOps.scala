@@ -91,7 +91,7 @@ object PackOps {
     * regexp_count, not size(regexp_extract_all): counting must not
     * materialize a per-row match array at corpus scale. */
   private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
-  private val bpePieces: Column =
+  private[graft] val bpePieces: Column =
     regexp_count(lower(col("text")), lit(BpeRegex)).cast("long")
 
   /** Tokens per packed training sequence. Small enough that sf0.01
@@ -348,6 +348,56 @@ object PackOps {
        |FROM b, c, v""".stripMargin
   }
 
+  /** c03 — per-slice dataset card (c02 is the corpus-level card): one
+    * row per (source, lang) with docs, tokens, chars, mean t04 quality,
+    * and the slice's share of corpus tokens. This is the table a
+    * curation run publishes alongside the corpus — the per-source /
+    * per-language accounting that mixture decisions (p05/p09) and
+    * domain caps (p08) are audited against. Token and quality
+    * definitions are SHARED with c02/t04 (TextFunctions.tokens,
+    * TextOps.Score on the Spark side; the same oracle fragments), so a
+    * tokenizer or scoring change breaks the card together with the
+    * operators it audits.
+    *
+    * 100 TB shape: one corpus scan → one hash aggregation on
+    * (source, lang) — cardinality sources×langs, tiny at any corpus
+    * size — plus a broadcast 1-row total. Map-side partial aggregation
+    * does the heavy lifting; nothing data-sized shuffles. */
+  def sourceCard(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text")))).cast("long")
+          .as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        round(avg(TextOps.Score.qualityScore), 6).as("avg_quality"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("avg_quality"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("token_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val sourceCardSql = {
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    s"""WITH q AS (${TextOps.docQualityInnerSql}),
+       |per AS (
+       |  SELECT d.source, d.lang,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(list_filter($tokList, x -> x <> '')))
+       |      AS BIGINT) AS n_tokens,
+       |    CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+       |    round(avg(q.quality_score), 6) AS avg_quality
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |  GROUP BY d.source, d.lang)
+       |SELECT source, lang, n_docs, n_tokens, n_chars, avg_quality,
+       |  round(n_tokens / (SELECT sum(n_tokens) FROM per), 6)
+       |    AS token_share
+       |FROM per ORDER BY source, lang""".stripMargin
+  }
+
   /** Epoch-shuffle scramble: Knuth's multiplicative hash over the
     * 2^31-reduced id, mod 2^32. Every term stays < 2^63 for ANY long
     * input (the reduction precedes the multiply), so the formula is
@@ -465,14 +515,92 @@ object PackOps {
        |FROM r WHERE src_rank < $SourceCapN
        |ORDER BY source, src_rank""".stripMargin
 
+  /** p09 shape constants: draw a quarter of the corpus's tokens; a
+    * distinct seed from p07 so the two epoch orders are provably
+    * independent permutations. */
+  private val DrawBudgetDen = 4L
+  private val DrawSeed = 29L
+
+  /** p09 — token-budget mixture draw: MATERIALIZE p05's √-temperature
+    * mixture weights into an actual training subset. The global budget
+    * (corpus tokens ÷ [[DrawBudgetDen]], integer) splits into per-source
+    * token quotas ∝ √(source tokens) — the α=0.5 temperature that
+    * upweights small sources — and each source's documents fill their
+    * quota in the seeded epoch-shuffle order ([[shuffleKey]], p07's
+    * portable scramble under a different seed): a doc is drawn iff the
+    * tokens BEFORE it in its source's order leave room (exclusive
+    * running sum < quota). p05 reports what the mixture should be; p09
+    * is the draw a run actually trains on, reproducible across retries
+    * because the order is a pure function of (doc_id, seed).
+    *
+    * 100 TB shape: one per-source aggregation (quotas are
+    * vocabulary-of-sources-sized — broadcast), one grouped distributed
+    * scan for the running sums (a hot source never lands on one task),
+    * no global sort. Quota boundaries are integers compared to integer
+    * running sums; the only float is the √-share itself, floored into
+    * the integer quota. */
+  def budgetDraw(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), bpePieces.as("n_tokens"))
+    val bySrc = per.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = bySrc.agg(
+      expr(s"cast(sum(src_tokens) div $DrawBudgetDen as bigint)")
+        .as("budget"),
+      sum(sqrt(col("src_tokens"))).as("z"))
+    val quotas = bySrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(col("budget") * sqrt(col("src_tokens")) / col("z"))
+          .as("quota_tokens"))
+    val keyed = per.withColumn("shuffle_key",
+      shuffleKey(col("doc_id"), DrawSeed))
+    exclusivePrefixSum(keyed, Seq("shuffle_key", "doc_id"),
+        col("n_tokens"), "cum_tokens", strata = Seq("source"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("cum_tokens") < col("quota_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("quota_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
+  private val budgetDrawSql =
+    s"""WITH per AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       |    ${shuffleKeySql("doc_id", DrawSeed)} AS shuffle_key
+       |  FROM documents),
+       |srcs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |         FROM per GROUP BY source),
+       |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) // $DrawBudgetDen
+       |          AS budget,
+       |        sum(sqrt(src_tokens)) AS z
+       |        FROM srcs),
+       |q AS (SELECT source,
+       |        CAST(floor(budget * sqrt(src_tokens) / z) AS BIGINT)
+       |          AS quota_tokens
+       |      FROM srcs, tot),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
+       |          ORDER BY shuffle_key, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cum_tokens
+       |      FROM per)
+       |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, q.quota_tokens
+       |FROM c JOIN q USING (source)
+       |WHERE c.cum_tokens < q.quota_tokens
+       |ORDER BY source, cum_tokens""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
+    QueryDef("c03_source_card", sourceCard, Some(sourceCardSql)),
     QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("p05_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     QueryDef("p06_packed_sequences", packedSequences, Some(packedSequencesSql)),
     QueryDef("p07_epoch_shuffle", epochShuffleDocs, Some(epochShuffleSql)),
-    QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)))
+    QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)),
+    QueryDef("p09_budget_draw", budgetDraw, Some(budgetDrawSql)))
 }

@@ -219,6 +219,38 @@ object SourceOps {
       |    AS frame_hash
       |FROM u ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** b05 — image RESIZE through the real byte path: 2× box-filter
+    * thumbnails of the planted 8×6 P6 images ([[Multimodal
+    * .ppmThumbnails]]), one row per 4×3 thumbnail pixel with each
+    * channel the truncated mean of its 2×2 source block. The resize is
+    * the multimodal preprocessing step b02's stats don't exercise —
+    * geometry, block addressing, and integer pooling all live in the
+    * executor-side byte loop, and the oracle reproduces every output
+    * pixel closed-form from the planted generator (the m11 pattern), so
+    * a block-offset fencepost, a channel swap, or a rounding change
+    * breaks the hash. */
+  def mediaThumbnails(s: SparkSession, d: String): DataFrame =
+    Multimodal.ppmThumbnails(
+        Multimodal.ppmTable(Tables.documents(s, d)), factor = 2)
+      .orderBy(col("doc_id"), col("ty"), col("tx"))
+
+  // planted geometry 8x6, factor 2 => 4x3 thumbnails; source pixel
+  // p = y*8+x with the ppmBytes channel formulas
+  private val mediaThumbnailsSql =
+    """WITH tys AS (SELECT unnest(generate_series(0, 2)) AS ty),
+      |txs AS (SELECT unnest(generate_series(0, 3)) AS tx),
+      |dys AS (SELECT unnest(generate_series(0, 1)) AS dy),
+      |dxs AS (SELECT unnest(generate_series(0, 1)) AS dx),
+      |px AS (
+      |  SELECT d.doc_id, tys.ty, txs.tx,
+      |    (2 * tys.ty + dys.dy) * 8 + (2 * txs.tx + dxs.dx) AS p
+      |  FROM documents d, tys, txs, dys, dxs)
+      |SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+      |  CAST(sum((doc_id * 7 + p * 13) % 256) // 4 AS BIGINT) AS r,
+      |  CAST(sum((doc_id * 11 + p * 17) % 256) // 4 AS BIGINT) AS g,
+      |  CAST(sum((doc_id * 3 + p * 19) % 256) // 4 AS BIGINT) AS b
+      |FROM px GROUP BY doc_id, ty, tx ORDER BY doc_id, ty, tx""".stripMargin
+
   /** s15 — partitioned data-lake sink + partition-PRUNED scan (the
     * standard 100 TB corpus layout: shard by a low-cardinality ingest
     * dimension — language, source, date — so per-slice jobs read only
@@ -431,6 +463,8 @@ object SourceOps {
     QueryDef("b02_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     QueryDef("b03_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("b04_audio_features", audioFeatures, Some(audioFeaturesSql)),
+    QueryDef("b05_media_thumbnails", mediaThumbnails,
+      Some(mediaThumbnailsSql)),
     QueryDef("s12_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     QueryDef("s15_partitioned_sink", partitionedSink,
       Some(partitionedSinkSql)),

@@ -286,6 +286,63 @@ class PackOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSet === want)
   }
 
+  test("p09 budget draw takes exactly each source's quota-filling prefix " +
+      "of the epoch order") {
+    val out = PackOps.budgetDraw(spark, sfTiny)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("quota_tokens"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every drawn doc starts strictly inside its source's quota
+    out.foreach { case (id, src, _, cum, quota) =>
+      assert(cum < quota, s"doc $id in $src drawn at cum $cum >= $quota")
+    }
+    // reference: per-source window over the SAME scramble key — the draw
+    // must be the exact prefix of that order, with matching running sums
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"),
+        PackOps.bpePieces.as("n_tokens"))
+      .withColumn("shuffle_key", PackOps.shuffleKey(col("doc_id"), 29L))
+      .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("cum")).as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, _, cum, _) =>
+      assert(want(id) === cum, s"doc $id running sum diverges")
+    }
+    // the α=0.5 temperature is visible: every source participates
+    val drawnSrcs = out.map(_._2).toSet
+    val allSrcs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("source")).distinct().as[String].collect().toSet
+    assert(drawnSrcs === allSrcs,
+      "sqrt-temperature quotas must draw from every source")
+    // and the draw is a strict subset (the budget bites)
+    val total = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(out.length < total, "budget must exclude some documents")
+  }
+
+  test("c03 source card cross-foots with the c02 corpus card") {
+    val card = PackOps.sourceCard(spark, sfTiny)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("avg_quality"), col("token_share"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(card.nonEmpty)
+    card.foreach { case (nd, nt, nc, q, share) =>
+      assert(nd > 0 && nt > 0 && nc > 0)
+      assert(q >= 0.0 && q <= 1.0, s"avg quality $q out of range")
+      assert(share > 0.0 && share <= 1.0)
+    }
+    // slice totals must equal the corpus-level card exactly
+    val corpus = PackOps.corpusStats(spark, sfTiny)
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"))
+      .as[(Long, Long, Long)].head()
+    assert((card.map(_._1).sum, card.map(_._2).sum, card.map(_._3).sum)
+      === corpus, "per-slice sums diverge from the corpus card")
+    // shares partition the corpus (6dp rounding per slice)
+    assert(math.abs(card.map(_._5).sum - 1.0) < 1e-3 * card.length)
+  }
+
   test("p02 never splits a near-dup component across train and test") {
     val df = GraphOps.leakageSplit(spark, sfTiny)
       .select(col("component"), col("split")).as[(Long, String)].collect()

@@ -161,6 +161,48 @@ class SinksSpec extends SparkSpec {
     bad(shifted)
   }
 
+  test("ppmThumbnails box-filters blocks, drops partial edges, and is " +
+      "identity at factor 1") {
+    import spark.implicits._
+    // 4x4 image with known bytes: channel value = pixel index (0..15)
+    val w = 4; val h = 4
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val img = header ++ (0 until w * h).flatMap(p =>
+      Seq(p.toByte, (p * 2).toByte, (p * 3).toByte)).toArray
+    val media = Seq((7L, img)).toDF("doc_id", "content")
+    val thumb = Multimodal.ppmThumbnails(media, factor = 2)
+      .orderBy(col("ty"), col("tx"))
+      .select(col("ty"), col("tx"), col("r"), col("g"), col("b"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // block (ty,tx) covers pixels {2ty,2ty+1}x{2tx,2tx+1}; truncated mean
+    def mean(ty: Int, tx: Int, mult: Int): Long = {
+      val ps = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield ((2 * ty + dy) * w + (2 * tx + dx)) * mult % 256
+      ps.sum / 4L
+    }
+    assert(thumb.length === 4)
+    thumb.foreach { case (ty, tx, r, g, b) =>
+      assert((r, g, b) ===
+        ((mean(ty.toInt, tx.toInt, 1), mean(ty.toInt, tx.toInt, 2),
+          mean(ty.toInt, tx.toInt, 3))))
+    }
+    // factor 1 is the identity resize: every pixel survives unchanged
+    val id1 = Multimodal.ppmThumbnails(media, factor = 1).count()
+    assert(id1 === (w * h).toLong)
+    // odd dims: 5x3 at factor 2 keeps only the 2x1 whole-block grid
+    val odd = Multimodal.ppmBytes(3L, w = 5, h = 3)
+    val oddThumb = Multimodal
+      .ppmThumbnails(Seq((3L, odd)).toDF("doc_id", "content"), factor = 2)
+      .select(col("ty"), col("tx")).as[(Long, Long)].collect().toSet
+    assert(oddThumb === Set((0L, 0L), (0L, 1L)))
+    // malformed payloads surface through the shared parse, not zero-fill
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.ppmThumbnails(
+        Seq((1L, "junk".getBytes("US-ASCII"))).toDF("doc_id", "content"))
+        .count()
+    }
+  }
+
   test("WavDecoder walks RIFF chunks and matches the planted closed form") {
     val dec = new Multimodal.WavDecoder()
     val f = dec.decode("audio", Multimodal.wavBytes(42L))
