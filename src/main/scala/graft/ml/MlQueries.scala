@@ -480,27 +480,37 @@ object MlQueries {
     * swaps the planted frame for labeled examples and the same
     * fit/predict code scores the corpus; scoring is a broadcast of the
     * tiny coefficient vector — map-only over 100 TB. */
-  def classifierPlanted(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegressionModel
-    val frame = Tables.documents(s, d)
+  /** The planted wide-margin frame shared by m15/m16/m17: label =
+    * doc_id mod 2, scalar feature x = ±1 by class plus a deterministic
+    * sub-0.05 jitter — linearly separable with a wide margin, so any
+    * sane linear fit classifies every row to its planted class. */
+  private def plantedLrFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         (col("doc_id") % 2).cast("double").as("label"),
         ((col("doc_id") % 2) * 2 - 1).cast("double")
           .plus(((col("doc_id") * 37 % 100).cast("double") / 100 - 0.5) * 0.1)
           .as("x"))
-    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+
+  private def assembleX(df: DataFrame): DataFrame =
+    new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(Array("x")).setOutputCol("features")
-      .transform(frame)
-    val model: LogisticRegressionModel =
-      graft.api.Intermediates.memo(s, s"m15-lr|$d") {
-        new org.apache.spark.ml.classification.LogisticRegression()
-          .setRegParam(0.01).setMaxIter(50)
-          .fit(assembled)
-      }
-    model.transform(assembled)
+      .transform(df)
+
+  /** The fitted planted classifier, memoized per (session, dataset) —
+    * m15 and m17 share ONE fit. */
+  private def plantedLrModel(s: SparkSession, d: String)
+      : org.apache.spark.ml.classification.LogisticRegressionModel =
+    graft.api.Intermediates.memo(s, s"m15-lr|$d") {
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setRegParam(0.01).setMaxIter(50)
+        .fit(assembleX(plantedLrFrame(s, d)))
+    }
+
+  def classifierPlanted(s: SparkSession, d: String): DataFrame =
+    plantedLrModel(s, d).transform(assembleX(plantedLrFrame(s, d)))
       .select(col("doc_id"), col("prediction").cast("long").as("pred_class"))
       .orderBy(col("doc_id"))
-  }
 
   private val classifierPlantedSql =
     """SELECT doc_id, doc_id % 2 AS pred_class
@@ -522,15 +532,7 @@ object MlQueries {
     * sweep. */
   def crossValPlanted(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
-    val frame = Tables.documents(s, d)
-      .select(col("doc_id"),
-        (col("doc_id") % 2).cast("double").as("label"),
-        ((col("doc_id") % 2) * 2 - 1).cast("double")
-          .plus(((col("doc_id") * 37 % 100).cast("double") / 100 - 0.5) * 0.1)
-          .as("x"))
-    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
-      .setInputCols(Array("x")).setOutputCol("features")
-      .transform(frame)
+    val assembled = assembleX(plantedLrFrame(s, d))
     val best = graft.api.Intermediates.memo(s, s"m16-cv|$d") {
       val lr = new org.apache.spark.ml.classification.LogisticRegression()
         .setMaxIter(50)
@@ -551,6 +553,65 @@ object MlQueries {
 
   private val crossValPlantedSql = classifierPlantedSql
 
+  /** m17 — classifier EVALUATION report through the real transform path
+    * (the metrics table every learned quality gate ships with): m15's
+    * fitted model (ONE shared memoized fit) scores the planted frame,
+    * and the predictions are evaluated against a deliberately NOISY
+    * label — the planted class flipped on every doc_id ≡ 0 (mod 7) —
+    * so the confusion matrix is non-trivial and closed-form: predictions
+    * are doc_id % 2 (m15's proof), labels differ exactly on the
+    * multiples of 7. tp/fp/fn/tn and accuracy/precision/recall/F1 are
+    * integer-ratio arithmetic the oracle reproduces without touching the
+    * model; F1 uses the 2·tp/(2·tp+fp+fn) identity directly so no
+    * rounded intermediate feeds another ratio.
+    *
+    * 100 TB shape: one map-only transform + one global aggregation of
+    * four conditional counters — map-side combined, a single 1-row
+    * result. */
+  def classifierEval(s: SparkSession, d: String): DataFrame = {
+    val noisy = plantedLrFrame(s, d)
+      .withColumn("eval_label",
+        when(col("doc_id") % 7 === 0, lit(1L) - col("doc_id") % 2)
+          .otherwise(col("doc_id") % 2).cast("long"))
+    val scored = plantedLrModel(s, d).transform(assembleX(noisy))
+      .select(col("prediction").cast("long").as("pred"), col("eval_label"))
+    scored.agg(
+        sum(when(col("pred") === 1 && col("eval_label") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("eval_label") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0 && col("eval_label") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0 && col("eval_label") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")) /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"),
+        round(col("tp") / (col("tp") + col("fp")), 6).as("prec"),
+        round(col("tp") / (col("tp") + col("fn")), 6).as("rec"),
+        round(lit(2.0) * col("tp") /
+          (lit(2) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+  }
+
+  private val classifierEvalSql =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 7 <> 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 7 = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 AND doc_id % 7 <> 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM documents)
+      |SELECT tp, fp, fn, tn,
+      |  round((tp + tn) / (tp + fp + fn + tn), 6) AS accuracy,
+      |  round(tp / (tp + fp), 6) AS prec,
+      |  round(tp / (tp + fn), 6) AS rec,
+      |  round(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
+      |FROM c""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -570,5 +631,7 @@ object MlQueries {
       Some(classifierPlantedSql)),
     QueryDef("m16_crossval_planted", crossValPlanted,
       Some(crossValPlantedSql)),
+    QueryDef("m17_classifier_eval", classifierEval,
+      Some(classifierEvalSql)),
     QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }

@@ -87,7 +87,7 @@ object TextOps {
     * docQualityInnerSql/langGuessInnerSql. Rounding points are part of
     * the definition: both engines round the ratio BEFORE it enters the
     * quality blend. */
-  private[operators] object Score {
+  private[graft] object Score {
     // Raw (empties included) token split: the counting paths below never
     // materialize the filtered array, so the tokenizer's interpreted
     // empty-filter HOF is skipped — every count here is a codegen'd
@@ -127,7 +127,7 @@ object TextOps {
   /** t04's scoring query without the final ORDER BY — reused as a
     * subquery by PackOps.qualityBuckets' oracle (p03), so both rows
     * score documents with the exact same SQL text. */
-  private[operators] val docQualityInnerSql = {
+  private[graft] val docQualityInnerSql = {
     val stop = sqlStringList(TextFunctions.stopWords)
     s"""WITH q AS (
        |  SELECT doc_id,
@@ -156,7 +156,7 @@ object TextOps {
 
   /** t05's scoring query without the final ORDER BY — reused by
     * PackOps.corpusPrep's oracle (c01). */
-  private[operators] val langGuessInnerSql = {
+  private[graft] val langGuessInnerSql = {
     val markers = sqlStringList(Seq("the", "a", "and", "of", "is"))
     s"""WITH q AS (
        |  SELECT doc_id,

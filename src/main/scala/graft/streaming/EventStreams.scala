@@ -505,6 +505,38 @@ object EventStreams {
       |SELECT doc_id FROM inc WHERE md5(text) NOT IN (SELECT h FROM seen)
       |ORDER BY doc_id""".stripMargin
 
+  /** s19 — STREAMING corpus quality gate (c01's quality+language gates
+    * on the live ingest path): the incoming document stream is scored
+    * and filtered per micro-batch with the SAME shared Score
+    * definitions as t04/t05/c01 — pure map-only column expressions, so
+    * the streaming plan is STATELESS (no state store, no watermark; a
+    * doc passes or drops on its own content) and the batch oracle
+    * (the c01 gate head's SQL fragments, verbatim) transfers
+    * row-for-row. This is the first gate a 100 TB streaming ingest
+    * applies — upstream of dedup (s14) and enrichment (s13) — and the
+    * cheapest: per-row regex/count arithmetic inside whole-stage
+    * codegen, nothing shuffles until the sink. */
+  def streamQualityGate(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val gated = readDocuments(ss, d)
+      .select(col("doc_id"),
+        graft.operators.TextOps.Score.qualityScore.as("quality_score"),
+        graft.operators.TextOps.Score.markerRatio.as("marker_ratio"))
+      .filter(col("quality_score") >= 0.85 && col("marker_ratio") >= 0.08)
+    runToMemory(gated, "append", "s19_stream_quality_gate")
+      .orderBy(col("doc_id"))
+  }
+
+  private val streamQualityGateSql =
+    s"""SELECT d.doc_id, q.quality_score, l.marker_ratio
+      |FROM documents d
+      |JOIN (${graft.operators.TextOps.docQualityInnerSql}) q
+      |  ON q.doc_id = d.doc_id
+      |JOIN (${graft.operators.TextOps.langGuessInnerSql}) l
+      |  ON l.doc_id = d.doc_id
+      |WHERE q.quality_score >= 0.85 AND l.marker_ratio >= 0.08
+      |ORDER BY d.doc_id""".stripMargin
+
   /** s13 — stream-static enrichment join, the at-ingest dimension
     * lookup every deployment runs (events → customer segment here;
     * doc → license/source metadata in a training-data ingest): the
@@ -636,7 +668,9 @@ object EventStreams {
       Some(streamClosedSessionsSql)),
     QueryDef("s11_stream_hourly_append", streamHourlyAppend,
       Some(streamHourlyAppendSql)),
-    QueryDef("s16_stream_upsert", streamUpsert, Some(streamUpsertSql)))
+    QueryDef("s16_stream_upsert", streamUpsert, Some(streamUpsertSql)),
+    QueryDef("s19_stream_quality_gate", streamQualityGate,
+      Some(streamQualityGateSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

@@ -346,6 +346,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("s19 streaming quality gate reproduces the batch gate exactly") {
+    import org.apache.spark.sql.functions._
+    val got = rows(EventStreams.streamQualityGate(spark, sfTiny))
+    // batch analog through the SAME shared Score definitions
+    val want = rows(graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"),
+        graft.operators.TextOps.Score.qualityScore.as("quality_score"),
+        graft.operators.TextOps.Score.markerRatio.as("marker_ratio"))
+      .filter(col("quality_score") >= 0.85 && col("marker_ratio") >= 0.08)
+      .orderBy(col("doc_id")))
+    assert(got === want)
+    assert(got.nonEmpty, "the gate must pass some documents")
+    // and it is a REAL gate on this corpus, not a pass-through
+    val total = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(got.length < total, "the gate must drop some documents")
+  }
+
   test("typed Dataset readers expose the corpus entities") {
     val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
     val first = docs.head()

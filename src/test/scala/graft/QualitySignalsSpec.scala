@@ -53,6 +53,32 @@ class QualitySignalsSpec extends SparkSpec {
       "wide-margin separable fit must classify every point to its class")
   }
 
+  test("m17: eval report matches the closed-form confusion of the " +
+      "noisy-label plant") {
+    import spark.implicits._
+    val Array((tp, fp, fn, tn, acc, prec, rec, f1)) =
+      graft.ml.MlQueries.classifierEval(spark, sfTiny)
+        .as[(Long, Long, Long, Long, Double, Double, Double, Double)]
+        .collect()
+    // closed form: predictions are doc_id % 2 (m15's proof); eval labels
+    // flip exactly on multiples of 7
+    val ids = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id")).as[Long].collect()
+    val wantTp = ids.count(i => i % 2 == 1 && i % 7 != 0).toLong
+    val wantFp = ids.count(i => i % 2 == 1 && i % 7 == 0).toLong
+    val wantFn = ids.count(i => i % 2 == 0 && i % 7 == 0).toLong
+    val wantTn = ids.count(i => i % 2 == 0 && i % 7 != 0).toLong
+    assert((tp, fp, fn, tn) === ((wantTp, wantFp, wantFn, wantTn)))
+    // the noise plant makes every confusion cell non-trivial
+    assert(fp > 0 && fn > 0 && tp > 0 && tn > 0)
+    // metric identities hold against the counts
+    val n = (tp + fp + fn + tn).toDouble
+    assert(math.abs(acc - (tp + tn) / n) < 1e-6)
+    assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-6)
+    assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-6)
+    assert(math.abs(f1 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6)
+  }
+
   test("m16: cross-validated best model recovers every planted class") {
     val pred = graft.ml.MlQueries.crossValPlanted(spark, sfTiny)
       .withColumn("expected", col("doc_id") % 2)
