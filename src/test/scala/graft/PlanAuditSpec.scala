@@ -112,6 +112,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p8.contains("Exchange SinglePartition"), s"p08:\n$p8")
   }
 
+  test("p09: budget draw ranks through the grouped scan and broadcasts quotas") {
+    // the running sums must come from the distributed scan (data window
+    // keyed on (__pid, source), never the bare source), and the
+    // source-cardinality quota relation must join as a broadcast — a
+    // shuffle join here would shuffle the corpus against a 20-row table
+    val p = plan("p09_budget_draw")
+    assert("windowspecdefinition\\(__pid#\\d+, source".r.findFirstIn(p).isDefined,
+      s"p09 data window must key on (__pid, source):\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      "Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      s"p09 must not single-partition the data (tiny agg totals only):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"p09 quota join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"p09 plans a shuffle join:\n$p")
+  }
+
+  test("c03: source card joins only by broadcast — no shuffle joins") {
+    // one corpus scan → one (source, lang) hash aggregation; the 1-row
+    // token total rides a broadcast nested loop (1-row cross), never a
+    // shuffle join
+    val p = plan("c03_source_card")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"c03 must not shuffle-join the card against its total:\n$p")
+    assert(p.contains("BroadcastExchange"), s"total must broadcast:\n$p")
+  }
+
+  test("b05: thumbnails are map-only — zero exchanges before the final sort") {
+    // the byte loop runs inside the map task; only the query-contract
+    // ORDER BY may exchange, and nothing aggregates or windows
+    val p = plan("b05_media_thumbnails")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"expected exactly the ORDER BY range exchange:\n$p")
+    assert(p.contains("rangepartitioning"), s"sole exchange is the sort:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"pooling must stay in the flatMap, not relational ops:\n$p")
+  }
+
   test("e09: quantization is map-only — zero exchanges before the final sort") {
     // the per-vector kernel pass must not shuffle anything; the only
     // exchange allowed is the query-contract total ORDER BY at the top
