@@ -170,7 +170,22 @@ object EventStreams {
       lastSink.clear()
       clone.catalog.clearCache()
     }
+    unloadStateStores()
   }
+
+  /** Unload every loaded state-store provider and stop the maintenance
+    * thread. Harness streaming queries run AvailableNow to completion on
+    * a fresh temp checkpoint each time (except s11's deliberate
+    * restart-reuse, which reloads from its checkpoint files on the next
+    * run — bounded, and the reload IS the restart being exercised), so a
+    * terminated query's providers have no future consumer: left loaded,
+    * a long sweep accumulates dozens of orphaned providers whose
+    * in-memory maps hold heap and whose 60-second maintenance cycle
+    * snapshots dead state while later queries are being timed. The next
+    * store access lazily restarts maintenance — this is the standard
+    * between-queries reset, not a teardown. */
+  private def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
   private def runToMemory(df: DataFrame, mode: String, prefix: String,
                           requireSingleBatch: Boolean = false): DataFrame = {
@@ -181,6 +196,9 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the finished query's temp-checkpoint providers are orphans from
+    // here on — unload before the caller's timing window closes
+    unloadStateStores()
     // Loud precondition for parity rows whose batch-analog oracle is
     // only valid when the whole source lands in ONE data micro-batch
     // (AvailableNow is documented to split large scans): a silent
@@ -428,6 +446,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    unloadStateStores()
     // explicit schema (the streaming plan's own): a corpus whose span
     // never closes a window leaves the sink with zero data files, and a
     // schema-inferring read would crash where the oracle cleanly
@@ -634,6 +653,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    unloadStateStores()
     val v = prevStoreVersion(dir, Long.MaxValue).getOrElse(
       throw new IllegalStateException(
         s"s16: no store version written under $dir — empty source?"))
