@@ -172,6 +172,44 @@ object TextOps {
 
   private val langGuessSql = s"$langGuessInnerSql ORDER BY doc_id"
 
+  /** t14 — language-ID CONFUSION card: t05's heuristic evaluated
+    * against the corpus's ground-truth `lang` column, one row per
+    * (true lang, guessed lang) with counts and the within-language
+    * share. This is the audit table a curation pipeline publishes
+    * before trusting a language gate (c01/s19 threshold on exactly
+    * this heuristic): per-language recall and the en/und confusion are
+    * read straight off the card. The heuristic under evaluation is the
+    * SAME shared Score definition t05/c01/s19 use, so the card audits
+    * what actually gates.
+    *
+    * 100 TB shape: one corpus scan → one hash aggregation on the tiny
+    * (lang, guess) key space, then a broadcast join against the
+    * per-language totals (languages-sized). Nothing data-scale
+    * shuffles. */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("lang"), Score.langGuess.as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+    val byLang = per.groupBy(col("lang")).agg(sum(col("n_docs")).as("lt"))
+    per.join(broadcast(byLang), "lang")
+      .select(col("lang"), col("lang_guess"), col("n_docs"),
+        round(col("n_docs") / col("lt"), 6).as("lang_share"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
+  private val langConfusionSql =
+    s"""WITH l AS ($langGuessInnerSql),
+       |per AS (SELECT d.lang, l.lang_guess,
+       |          CAST(count(*) AS BIGINT) AS n_docs
+       |        FROM documents d JOIN l ON l.doc_id = d.doc_id
+       |        GROUP BY d.lang, l.lang_guess),
+       |tot AS (SELECT lang, sum(n_docs) AS lt FROM per GROUP BY lang)
+       |SELECT per.lang, per.lang_guess, per.n_docs,
+       |  round(per.n_docs / t.lt, 6) AS lang_share
+       |FROM per JOIN tot t USING (lang)
+       |ORDER BY lang, lang_guess""".stripMargin
+
   /** Bigram counts (SURVEY V1/V2 n-gram family; Spark side built from a
     * pure expression n-gram generator, DuckDB side via lead()). */
   def bigramCounts(s: SparkSession, d: String): DataFrame =
@@ -500,5 +538,6 @@ object TextOps {
     QueryDef("t10_repetition_stats", repetitionStats, Some(repetitionStatsSql)),
     QueryDef("t11_redact_pii", redactPii, Some(redactPiiSql)),
     QueryDef("t12_chunk_docs", chunkDocs, Some(chunkDocsSql)),
-    QueryDef("t13_unigram_ce", unigramCe, Some(unigramCeSql)))
+    QueryDef("t13_unigram_ce", unigramCe, Some(unigramCeSql)),
+    QueryDef("t14_lang_confusion", langConfusion, Some(langConfusionSql)))
 }

@@ -45,6 +45,31 @@ class QualitySignalsSpec extends SparkSpec {
     assert(mismatch === 0L)
   }
 
+  test("t14 confusion card cross-foots with t05 and the corpus") {
+    import spark.implicits._
+    val card = graft.operators.TextOps.langConfusion(spark, sfTiny)
+      .as[(String, String, Long, Double)].collect()
+    assert(card.nonEmpty)
+    // counts partition the corpus
+    val total = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(card.map(_._3).sum === total)
+    // shares sum to 1 within each true language (6dp rounding slack)
+    card.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3,
+        s"$lang shares do not partition")
+    }
+    // the card must agree with t05's per-doc guesses exactly
+    val want = graft.operators.TextOps.langGuess(spark, sfTiny)
+      .join(graft.sources.Tables.documents(spark, sfTiny)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_guess")).count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    card.foreach { case (lang, guess, n, _) =>
+      assert(want((lang, guess)) === n, s"($lang,$guess) diverges from t05")
+    }
+  }
+
   test("m15: the fitted classifier recovers every planted class") {
     val pred = graft.ml.MlQueries.classifierPlanted(spark, sfTiny)
       .withColumn("expected", col("doc_id") % 2)
