@@ -878,7 +878,12 @@ object DedupOps {
     * rows. `pi` is the passage's 0-based position within its document
     * (d16 reassembles in this order; d13/d15 aggregate it away). */
   private def passageInstances(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    passageInstancesFrom(Tables.documents(s, d))
+
+  /** Frame-parametric form of [[passageInstances]] — d17 slices BOTH the
+    * stored corpus and an incoming batch with the same definition. */
+  private def passageInstancesFrom(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"),
         explode(sequence(lit(0L),
@@ -891,23 +896,27 @@ object DedupOps {
       .filter(length(col("passage")) > 0)
 
   /** The shared passage-CTE block (toks/u/ch) — the oracle-side twin of
-    * [[passageInstances]], embedded verbatim by BOTH d13 and d15 so a
-    * slicing change breaks both hashes together. */
-  private val passageCtesSql =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts
-       |              FROM documents),
-       |u AS (SELECT doc_id, ts,
+    * [[passageInstancesFrom]], embedded verbatim by d13/d15/d16 (over
+    * `documents`) and twice by d17 (stored corpus + incoming batch, via
+    * the rel/sfx parameters) so a slicing change breaks every passage
+    * hash together. */
+  private def passageCtesSqlFor(rel: String, sfx: String): String =
+    s"""toks$sfx AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |              FROM $rel),
+       |u$sfx AS (SELECT doc_id, ts,
        |        unnest(generate_series(0, (len(ts) - 1) // $PassageTokens))
        |          AS pi
-       |      FROM toks),
-       |ch AS (SELECT doc_id, pi,
+       |      FROM toks$sfx),
+       |ch$sfx AS (SELECT doc_id, pi,
        |         array_to_string(
        |           ts[(pi * $PassageTokens + 1):((pi + 1) * $PassageTokens)],
        |           ' ') AS passage
-       |       FROM u
+       |       FROM u$sfx
        |       WHERE length(array_to_string(
        |         ts[(pi * $PassageTokens + 1):((pi + 1) * $PassageTokens)],
        |         ' ')) > 0)""".stripMargin
+
+  private val passageCtesSql = passageCtesSqlFor("documents", "")
 
   def passageDedup(s: SparkSession, d: String): DataFrame =
     passageInstances(s, d)
@@ -1024,6 +1033,63 @@ object DedupOps {
        |    FILTER (WHERE h NOT IN (SELECT h FROM b)), '') AS stripped_text
        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d17 — INCREMENTAL passage dedup against the stored corpus's
+    * passage-hash index (completes the incremental trio: d08 exact,
+    * d11 near-dup, d17 partial/passage — "how much of this incoming
+    * document is already in my corpus", the question a crawl pipeline
+    * asks before d08's whole-doc test can say anything about partial
+    * overlap). Scenario mirrors d08: stored corpus = even-id docs;
+    * incoming batch = odd-id docs plus even docs with id < 100
+    * re-fetched under fresh crawl ids. Each incoming doc reports its
+    * passage count, how many of those passages the stored index already
+    * holds, and the known fraction — a re-fetched doc is provably
+    * known_frac = 1 (every passage of an even doc is in the index by
+    * construction), which the spec pins.
+    *
+    * 100 TB shape: batch passages ⋈ stored index on the uniform 128-bit
+    * hash (batch ⋈ index, never corpus ⋈ corpus — d11's asymmetric
+    * discipline), then one per-doc roll-up of the incoming batch. The
+    * index is corpus-sized: an ordinary shuffled equi-join, never a
+    * broadcast; at deployment it is the s12-bucketed passage table. */
+  def incrementalPassageDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(existing.filter(col("doc_id") < 100)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+    val index = passageInstancesFrom(existing)
+      .select(md5(col("passage").cast("binary")).as("h")).distinct()
+      .withColumn("__known", lit(1L))
+    passageInstancesFrom(incoming)
+      .select(col("doc_id"), md5(col("passage").cast("binary")).as("h"))
+      .join(index, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_known"))
+      .select(col("doc_id"), col("n_passages"), col("n_known"),
+        round(col("n_known") / col("n_passages"), 6).as("known_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalPassageDedupSql =
+    s"""WITH inc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + ${plantOffsetSql("doc_id", "documents")}, text
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100),
+       |ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |${passageCtesSqlFor("ex", "_ex")},
+       |${passageCtesSqlFor("inc", "_in")},
+       |idx AS (SELECT DISTINCT md5(passage) AS h FROM ch_ex),
+       |hs AS (SELECT doc_id, md5(passage) AS h FROM ch_in)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+       |  CAST(sum(CASE WHEN h IN (SELECT h FROM idx) THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_known,
+       |  round(sum(CASE WHEN h IN (SELECT h FROM idx) THEN 1 ELSE 0 END)
+       |        / count(*), 6) AS known_frac
+       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
@@ -1046,5 +1112,7 @@ object DedupOps {
     QueryDef("d14_minhash_estimate", minhashEstimateBound,
       Some(minhashEstimateSql)),
     QueryDef("d16_boilerplate_strip", boilerplateStrip,
-      Some(boilerplateStripSql)))
+      Some(boilerplateStripSql)),
+    QueryDef("d17_incremental_passages", incrementalPassageDedup,
+      Some(incrementalPassageDedupSql)))
 }

@@ -777,6 +777,64 @@ object EmbeddingOps {
       |FROM embeddings e LEFT JOIN m USING (vec_id)
       |ORDER BY vec_id""".stripMargin
 
+  /** e11 outlier gate: a vector whose cosine to its OWN label centroid
+    * rounds below this is flagged (≈ the bottom few percent at every
+    * SF — measured min ≈ −0.37, median ≈ +0.1). */
+  private val OutlierCos = -0.1
+
+  /** e11 — embedding OUTLIER detection against label centroids (the
+    * drop-mislabeled / drop-noise curation gate over an embedded
+    * corpus, composing e03's centroid relation): each vector's cosine
+    * to its own label's mean vector, flagged when it rounds below
+    * [[OutlierCos]]. A vector pointing away from its labeled cluster is
+    * either mislabeled or junk — the standard embedding-space QA step
+    * before centroids/ANN indexes are trusted. The flag compares the
+    * ROUNDED cosine on both engines, so the decision is as
+    * deterministic as every other rounded oracle column.
+    *
+    * 100 TB shape: centroids are (labels × dim)-sized — broadcast; the
+    * per-vector dot runs in one pass over the posexploded corpus with
+    * map-side aggregation keyed on vec_id. One data-scale shuffle
+    * (vec_id), no pairwise anything. */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    val z = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+      .select(col("label"), col("vec_id"), col("pos"),
+        col("col").cast("double").as("x"))
+    val m = z.groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+    val nm = m.groupBy(col("label"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("cn"))
+    val cosExpr = round(col("dot") / (col("nv") * col("cn")), 6)
+    z.join(broadcast(m), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("m")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("nv"))
+      .join(broadcast(nm), "label")
+      .select(col("vec_id"), col("label"),
+        cosExpr.as("cos_centroid"),
+        (cosExpr < OutlierCos).cast("int").as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embeddingOutliersSql =
+    s"""WITH z AS (SELECT label, vec_id,
+       |             generate_subscripts(embedding, 1) AS pos,
+       |             unnest(embedding)::DOUBLE AS x
+       |           FROM embeddings),
+       |m AS (SELECT label, pos, avg(x) AS m FROM z GROUP BY label, pos),
+       |nm AS (SELECT label, sqrt(sum(m * m)) AS cn FROM m GROUP BY label),
+       |v AS (SELECT z.vec_id, z.label, sum(z.x * m.m) AS dot,
+       |        sqrt(sum(z.x * z.x)) AS nv
+       |      FROM z JOIN m ON m.label = z.label AND m.pos = z.pos
+       |      GROUP BY z.vec_id, z.label)
+       |SELECT v.vec_id, v.label,
+       |  round(v.dot / (v.nv * nm.cn), 6) AS cos_centroid,
+       |  CAST(round(v.dot / (v.nv * nm.cn), 6) < $OutlierCos AS INT)
+       |    AS is_outlier
+       |FROM v JOIN nm ON nm.label = v.label
+       |ORDER BY v.vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),
     QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
@@ -788,6 +846,8 @@ object EmbeddingOps {
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("e11_embedding_outliers", embeddingOutliers,
+      Some(embeddingOutliersSql)),
     QueryDef("e09_quantize_embeddings", quantizeEmbeddings,
       Some(quantizeEmbeddingsSql)))
 }

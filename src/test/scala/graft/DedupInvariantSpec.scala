@@ -252,6 +252,67 @@ class DedupInvariantSpec extends SparkSpec {
       "expected at least one document to lose a boilerplate passage")
   }
 
+  test("d17 incremental passages: re-fetches fully known, novel docs mostly not") {
+    import spark.implicits._
+    val out = DedupOps.incrementalPassageDedup(spark, sfTiny)
+      .select(col("doc_id"), col("n_passages"), col("n_known"),
+        col("known_frac"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, np, nk, f) =>
+      assert(np >= 1 && nk >= 0 && nk <= np, s"doc $id: $nk of $np")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    val maxId = Tables.documents(spark, sfTiny)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    // every planted re-fetch (shifted past the corpus ids) is FULLY
+    // known — its passages are the stored doc's passages verbatim
+    val refetch = out.filter(_._1 > maxId)
+    assert(refetch.nonEmpty, "the scenario must contain re-fetches")
+    refetch.foreach { case (id, _, _, f) =>
+      assert(f === 1.0, s"re-fetched doc $id must be fully known, got $f")
+    }
+    // and the novel batch is NOT: organic passage overlap stays sparse
+    val novel = out.filter(_._1 <= maxId)
+    assert(novel.nonEmpty && novel.count(_._4 < 1.0) > novel.length / 2,
+      "most novel docs must carry unseen passages")
+  }
+
+  test("e11 outlier flags agree with a driver-side cosine recomputation") {
+    import spark.implicits._
+    val out = graft.operators.EmbeddingOps.embeddingOutliers(spark, sfTiny)
+      .select(col("vec_id"), col("label"), col("cos_centroid"),
+        col("is_outlier"))
+      .as[(Long, Int, Double, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, _, c, o) =>
+      assert(c >= -1.0 && c <= 1.0, s"vec $id cosine $c out of range")
+      // the flag is a pure function of the rounded cosine
+      assert(o === (if (c < -0.1) 1 else 0), s"vec $id flag inconsistent")
+    }
+    assert(out.exists(_._4 === 1), "corpus tail must flag some outliers")
+    assert(out.count(_._4 === 1) < out.length / 4,
+      "the gate must not flag a quarter of the corpus")
+    // independent reference on raw floats for a sample of vectors
+    val raw = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect()
+    val byLabel = raw.groupBy(_._2)
+    val centroids = byLabel.map { case (l, vs) =>
+      val dim = vs.head._3.length
+      l -> Array.tabulate(dim)(i => vs.map(_._3(i).toDouble).sum / vs.length)
+    }
+    raw.take(50).foreach { case (id, l, v) =>
+      val m = centroids(l)
+      val dot = v.zip(m).map { case (a, b) => a.toDouble * b }.sum
+      val cos = dot / (math.sqrt(v.map(x => x.toDouble * x).sum) *
+        math.sqrt(m.map(x => x * x).sum))
+      val got = out.find(_._1 == id).get._3
+      assert(math.abs(got - cos) < 1e-4,
+        s"vec $id: engine $got vs reference $cos")
+    }
+  }
+
   test("q38 freqItems result is a superset of every true frequent item") {
     val out = graft.operators.Relational.freqItemsBound(spark, sfTiny)
     // the sketch's defining guarantee, asserted over the exact hitters
