@@ -966,7 +966,9 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  private val passageDupFractionSql =
+  /** d15's query without the final ORDER BY — reused verbatim by c04's
+    * cross-modal gate oracle. */
+  private[operators] val passageDupFractionInnerSql =
     s"""WITH $passageCtesSql,
        |hs AS (SELECT doc_id, md5(passage) AS h FROM ch),
        |multi AS (SELECT h FROM hs GROUP BY h
@@ -976,7 +978,10 @@ object DedupOps {
        |       AS BIGINT) AS n_dup,
        |  round(sum(CASE WHEN h IN (SELECT h FROM multi) THEN 1 ELSE 0 END)
        |        / count(*), 6) AS dup_frac
-       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM hs GROUP BY doc_id""".stripMargin
+
+  private val passageDupFractionSql =
+    s"$passageDupFractionInnerSql ORDER BY doc_id"
 
   /** Passages occurring in at least this many DISTINCT documents are
     * treated as boilerplate by d16 (headers/footers/licence blurbs in a

@@ -817,7 +817,9 @@ object EmbeddingOps {
       .orderBy(col("vec_id"))
   }
 
-  private val embeddingOutliersSql =
+  /** e11's query without the final ORDER BY — reused verbatim by c04's
+    * cross-modal gate oracle. */
+  private[operators] val embeddingOutliersInnerSql =
     s"""WITH z AS (SELECT label, vec_id,
        |             generate_subscripts(embedding, 1) AS pos,
        |             unnest(embedding)::DOUBLE AS x
@@ -832,8 +834,10 @@ object EmbeddingOps {
        |  round(v.dot / (v.nv * nm.cn), 6) AS cos_centroid,
        |  CAST(round(v.dot / (v.nv * nm.cn), 6) < $OutlierCos AS INT)
        |    AS is_outlier
-       |FROM v JOIN nm ON nm.label = v.label
-       |ORDER BY v.vec_id""".stripMargin
+       |FROM v JOIN nm ON nm.label = v.label""".stripMargin
+
+  private val embeddingOutliersSql =
+    s"$embeddingOutliersInnerSql ORDER BY v.vec_id"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),

@@ -398,6 +398,50 @@ object PackOps {
        |FROM per ORDER BY source, lang""".stripMargin
   }
 
+  /** c04 — CROSS-MODAL curation gate (the "every modality must pass"
+    * keep/drop table): one row per document joining the text-quality
+    * score (t04's shared Score), the duplicated-passage fraction (d15),
+    * and the embedding-outlier verdict (e11, vec_id ≡ doc_id in this
+    * corpus), with keep = quality ≥ 0.85 ∧ dup_frac ≤ 0.5 ∧ not an
+    * embedding outlier. This is the composed curation decision a
+    * multimodal pipeline actually applies — a doc with clean text but a
+    * junk embedding (or vice versa) must NOT survive — and each signal
+    * is the REGISTERED operator's own relation, so drift in any one of
+    * t04/d15/e11 breaks this row too (c01's composition discipline
+    * across modalities). All three gate columns are rounded-oracle
+    * columns, so the boolean is deterministic on both engines.
+    *
+    * 100 TB shape: three corpus-sized relations equi-joined on the
+    * uniform doc id — ordinary shuffled joins (none is broadcastable at
+    * scale), each input one scan + one keyed aggregation. */
+  def crossModalGate(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.Score.qualityScore.as("quality_score"))
+    val p = DedupOps.passageDupFraction(s, d)
+      .select(col("doc_id"), col("dup_frac"))
+    val e = EmbeddingOps.embeddingOutliers(s, d)
+      .select(col("vec_id").as("doc_id"), col("cos_centroid"),
+        col("is_outlier"))
+    q.join(p, "doc_id").join(e, "doc_id")
+      .select(col("doc_id"), col("quality_score"), col("dup_frac"),
+        col("cos_centroid"),
+        (col("quality_score") >= 0.85 && col("dup_frac") <= 0.5 &&
+          col("is_outlier") === 0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val crossModalGateSql =
+    s"""WITH q AS (${TextOps.docQualityInnerSql}),
+       |pf AS (${DedupOps.passageDupFractionInnerSql}),
+       |eo AS (${EmbeddingOps.embeddingOutliersInnerSql})
+       |SELECT q.doc_id, q.quality_score, pf.dup_frac, eo.cos_centroid,
+       |  CAST(q.quality_score >= 0.85 AND pf.dup_frac <= 0.5
+       |       AND eo.is_outlier = 0 AS INT) AS keep
+       |FROM q
+       |JOIN pf ON pf.doc_id = q.doc_id
+       |JOIN eo ON eo.vec_id = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
   /** Epoch-shuffle scramble: Knuth's multiplicative hash over the
     * 2^31-reduced id, mod 2^32. Every term stays < 2^63 for ANY long
     * input (the reduction precedes the multiply), so the formula is
@@ -595,6 +639,8 @@ object PackOps {
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
     QueryDef("c03_source_card", sourceCard, Some(sourceCardSql)),
+    QueryDef("c04_cross_modal_gate", crossModalGate,
+      Some(crossModalGateSql)),
     QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

@@ -343,6 +343,33 @@ class PackOpsSpec extends SparkSpec {
     assert(math.abs(card.map(_._5).sum - 1.0) < 1e-3 * card.length)
   }
 
+  test("c04 cross-modal gate is the exact conjunction of its three signals") {
+    import graft.operators.{DedupOps, EmbeddingOps, TextOps}
+    val out = PackOps.crossModalGate(spark, sfTiny)
+      .select(col("doc_id"), col("keep")).as[(Long, Int)].collect().toMap
+    assert(out.nonEmpty)
+    val q = TextOps.docQuality(spark, sfTiny)
+      .select(col("doc_id"), col("quality_score"))
+      .as[(Long, Double)].collect().toMap
+    val p = DedupOps.passageDupFraction(spark, sfTiny)
+      .select(col("doc_id"), col("dup_frac"))
+      .as[(Long, Double)].collect().toMap
+    val e = EmbeddingOps.embeddingOutliers(spark, sfTiny)
+      .select(col("vec_id"), col("is_outlier"))
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (id, keep) =>
+      val want = if (q(id) >= 0.85 && p(id) <= 0.5 && e(id) == 0) 1 else 0
+      assert(keep === want, s"doc $id gate diverges from its signals")
+    }
+    // the gate genuinely gates, and from more than one modality
+    val kept = out.values.sum
+    assert(kept > 0 && kept < out.size)
+    assert(out.exists { case (id, k) => k == 0 && e(id) == 1 },
+      "at least one drop must come from the embedding modality")
+    assert(out.exists { case (id, k) => k == 0 && q(id) < 0.85 },
+      "at least one drop must come from the text modality")
+  }
+
   test("p02 never splits a near-dup component across train and test") {
     val df = GraphOps.leakageSplit(spark, sfTiny)
       .select(col("component"), col("split")).as[(Long, String)].collect()
