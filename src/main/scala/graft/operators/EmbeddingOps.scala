@@ -839,6 +839,53 @@ object EmbeddingOps {
   private val embeddingOutliersSql =
     s"$embeddingOutliersInnerSql ORDER BY v.vec_id"
 
+  /** e12 — label-centroid SIMILARITY matrix (the embedding-space
+    * confusion-structure audit: which labeled clusters are actually
+    * close, read before trusting label-conditioned sampling or
+    * nearest-centroid prediction — the e-modality analog of m08's
+    * centroid-cosine merge input, as an audit table instead of a merge
+    * decision): pairwise cosine between every pair of per-label mean
+    * vectors, upper triangle. Composes the SAME per-(label, pos)
+    * centroid relation as e03/e11.
+    *
+    * 100 TB shape: centroids are (labels × dim) — the pairwise pass is
+    * labels²·dim on a broadcast relation, constant-sized at any corpus
+    * scale; the only data-scale stage is the one centroid aggregation
+    * e03 already pays. */
+  def centroidMatrix(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+    val a = m.select(col("label").as("label_a"), col("pos"),
+      col("m").as("ma"))
+    val b = m.select(col("label").as("label_b"), col("pos"),
+      col("m").as("mb"))
+    a.join(broadcast(b), Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sqrt(sum(col("ma") * col("ma"))).as("na"),
+        sqrt(sum(col("mb") * col("mb"))).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  private val centroidMatrixSql =
+    """WITH z AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |             unnest(embedding)::DOUBLE AS x
+      |           FROM embeddings),
+      |m AS (SELECT label, pos, avg(x) AS m FROM z GROUP BY label, pos),
+      |p AS (SELECT a.label AS label_a, b.label AS label_b,
+      |        sum(a.m * b.m) AS dot,
+      |        sqrt(sum(a.m * a.m)) AS na, sqrt(sum(b.m * b.m)) AS nb
+      |      FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+      |      GROUP BY a.label, b.label)
+      |SELECT label_a, label_b, round(dot / (na * nb), 6) AS cos_sim
+      |FROM p ORDER BY label_a, label_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_knn_brute_force", knnBruteForce, Some(knnBruteForceSql)),
     QueryDef("e02_similar_pairs", similarPairs, Some(similarPairsSql)),
@@ -852,6 +899,8 @@ object EmbeddingOps {
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("e11_embedding_outliers", embeddingOutliers,
       Some(embeddingOutliersSql)),
+    QueryDef("e12_centroid_matrix", centroidMatrix,
+      Some(centroidMatrixSql)),
     QueryDef("e09_quantize_embeddings", quantizeEmbeddings,
       Some(quantizeEmbeddingsSql)))
 }

@@ -430,7 +430,7 @@ object PackOps {
       .orderBy(col("doc_id"))
   }
 
-  private val crossModalGateSql =
+  private[graft] val crossModalGateSql =
     s"""WITH q AS (${TextOps.docQualityInnerSql}),
        |pf AS (${DedupOps.passageDupFractionInnerSql}),
        |eo AS (${EmbeddingOps.embeddingOutliersInnerSql})

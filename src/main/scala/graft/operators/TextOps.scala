@@ -525,6 +525,60 @@ object TextOps {
        |FROM t2 JOIN tf USING (term) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t15 — BIGRAM cross-entropy quality score (t13's unigram model, one
+    * conditioning step up — the honest relational form of the
+    * CCNet/KenLM perplexity filter): a corpus-trained bigram model
+    * p(cur|prev) = c(prev,cur)/c(prev), per-doc mean −log₂ p over its
+    * bigrams. Scoring the corpus on itself needs no smoothing (every
+    * scored bigram contributed to its own count, so p > 0 always); the
+    * bigram definition is t06's (MLlib NGram Spark-side, the lead()
+    * window in the oracle). Low ce_bits = predictable/templated text,
+    * high = unusual token transitions — a sharper signal than t13
+    * exactly where repeated boilerplate hides behind common unigrams.
+    *
+    * 100 TB shape: one fanout pass builds the bigram relation, one
+    * hash agg counts it; the scoring join is bigram-keyed and SHUFFLED
+    * (the bigram table grows superlinearly in vocabulary — never
+    * broadcast), while the prefix-count table is unigram-vocab-sized
+    * and broadcasts like t13's term probabilities. */
+  def bigramCe(s: SparkSession, d: String): DataFrame = {
+    val bg = TextFunctions.withNgrams(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words")),
+        "words", "bigrams", 2)
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+    val bgf = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val pf = bgf
+      .groupBy(split(col("bg"), " ").getItem(0).as("prev"))
+      .agg(sum(col("c2")).as("c1"))
+    bg.join(bgf, "bg")
+      .withColumn("prev", split(col("bg"), " ").getItem(0))
+      .join(broadcast(pf), "prev")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log2(col("c2") / col("c1"))) / count(lit(1)), 6)
+          .as("ce_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramCeSql =
+    s"""WITH t AS (SELECT doc_id, $tokListSql AS l FROM documents),
+       |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos,
+       |        unnest(l) AS word FROM t),
+       |b0 AS (SELECT doc_id, word AS prev,
+       |         word || ' ' || lead(word)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+       |       FROM w WHERE word <> ''),
+       |b AS (SELECT doc_id, prev, bg FROM b0 WHERE bg IS NOT NULL),
+       |bf AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+       |pfx AS (SELECT string_split(bg, ' ')[1] AS prev,
+       |          CAST(sum(c2) AS BIGINT) AS c1
+       |        FROM bf GROUP BY 1)
+       |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(-sum(log2(bf.c2 / p.c1)) / count(*), 6) AS ce_bits
+       |FROM b JOIN bf USING (bg) JOIN pfx p ON p.prev = b.prev
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
@@ -539,5 +593,6 @@ object TextOps {
     QueryDef("t11_redact_pii", redactPii, Some(redactPiiSql)),
     QueryDef("t12_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("t13_unigram_ce", unigramCe, Some(unigramCeSql)),
-    QueryDef("t14_lang_confusion", langConfusion, Some(langConfusionSql)))
+    QueryDef("t14_lang_confusion", langConfusion, Some(langConfusionSql)),
+    QueryDef("t15_bigram_ce", bigramCe, Some(bigramCeSql)))
 }

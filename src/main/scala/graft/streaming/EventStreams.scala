@@ -556,6 +556,38 @@ object EventStreams {
       |WHERE q.quality_score >= 0.85 AND l.marker_ratio >= 0.08
       |ORDER BY d.doc_id""".stripMargin
 
+  /** s20 — STREAMING cross-modal gate (c04 at ingest, the deployment
+    * split of a composed curation decision): the text-quality signal is
+    * cheap per-row arithmetic computed ON the stream (s19's posture),
+    * while the expensive corpus-context signals — d15's duplicated-
+    * passage fraction and e11's embedding-outlier verdict — are
+    * PRECOMPUTED static relations joined per micro-batch (s13's
+    * stateless stream-static posture; at 100 TB they are s12-bucketed
+    * index tables maintained by their own jobs, not broadcasts). The
+    * emitted table is c04's row-for-row — same columns, same keep
+    * conjunction — so the batch c04 oracle transfers verbatim and the
+    * parity proves the composed gate survives the batch→streaming
+    * split without semantic drift. */
+  def streamCrossModalGate(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val p = graft.operators.DedupOps.passageDupFraction(ss, d)
+      .select(col("doc_id"), col("dup_frac"))
+    val e = graft.operators.EmbeddingOps.embeddingOutliers(ss, d)
+      .select(col("vec_id").as("doc_id"), col("cos_centroid"),
+        col("is_outlier"))
+    val gated = readDocuments(ss, d)
+      .select(col("doc_id"),
+        graft.operators.TextOps.Score.qualityScore.as("quality_score"))
+      .join(broadcast(p), "doc_id")
+      .join(broadcast(e), "doc_id")
+      .select(col("doc_id"), col("quality_score"), col("dup_frac"),
+        col("cos_centroid"),
+        (col("quality_score") >= 0.85 && col("dup_frac") <= 0.5 &&
+          col("is_outlier") === 0).cast("int").as("keep"))
+    runToMemory(gated, "append", "s20_stream_gate")
+      .orderBy(col("doc_id"))
+  }
+
   /** s13 — stream-static enrichment join, the at-ingest dimension
     * lookup every deployment runs (events → customer segment here;
     * doc → license/source metadata in a training-data ingest): the
@@ -690,7 +722,9 @@ object EventStreams {
       Some(streamHourlyAppendSql)),
     QueryDef("s16_stream_upsert", streamUpsert, Some(streamUpsertSql)),
     QueryDef("s19_stream_quality_gate", streamQualityGate,
-      Some(streamQualityGateSql)))
+      Some(streamQualityGateSql)),
+    QueryDef("s20_stream_cross_modal", streamCrossModalGate,
+      Some(graft.operators.PackOps.crossModalGateSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

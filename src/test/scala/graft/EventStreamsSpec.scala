@@ -363,6 +363,13 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length < total, "the gate must drop some documents")
   }
 
+  test("s20 streaming cross-modal gate reproduces batch c04 row-for-row") {
+    val got = rows(EventStreams.streamCrossModalGate(spark, sfTiny))
+    val want = rows(graft.operators.PackOps.crossModalGate(spark, sfTiny))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("typed Dataset readers expose the corpus entities") {
     val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
     val first = docs.head()

@@ -70,6 +70,65 @@ class QualitySignalsSpec extends SparkSpec {
     }
   }
 
+  test("t15 bigram CE matches a driver-side model rebuild") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.bigramCe(spark, sfTiny)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, ce) =>
+      assert(n >= 1 && ce >= 0.0, s"doc $id: n=$n ce=$ce")
+    }
+    // independent reference: rebuild the bigram model and CE driver-side
+    // (only the shared tokenizer is reused — the counting joins and the
+    // log arithmetic under test are re-derived from scratch)
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect()
+    val bigrams = docs.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.length == 2)
+        .map(p => (id, p.head, p.head + " " + p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ce = -bs.map(b =>
+        math.log(c2(b._3).toDouble / c1(b._2)) / math.log(2.0)).sum / bs.length
+      id -> ((bs.length.toLong, ce))
+    }
+    out.foreach { case (id, n, ce) =>
+      val (wn, wce) = want(id)
+      assert(n === wn, s"doc $id bigram count")
+      assert(math.abs(ce - wce) < 1e-4, s"doc $id: engine $ce vs ref $wce")
+    }
+  }
+
+  test("e12 centroid matrix is the exact upper triangle of label cosines") {
+    import spark.implicits._
+    val out = graft.operators.EmbeddingOps.centroidMatrix(spark, sfTiny)
+      .as[(Int, Int, Double)].collect()
+    val k = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("label")).distinct().count().toInt
+    assert(out.length === k * (k - 1) / 2, "must emit C(k,2) pairs")
+    out.foreach { case (a, b, c) =>
+      assert(a < b && c >= -1.0 && c <= 1.0)
+    }
+    // reference cosines from raw floats
+    val raw = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])].collect()
+    val cent = raw.groupBy(_._1).view.mapValues { vs =>
+      val dim = vs.head._2.length
+      Array.tabulate(dim)(i => vs.map(_._2(i).toDouble).sum / vs.length)
+    }.toMap
+    out.foreach { case (a, b, c) =>
+      val (x, y) = (cent(a), cent(b))
+      val cos = x.zip(y).map(p => p._1 * p._2).sum /
+        (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+      assert(math.abs(c - cos) < 1e-4, s"pair ($a,$b): $c vs $cos")
+    }
+  }
+
   test("m15: the fitted classifier recovers every planted class") {
     val pred = graft.ml.MlQueries.classifierPlanted(spark, sfTiny)
       .withColumn("expected", col("doc_id") % 2)
