@@ -22,7 +22,11 @@ object ScaleProbe {
   private val Heaviest = Seq(
     "c01_corpus_prep", "d10_production_dedup", "t08_winnow_fingerprints",
     "t05_lang_guess", "s09_model_roundtrip", "e10_semantic_dedup",
-    "s04_stream_sessions")
+    "s04_stream_sessions",
+    // r10 additions: the bigram-keyed scoring join (the one shuffle
+    // whose key space grows superlinearly in vocabulary) and the
+    // passage-family reassembly (two uniform hash aggs + per-doc sort)
+    "t15_bigram_ce", "d16_boilerplate_strip")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

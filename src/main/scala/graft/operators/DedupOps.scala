@@ -1005,8 +1005,12 @@ object DedupOps {
     * reassembles; the per-doc sort is bounded by document length. The
     * shuffle carries passage TEXT only on the reassembly leg, where the
     * output needs it. */
-  def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
-    val inst = passageInstances(s, d)
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame =
+    boilerplateStripFrom(Tables.documents(s, d))
+
+  /** Frame-parametric form of d16 — any (doc_id, text) relation. */
+  def boilerplateStripFrom(documents: DataFrame): DataFrame = {
+    val inst = passageInstancesFrom(documents)
       .select(col("doc_id"), col("pi"), col("passage"),
         md5(col("passage").cast("binary")).as("h"))
     val boiler = inst.groupBy(col("h"))

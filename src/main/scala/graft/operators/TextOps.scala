@@ -541,9 +541,13 @@ object TextOps {
     * (the bigram table grows superlinearly in vocabulary — never
     * broadcast), while the prefix-count table is unigram-vocab-sized
     * and broadcasts like t13's term probabilities. */
-  def bigramCe(s: SparkSession, d: String): DataFrame = {
+  def bigramCe(s: SparkSession, d: String): DataFrame =
+    bigramCeFrom(Tables.documents(s, d))
+
+  /** Frame-parametric form of t15 — any (doc_id, text) relation. */
+  def bigramCeFrom(documents: DataFrame): DataFrame = {
     val bg = TextFunctions.withNgrams(
-        Tables.documents(s, d)
+        documents
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words")),
         "words", "bigrams", 2)
       .select(col("doc_id"), explode(col("bigrams")).as("bg"))

@@ -313,6 +313,50 @@ class DedupInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d16 randomized: strip matches the raw reference on boundary-heavy corpora") {
+    import spark.implicits._
+    // seeded random corpus engineered around the 20-token slicing
+    // boundaries: doc lengths cluster at 19/20/21/39/40/41 tokens, a
+    // tiny vocabulary forces heavy passage collisions, and a planted
+    // boilerplate block recurs verbatim in many docs
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val block = Vector.fill(20)(vocab(0)).mkString(" ") // a whole passage
+    val docs = (0L until 60L).map { id =>
+      val len = Seq(19, 20, 21, 39, 40, 41)(rnd.nextInt(6))
+      val body = Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // a third of the docs get the boilerplate block PREPENDED so it
+      // aligns to passage 0 and recurs across >= 3 distinct docs
+      val text = if (id % 3 == 0) block + " " + body else body
+      (id, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = DedupOps.boilerplateStripFrom(df)
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        col("stripped_text"))
+      .as[(Long, Long, Long, String)].collect()
+    // raw-text reference, same slicing
+    val inst = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(20).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+        .filter(_._3.nonEmpty)
+    }
+    val boiler = inst.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 3).keySet
+    val want = inst.groupBy(_._1).map { case (id, ps) =>
+      val kept = ps.sortBy(_._2).filterNot(p => boiler.contains(p._3))
+      id -> ((ps.length.toLong, kept.length.toLong,
+        kept.map(_._3).mkString(" ")))
+    }
+    assert(out.length === want.size)
+    out.foreach { case (id, np, nk, txt) =>
+      assert(want(id) === ((np, nk, txt)), s"doc $id diverges")
+    }
+    // the planted block was actually stripped from every carrier
+    assert(out.filter(_._1 % 3 == 0).forall { case (_, np, nk, _) => nk < np },
+      "every planted-boilerplate carrier must lose its block")
+  }
+
   test("q38 freqItems result is a superset of every true frequent item") {
     val out = graft.operators.Relational.freqItemsBound(spark, sfTiny)
     // the sketch's defining guarantee, asserted over the exact hitters

@@ -103,6 +103,38 @@ class QualitySignalsSpec extends SparkSpec {
     }
   }
 
+  test("t15 randomized: bigram CE matches the reference on a collision-heavy corpus") {
+    import spark.implicits._
+    // tiny vocabulary => nearly every bigram recurs; lengths include the
+    // degenerate 1-token doc (no bigrams => absent from output)
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Vector("x", "y", "z")
+    val docs = (0L until 40L).map { id =>
+      val len = 1 + rnd.nextInt(12)
+      (id, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val out = graft.operators.TextOps.bigramCeFrom(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect()
+    val bigrams = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      ts.sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0), p(0) + " " + p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ce = -bs.map(b =>
+        math.log(c2(b._3).toDouble / c1(b._2)) / math.log(2.0)).sum / bs.length
+      id -> ((bs.length.toLong, ce))
+    }
+    assert(out.length === want.size,
+      "1-token docs must be absent, all others present")
+    out.foreach { case (id, n, ce) =>
+      val (wn, wce) = want(id)
+      assert(n === wn && math.abs(ce - wce) < 1e-4, s"doc $id diverges")
+    }
+  }
+
   test("e12 centroid matrix is the exact upper triangle of label cosines") {
     import spark.implicits._
     val out = graft.operators.EmbeddingOps.centroidMatrix(spark, sfTiny)
