@@ -583,6 +583,68 @@ object TextOps {
        |FROM b JOIN bf USING (bg) JOIN pfx p ON p.prev = b.prev
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  /** p10 — DSIR-style importance weights (data selection via importance
+    * resampling, the Xie et al. 2023 recipe in its honest relational
+    * form): score every document by how much more likely a TARGET-domain
+    * unigram LM finds its tokens than the corpus-wide LM —
+    * per-token mean of log₂ p_target(term)/p_corpus(term), both models
+    * add-1 smoothed over the corpus vocabulary so unseen-in-target terms
+    * score finitely. The target here is the `src0` slice (a domain
+    * proxy); a deployment swaps in its curated in-domain seed set.
+    * High weight = looks like the target — the ranking a pipeline
+    * resamples from to tilt a general crawl toward a domain. The ratio
+    * is evaluated as a SUM OF LOGS of integer-derived terms
+    * (log(c_t+1) + log(N_c+V) − log(c_c+1) − log(N_t+V)), never a
+    * product — the products overflow 64 bits at corpus scale, the logs
+    * never do.
+    *
+    * 100 TB shape: two term-count aggregations (uniform hash keys), the
+    * merged model table is vocabulary-sized — broadcast like t13's term
+    * probabilities — and one per-doc roll-up. Nothing pairwise. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+    val cc = toks.groupBy(col("term")).agg(count(lit(1)).as("c_c"))
+    val ct = toks.filter(col("source") === "src0")
+      .groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val model = cc.join(ct, Seq("term"), "left")
+      .na.fill(0L, Seq("c_t"))
+    val consts = cc.agg(sum(col("c_c")).as("n_c"),
+        count(lit(1)).as("v"))
+      .crossJoin(broadcast(
+        toks.filter(col("source") === "src0")
+          .agg(count(lit(1)).as("n_t"))))
+    val termLogw = log2(col("c_t") + 1) + log2(col("n_c") + col("v")) -
+      log2(col("c_c") + 1) - log2(col("n_t") + col("v"))
+    toks.join(broadcast(model), "term")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(termLogw) / count(lit(1)), 6).as("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH toks AS (SELECT doc_id, source, unnest($tokListSql) AS term
+       |              FROM documents),
+       |t2 AS (SELECT doc_id, source, term FROM toks WHERE term <> ''),
+       |cc AS (SELECT term, count(*) AS c_c FROM t2 GROUP BY 1),
+       |ct AS (SELECT term, count(*) AS c_t FROM t2
+       |       WHERE source = 'src0' GROUP BY 1),
+       |model AS (SELECT cc.term, cc.c_c, COALESCE(ct.c_t, 0) AS c_t
+       |          FROM cc LEFT JOIN ct ON ct.term = cc.term),
+       |k AS (SELECT (SELECT CAST(sum(c_c) AS BIGINT) FROM cc) AS n_c,
+       |        (SELECT CAST(count(*) AS BIGINT) FROM cc) AS v,
+       |        (SELECT CAST(count(*) AS BIGINT) FROM t2
+       |         WHERE source = 'src0') AS n_t)
+       |SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  round(sum(log2(m.c_t + 1) + log2(k.n_c + k.v)
+       |            - log2(m.c_c + 1) - log2(k.n_t + k.v)) / count(*), 6)
+       |    AS dsir_logw
+       |FROM t2 JOIN model m ON m.term = t2.term CROSS JOIN k
+       |GROUP BY t2.doc_id ORDER BY t2.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_clean_docs", cleanDocs, Some(cleanDocsSql)),
     QueryDef("t02_word_counts", wordCounts, Some(wordCountsSql)),
@@ -598,5 +660,6 @@ object TextOps {
     QueryDef("t12_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("t13_unigram_ce", unigramCe, Some(unigramCeSql)),
     QueryDef("t14_lang_confusion", langConfusion, Some(langConfusionSql)),
-    QueryDef("t15_bigram_ce", bigramCe, Some(bigramCeSql)))
+    QueryDef("t15_bigram_ce", bigramCe, Some(bigramCeSql)),
+    QueryDef("p10_dsir_weights", dsirWeights, Some(dsirWeightsSql)))
 }

@@ -135,6 +135,42 @@ class QualitySignalsSpec extends SparkSpec {
     }
   }
 
+  test("p10 DSIR weights match a driver-side rebuild and rank the target up") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.dsirWeights(spark, sfTiny)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // independent reference: rebuild both smoothed unigram models
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .as[(Long, String, Seq[String])].collect()
+    val all = docs.flatMap(d => d._3.map(d._2 -> _))
+    val cc = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ct = all.filter(_._1 == "src0").groupBy(_._2)
+      .view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val nC = all.length.toLong
+    val nT = all.count(_._1 == "src0").toLong
+    val v = cc.size.toLong
+    def lg(x: Long): Double = math.log(x.toDouble) / math.log(2.0)
+    val want = docs.map { case (id, _, ts) =>
+      val w = ts.map(t =>
+        lg(ct(t) + 1) + lg(nC + v) - lg(cc(t) + 1) - lg(nT + v)).sum / ts.length
+      id -> ((ts.length.toLong, w))
+    }.toMap
+    out.foreach { case (id, n, w) =>
+      val (wn, ww) = want(id)
+      assert(n === wn && math.abs(w - ww) < 1e-4, s"doc $id diverges")
+    }
+    // the importance weight must rank the target domain ABOVE the rest
+    // on average — the property resampling relies on
+    val bySrc = docs.map(d => d._1 -> d._2).toMap
+    val target = out.filter(r => bySrc(r._1) == "src0").map(_._3)
+    val rest = out.filter(r => bySrc(r._1) != "src0").map(_._3)
+    assert(target.sum / target.length > rest.sum / rest.length,
+      "target-domain docs must score higher than the rest on average")
+  }
+
   test("e12 centroid matrix is the exact upper triangle of label cosines") {
     import spark.implicits._
     val out = graft.operators.EmbeddingOps.centroidMatrix(spark, sfTiny)
