@@ -149,6 +149,24 @@ class PlanAuditSpec extends SparkSpec {
       s"pooling must stay in the flatMap, not relational ops:\n$p")
   }
 
+  test("t15/p10: LM model tables broadcast — no data-scale shuffle joins " +
+      "except t15's bigram-keyed scoring join") {
+    // p10's model + constants relations are vocabulary-sized and must
+    // broadcast (t13's posture); a shuffle join would move the token
+    // stream against a table that fits every executor
+    val p10 = plan("p10_dsir_weights")
+    assert(p10.contains("BroadcastHashJoin"), s"p10 model join:\n$p10")
+    assert(!p10.contains("SortMergeJoin") && !p10.contains("ShuffledHashJoin"),
+      s"p10 must not shuffle-join its vocabulary tables:\n$p10")
+    // t15's prefix-count join broadcasts; the bigram-keyed scoring join
+    // itself is the documented shuffled exception at scale, but at test
+    // scale the whole plan must still avoid any cartesian/nested loop
+    val t15 = plan("t15_bigram_ce")
+    assert(t15.contains("BroadcastHashJoin"), s"t15 prefix join:\n$t15")
+    assert(!t15.contains("BroadcastNestedLoopJoin") &&
+      !t15.contains("CartesianProduct"), s"t15 plans a nested loop:\n$t15")
+  }
+
   test("e09: quantization is map-only — zero exchanges before the final sort") {
     // the per-vector kernel pass must not shuffle anything; the only
     // exchange allowed is the query-contract total ORDER BY at the top
