@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * flow (ref 02_build_models.R:161-190 featurize, :617-642 top terms,
   * :466-471 coherence) and carry full DuckDB oracles. m04/m05 run over
   * deterministic hash-partition clusters (doc_id % 10) so the per-cluster
-  * operators are oracle-checkable independently of K-means; m06 runs the
-  * real seeded K-means fit (invariant/rows-only check — Lloyd iterations
-  * aren't SQL-expressible).
+  * operators are oracle-checkable independently of K-means; m06-m10 run
+  * the real seeded fits, with the seed-specific internals engine-side
+  * and their deterministic FRAMES (center universe, conservation
+  * totals, density/non-negativity/idempotence flags) emitted as fully
+  * oracle-bound rows (the m09 r10 pattern — since r11 every row in this
+  * family is hash-checked; ref 02_build_models.R:775-787 documents the
+  * same model-frame fields as the persisted contract).
   */
 object MlQueries {
 
@@ -159,16 +163,60 @@ object MlQueries {
 
   /** m06 — M1/A4/A5/M6: the real pipeline — featurize → seeded K-means
     * k=15 → per-cluster size + within-cluster SSQ (ref apply_clustering +
-    * update_kmeans_model 02_build_models.R:183-190, 391-450). Rows-only:
-    * Lloyd's iterations aren't SQL-expressible; invariants (k rows, dense
-    * ids, seed determinism) are asserted in ClusterPipelineSpec. */
+    * update_kmeans_model 02_build_models.R:183-190, 391-450).
+    *
+    * BOUND FRAME ROW since r11 (the m09 r10 pattern, ending the
+    * `no_oracle` convention — r10 verdict item 1): Lloyd's iterations
+    * aren't SQL-expressible, so the seed-specific sizes and SSQs stay
+    * engine-side (ClusterPipelineSpec pins seed determinism; m12 pins
+    * the fit frame), and the registry row emits, per CENTER id, the
+    * invariants any correct fit must satisfy. The row universe is
+    * anchored on the MODEL's centers 0..k−1 — k = 15 is a query
+    * PARAMETER, so unlike a data-dependent cluster count the universe
+    * is identical at every SF (the m09 r10 coupling lesson):
+    *
+    *  - ssq_ok: within-cluster SSQ ≥ 0 per populated cluster (an empty
+    *    cluster — legal for Lloyd — has no stats row and passes null);
+    *  - in_range_ok (constant): every ASSIGNED cluster id falls in
+    *    0..k−1 — MLlib transform guarantees it, a violated guarantee
+    *    is a defect this row must catch;
+    *  - n_docs_total (constant): Σ n_docs over all clusters = the
+    *    vectorizable-doc count, reproduced relationally on the oracle
+    *    side from the same mass-ranked vocabulary m03 hash-matches
+    *    (corpus conservation, m12's formula). */
   def kmeansStats(s: SparkSession, d: String): DataFrame = {
     val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
-    ClusterPipeline.withinss(fm.assignments, fm.model)
+    val stats = ClusterPipeline.withinss(fm.assignments, fm.model)
+    val k = fm.model.clusterCenters.length
+    val inv = stats.agg(
+      sum(col("n_docs")).as("n_docs_total"),
+      min(when(col("cluster") >= 0 && col("cluster") < k, 1).otherwise(0))
+        .as("in_range_ok"))
+    s.range(k.toLong)
+      .select(col("id").cast("int").as("cluster"))
+      .join(stats, Seq("cluster"), "left")
+      .crossJoin(broadcast(inv))
       .select(col("cluster").cast("long").as("cluster"),
-        col("withinss"), col("n_docs"))
+        when(col("withinss").isNull || col("withinss") >= 0, 1)
+          .otherwise(0).as("ssq_ok"),
+        col("in_range_ok").cast("int").as("in_range_ok"),
+        col("n_docs_total"))
       .orderBy(col("cluster"))
   }
+
+  /** m06's oracle: the center universe 0..14 (parameter-fixed, valid at
+    * any SF), flags pinned to 1, and the conserved total reproduced
+    * relationally (m12's vectorizable-doc formula). */
+  private val kmeansStatsSql =
+    "WITH " + termsCte + s""",
+      |$massVocabCte
+      |SELECT CAST(ids.c AS BIGINT) AS cluster, 1 AS ssq_ok,
+      |  1 AS in_range_ok,
+      |  CAST((SELECT count(DISTINCT doc_id) FROM tc
+      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT)
+      |    AS n_docs_total
+      |FROM (SELECT unnest(generate_series(0, 14)) AS c) ids
+      |ORDER BY cluster""".stripMargin
 
   /** m07 — M2-M7 + J2/J3: the full optimization pipeline — featurize →
     * K-means → coherence gate → adaptive-k LDA split (theta-argmax
@@ -178,58 +226,133 @@ object MlQueries {
     * attempt on the synthetic corpus's low-coherence catch-all cluster
     * (the corpus is topic-free bag-of-words, so the LDA usually finds one
     * dominant topic and the reassignment is a no-op — the structured A2
-    * fixture in RefineSpec proves real splits). Rows-only: iterative
-    * LDA/K-means fits aren't SQL-expressible. */
+    * fixture in RefineSpec proves real splits).
+    *
+    * BOUND FRAME ROW since r11 (r10 verdict item 1, "m13's formula but
+    * as the row itself"): the iterative LDA/K-means fits aren't
+    * SQL-expressible, so the per-cluster stats stay engine-side and the
+    * row emits the frame invariants the sweep must satisfy — the
+    * conserved doc total (oracle-relational, m12's formula), dense
+    * renumbering, SSQ non-negativity, PLUS the cross-stage conservation
+    * check m13 does not carry: Σ n_docs after split→merge→refresh must
+    * equal the FITTED assignment count (a split or merge that drops or
+    * duplicates docs breaks this before it breaks the oracle total).
+    * m13 predates this conversion and pins the same sweep through its
+    * own aggregate — kept for series continuity; the two rows share the
+    * memoized sweep, so the marginal cost is one aggregation. */
   /** One LdaSplitter parameterization shared by m07/m09 so the
     * session-level split materialization is computed once. */
   private val splitParams = graft.refine.LdaSplitter.Params(
     kRange = 2 to 3, coherenceThreshold = 0.5, minDocsForSplit = 10,
     maxIter = 5)
 
-  def ldaOptimize(s: SparkSession, d: String): DataFrame =
+  def ldaOptimize(s: SparkSession, d: String): DataFrame = {
+    val fitN = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
+      .assignments.agg(count(lit(1)).as("fit_docs"))
     graft.api.ModelPipeline.optimize(s, d, k = 15, seed = 123,
-      params = splitParams, mergeThreshold = 0.9)
-      .select(col("cluster").cast("long").as("cluster"), col("n_docs"), col("withinss"))
-      .orderBy(col("cluster"))
+        params = splitParams, mergeThreshold = 0.9)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (min(col("cluster")) === 0 &&
+          max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
+          countDistinct(col("cluster")) === count(lit(1)))
+          .cast("int").as("dense_ok"),
+        min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"))
+      .crossJoin(broadcast(fitN))
+      .select(col("n_docs"), col("dense_ok"),
+        col("nonneg_ok").cast("int").as("nonneg_ok"),
+        (col("n_docs") === col("fit_docs")).cast("int")
+          .as("conserves_fit_ok"))
+  }
+
+  private val ldaOptimizeSql =
+    "WITH " + termsCte + s""",
+      |$massVocabCte
+      |SELECT CAST((SELECT count(DISTINCT doc_id) FROM tc
+      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
+      |  1 AS dense_ok, 1 AS nonneg_ok, 1 AS conserves_fit_ok""".stripMargin
 
   /** m08 — M6/M7/J3: cosine centroid merge + dense renumber + refreshed
     * stats over the seeded K-means fit (no LDA stage — isolates the
-    * merge/renumber/refresh path). Rows-only. */
+    * merge/renumber/refresh path).
+    *
+    * BOUND FRAME ROW since r11 (r10 verdict item 1): the merge choices
+    * depend on the seed-specific centers, so the per-cluster stats stay
+    * engine-side and the row emits the invariants ANY correct
+    * first-wins chained merge (ref ...optimised_clusters.R:861-879)
+    * must satisfy:
+    *
+    *  - map_idem_ok: the merge MAP is idempotent — every surviving
+    *    representative maps to itself, hence mm∘mm = mm ("merging
+    *    twice changes nothing" at the map level; the first-wins retarget
+    *    scan guarantees it for any center set, so this is closed-form
+    *    TRUE, not corpus-dependent);
+    *  - k_le_fit_ok: merging never grows the cluster count past the
+    *    fitted k;
+    *  - dense_ok / nonneg_ok: post-merge renumbering is dense 0..k''−1
+    *    and refreshed SSQs are non-negative;
+    *  - n_docs (oracle-relational, m12's formula) + conserves_fit_ok:
+    *    the merge moves docs between clusters, never drops or
+    *    duplicates them. */
   def clusterMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.refine.{CosineMerge, Renumber}
     val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
+    val mm = CosineMerge.mergeMap(
+      CosineMerge.collectCenters(fm.assignments), threshold = 0.9)
+    // k-row driver-side map algebra: representatives self-map ⇒ mm∘mm=mm
+    val mapIdem = mm.valuesIterator.forall(r => mm(r) == r)
+    val fitN = fm.assignments.agg(count(lit(1)).as("fit_docs"))
     graft.refine.ModelRefresh.stats(
-        graft.api.ModelPipeline.merge(fm.assignments, threshold = 0.9))
-      .select(col("cluster").cast("long").as("cluster"), col("n_docs"), col("withinss"))
-      .orderBy(col("cluster"))
+        Renumber.dense(CosineMerge.apply(fm.assignments, mm)))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (min(col("cluster")) === 0 &&
+          max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
+          countDistinct(col("cluster")) === count(lit(1)))
+          .cast("int").as("dense_ok"),
+        min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"),
+        (countDistinct(col("cluster")) <= fm.model.getK)
+          .cast("int").as("k_le_fit_ok"))
+      .crossJoin(broadcast(fitN))
+      .select(col("n_docs"), col("dense_ok"),
+        col("nonneg_ok").cast("int").as("nonneg_ok"),
+        col("k_le_fit_ok"),
+        lit(if (mapIdem) 1 else 0).as("map_idem_ok"),
+        (col("n_docs") === col("fit_docs")).cast("int")
+          .as("conserves_fit_ok"))
   }
+
+  private val clusterMergeSql =
+    "WITH " + termsCte + s""",
+      |$massVocabCte
+      |SELECT CAST((SELECT count(DISTINCT doc_id) FROM tc
+      |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
+      |  1 AS dense_ok, 1 AS nonneg_ok, 1 AS k_le_fit_ok,
+      |  1 AS map_idem_ok, 1 AS conserves_fit_ok""".stripMargin
 
   /** m09 — M10/A10: the refiner pipeline — coherence-gated split, top
     * terms, deterministic labels, labeled report sorted best-first.
-    * The registry row now emits the report's OWN per-cluster rows (r9
-    * verdict item 4 — previously a 1-row frame summary), each graded
-    * by invariant flags the oracle pins:
+    * The registry row emits the report's OWN per-cluster rows (r9
+    * verdict item 4), each graded by invariant flags the oracle pins.
     *
-    *  - the CLUSTER ID UNIVERSE: ids are always dense 0..k'−1 (the
-    *    split path renumbers — ModelPipeline.split → Renumber.dense —
-    *    and splitting never shrinks the count below the fitted k);
-    *    that true invariant is ASSERTED. The closed-form ORACLE
-    *    universe 0..14 additionally assumes the coherence gate is
-    *    quiet — which holds at the sf0.01 correctness corpus but not
-    *    at every SF (sf0.1 splits to 0..16), so a firing gate is a
-    *    loud stderr WARNING naming the assumption, not a failure: the
-    *    correctness compare turns it into a 15-vs-k' red row, while
-    *    bench SFs time the real split. A dropped, duplicated or
-    *    non-dense cluster id still fails hard;
-    *  - per-row flags: coherence within its algebraic [−1,1] range
-    *    (null legal — an unscorable cluster sorts last, it must not
-    *    vanish), label non-null/non-empty ("Unlabeled" fallback
-    *    included), n_docs ≥ 1 (the report is anchored on the
-    *    assignment-side universe, so a present cluster always carries
-    *    its docs);
-    *  - `n_docs_total` (constant column): Σ n_docs must equal the
-    *    vectorizable-doc count reproduced relationally from the same
-    *    mass-ranked vocabulary m03 hash-matches — corpus conservation,
-    *    the m12/m13 pattern.
+    * SF-DECOUPLED since r11 (r10 verdict item 5 — the r10 shape's
+    * closed-form 0..14 oracle universe silently assumed the coherence
+    * gate stays quiet, true at sf0.01 but not sf0.1 where k'=17, so a
+    * regenerated correctness corpus would have flipped m09 red for a
+    * non-bug). The row universe is now the FITTED center ids 0..14 —
+    * k = 15 is a query parameter, and the split-only path (no merge,
+    * ref 04_cluster_refiner.R:743-748) renumbers densely and never
+    * shrinks the count below the fitted k, so ids 0..14 exist in the
+    * report at EVERY SF whether or not the gate fires. The
+    * data-dependent tail k' is not enumerated; instead the constant
+    * `dense_ok` flag pins the FULL report universe relationally (dense
+    * 0..k'−1 with k' ≥ 15) — the gate firing changes k', never the
+    * flag, and a dropped/duplicated/non-dense id flips it to a red
+    * row at any SF. Per-row flags as in r10: coherence within its
+    * algebraic [−1,1] range (null legal — an unscorable cluster sorts
+    * last, it must not vanish), label non-null/non-empty ("Unlabeled"
+    * fallback included), n_docs ≥ 1. `n_docs_total` (constant): Σ
+    * n_docs over the FULL report = the vectorizable-doc count,
+    * reproduced relationally from the same mass-ranked vocabulary m03
+    * hash-matches (corpus conservation, the m12/m13 pattern).
     *
     * The labeled report itself (labels, coherences, per-cluster sizes —
     * K-means/LDA internals no relational oracle can reproduce) stays
@@ -239,34 +362,22 @@ object MlQueries {
     val rep = graft.api.ModelPipeline.refinerReport(s, d, k = 15, seed = 123,
         params = splitParams)
       .localCheckpoint()
-    val ids = rep.select(col("cluster")).collect().map(_.getInt(0)).sorted
-    // True invariant at ANY corpus: the split path renumbers densely
-    // (ModelPipeline.split → Renumber.dense) and splitting never
-    // shrinks the cluster count below the fitted k. The closed-form
-    // 0..14 ORACLE universe additionally assumes the coherence gate
-    // does not fire — which holds on the sf0.01 correctness corpus but
-    // NOT at every SF (sf0.1 legitimately splits to 0..16), so the
-    // gate firing must stay a loud WARNING here, not a failure: at the
-    // correctness SF the 15-vs-k' row diff turns it into a named red
-    // row, while bench SFs time the real split instead of crashing
-    // (r10: the exact-15 require failed every sf0.1 bench run).
-    require(ids.length >= 15 && ids.sameElements(0 until ids.length),
-      s"m09 invariant violated: report cluster ids [${ids.mkString(",")}] " +
-        "are not dense 0..k'-1 with k' >= 15 — split/renumber defect")
-    if (ids.length != 15)
-      System.err.println(s"[m09] coherence gate fired: k'=${ids.length} " +
-        "clusters (closed-form 0..14 oracle universe applies only where " +
-        "the gate is quiet — expected at sf>=0.1; at the sf0.01 " +
-        "correctness corpus this means corpus drift)")
-    val total = rep.agg(sum(col("n_docs"))).head().getLong(0)
-    rep.select(col("cluster").cast("long").as("cluster"),
+    val inv = rep.agg(
+      sum(col("n_docs")).as("n_docs_total"),
+      (min(col("cluster")) === 0 &&
+        max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
+        countDistinct(col("cluster")) === count(lit(1)) &&
+        count(lit(1)) >= 15).cast("int").as("dense_ok"))
+    rep.filter(col("cluster") < 15)
+      .crossJoin(broadcast(inv))
+      .select(col("cluster").cast("long").as("cluster"),
         when(col("coherence").isNull ||
           (col("coherence") >= -1 && col("coherence") <= 1), 1)
           .otherwise(0).as("range_ok"),
         when(col("label").isNotNull && col("label") =!= "", 1)
           .otherwise(0).as("label_ok"),
         (col("n_docs") >= 1).cast("int").as("docs_ok"),
-        lit(total).as("n_docs_total"))
+        col("dense_ok"), col("n_docs_total"))
       .orderBy(col("cluster"))
   }
 
@@ -274,22 +385,58 @@ object MlQueries {
     * model and its df/N-weighted vocabulary to a versioned directory,
     * load it back, and predict a held-out systematic sample through the
     * predict-time vectorization path (vocab match, OOV drop,
-    * train-corpus weighting, nearest centroid). Rows-only
-    * (k-means-dependent); the save/load/vectorize algebra is pinned in
-    * ModelStoreSpec. The date is a fixed literal — path construction
-    * stays deterministic across runs. */
+    * train-corpus weighting, nearest centroid). The date is a fixed
+    * literal — path construction stays deterministic across runs.
+    *
+    * BOUND FRAME ROW since r11 (r10 verdict item 1): the predicted
+    * cluster ids are K-means-internal (s09 pins the disk round-trip
+    * identity, m11 pins the predict path on a planted closed-form
+    * corpus), but WHICH sampled docs survive prediction is fully
+    * relational: the predict path drops exactly the docs with no
+    * term in the train vocabulary ([[graft.features.Featurize.vectors]]'
+    * documented OOV behavior), and the train vocabulary is the same
+    * mass-ranked top-2000 m03 hash-matches. Anchored on the SAMPLE
+    * (left join) so a dropped doc is a flagged row, not a missing one:
+    *
+    *  - predicted: 1 iff the loaded model produced a cluster for the
+    *    doc — the oracle reproduces it as "has ≥ 1 in-vocab term";
+    *  - in_range_ok: a produced prediction lies in 0..k−1 (null legal
+    *    for non-vectorizable docs). */
   def modelPredict(s: SparkSession, d: String): DataFrame = {
     import graft.api.{ModelPipeline, ModelStore}
     val fm = ModelPipeline.fitted(s, d)
     val dir = tmpModelDir(s, d, "m10", fm.model.getK)
     ModelStore.save(dir, fm.model, fm.vocab, fm.counts, Tables.documents(s, d))
     val saved = ModelStore.load(s, dir)
-    ModelStore.predict(
-        graft.sources.Sinks.sampleByMod(Tables.documents(s, d), "doc_id", 10, 3),
-        saved)
-      .select(col("doc_id"), col("cluster").cast("long").as("cluster"))
+    val sample = graft.sources.Sinks
+      .sampleByMod(Tables.documents(s, d), "doc_id", 10, 3)
+    val k = fm.model.getK
+    sample.select(col("doc_id"))
+      .join(ModelStore.predict(sample, saved)
+        .select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("cluster").isNotNull.cast("int").as("predicted"),
+        when(col("cluster").isNull ||
+          (col("cluster") >= 0 && col("cluster") < k), 1)
+          .otherwise(0).as("in_range_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** m10's oracle: the sampled universe with vectorizability decided
+    * relationally — a doc is predicted iff it has ≥ 1 term in the
+    * mass-ranked top-2000 vocabulary (the same selection rule m03
+    * hash-matches, tie-break included). */
+  private val modelPredictSql =
+    "WITH " + termsCte + s""",
+      |$massVocabCte
+      |SELECT d.doc_id,
+      |  CAST(EXISTS (SELECT 1 FROM tc
+      |               WHERE tc.doc_id = d.doc_id
+      |                 AND tc.term IN (SELECT term FROM vocab)) AS INT)
+      |    AS predicted,
+      |  1 AS in_range_ok
+      |FROM documents d WHERE d.doc_id % 10 = 3
+      |ORDER BY d.doc_id""".stripMargin
 
   /** s09 — model-store round-trip invariant, oracle-checked (closes the
     * S7-S9/V9/M8 spec-only gap): save the fitted pipeline (S7/S9), load
@@ -444,22 +591,19 @@ object MlQueries {
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS dense_ok, 1 AS nonneg_ok""".stripMargin
 
-  /** m09's oracle: one row per closed-form cluster id (0..14 — valid
-    * exactly where the coherence gate is quiet, see
-    * [[refinerReport]]'s universe note; the sf0.01 correctness corpus
-    * satisfies it), the per-row invariant flags pinned to 1, and the
-    * conserved doc total reproduced relationally from the same
-    * mass-ranked vocabulary m03 hash-matches (each Mimno-style pair
-    * score is a [0,1] co-occurrence share minus a [0,1] marginal
-    * share, so the per-cluster mean lies in [−1,1] and the range flag
-    * is an algebraic invariant). The report is the POST-renumber view
-    * (dense by construction); m13 additionally oracles the
-    * renumbering on the optimize path. */
+  /** m09's oracle: one row per FITTED center id (0..14, parameter-fixed
+    * — valid at every SF, see [[refinerReport]]'s universe note), the
+    * per-row invariant flags pinned to 1 (each Mimno-style pair score
+    * is a [0,1] co-occurrence share minus a [0,1] marginal share, so
+    * the per-cluster mean lies in [−1,1] and the range flag is an
+    * algebraic invariant), the relationally-computed dense_ok pinned to
+    * 1, and the conserved doc total reproduced relationally from the
+    * same mass-ranked vocabulary m03 hash-matches. */
   private val refinerReportSql =
     "WITH " + termsCte + s""",
       |$massVocabCte
       |SELECT CAST(ids.c AS BIGINT) AS cluster,
-      |  1 AS range_ok, 1 AS label_ok, 1 AS docs_ok,
+      |  1 AS range_ok, 1 AS label_ok, 1 AS docs_ok, 1 AS dense_ok,
       |  CAST((SELECT count(DISTINCT doc_id) FROM tc
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT)
       |    AS n_docs_total
@@ -618,11 +762,11 @@ object MlQueries {
     QueryDef("m03_top_vocab", topVocab, Some(topVocabSql)),
     QueryDef("m04_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql)),
     QueryDef("m05_coherence_report", coherenceReport, Some(coherenceReportSql)),
-    QueryDef("m06_kmeans_stats", kmeansStats, None),
-    QueryDef("m07_lda_optimize", ldaOptimize, None),
-    QueryDef("m08_cluster_merge", clusterMerge, None),
+    QueryDef("m06_kmeans_stats", kmeansStats, Some(kmeansStatsSql)),
+    QueryDef("m07_lda_optimize", ldaOptimize, Some(ldaOptimizeSql)),
+    QueryDef("m08_cluster_merge", clusterMerge, Some(clusterMergeSql)),
     QueryDef("m09_refiner_report", refinerReport, Some(refinerReportSql)),
-    QueryDef("m10_model_predict", modelPredict, None),
+    QueryDef("m10_model_predict", modelPredict, Some(modelPredictSql)),
     QueryDef("m11_predict_planted", predictPlanted, Some(predictPlantedSql)),
     QueryDef("m12_kmeans_invariants", kmeansInvariants,
       Some(kmeansInvariantsSql)),

@@ -411,6 +411,14 @@ object PackOps {
     * across modalities). All three gate columns are rounded-oracle
     * columns, so the boolean is deterministic on both engines.
     *
+    * The gate is anchored on the DOCUMENT universe, not on the signal
+    * relations: a doc with no non-empty passage (d15 emits no row —
+    * "nothing duplicated") contributes dup_frac = 0, and a doc with no
+    * embedding row cannot clear the outlier check, so it is emitted
+    * with keep = 0 rather than silently dropped. A curation gate that
+    * omits rows is a trap for downstream consumers — every doc gets a
+    * verdict (r10 advisory).
+    *
     * 100 TB shape: three corpus-sized relations equi-joined on the
     * uniform doc id — ordinary shuffled joins (none is broadcastable at
     * scale), each input one scan + one keyed aggregation. */
@@ -422,11 +430,13 @@ object PackOps {
     val e = EmbeddingOps.embeddingOutliers(s, d)
       .select(col("vec_id").as("doc_id"), col("cos_centroid"),
         col("is_outlier"))
-    q.join(p, "doc_id").join(e, "doc_id")
-      .select(col("doc_id"), col("quality_score"), col("dup_frac"),
+    q.join(p, Seq("doc_id"), "left").join(e, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
         col("cos_centroid"),
-        (col("quality_score") >= 0.85 && col("dup_frac") <= 0.5 &&
-          col("is_outlier") === 0).cast("int").as("keep"))
+        (col("quality_score") >= 0.85 &&
+          coalesce(col("dup_frac"), lit(0.0)) <= 0.5 &&
+          coalesce(col("is_outlier"), lit(1)) === 0).cast("int").as("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -434,12 +444,13 @@ object PackOps {
     s"""WITH q AS (${TextOps.docQualityInnerSql}),
        |pf AS (${DedupOps.passageDupFractionInnerSql}),
        |eo AS (${EmbeddingOps.embeddingOutliersInnerSql})
-       |SELECT q.doc_id, q.quality_score, pf.dup_frac, eo.cos_centroid,
-       |  CAST(q.quality_score >= 0.85 AND pf.dup_frac <= 0.5
-       |       AND eo.is_outlier = 0 AS INT) AS keep
+       |SELECT q.doc_id, q.quality_score,
+       |  COALESCE(pf.dup_frac, 0.0) AS dup_frac, eo.cos_centroid,
+       |  CAST(q.quality_score >= 0.85 AND COALESCE(pf.dup_frac, 0.0) <= 0.5
+       |       AND COALESCE(eo.is_outlier, 1) = 0 AS INT) AS keep
        |FROM q
-       |JOIN pf ON pf.doc_id = q.doc_id
-       |JOIN eo ON eo.vec_id = q.doc_id
+       |LEFT JOIN pf ON pf.doc_id = q.doc_id
+       |LEFT JOIN eo ON eo.vec_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
   /** Epoch-shuffle scramble: Knuth's multiplicative hash over the
@@ -582,7 +593,21 @@ object PackOps {
     * scan for the running sums (a hot source never lands on one task),
     * no global sort. Quota boundaries are integers compared to integer
     * running sums; the only float is the √-share itself, floored into
-    * the integer quota. */
+    * the integer quota.
+    *
+    * Known cross-engine boundary risk (r10 advisory, accepted): z =
+    * Σ√src_tokens is a floating-point sum whose accumulation order
+    * differs between Spark and DuckDB, so if budget·√src/z lands within
+    * an ulp of an integer, the floor — and with it the last drawn doc
+    * of that source — can diverge between engine and oracle. The sum
+    * has one addend per SOURCE (a handful, not data-scale), so the
+    * accumulated error is a few ulps against quota values in the
+    * thousands-of-tokens range; a flip requires the product to sit
+    * within ~1e-12 relative of an integer, which no corpus has hit in
+    * 10 rounds. Making it impossible would mean integer-only quota
+    * arithmetic (budget·isqrt products overflow BIGINT at 100 TB
+    * without HUGEINT/BigDecimal on both engines) — not worth the
+    * portability loss for a diagnostic-only boundary. */
   def budgetDraw(s: SparkSession, d: String): DataFrame = {
     val per = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), bpePieces.as("n_tokens"))

@@ -183,7 +183,18 @@ object EventStreams {
     * in-memory maps hold heap and whose 60-second maintenance cycle
     * snapshots dead state while later queries are being timed. The next
     * store access lazily restarts maintenance — this is the standard
-    * between-queries reset, not a teardown. */
+    * between-queries reset, not a teardown.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION (r10 advisory): StateStore.stop()
+    * is process-global — it unloads EVERY loaded provider and kills the
+    * shared maintenance thread, which is only safe because harness
+    * streaming queries run strictly one at a time (runToMemory awaits
+    * termination before returning, and releaseSinks fires at family
+    * boundaries when nothing is running). A deployment running
+    * concurrent streaming queries must instead unload only the finished
+    * query's providers (StateStore.unload per provider id, keyed by the
+    * query's checkpoint location) — calling this helper there would
+    * yank live providers mid-batch. */
   private def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
@@ -563,11 +574,17 @@ object EventStreams {
     * passage fraction and e11's embedding-outlier verdict — are
     * PRECOMPUTED static relations joined per micro-batch (s13's
     * stateless stream-static posture; at 100 TB they are s12-bucketed
-    * index tables maintained by their own jobs, not broadcasts). The
-    * emitted table is c04's row-for-row — same columns, same keep
-    * conjunction — so the batch c04 oracle transfers verbatim and the
-    * parity proves the composed gate survives the batch→streaming
-    * split without semantic drift. */
+    * index tables maintained by their own jobs, not broadcasts — so the
+    * joins carry NO broadcast hint: the planner is free to broadcast
+    * them at test scale, and at corpus scale they plan as ordinary
+    * shuffled stream-static equi-joins instead of pinning a
+    * corpus-sized relation into every executor per micro-batch (the
+    * r10 advisory's point). The emitted table is c04's row-for-row —
+    * same columns, same left-join anchoring on the document stream,
+    * same keep conjunction with the same missing-signal defaults — so
+    * the batch c04 oracle transfers verbatim and the parity proves the
+    * composed gate survives the batch→streaming split without semantic
+    * drift. */
   def streamCrossModalGate(s: SparkSession, d: String): DataFrame = {
     val ss = streamSession(s)
     val p = graft.operators.DedupOps.passageDupFraction(ss, d)
@@ -578,12 +595,14 @@ object EventStreams {
     val gated = readDocuments(ss, d)
       .select(col("doc_id"),
         graft.operators.TextOps.Score.qualityScore.as("quality_score"))
-      .join(broadcast(p), "doc_id")
-      .join(broadcast(e), "doc_id")
-      .select(col("doc_id"), col("quality_score"), col("dup_frac"),
+      .join(p, Seq("doc_id"), "left")
+      .join(e, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
         col("cos_centroid"),
-        (col("quality_score") >= 0.85 && col("dup_frac") <= 0.5 &&
-          col("is_outlier") === 0).cast("int").as("keep"))
+        (col("quality_score") >= 0.85 &&
+          coalesce(col("dup_frac"), lit(0.0)) <= 0.5 &&
+          coalesce(col("is_outlier"), lit(1)) === 0).cast("int").as("keep"))
     runToMemory(gated, "append", "s20_stream_gate")
       .orderBy(col("doc_id"))
   }

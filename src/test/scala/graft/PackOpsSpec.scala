@@ -357,8 +357,16 @@ class PackOpsSpec extends SparkSpec {
     val e = EmbeddingOps.embeddingOutliers(spark, sfTiny)
       .select(col("vec_id"), col("is_outlier"))
       .as[(Long, Int)].collect().toMap
+    // the gate anchors on the DOCUMENT universe: every doc gets a
+    // verdict, even one absent from a signal relation (missing passage
+    // row => dup_frac 0; missing embedding row => cannot pass)
+    val allDocs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(out.keySet === allDocs,
+      "gate must emit one verdict per document, no omissions")
     out.foreach { case (id, keep) =>
-      val want = if (q(id) >= 0.85 && p(id) <= 0.5 && e(id) == 0) 1 else 0
+      val want = if (q(id) >= 0.85 && p.getOrElse(id, 0.0) <= 0.5 &&
+        e.getOrElse(id, 1) == 0) 1 else 0
       assert(keep === want, s"doc $id gate diverges from its signals")
     }
     // the gate genuinely gates, and from more than one modality
