@@ -493,20 +493,21 @@ object TextOps {
     * relational — a full hash oracle, not a planted one.
     *
     * 100 TB shape: one corpus-wide term-frequency aggregation (uniform
-    * hash shuffle), then tokens ⋈ broadcast term-probs (the unigram
-    * table is vocabulary-sized — fits executors at any corpus size
-    * worth training on; a trillion-type vocab would fall back to a
-    * shuffle join on term, same plan minus the hint), then one per-doc
-    * aggregation. Documents with zero tokens drop on both engines (no
-    * tokens, no score — the pipeline gate treats them as P4's
-    * non-empty-doc filter's problem). */
+    * hash shuffle), then tokens ⋈ term-probs through the size-guarded
+    * [[graft.plans.SizeGuard.broadcastIfSmall]] (vocabulary is
+    * Heaps'-law sublinear but not constant — broadcast below the row
+    * ceiling, shuffle join on term above it, same relation either way),
+    * then one per-doc aggregation. Documents with zero tokens drop on
+    * both engines (no tokens, no score — the pipeline gate treats them
+    * as P4's non-empty-doc filter's problem). */
   def unigramCe(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum(col("cnt")).as("total"))
-    toks.join(broadcast(tf), "term").crossJoin(broadcast(total))
+    toks.join(graft.plans.SizeGuard.broadcastIfSmall(tf), "term")
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(-sum(log2(col("cnt") / col("total"))) / count(lit(1)), 6)
@@ -540,7 +541,10 @@ object TextOps {
     * hash agg counts it; the scoring join is bigram-keyed and SHUFFLED
     * (the bigram table grows superlinearly in vocabulary — never
     * broadcast), while the prefix-count table is unigram-vocab-sized
-    * and broadcasts like t13's term probabilities. */
+    * and goes through t13's size guard
+    * ([[graft.plans.SizeGuard.broadcastIfSmall]] — broadcast at any
+    * corpus worth training on, shuffle join past the web-scale type
+    * ceiling). */
   def bigramCe(s: SparkSession, d: String): DataFrame =
     bigramCeFrom(Tables.documents(s, d))
 
@@ -557,7 +561,7 @@ object TextOps {
       .agg(sum(col("c2")).as("c1"))
     bg.join(bgf, "bg")
       .withColumn("prev", split(col("bg"), " ").getItem(0))
-      .join(broadcast(pf), "prev")
+      .join(graft.plans.SizeGuard.broadcastIfSmall(pf), "prev")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(log2(col("c2") / col("c1"))) / count(lit(1)), 6)
@@ -599,8 +603,9 @@ object TextOps {
     * never do.
     *
     * 100 TB shape: two term-count aggregations (uniform hash keys), the
-    * merged model table is vocabulary-sized — broadcast like t13's term
-    * probabilities — and one per-doc roll-up. Nothing pairwise. */
+    * merged model table is vocabulary-sized — size-guarded like t13's
+    * term probabilities ([[graft.plans.SizeGuard.broadcastIfSmall]]) —
+    * and one per-doc roll-up. Nothing pairwise. */
   def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -617,7 +622,7 @@ object TextOps {
           .agg(count(lit(1)).as("n_t"))))
     val termLogw = log2(col("c_t") + 1) + log2(col("n_c") + col("v")) -
       log2(col("c_c") + 1) - log2(col("n_t") + col("v"))
-    toks.join(broadcast(model), "term")
+    toks.join(graft.plans.SizeGuard.broadcastIfSmall(model), "term")
       .crossJoin(broadcast(consts))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

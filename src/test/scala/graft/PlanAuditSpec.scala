@@ -233,6 +233,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("vocab size guard: above the row ceiling the LM model join " +
+      "degrades to a shuffle join with identical results") {
+    // Heaps'-law honesty (r10 verdict): the t13/t15/p10 model tables are
+    // vocabulary-sized, which is sublinear but NOT constant — at a
+    // web-scale type inventory the broadcast HINT must give way so the
+    // planner can shuffle-join instead of OOMing the executors. Above
+    // the ceiling the guard emits the bare relation; at sfTiny the
+    // planner's own size stats would still elect broadcast (correct —
+    // size deciding is the point), so auto-broadcast is disabled here
+    // to expose the hint-free path the way data-scale stats would.
+    // Result identity pinned too (6dp rounding absorbs summation-order
+    // drift between the join strategies).
+    val before = graft.operators.TextOps.unigramCe(spark, sfTiny).collect()
+    spark.conf.set(graft.plans.SizeGuard.MaxRowsKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = graft.operators.TextOps.unigramCe(spark, sfTiny)
+      val p = guarded.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"term join still broadcasts above the ceiling:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no shuffle join planned above the ceiling:\n$p")
+      assert(guarded.collect() === before,
+        "shuffle fallback changed the scores")
+    } finally {
+      spark.conf.unset(graft.plans.SizeGuard.MaxRowsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("t13: term-probability join broadcasts — no shuffle join on tokens") {
     // the unigram table is vocabulary-sized: the tokens-side relation
     // (corpus-scale) must never shuffle on term for the probability
