@@ -18,6 +18,13 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     if (args.headOption.contains("q33")) { q33AB(spark, d); spark.stop(); return }
+    if (args.headOption.contains("tfam")) {
+      tfamAB(spark, d, args.lift(1).getOrElse("S")); spark.stop(); return
+    }
+    if (args.headOption.contains("e10blind")) {
+      e10Blind(spark, d, args.lift(1).map(_.toInt).getOrElse(1))
+      spark.stop(); return
+    }
     import graft.features.Featurize
     import graft.functions.TextFunctions
     import graft.sources.Tables
@@ -56,6 +63,146 @@ object Profile {
       time(s"m01 wide   r$r")(countsOf(Featurize.docTerms(Tables.documents(spark, d))))
     }
     spark.stop()
+  }
+
+  /** e10 residual-blind-spot census (r10 verdict item 6): over the
+    * real embeddings corpus (optionally roll-blown ×mult, the
+    * ScaleProbe construction), compute EXACT cosine pairs at a
+    * threshold ladder and classify each against the IVF cell structure
+    * the multi-probe pair pass uses:
+    *   same_cell      — primaries equal (single-probe finds it);
+    *   probe_covered  — either vector's primary is in the other's
+    *                    top-2 probe set (multi-probe finds it);
+    *   second_only    — cell sets overlap ONLY in both second cells
+    *                    (the documented residual blind spot);
+    *   disjoint       — no cell overlap at all (unfindable by any
+    *                    bounded probe of this quantizer).
+    * The e10 operating threshold is 0.95 (where the corpus has no
+    * organic pairs by construction); the ladder measures how the blind
+    * spot would populate if a real corpus had near-dups at lower
+    * cosines. */
+  private def e10Blind(spark: org.apache.spark.sql.SparkSession, d: String,
+                       mult: Int): Unit = {
+    import graft.operators.EmbeddingOps
+    import graft.expressions.VectorExpressions.fastCosine
+    import graft.sources.Tables
+    val base = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val emb = (if (mult <= 1) base else {
+      val maxVec = base.agg(max(col("vec_id"))).head().getLong(0)
+      (0 until mult).map { i =>
+        base
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * (maxVec + 1)))
+          .withColumn("embedding", expr(
+            s"concat(slice(embedding, $i % size(embedding) + 1, " +
+              s"size(embedding) - $i % size(embedding)), " +
+              s"slice(embedding, 1, $i % size(embedding)))"))
+      }.reduce(_ unionAll _)
+    }).localCheckpoint()
+    val n = emb.count()
+    val nCells = EmbeddingOps.ivfCellsFor(n)
+    val index = EmbeddingOps.ivfBuild(emb, nCells)
+    val prim = index.assigned.select(col("vec_id"), col("cell"))
+    val probes = EmbeddingOps.probeAssignments(index)
+      .groupBy(col("vec_id"))
+      .agg(collect_set(col("cell")).as("cells"))
+    val sides = emb
+      .join(prim, "vec_id")
+      .join(probes, "vec_id")
+      .localCheckpoint()
+    val a = sides.select(col("vec_id").as("u"), col("embedding").as("ea"),
+      col("cell").as("pu"), col("cells").as("cu"))
+    val b = sides.select(col("vec_id").as("v"), col("embedding").as("eb"),
+      col("cell").as("pv"), col("cells").as("cv"))
+    val pairs = a.join(b, col("u") < col("v"))
+      .select(col("u"), col("v"), col("pu"), col("pv"), col("cu"), col("cv"),
+        fastCosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .withColumn("cls",
+        when(col("pu") === col("pv"), "same_cell")
+          .when(array_contains(col("cv"), col("pu")) ||
+            array_contains(col("cu"), col("pv")), "probe_covered")
+          .when(size(array_intersect(col("cu"), col("cv"))) > 0, "second_only")
+          .otherwise("disjoint"))
+      .localCheckpoint()
+    println(s"[e10blind] n=$n cells=$nCells mult=$mult")
+    Seq(0.95, 0.9, 0.85, 0.8, 0.7, 0.6, 0.5).foreach { t =>
+      val counts = pairs.filter(col("cos") >= t)
+        .groupBy(col("cls")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tot = counts.values.sum
+      println(f"[e10blind] cos>=$t%.2f total=$tot%-8d " +
+        f"same_cell=${counts.getOrElse("same_cell", 0L)}%-8d " +
+        f"probe_covered=${counts.getOrElse("probe_covered", 0L)}%-8d " +
+        f"second_only=${counts.getOrElse("second_only", 0L)}%-8d " +
+        f"disjoint=${counts.getOrElse("disjoint", 0L)}%d")
+    }
+  }
+
+  /** t-family sweep-drift A/B (r10 verdict finding 1, the q33 method):
+    * times t01–t09 bench-style (3 noop-sink runs each, bench's per-run
+    * cleanup) in one of three contexts —
+    *   S: fresh session, nothing run before (the standalone arm);
+    *   C: after replaying the full sweep context (every registry query
+    *      sorted before t04, one run each, bench family boundaries);
+    *   X: after only the s (streaming) family — the r10-grown immediate
+    *      neighbor that runs right before t in the sweep.
+    * Elevation in C/X but not S localizes the drift to sweep residue;
+    * elevation everywhere means the queries themselves got slower. */
+  private def tfamAB(spark: org.apache.spark.sql.SparkSession, d: String,
+                     mode: String): Unit = {
+    val timed = Seq("t01_clean_docs", "t02_word_counts", "t03_tfidf_top5",
+      "t04_doc_quality", "t05_lang_guess", "t06_bigram_counts",
+      "t07_pos_keywords", "t08_winnow_fingerprints", "t09_token_stats")
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d)
+        .write.mode("overwrite").format("noop").save()
+      val e = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) =>
+          graft.api.Intermediates.isPinned(spark, id) }
+        .values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      e
+    }
+    def boundary(): Unit = {
+      graft.api.Intermediates.releaseAll(spark)
+      graft.streaming.EventStreams.releaseSinks(spark)
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    // warm-up parity with Bench
+    spark.read.parquet(s"$d/nation.parquet")
+      .write.mode("overwrite").format("noop").save()
+    val context: Seq[String] = mode match {
+      case "C" => SparkEntry.queries.keys.toSeq.sorted.filter(_ < "t04")
+      case "X" => SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => n.startsWith("s") || (n.startsWith("t0") && n < "t04"))
+      case _ => Nil
+    }
+    val t0 = System.nanoTime()
+    var prevFam = ""
+    context.foreach { n =>
+      val fam = n.take(1)
+      if (prevFam.nonEmpty && fam != prevFam) boundary()
+      prevFam = fam
+      try runOnce(n)
+      catch { case e: Throwable =>
+        println(s"[tfam] context $n failed: ${e.getMessage}") }
+    }
+    if (context.nonEmpty)
+      println(f"[tfam:$mode] context of ${context.size} queries replayed " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val rt = Runtime.getRuntime
+    println(s"[tfam:$mode] heapUsedMB=" +
+      s"${(rt.totalMemory - rt.freeMemory) / 1048576} " +
+      s"cachedRdds=${spark.sparkContext.getRDDStorageInfo.length}")
+    timed.foreach { name =>
+      val runs = (1 to 3).map(_ => runOnce(name))
+      println(f"[tfam:$mode] $name%-24s " +
+        runs.map(r => f"$r%.2f").mkString(" "))
+    }
   }
 
   /** q33 stage A/B (r9 verdict item 3): where does the ~1 s go —

@@ -26,7 +26,11 @@ object ScaleProbe {
     // r10 additions: the bigram-keyed scoring join (the one shuffle
     // whose key space grows superlinearly in vocabulary) and the
     // passage-family reassembly (two uniform hash aggs + per-doc sort)
-    "t15_bigram_ce", "d16_boilerplate_strip")
+    "t15_bigram_ce", "d16_boilerplate_strip",
+    // r11 addition: the stream-stream interval join — DUAL buffered
+    // state stores, one per input side, the shape s04's single keyed
+    // session store doesn't witness (r10 verdict item 7)
+    "s07_stream_join")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -668,12 +668,26 @@ object EmbeddingOps {
     * canonicalized (least, greatest) and deduplicated — a same-cell
     * pair meets in up to two shared cells and both orientations. The
     * guard stays keyed on primary loads: probe-side load is ≤ 2× the
-    * primary load, so admitted-cell work stays O(cap²) bounded. */
+    * primary load, so admitted-cell work stays O(cap²) bounded.
+    *
+    * `bothSides = true` probes BOTH sides (probes ⋈ probes): the
+    * second-cell-only residue — two boundary vectors from different
+    * primaries leaning toward the same third cell — is recovered too,
+    * at ≤ 4× the single-probe pair cost (both sides 2×). Off by
+    * default: the r11 census over the real corpus (SCALE.md, e10
+    * blind-spot table) found ZERO organic pairs of any class at the
+    * 0.95 operating threshold, an empty second-cell-only class down to
+    * cosine 0.6 at 1× (one pair at 10×), and the class only populating
+    * (~6% of pairs) at cosine 0.5 — far below any dedup semantics. The
+    * default spends 2×, not 4×; a corpus whose geometry differs flips
+    * the flag with one argument. */
   private[graft] def multiProbeEdges(primary: DataFrame, probes: DataFrame,
                                      nTotal: Long, nCells: Int,
-                                     threshold: Double = 0.95): DataFrame = {
+                                     threshold: Double = 0.95,
+                                     bothSides: Boolean = false): DataFrame = {
     val ok = admittedCells(primary, nTotal, nCells)
-    val a = primary.join(ok, Seq("cell"))
+    val aSide = if (bothSides) probes else primary
+    val a = aSide.join(ok, Seq("cell"))
       .select(col("cell"), col("vec_id").as("u"), col("embedding").as("a_emb"))
     val b = probes.join(ok, Seq("cell"))
       .select(col("cell"), col("vec_id").as("v"), col("embedding").as("b_emb"))

@@ -148,6 +148,84 @@ class SkewOpsSpec extends SparkSpec {
     assert(single.subsetOf(multi), s"multi lost pairs: ${single.diff(multi)}")
   }
 
+  test("second-cell-only pair: default multi-probe misses it (documented " +
+      "residue), bothSides probing recovers it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The residual blind spot's EXISTENCE proof (r10 verdict item 6):
+    // three planted direction clusters at angles −12°/0°/+12° in one
+    // plane; twins at ∓7° — each is Euclid-closest to its OWN outer
+    // cluster (5° away), second-closest to the middle (7°), with the
+    // far outer cluster at 19°. So both primaries differ AND neither
+    // primary is in the other's top-2 {outer, middle}: the pair meets
+    // only in both SECOND cells. cos(u,v) = cos(14°) ≈ 0.970 ≥ 0.95 —
+    // a genuine near-dup the default pass cannot see, by construction.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def planted(angleDeg: Double): Array[Float] = {
+      val a = math.toRadians(angleDeg)
+      val v = new Array[Float](dim)
+      v(0) = math.cos(a).toFloat
+      v(1) = math.sin(a).toFloat
+      v
+    }
+    val corpus = (0 until 150).map { i =>
+      val c = planted(Seq(-12.0, 0.0, 12.0)(i % 3))
+      // tight angular noise: the fit must recover the planted directions
+      (i.toLong, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val index0 = EmbeddingOps.ivfBuild(corpus.toDF("vec_id", "embedding"),
+      cells = 3)
+    def feat(v: Array[Float]) = {
+      val x = v.map(_.toDouble)
+      val n = math.sqrt(x.map(d => d * d).sum)
+      org.apache.spark.ml.linalg.Vectors.dense(x.map(_ / n))
+    }
+    val u = planted(-7.0)
+    val w = planted(7.0)
+    val cellU = index0.model.predict(feat(u))
+    val cellW = index0.model.predict(feat(w))
+    assert(cellU !== cellW, "fixture degenerate: twins share a primary")
+    val probes0 = EmbeddingOps.probeAssignments(EmbeddingOps.IvfIndex(
+        index0.assigned.unionByName(
+          Seq((1000L, u, feat(u), cellU), (1001L, w, feat(w), cellW))
+            .toDF("vec_id", "embedding", "features", "cell")
+            .select(index0.assigned.columns.map(col): _*)),
+        index0.model))
+    val sets = probes0.filter(col("vec_id") >= 1000L)
+      .collect().groupBy(_.getLong(1))
+      .map { case (k, v) => k -> v.map(_.getInt(0)).toSet }
+    // precondition: primaries differ, probe sets overlap ONLY in the
+    // middle (second) cell — the exact second-cell-only geometry
+    assert(!sets(1000L).contains(cellW) && !sets(1001L).contains(cellU),
+      s"fixture degenerate: a probe set reaches the other primary: $sets")
+    assert(sets(1000L).intersect(sets(1001L)).nonEmpty,
+      s"fixture degenerate: probe sets are disjoint: $sets")
+    val index = EmbeddingOps.IvfIndex(
+      index0.assigned.unionByName(
+        Seq((1000L, u, feat(u), cellU), (1001L, w, feat(w), cellW))
+          .toDF("vec_id", "embedding", "features", "cell")
+          .select(index0.assigned.columns.map(col): _*)),
+      index0.model)
+    val primary = index.assigned
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deflt = pairs(EmbeddingOps.multiProbeEdges(primary,
+      EmbeddingOps.probeAssignments(index), nTotal = 152, nCells = 3,
+      threshold = 0.95))
+    val both = pairs(EmbeddingOps.multiProbeEdges(primary,
+      EmbeddingOps.probeAssignments(index), nTotal = 152, nCells = 3,
+      threshold = 0.95, bothSides = true))
+    assert(!deflt.contains((1000L, 1001L)),
+      "default multi-probe found the second-cell-only pair — the " +
+        "documented residue no longer exists; update the doc and census")
+    assert(both.contains((1000L, 1001L)),
+      s"bothSides probing missed the second-cell-only pair")
+    // bothSides strictly extends the default (same threshold/guard)
+    assert(deflt.subsetOf(both), s"bothSides lost pairs: ${deflt.diff(both)}")
+  }
+
   test("semantic-dedup pair pass excludes degenerate hot cells") {
     import spark.implicits._
     // cell 0: 1100 identical vectors (a collapsed region the quantizer
