@@ -660,6 +660,53 @@ object PackOps {
        |WHERE c.cum_tokens < q.quota_tokens
        |ORDER BY source, cum_tokens""".stripMargin
 
+  /** p11 — training-export shard MANIFEST through real written shards
+    * (the handoff artifact every training job consumes: which shard
+    * holds how many documents/tokens/chars, so the trainer plans
+    * epochs and data-parallel splits without scanning data). The
+    * corpus is assigned to shards by p07's seeded portable scramble
+    * ([[shuffleKey]] % [[EpochShards]] — the export is reproducible by
+    * (corpus, seed) across retries), WRITTEN as gzip JSONL partitioned
+    * by shard (s21's trainer-facing format), and the manifest is
+    * aggregated from the READ-BACK files — n_tokens re-tokenized from
+    * the round-tripped text, so a shard-routing bug, a dropped row, or
+    * text corruption in the export path breaks the manifest hash, not
+    * just a downstream training run. The oracle reproduces shard
+    * assignment and token counts closed-form from the table.
+    *
+    * 100 TB shape: one map-only partitioned write (shard dirs, no
+    * pre-shuffle — the JSON sink splits by partition column), one
+    * map-only read, one 64-key hash agg (map-side combined). The
+    * manifest is shard-count-sized — the trainer reads kilobytes, not
+    * the corpus. */
+  def exportManifest(s: SparkSession, d: String): DataFrame = {
+    val assigned = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (shuffleKey(col("doc_id"), ShuffleSeed) % EpochShards).as("shard"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_p11_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    assigned.write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(dir)
+    s.read.schema(assigned.schema).json(dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(bpePieces).as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy(col("shard"))
+  }
+
+  private val exportManifestSql =
+    s"""WITH k AS (
+       |  SELECT doc_id, text,
+       |    ${shuffleKeySql("doc_id", ShuffleSeed)} % $EpochShards AS shard
+       |  FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
@@ -673,5 +720,7 @@ object PackOps {
     QueryDef("p06_packed_sequences", packedSequences, Some(packedSequencesSql)),
     QueryDef("p07_epoch_shuffle", epochShuffleDocs, Some(epochShuffleSql)),
     QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)),
-    QueryDef("p09_budget_draw", budgetDraw, Some(budgetDrawSql)))
+    QueryDef("p09_budget_draw", budgetDraw, Some(budgetDrawSql)),
+    QueryDef("p11_export_manifest", exportManifest,
+      Some(exportManifestSql)))
 }

@@ -454,9 +454,45 @@ object SourceOps {
       |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** s21 — JSONL sink + source round-trip (the de-facto interchange
+    * format of LLM training corpora: one JSON object per line in
+    * gzip-compressed shards — what a crawler hands the pipeline and
+    * what the pipeline hands the trainer; the CSV family covers the
+    * reference's own format, this covers the format its USERS live
+    * on). The documents' (doc_id, text, lang, source) projection is
+    * written via the native JSON sink with gzip codec and read back
+    * with an EXPLICIT schema — schema inference is a second full scan
+    * at 100 TB, banned on the read path, the same discipline as the
+    * CSV sources. The oracle compares the round-trip against the
+    * parquet table directly, so an escaping, encoding, null-handling
+    * or codec bug anywhere in the JSON path breaks the hash. Unlike
+    * the CSV rows (digest proxy — CSV quoting is writer-dependent),
+    * the RAW corpus text rides this round-trip: JSON string escaping
+    * is lossless by specification, which is exactly why training
+    * corpora standardized on JSONL.
+    *
+    * 100 TB shape: map-only write (shard = partition), map-only read.
+    * Gzip shards are not splittable — shard size is the WRITE-side
+    * knob (s17's records-per-shard discipline); a splittable codec
+    * (bzip2, or zstd with seekable framing) plans identically. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s21_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    proj.write.mode("overwrite").option("compression", "gzip").json(dir)
+    s.read.schema(proj.schema).json(dir).orderBy(col("doc_id"))
+  }
+
+  private val jsonlRoundtripSql =
+    """SELECT doc_id, text, lang, source FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_systematic_sample", systematicSample, Some(systematicSampleSql)),
     QueryDef("s03_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
+    QueryDef("s21_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
     QueryDef("s08_consolidated_roundtrip", consolidatedRoundtrip,
       Some(consolidatedRoundtripSql)),
     QueryDef("b01_media_table", mediaTable, Some(mediaTableSql)),

@@ -238,4 +238,51 @@ class SinksSpec extends SparkSpec {
     bad { w => w(40) = (w(40) - 1).toByte; w(4) = (w(4) - 1).toByte
       w.dropRight(1) }
   }
+
+  test("s21 JSONL round-trip: gzip shard files, lossless text, explicit-schema read") {
+    import spark.implicits._
+    val out = graft.operators.SourceOps.jsonlRoundtrip(spark, sfTiny)
+    val src = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // identity: the raw corpus text survives the JSON escape/unescape
+    assert(out.columns.toSeq === src.columns.toSeq)
+    val got = out.as[(Long, String, String, String)].collect().sortBy(_._1)
+    val want = src.as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(got === want, "JSONL round-trip is not lossless")
+    // format contract: the sink really wrote gzip JSONL shard files
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(
+        s"graft_s21_${spark.sparkContext.applicationId}_")).head
+    val shards = dir.listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(shards.nonEmpty, s"no .json.gz shards in $dir")
+    // one JSON object per line, readable by a plain gzip line reader
+    val lines = shards.iterator.flatMap { f =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+    }.toSeq
+    assert(lines.size === want.length)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")),
+      "a shard line is not a single JSON object")
+  }
+
+  test("p11 export manifest cross-foots with the corpus and is seed-reproducible") {
+    import spark.implicits._
+    val m1 = graft.operators.PackOps.exportManifest(spark, sfTiny)
+      .as[(Long, Long, Long, Long)].collect()
+    val m2 = graft.operators.PackOps.exportManifest(spark, sfTiny)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(m1 === m2, "manifest differs across identical export runs")
+    assert(m1.forall { case (sh, _, _, _) => sh >= 0 && sh < 64 })
+    val docs = Tables.documents(spark, sfTiny)
+    assert(m1.map(_._2).sum === docs.count(),
+      "manifest doc total diverges from the corpus")
+    val chars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    assert(m1.map(_._4).sum === chars,
+      "manifest char total diverges from the corpus text")
+    // every shard the manifest lists is non-empty (empty shards are
+    // absent rows, not zero rows)
+    assert(m1.forall(_._2 >= 1))
+  }
 }
