@@ -263,6 +263,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s21/p11: the JSONL export paths are map-only reads — no joins, " +
+      "agg-or-sort exchanges only") {
+    // s21: json scan → sort; nothing may aggregate or join the corpus
+    val s21 = plan("s21_jsonl_roundtrip")
+    assert(!s21.contains("Join") && !s21.contains("HashAggregate"),
+      s"s21 must be scan+sort only:\n$s21")
+    assert("Exchange".r.findAllIn(s21).size === 1 &&
+      s21.contains("rangepartitioning"),
+      s"s21's sole exchange is the query-contract sort:\n$s21")
+    // p11: json scan → partial agg → one 64-key exchange → final agg →
+    // sort; the manifest must be map-side combined and join-free
+    val p11 = plan("p11_export_manifest")
+    assert(!p11.contains("Join"), s"p11 manifest must not join:\n$p11")
+    assert(p11.contains("partial_count"),
+      s"p11 aggregation lost the map-side combine:\n$p11")
+    assert("Exchange".r.findAllIn(p11).size === 2,
+      s"p11 should exchange exactly twice (shard agg + sort):\n$p11")
+  }
+
   test("t13: term-probability join broadcasts — no shuffle join on tokens") {
     // the unigram table is vocabulary-sized: the tokens-side relation
     // (corpus-scale) must never shuffle on term for the probability
