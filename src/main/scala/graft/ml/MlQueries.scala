@@ -281,11 +281,19 @@ object MlQueries {
     * first-wins chained merge (ref ...optimised_clusters.R:861-879)
     * must satisfy:
     *
-    *  - map_idem_ok: the merge MAP is idempotent — every surviving
-    *    representative maps to itself, hence mm∘mm = mm ("merging
-    *    twice changes nothing" at the map level; the first-wins retarget
-    *    scan guarantees it for any center set, so this is closed-form
-    *    TRUE, not corpus-dependent);
+    *  - map_mono_ok / map_total_ok: the merge MAP only ever retargets
+    *    DOWNWARD (each update sets mm(x) to an i strictly below its
+    *    current value — the i<j scan order's signature; a reversed or
+    *    corrupted retarget breaks it) and stays total over the center
+    *    universe (a dropped cluster id breaks it). Deliberately NOT
+    *    pinned: map idempotence (mm∘mm = mm) — the r10 verdict's
+    *    suggested "merging twice changes nothing" flag — because
+    *    first-wins CHAINING legally violates it: cos(1,2) > t and
+    *    cos(2,3) > t with cos(1,3) ≤ t yields mm = {2→1, 3→2}, the
+    *    reference's documented semantics (§7.4.4 — chaining, not
+    *    transitive closure), so an idempotence flag would flip red on
+    *    a legal center configuration at some future corpus — the same
+    *    data-coupling trap m09's r10 universe had;
     *  - k_le_fit_ok: merging never grows the cluster count past the
     *    fitted k;
     *  - dense_ok / nonneg_ok: post-merge renumbering is dense 0..k''−1
@@ -296,10 +304,12 @@ object MlQueries {
   def clusterMerge(s: SparkSession, d: String): DataFrame = {
     import graft.refine.{CosineMerge, Renumber}
     val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
-    val mm = CosineMerge.mergeMap(
-      CosineMerge.collectCenters(fm.assignments), threshold = 0.9)
-    // k-row driver-side map algebra: representatives self-map ⇒ mm∘mm=mm
-    val mapIdem = mm.valuesIterator.forall(r => mm(r) == r)
+    val centers = CosineMerge.collectCenters(fm.assignments)
+    val mm = CosineMerge.mergeMap(centers, threshold = 0.9)
+    // k-row driver-side map algebra (closed-form at ANY corpus)
+    val mapMono = mm.forall { case (x, r) => r <= x }
+    val mapTotal = mm.keySet == centers.keySet &&
+      mm.valuesIterator.forall(centers.keySet)
     val fitN = fm.assignments.agg(count(lit(1)).as("fit_docs"))
     graft.refine.ModelRefresh.stats(
         Renumber.dense(CosineMerge.apply(fm.assignments, mm)))
@@ -315,7 +325,8 @@ object MlQueries {
       .select(col("n_docs"), col("dense_ok"),
         col("nonneg_ok").cast("int").as("nonneg_ok"),
         col("k_le_fit_ok"),
-        lit(if (mapIdem) 1 else 0).as("map_idem_ok"),
+        lit(if (mapMono) 1 else 0).as("map_mono_ok"),
+        lit(if (mapTotal) 1 else 0).as("map_total_ok"),
         (col("n_docs") === col("fit_docs")).cast("int")
           .as("conserves_fit_ok"))
   }
@@ -326,7 +337,8 @@ object MlQueries {
       |SELECT CAST((SELECT count(DISTINCT doc_id) FROM tc
       |        WHERE term IN (SELECT term FROM vocab)) AS BIGINT) AS n_docs,
       |  1 AS dense_ok, 1 AS nonneg_ok, 1 AS k_le_fit_ok,
-      |  1 AS map_idem_ok, 1 AS conserves_fit_ok""".stripMargin
+      |  1 AS map_mono_ok, 1 AS map_total_ok,
+      |  1 AS conserves_fit_ok""".stripMargin
 
   /** m09 — M10/A10: the refiner pipeline — coherence-gated split, top
     * terms, deterministic labels, labeled report sorted best-first.

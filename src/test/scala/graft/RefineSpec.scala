@@ -40,6 +40,13 @@ class RefineSpec extends SparkSpec {
     // scan (0,1): 1 → 0; (0,2): no; (1,2): everything mapped to 2 → 1.
     // 2 ends at 1 (NOT chained through to 0) — reference semantics.
     assert(mm === Map(0 -> 0, 1 -> 0, 2 -> 1))
+    // The chain map is legally NOT idempotent (mm(mm(2)) = 0 ≠ 1) —
+    // which is why m08's oracle pins monotonicity and totality, never
+    // idempotence: an idempotence flag would flip red on exactly this
+    // legal center configuration (r11; the m09 data-coupling lesson)
+    assert(mm(mm(2)) !== mm(2), "chain map unexpectedly idempotent")
+    assert(mm.forall { case (x, r) => r <= x }, "retarget must go downward")
+    assert(mm.keySet === centers.keySet && mm.values.toSet.subsetOf(centers.keySet))
   }
 
   test("CosineMerge.apply + Renumber yields merged dense assignments") {
