@@ -240,6 +240,14 @@ object MlQueries {
     * m13 predates this conversion and pins the same sweep through its
     * own aggregate — kept for series continuity; the two rows share the
     * memoized sweep, so the marginal cost is one aggregation. */
+  /** Dense-universe aggregate flag shared by m07/m08/m09/m13: the
+    * cluster ids of the aggregated relation are exactly 0..k'−1,
+    * pinned without fixing the engine-specific k'. */
+  private def denseIdsAgg: org.apache.spark.sql.Column =
+    (min(col("cluster")) === 0 &&
+      max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
+      countDistinct(col("cluster")) === count(lit(1))).cast("int")
+
   /** One LdaSplitter parameterization shared by m07/m09 so the
     * session-level split materialization is computed once. */
   private val splitParams = graft.refine.LdaSplitter.Params(
@@ -252,10 +260,7 @@ object MlQueries {
     graft.api.ModelPipeline.optimize(s, d, k = 15, seed = 123,
         params = splitParams, mergeThreshold = 0.9)
       .agg(sum(col("n_docs")).as("n_docs"),
-        (min(col("cluster")) === 0 &&
-          max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
-          countDistinct(col("cluster")) === count(lit(1)))
-          .cast("int").as("dense_ok"),
+        denseIdsAgg.as("dense_ok"),
         min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"))
       .crossJoin(broadcast(fitN))
       .select(col("n_docs"), col("dense_ok"),
@@ -314,10 +319,7 @@ object MlQueries {
     graft.refine.ModelRefresh.stats(
         Renumber.dense(CosineMerge.apply(fm.assignments, mm)))
       .agg(sum(col("n_docs")).as("n_docs"),
-        (min(col("cluster")) === 0 &&
-          max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
-          countDistinct(col("cluster")) === count(lit(1)))
-          .cast("int").as("dense_ok"),
+        denseIdsAgg.as("dense_ok"),
         min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"),
         (countDistinct(col("cluster")) <= fm.model.getK)
           .cast("int").as("k_le_fit_ok"))
@@ -376,10 +378,8 @@ object MlQueries {
       .localCheckpoint()
     val inv = rep.agg(
       sum(col("n_docs")).as("n_docs_total"),
-      (min(col("cluster")) === 0 &&
-        max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
-        countDistinct(col("cluster")) === count(lit(1)) &&
-        count(lit(1)) >= 15).cast("int").as("dense_ok"))
+      (denseIdsAgg === 1 && count(lit(1)) >= 15)
+        .cast("int").as("dense_ok"))
     rep.filter(col("cluster") < 15)
       .crossJoin(broadcast(inv))
       .select(col("cluster").cast("long").as("cluster"),
@@ -588,10 +588,7 @@ object MlQueries {
     graft.api.ModelPipeline.optimize(s, d, k = 15, seed = 123,
         params = splitParams, mergeThreshold = 0.9)
       .agg(sum(col("n_docs")).as("n_docs"),
-        (min(col("cluster")) === 0 &&
-          max(col("cluster")) === countDistinct(col("cluster")) - 1 &&
-          countDistinct(col("cluster")) === count(lit(1)))
-          .cast("int").as("dense_ok"),
+        denseIdsAgg.as("dense_ok"),
         min(when(col("withinss") >= 0, 1).otherwise(0)).as("nonneg_ok"))
       .select(col("n_docs"), col("dense_ok"),
         col("nonneg_ok").cast("int").as("nonneg_ok"))
