@@ -679,24 +679,35 @@ object PackOps {
     * map-only read, one 64-key hash agg (map-side combined). The
     * manifest is shard-count-sized — the trainer reads kilobytes, not
     * the corpus. */
+  /** The export shard-assignment relation (doc_id, text, shard) —
+    * ONE routing rule shared by batch p11 and streaming s22, so the
+    * two export paths cannot drift apart (the passage-CTE factoring
+    * discipline). */
+  private[graft] def exportAssigned(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      (shuffleKey(col("doc_id"), ShuffleSeed) % EpochShards).as("shard"))
+
+  /** The manifest tail over a read-back export — shared by p11/s22:
+    * n_tokens re-tokenized from the round-tripped text, so export-path
+    * corruption fails the manifest hash. */
+  private[graft] def manifestFrom(readBack: DataFrame): DataFrame =
+    readBack.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(bpePieces).as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy(col("shard"))
+
   def exportManifest(s: SparkSession, d: String): DataFrame = {
-    val assigned = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        (shuffleKey(col("doc_id"), ShuffleSeed) % EpochShards).as("shard"))
+    val assigned = exportAssigned(Tables.documents(s, d))
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_p11_${s.sparkContext.applicationId}_" +
         Integer.toHexString(d.hashCode)).getAbsolutePath
     assigned.write.mode("overwrite").partitionBy("shard")
       .option("compression", "gzip").json(dir)
-    s.read.schema(assigned.schema).json(dir)
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(bpePieces).as("n_tokens"),
-        sum(length(col("text"))).cast("long").as("n_chars"))
-      .orderBy(col("shard"))
+    manifestFrom(s.read.schema(assigned.schema).json(dir))
   }
 
-  private val exportManifestSql =
+  private[graft] val exportManifestSql =
     s"""WITH k AS (
        |  SELECT doc_id, text,
        |    ${shuffleKeySql("doc_id", ShuffleSeed)} % $EpochShards AS shard

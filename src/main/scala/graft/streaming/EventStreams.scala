@@ -678,6 +678,50 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(s"$dir/store_v$batchId")
   }
 
+  /** s22 — STREAMING training-shard export (p11 at ingest — the
+    * deployment split of the export family, the c04/s20 discipline
+    * applied to the trainer handoff): documents stream through the
+    * SAME shard-routing rule as batch p11
+    * ([[graft.operators.PackOps.exportAssigned]] — one definition,
+    * the two paths cannot drift), each micro-batch APPENDS its rows
+    * as gzip JSONL into the shard-partitioned layout, and the emitted
+    * table is the manifest aggregated from the READ-BACK files
+    * ([[graft.operators.PackOps.manifestFrom]]) — so the batch p11
+    * oracle transfers verbatim and the parity proves the export
+    * survives the batch→streaming split with no routing or format
+    * drift. Append order within a shard file varies with batch split;
+    * the manifest is aggregation-only, so the contract is
+    * order-independent by construction (s16's associativity stance).
+    *
+    * Exactly-once: the checkpoint keeps committed batches from
+    * re-firing across restarts IN THIS LAYOUT only because the
+    * harness source replays deterministically; a crash BETWEEN a
+    * batch's append and its commit would re-append on replay
+    * (at-least-once). A production export closes that window with a
+    * transactional table format or s16's versioned-store discipline —
+    * this row pins the routing/format/manifest mechanics that
+    * transfer unchanged. */
+  def streamExportManifest(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_s22_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val src = graft.operators.PackOps.exportAssigned(readDocuments(ss, d))
+    val q = src.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("shard")
+          .option("compression", "gzip").json(s"$base/shards"))
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadStateStores()
+    // re-runs in one session are no-ops past the checkpoint (the source
+    // is fully committed), so the read-back manifest is run-stable
+    graft.operators.PackOps.manifestFrom(
+      ss.read.schema(src.schema).json(s"$base/shards"))
+  }
+
   /** s16 — streaming UPSERT through a `foreachBatch` merge sink (the
     * Delta-MERGE / CDC keyed-state shape none of the other streaming
     * rows exercise): each micro-batch folds into a versioned keyed
@@ -743,7 +787,9 @@ object EventStreams {
     QueryDef("s19_stream_quality_gate", streamQualityGate,
       Some(streamQualityGateSql)),
     QueryDef("s20_stream_cross_modal", streamCrossModalGate,
-      Some(graft.operators.PackOps.crossModalGateSql)))
+      Some(graft.operators.PackOps.crossModalGateSql)),
+    QueryDef("s22_stream_export", streamExportManifest,
+      Some(graft.operators.PackOps.exportManifestSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

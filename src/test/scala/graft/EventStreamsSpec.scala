@@ -370,6 +370,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("s22 streaming export reproduces batch p11's manifest row-for-row") {
+    // same routing rule, same manifest tail, different write path —
+    // batch→streaming parity for the trainer handoff
+    val got = rows(EventStreams.streamExportManifest(spark, sfTiny))
+    val want = rows(graft.operators.PackOps.exportManifest(spark, sfTiny))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // a second streaming run past the checkpoint is a no-op append —
+    // the manifest must be run-stable
+    assert(rows(EventStreams.streamExportManifest(spark, sfTiny)) === got)
+  }
+
   test("typed Dataset readers expose the corpus entities") {
     val docs = graft.sources.Tables.documentsDs(spark, sfTiny)
     val first = docs.head()
