@@ -27,10 +27,12 @@ object ScaleProbe {
     // whose key space grows superlinearly in vocabulary) and the
     // passage-family reassembly (two uniform hash aggs + per-doc sort)
     "t15_bigram_ce", "d16_boilerplate_strip",
-    // r11 addition: the stream-stream interval join — DUAL buffered
+    // r11 additions: the stream-stream interval join — DUAL buffered
     // state stores, one per input side, the shape s04's single keyed
-    // session store doesn't witness (r10 verdict item 7)
-    "s07_stream_join")
+    // session store doesn't witness (r10 verdict item 7) — and the
+    // trainer-facing export (gzip-JSONL shard write + read-back
+    // manifest: the literal 100 TB output path)
+    "s07_stream_join", "p11_export_manifest")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -674,11 +674,16 @@ object PackOps {
     * just a downstream training run. The oracle reproduces shard
     * assignment and token counts closed-form from the table.
     *
-    * 100 TB shape: one map-only partitioned write (shard dirs, no
-    * pre-shuffle — the JSON sink splits by partition column), one
-    * map-only read, one 64-key hash agg (map-side combined). The
-    * manifest is shard-count-sized — the trainer reads kilobytes, not
-    * the corpus. */
+    * 100 TB shape: one map-only partitioned write (the dynamic-
+    * partition sink sorts rows by shard within each task, so writers
+    * open one at a time), one map-only read, one 64-key hash agg
+    * (map-side combined). The manifest is shard-count-sized — the
+    * trainer reads kilobytes, not the corpus. File-count honesty:
+    * files per shard = tasks that touch it, so a wide cluster writing
+    * few shards fragments (tasks × shards files) — a deployment
+    * either repartitions on shard first (one shuffle, one file per
+    * shard) or runs s17's compaction after; at the harness's
+    * task-per-shard ratio the map-only form is the right plan. */
   /** The export shard-assignment relation (doc_id, text, shard) —
     * ONE routing rule shared by batch p11 and streaming s22, so the
     * two export paths cannot drift apart (the passage-CTE factoring
