@@ -723,6 +723,68 @@ object PackOps {
        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** p12 — INCREMENTAL shard export against a stored id index (d08's
+    * incremental-dedup discipline applied to the trainer handoff: a
+    * pipeline does not re-export 100 TB because a crawl added a
+    * terabyte). The epoch starts with the base corpus (doc_id % 10 ≠ 0
+    * — the harness's planted growth split) exported through p11's
+    * shared routing, PLUS a doc-id INDEX parquet written alongside —
+    * the index, not the export, is what the incremental step probes
+    * (re-reading gzip payloads to learn ids would scan the corpus;
+    * probing a column-pruned parquet index is d08's batch ⋈ index
+    * shape, never batch ⋈ corpus). The incremental step anti-joins the
+    * grown corpus against the index, APPENDS only the new docs to
+    * their shards, appends their ids to the index, and emits the
+    * manifest from the full read-back with per-shard `n_new` — the
+    * oracle reproduces totals AND the increment split closed-form, so
+    * re-exported (duplicated) docs, dropped new docs, or index drift
+    * all break the hash.
+    *
+    * 100 TB shape: index probe is a broadcast-or-shuffle anti-join on
+    * the id (index is ids-only — orders of magnitude under the
+    * corpus); appends are map-only; the index append is the same
+    * transactional-boundary caveat as s22, closed by a table format. */
+  def incrementalExport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_p12_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val epoch0 = exportAssigned(docs.filter(col("doc_id") % 10 =!= 0))
+    // static overwrite: a re-run resets the whole epoch, keeping the
+    // row deterministic across bench repetitions
+    epoch0.write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(s"$base/shards")
+    epoch0.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$base/index")
+    val idx = s.read.parquet(s"$base/index")
+    val fresh = exportAssigned(docs)
+      .join(idx, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // consumed thrice: shard append, index append, n_new
+    fresh.write.mode("append").partitionBy("shard")
+      .option("compression", "gzip").json(s"$base/shards")
+    fresh.select(col("doc_id")).write.mode("append").parquet(s"$base/index")
+    val nNew = fresh.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_new"))
+    manifestFrom(s.read.schema(epoch0.schema).json(s"$base/shards"))
+      .join(nNew, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy(col("shard"))
+  }
+
+  private val incrementalExportSql =
+    s"""WITH k AS (
+       |  SELECT doc_id, text,
+       |    ${shuffleKeySql("doc_id", ShuffleSeed)} % $EpochShards AS shard
+       |  FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_new
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
@@ -738,5 +800,7 @@ object PackOps {
     QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)),
     QueryDef("p09_budget_draw", budgetDraw, Some(budgetDrawSql)),
     QueryDef("p11_export_manifest", exportManifest,
-      Some(exportManifestSql)))
+      Some(exportManifestSql)),
+    QueryDef("p12_incremental_export", incrementalExport,
+      Some(incrementalExportSql)))
 }

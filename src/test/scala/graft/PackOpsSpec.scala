@@ -387,4 +387,28 @@ class PackOpsSpec extends SparkSpec {
     assert(perComponent.forall(_._2.size == 1),
       "all docs of a component must land in the same split")
   }
+
+  test("p12 incremental export: totals match the full export, the increment " +
+      "is exactly the planted growth, the index ends complete") {
+    import spark.implicits._
+    val inc = PackOps.incrementalExport(spark, sfTiny)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val full = PackOps.exportManifest(spark, sfTiny)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // base-then-append must reconstruct the FULL corpus manifest —
+    // a re-exported (duplicated) or dropped doc breaks this equality
+    assert(inc.map(t => (t._1, t._2, t._3, t._4)) === full,
+      "incremental export diverges from the one-shot export")
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    assert(inc.map(_._5).sum === docs.filter(col("doc_id") % 10 === 0).count(),
+      "n_new must be exactly the planted growth slice")
+    // the stored id index ends complete: one id per corpus doc
+    val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_p12_${spark.sparkContext.applicationId}_" +
+        Integer.toHexString(sfTiny.hashCode)).getAbsolutePath + "/index"
+    val idx = spark.read.parquet(idxDir).as[Long].collect()
+    assert(idx.length === idx.distinct.length, "index holds duplicate ids")
+    assert(idx.toSet === docs.select(col("doc_id")).as[Long].collect().toSet,
+      "index must cover exactly the exported corpus")
+  }
 }
