@@ -285,4 +285,37 @@ class SinksSpec extends SparkSpec {
     // absent rows, not zero rows)
     assert(m1.forall(_._2 >= 1))
   }
+
+  test("JSONL mechanics are lossless on adversarial strings (quotes, " +
+      "newlines, backslashes, unicode, empty, null)") {
+    import spark.implicits._
+    // the corpus text is clean [a-z ]; this pins the FORMAT posture on
+    // the strings a real crawl ships: embedded newlines (the reason
+    // JSONL needs escaping at all), JSON metachars, non-ASCII, nulls
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "line one\nline two\r\nline three"),
+      (3L, "quote \" backslash \\ slash / tab\t end"),
+      (4L, "unicode: \u00e9\u4e2d\u6587 emoji \ud83d\ude00 zero-width\u200b"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String]),
+      (7L, "{\"not\":\"parsed as object\"}"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_adv").toString
+    nasty.write.mode("overwrite").option("compression", "gzip").json(dir)
+    val back = spark.read.schema(nasty.schema).json(dir)
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    val want = nasty.as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(back === want, "JSONL round-trip corrupted an adversarial string")
+    // one object per LINE even with embedded newlines in the payload
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz")).iterator.flatMap { f =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+      }.toSeq
+    assert(lines.size === want.length,
+      "embedded newlines leaked into the line structure")
+  }
 }
