@@ -84,18 +84,18 @@ object TemporalOps {
     val Seq(cL, cR, cK, cT, cId, cSide, cM) =
       Seq("__l", "__r", "__k", "__t", "__id", "__side", "__m")
         .map(freshName(_, taken))
-    val rStructT = right.select(struct(right.columns.map(col): _*).as(cR))
+    val rStructT = right.select(struct(right.columns.toIndexedSeq.map(col): _*).as(cR))
       .schema(cR).dataType
-    val lStructT = left.select(struct(left.columns.map(col): _*).as(cL))
+    val lStructT = left.select(struct(left.columns.toIndexedSeq.map(col): _*).as(cL))
       .schema(cL).dataType
     val lPart = left.select(
-      struct(left.columns.map(col): _*).as(cL),
+      struct(left.columns.toIndexedSeq.map(col): _*).as(cL),
       col(key).as(cK), col(timeUs).as(cT), col(idCol).as(cId),
       lit(1).as(cSide), lit(null).cast(rStructT).as(cR))
     val rPart = right.select(
       lit(null).cast(lStructT).as(cL),
       col(key).as(cK), col(timeUs).as(cT), col(idCol).as(cId),
-      lit(0).as(cSide), struct(right.columns.map(col): _*).as(cR))
+      lit(0).as(cSide), struct(right.columns.toIndexedSeq.map(col): _*).as(cR))
     // right rows (side 0) sort before left rows (side 1) at equal time —
     // that single bit IS the inclusive-match semantics; reversing time
     // and id (but not the side bit) turns backward into forward
