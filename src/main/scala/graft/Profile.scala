@@ -126,6 +126,23 @@ object Profile {
           .otherwise("disjoint"))
       .localCheckpoint()
     println(s"[e10blind] n=$n cells=$nCells mult=$mult")
+    // measured cost of the flagged both-sides pass vs the default
+    // (the claimed <=2x vs <=4x pair-work ratio, SCALE.md)
+    val probesRel = EmbeddingOps.probeAssignments(index)
+    def timePass(tag: String, bothSides: Boolean): Unit = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        EmbeddingOps.multiProbeEdges(
+            index.assigned.select(col("cell"), col("vec_id"), col("embedding")),
+            probesRel, n, nCells, threshold = 0.95, bothSides = bothSides)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[e10blind] pair pass $tag%-9s " +
+        times.map(x => f"$x%.2f").mkString(" "))
+    }
+    timePass("default", bothSides = false)
+    timePass("bothSides", bothSides = true)
     Seq(0.95, 0.9, 0.85, 0.8, 0.7, 0.6, 0.5).foreach { t =>
       val counts = pairs.filter(col("cos") >= t)
         .groupBy(col("cls")).agg(count(lit(1)).as("n"))
