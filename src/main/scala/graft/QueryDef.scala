@@ -29,6 +29,7 @@ object QueryRegistry {
     graft.operators.Relational.defs ++
       graft.operators.TemporalOps.defs ++
       graft.operators.TextOps.defs ++
+      graft.operators.BpeOps.defs ++
       graft.operators.EmbeddingOps.defs ++
       graft.operators.DedupOps.defs ++
       graft.operators.GraphOps.defs ++

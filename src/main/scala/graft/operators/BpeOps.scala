@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** t16/t18 — a LEARNED subword vocabulary (byte-pair encoding) and the
+  * corpus retokenized with it (r11 verdict ask #1): until this round,
+  * every token-denominated operator (t09 stats, p01/p06 packing, p09
+  * budget draw, p11/p12 manifests) counted `bpePieces`, a fixed regex
+  * approximation. A real pipeline TRAINS its tokenizer and bills every
+  * budget decision in its units — t16 is that training loop, t18 the
+  * unit of account it produces. Ref tie: the tokenize→DFM stage is the
+  * reference engine's core (ref 02_build_models.R:161-170); the merge
+  * loop itself is the Sennrich et al. 2016 BPE recipe in exact
+  * relational form.
+  *
+  * Training (t16) is a DRIVER-ORCHESTRATED iteration — the M4/LdaSplitter
+  * loop discipline: each step is one exact relational aggregation (pair
+  * counts over the current segmentation, weighted by word frequency)
+  * followed by a 1-row argmax collect (count desc, pair lexicographic —
+  * deterministic tie-break) and one map-only re-segmentation of the
+  * words table. Everything iterated over is VOCABULARY-scale — the
+  * distinct-word relation, Heaps'-law sublinear in the corpus — so the
+  * loop's cost is independent of corpus size once the single corpus
+  * scan has built the word counts.
+  *
+  * Segmentation encoding: each symbol is individually wrapped,
+  * `(s)(u)(b)`. Merging pair (a,b) is then the plain string replace
+  * `(a)(b)` → `(ab)`, which both engines apply left-to-right
+  * non-overlapping — EXACTLY greedy BPE merge semantics ("(a)(a)(a)"
+  * merges to "(aa)(a)", never "(aa)(aa)"), with no false matches across
+  * symbol boundaries ("(ab)(c)" does not contain "(b)(c)") and no
+  * shared-delimiter misses ("(a)(b)(a)(b)" merges BOTH occurrences —
+  * the classic space-separated encoding loses the second one to the
+  * consumed boundary space). Symbols are post-clean `[a-z]+`, so the
+  * parentheses are unambiguous; [[trainBpe]] guards the invariant.
+  *
+  * The training corpus is a SEEDED SLICE (`doc_id % 5 == 0`): a 100 TB
+  * deployment trains its tokenizer on a sample, then applies it
+  * everywhere — which is why t18 retokenizes by REPLAYING the merge
+  * table over the full corpus vocabulary (handles words the slice never
+  * saw, the real BPE apply rule) instead of joining against the
+  * training table's final state.
+  *
+  * Saturation: if no adjacent pair remains before `nMerges` steps, the
+  * loop stops and the merge table is short — and the ORACLE degrades
+  * identically (an empty step-k argmax empties every later CTE, so its
+  * union of merge rows ends at the same step). The registered row pins
+  * [[NMerges]] = 40, measured well under this corpus's saturation
+  * point (~89 merges at every SF — the vocabulary is SF-invariant).
+  *
+  * 100 TB shape: one corpus scan builds the sliced word counts (uniform
+  * word-keyed hash agg, map-side combined); each merge step shuffles the
+  * (pair, count) relation — VOCABULARY-scale, not corpus-scale — and
+  * collects exactly one row (k-row model state, the allowed collect
+  * class); t18's apply is a 40-deep codegen'd replace chain over the
+  * distinct-word relation plus one size-guarded join
+  * ([[graft.plans.SizeGuard.broadcastIfSmall]]) back to the token
+  * stream. Nothing data-scale ever sits on the driver.
+  */
+object BpeOps {
+
+  /** Registered merge count — well under the measured ~89-step
+    * saturation of this corpus's 31-word vocabulary at every SF. */
+  val NMerges = 40
+
+  /** Training slice: every 5th document by id (seeded, SF-stable). */
+  private val TrainMod = 5L
+
+  final case class MergeRow(step: Long, pair: String, merged: String, n: Long)
+
+  private val tokListSql = graft.oracle.DuckFragments.tokListSql
+
+  /** Initial segmentation: every character individually wrapped —
+    * "scan" → "(s)(c)(a)(n)". */
+  private def segInit(word: Column): Column =
+    regexp_replace(word, "(.)", "($1)")
+
+  /** Symbol list of a wrapped segmentation: strip the outer parens,
+    * split on the ")(" boundaries. Pure string ops — no regex scan in
+    * the hot path. */
+  private[graft] def symsOf(seg: Column): Column =
+    split(seg.substr(lit(2), length(seg) - 2), "\\)\\(")
+
+  /** One merge applied to a segmentation column: the left-to-right
+    * non-overlapping string replace IS the greedy BPE merge under the
+    * wrapped encoding (see object doc). */
+  private def mergeOnce(seg: Column, a: String, b: String): Column =
+    replace(seg, lit(s"($a)($b)"), lit(s"($a$b)"))
+
+  /** The sliced training word-frequency relation (word, f). */
+  private[graft] def sliceWords(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("doc_id") % TrainMod === 0)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("f"))
+
+  /** localCheckpoint that releases the PREVIOUS iteration's checkpoint
+    * blocks: the loop otherwise parks one (tiny) table per swap in the
+    * block manager for the rest of the session (the SizeGuard advisory's
+    * failure mode, preempted here). Returns the fresh RDD ids so the
+    * next swap can release these. */
+  private def swapCheckpoint(df: DataFrame,
+      prev: Set[Int]): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    val fresh = sc.getPersistentRDDs.keySet.toSet.diff(before)
+    prev.foreach(id => sc.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+    (out, fresh)
+  }
+
+  /** Lineage-truncation cadence: the re-segmentation projections are
+    * collapsed by Catalyst, so the only growth between swaps is plan
+    * node count — 8 keeps both plan depth and checkpoint churn small. */
+  private val SwapEvery = 8
+
+  /** The BPE merge loop: `nMerges` iterations of exact relational pair
+    * counting + deterministic argmax + map-only re-segmentation. Stops
+    * early at saturation (no adjacent pair left). All intermediate
+    * checkpoints are released before returning — the caller gets plain
+    * driver-side model state (the merge table). */
+  private[graft] def trainBpe(words0: DataFrame,
+      nMerges: Int): Seq[MergeRow] = {
+    var (words, live) = swapCheckpoint(
+      words0.withColumn("seg", segInit(col("word"))), Set.empty)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[MergeRow]
+    var step = 1
+    var saturated = false
+    while (step <= nMerges && !saturated) {
+      val best = words
+        .select(col("f"), symsOf(col("seg")).as("syms"))
+        .filter(size(col("syms")) > 1)
+        .select(col("f"),
+          explode(TextFunctions.ngrams(col("syms"), 2)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) saturated = true
+      else {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        // the wrapped encoding is only unambiguous while symbols stay
+        // alphabetic — post-clean tokens guarantee it; fail loudly if a
+        // caller feeds unclean words
+        require(a.matches("[a-z]+") && b.matches("[a-z]+"),
+          s"bpe: non-alphabetic symbol in pair '$pair' — train on " +
+            "cleaned tokens")
+        merges += MergeRow(step.toLong, pair, a + b, n)
+        words = words.withColumn("seg", mergeOnce(col("seg"), a, b))
+        if (step % SwapEvery == 0) {
+          val (w, l) = swapCheckpoint(words, live)
+          words = w; live = l
+        }
+        step += 1
+      }
+    }
+    // the merge table is the model; the training table's blocks are done
+    val sc = words.sparkSession.sparkContext
+    live.foreach(id => sc.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+    merges.toSeq
+  }
+
+  /** Train once per (dataset, nMerges) and share across t16/t18/specs —
+    * the merge table is k-row driver state, exactly what the
+    * Intermediates memo exists for. */
+  private def trainedMerges(s: SparkSession, d: String): Seq[MergeRow] =
+    graft.api.Intermediates.memo(s, s"bpe_merges|$d|$NMerges") {
+      trainBpe(sliceWords(Tables.documents(s, d)), NMerges)
+    }
+
+  /** Replay a merge table over any (word) relation — the BPE APPLY rule
+    * (merges in training order), which handles words the training slice
+    * never saw. A 40-deep replace chain collapses into one codegen'd
+    * projection. */
+  private[graft] def applyMerges(words: DataFrame,
+      merges: Seq[MergeRow]): DataFrame =
+    merges.foldLeft(words.withColumn("seg", segInit(col("word")))) {
+      case (df, m) =>
+        val Array(a, b) = m.pair.split(" ", 2)
+        df.withColumn("seg", mergeOnce(col("seg"), a, b))
+    }
+
+  /** t16 — the learned merge table itself: (step, pair, merged, n). */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedMerges(s, d).toDF()
+      .select(col("step"), col("pair"), col("merged"), col("n"))
+      .orderBy(col("step"))
+  }
+
+  /** t18 — the corpus retokenized under the learned vocabulary: per-doc
+    * whitespace-word and BPE-piece counts plus the pieces-per-word
+    * ratio (the compression the tokenizer actually achieves — the unit
+    * of account the p-family would bill in). Zero-token docs drop on
+    * both engines (t13's convention). */
+  def bpeRetokenize(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedMerges(s, d)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+    val pieces = applyMerges(toks.select(col("word")).distinct(), merges)
+      .select(col("word"), size(symsOf(col("seg"))).cast("long").as("n_sym"))
+    toks.join(graft.plans.SizeGuard.broadcastIfSmall(pieces), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") / col("n_words"), 6).as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle: the merge loop unrolled into generated CTEs — step k's argmax
+  // (b{k}) is the exact relational twin of the engine's collect, and two
+  // parallel segmentation chains advance per step: w{k} (the training
+  // slice, feeds step k+1's pair counts) and a{k} (the FULL corpus
+  // vocabulary, the t18 apply-replay). DuckDB's replace() is the same
+  // left-to-right non-overlapping rule as Spark's, so the wrapped
+  // encoding means both engines merge identically by construction.
+  // Every CTE is AS MATERIALIZED: w{k} is referenced twice per step
+  // (directly and via px/b), so inlining would expand the chain
+  // EXPONENTIALLY (2^n scans of w0 — measured as an fd blow-up at
+  // n=40); materialization makes the oracle the same linear loop the
+  // engine runs.
+  // ---------------------------------------------------------------------
+
+  /** CTE prefix w0..w{n}, a0..a{n}, b1..b{n} (no leading WITH). */
+  private def chainSql(n: Int): String = {
+    val base =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS f,
+         |    regexp_replace(word, '(.)', '(\\1)', 'g') AS seg
+         |  FROM (SELECT unnest($tokListSql) AS word FROM documents
+         |        WHERE doc_id % $TrainMod = 0) t
+         |  WHERE word <> '' GROUP BY word),
+         |a0 AS MATERIALIZED (
+         |  SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS seg
+         |  FROM (SELECT DISTINCT unnest($tokListSql) AS word
+         |        FROM documents) t
+         |  WHERE word <> '')""".stripMargin
+    val steps = (1 to n).map { k =>
+      val p = k - 1
+      s"""px$k AS (
+         |  SELECT f, l, unnest(generate_series(1, len(l) - 1)) AS i
+         |  FROM (SELECT f, regexp_extract_all(seg, '\\(([^()]+)\\)', 1) AS l
+         |        FROM w$p)
+         |  WHERE len(l) > 1),
+         |b$k AS MATERIALIZED (
+         |  SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS n
+         |  FROM px$k GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.word, w.f, replace(w.seg,
+         |    '(' || string_split(b.pair, ' ')[1] || ')(' ||
+         |      string_split(b.pair, ' ')[2] || ')',
+         |    '(' || replace(b.pair, ' ', '') || ')') AS seg
+         |  FROM w$p w, b$k b),
+         |a$k AS MATERIALIZED (
+         |  SELECT a.word, replace(a.seg,
+         |    '(' || string_split(b.pair, ' ')[1] || ')(' ||
+         |      string_split(b.pair, ' ')[2] || ')',
+         |    '(' || replace(b.pair, ' ', '') || ')') AS seg
+         |  FROM a$p a, b$k b)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private val bpeMergesSql = {
+    val union = (1 to NMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, pair,
+         |  replace(pair, ' ', '') AS merged, n FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${chainSql(NMerges)}\n$union\nORDER BY step"
+  }
+
+  private val bpeRetokenizeSql =
+    s"""WITH ${chainSql(NMerges)},
+       |pieces AS (
+       |  SELECT word,
+       |    CAST(len(regexp_extract_all(seg, '\\(([^()]+)\\)', 1)) AS BIGINT)
+       |      AS n_sym
+       |  FROM a$NMerges),
+       |toks AS (SELECT doc_id, unnest($tokListSql) AS word FROM documents),
+       |t2 AS (SELECT doc_id, word FROM toks WHERE word <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  round(sum(n_sym) / count(*), 6) AS pieces_per_word
+       |FROM t2 JOIN pieces USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("t16_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)))
+}

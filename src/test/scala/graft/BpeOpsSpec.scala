@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.BpeOps
+import org.apache.spark.sql.functions._
+
+/** t16/t18 differential spec: the relational BPE merge loop vs an
+  * INDEPENDENT driver-side reference implementation (symbol lists +
+  * explicit greedy scan — no string replace, so a shared encoding bug
+  * cannot hide). Plus the wrapped-encoding edge cases the object doc
+  * claims, saturation, and the registered rows' invariants on sfTiny. */
+class BpeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----- reference implementation: greedy BPE over symbol vectors -----
+
+  private def refMergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2 // left-to-right, non-overlapping
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** (merge table, final segmentation) for word→freq under nMerges. */
+  private def refTrain(freqs: Map[String, Long], nMerges: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var segs = freqs.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + freqs(w)
+      if (counts.isEmpty) done = true
+      else {
+        // count desc, pair lexicographic (on the space-joined pair — the
+        // engine's sort key)
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+        merges += ((s"$a $b", a + b, n))
+        segs = segs.map { case (w, s) => w -> refMergeWord(s, a, b) }
+        step += 1
+      }
+    }
+    (merges.result(), segs)
+  }
+
+  private def wordsDf(freqs: Map[String, Long]) =
+    freqs.toSeq.toDF("word", "f")
+
+  // ----- differential: engine loop vs reference on a Sennrich-style corpus -----
+
+  test("trainBpe matches the independent reference merge-for-merge") {
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "lowest" -> 2L,
+      "newer" -> 6L, "wider" -> 3L, "new" -> 2L)
+    val got = BpeOps.trainBpe(wordsDf(freqs), nMerges = 12)
+    val (want, _) = refTrain(freqs, 12)
+    assert(got.map(m => (m.pair, m.merged, m.n)) === want)
+    assert(got.map(_.step) === (1L to got.length.toLong))
+  }
+
+  test("applyMerges reproduces the reference's final segmentation, including unseen words") {
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "newer" -> 6L, "wider" -> 3L)
+    val merges = BpeOps.trainBpe(wordsDf(freqs), nMerges = 8)
+    // score trained words AND words the training set never saw
+    val apply = Map("low" -> 1L, "lower" -> 1L, "newest" -> 1L, "zap" -> 1L)
+    val got = BpeOps.applyMerges(apply.keys.toSeq.toDF("word"), merges)
+      .select(col("word"), BpeOps.symsOf(col("seg")).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val (refMerges, _) = refTrain(freqs, 8)
+    var refSegs = apply.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    refMerges.foreach { case (pair, _, _) =>
+      val Array(a, b) = pair.split(" ", 2)
+      refSegs = refSegs.map { case (w, s) => w -> refMergeWord(s, a, b) }
+    }
+    assert(got.view.mapValues(_.toVector).toMap === refSegs)
+    // a word sharing no merged pair stays fully char-split
+    assert(got("zap") === Seq("z", "a", "p"))
+  }
+
+  // ----- wrapped-encoding edge cases (the object-doc claims) -----
+
+  test("greedy non-overlap: aaa merges to (aa)(a), both ab occurrences merge in abab") {
+    val merges = Seq(BpeOps.MergeRow(1L, "a a", "aa", 1L))
+    val g1 = BpeOps.applyMerges(Seq("aaa").toDF("word"), merges)
+      .select(BpeOps.symsOf(col("seg"))).as[Seq[String]].head()
+    assert(g1 === Seq("aa", "a"))
+    val m2 = Seq(BpeOps.MergeRow(1L, "a b", "ab", 1L))
+    val g2 = BpeOps.applyMerges(Seq("abab").toDF("word"), m2)
+      .select(BpeOps.symsOf(col("seg"))).as[Seq[String]].head()
+    assert(g2 === Seq("ab", "ab"))
+    // no false match across a symbol boundary: (ab)(c) does not contain (b)(c)
+    val m3 = Seq(BpeOps.MergeRow(1L, "a b", "ab", 1L), BpeOps.MergeRow(2L, "b c", "bc", 1L))
+    val g3 = BpeOps.applyMerges(Seq("abc").toDF("word"), m3)
+      .select(BpeOps.symsOf(col("seg"))).as[Seq[String]].head()
+    assert(g3 === Seq("ab", "c"))
+  }
+
+  test("tie-break is deterministic: count tie goes to the lexicographically smaller pair") {
+    // "zx" and "ab" both appear exactly twice; "a b" < "z x"
+    val freqs = Map("ab" -> 2L, "zx" -> 2L)
+    val got = BpeOps.trainBpe(wordsDf(freqs), nMerges = 1)
+    assert(got.head.pair === "a b")
+  }
+
+  test("saturation stops the loop early and the merge table is short") {
+    val freqs = Map("ab" -> 3L)
+    val got = BpeOps.trainBpe(wordsDf(freqs), nMerges = 50)
+    assert(got.length === 1) // one merge exhausts every adjacent pair
+    assert(got.head.merged === "ab")
+  }
+
+  test("trainBpe rejects non-alphabetic symbols (encoding guard)") {
+    val ex = intercept[Exception] {
+      BpeOps.trainBpe(Seq(("a(b", 2L)).toDF("word", "f"), nMerges = 1)
+    }
+    assert(ex.getMessage.contains("bpe"))
+  }
+
+  test("trainBpe leaves no persistent RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    BpeOps.trainBpe(wordsDf(Map("lower" -> 3L, "newer" -> 2L)), nMerges = 6)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty)
+  }
+
+  // ----- registered rows on the sfTiny corpus -----
+
+  test("t18 invariants on sfTiny: 1 <= pieces_per_word <= word length bound") {
+    val df = BpeOps.bpeRetokenize(spark, sfTiny).cache()
+    val n = df.count()
+    assert(n > 0)
+    // every word yields >= 1 piece and <= its char count; so per doc:
+    // n_words <= n_bpe_tokens and ratio >= 1
+    assert(df.filter(col("n_bpe_tokens") < col("n_words")).count() === 0)
+    assert(df.filter(col("pieces_per_word") < 1.0).count() === 0)
+    // the learned vocab compresses: overall ratio strictly below the
+    // char-split ratio (sanity that merges actually applied)
+    val meanPpw = df.agg(avg(col("pieces_per_word"))).as[Double].head()
+    assert(meanPpw < 6.0 && meanPpw >= 1.0)
+    df.unpersist()
+  }
+
+  test("t16 merge table on sfTiny is monotone in step with positive counts") {
+    val m = BpeOps.bpeMerges(spark, sfTiny).as[(Long, String, String, Long)].collect()
+    assert(m.nonEmpty && m.length <= BpeOps.NMerges)
+    assert(m.map(_._1) === (1L to m.length.toLong).toArray)
+    m.foreach { case (_, pair, merged, n) =>
+      assert(n > 0); assert(pair.replace(" ", "") === merged)
+    }
+  }
+}
