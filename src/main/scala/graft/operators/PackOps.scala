@@ -702,14 +702,32 @@ object PackOps {
         sum(length(col("text"))).cast("long").as("n_chars"))
       .orderBy(col("shard"))
 
+  /** The export now commits through
+    * [[graft.sources.ExportCommit]]'s atomic manifest protocol (r12):
+    * the shard files are STAGED into a per-attempt directory and
+    * published by atomically creating `manifest-v{N}.json`; the
+    * read-back resolves the manifest and reads exactly the committed
+    * directories. A crashed or replayed attempt is invisible /
+    * deleted — the formerly-documented at-least-once caveat is closed
+    * in-repo, not delegated to a table format. Re-runs in one session
+    * are no-ops (the batch id is already committed), keeping the row
+    * bench-stable; the tmp tree is registered for JVM-exit cleanup
+    * ([[graft.sources.TmpDirs]], r11 ADVICE). */
   def exportManifest(s: SparkSession, d: String): DataFrame = {
     val assigned = exportAssigned(Tables.documents(s, d))
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_p11_${s.sparkContext.applicationId}_" +
-        Integer.toHexString(d.hashCode)).getAbsolutePath
-    assigned.write.mode("overwrite").partitionBy("shard")
-      .option("compression", "gzip").json(dir)
-    manifestFrom(s.read.schema(assigned.schema).json(dir))
+    val root = graft.sources.TmpDirs.registered(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_p11_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)).getAbsolutePath)
+    if (!graft.sources.ExportCommit.latest(root)
+        .exists(_.batchIds.contains(0L))) {
+      val staged = graft.sources.ExportCommit.stage(root, 0L)
+      assigned.write.partitionBy("shard")
+        .option("compression", "gzip").json(staged)
+      graft.sources.ExportCommit.commitBatch(root, 0L, staged)
+    }
+    manifestFrom(
+      graft.sources.ExportCommit.readCommitted(s, root, assigned.schema))
   }
 
   private[graft] val exportManifestSql =
@@ -742,30 +760,60 @@ object PackOps {
     *
     * 100 TB shape: index probe is a broadcast-or-shuffle anti-join on
     * the id (index is ids-only — orders of magnitude under the
-    * corpus); appends are map-only; the index append is the same
-    * transactional-boundary caveat as s22, closed by a table format. */
+    * corpus); appends are map-only. */
+  /** Both the shard tree and the id index now commit through
+    * [[graft.sources.ExportCommit]] (r12): each epoch's files are
+    * staged and published by an atomic manifest version, so the
+    * formerly-documented at-least-once append window (shards AND
+    * index) is closed in-repo. Ordering invariant: within an epoch the
+    * SHARD commit precedes the INDEX commit, and the increment is
+    * always derived by anti-joining against the COMMITTED index — so a
+    * crash between the two commits replays to the identical increment
+    * (the index still lacks the epoch), the shard commit no-ops on its
+    * already-committed batch id, and the index catches up; nothing
+    * double-appends. `n_new` is read from the increment's OWN
+    * committed directories ([[graft.sources.ExportCommit.readBatch]])
+    * — derived from artifacts, stable across re-runs. */
   def incrementalExport(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ExportCommit
     val docs = Tables.documents(s, d)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_p12_${s.sparkContext.applicationId}_" +
-        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val base = graft.sources.TmpDirs.registered(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_p12_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)).getAbsolutePath)
+    val shardsRoot = s"$base/shards"
+    val indexRoot = s"$base/index"
     val epoch0 = exportAssigned(docs.filter(col("doc_id") % 10 =!= 0))
-    // static overwrite: a re-run resets the whole epoch, keeping the
-    // row deterministic across bench repetitions
-    epoch0.write.mode("overwrite").partitionBy("shard")
-      .option("compression", "gzip").json(s"$base/shards")
-    epoch0.select(col("doc_id")).write.mode("overwrite")
-      .parquet(s"$base/index")
-    val idx = s.read.parquet(s"$base/index")
-    val fresh = exportAssigned(docs)
-      .join(idx, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // consumed thrice: shard append, index append, n_new
-    fresh.write.mode("append").partitionBy("shard")
-      .option("compression", "gzip").json(s"$base/shards")
-    fresh.select(col("doc_id")).write.mode("append").parquet(s"$base/index")
-    val nNew = fresh.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_new"))
-    manifestFrom(s.read.schema(epoch0.schema).json(s"$base/shards"))
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    def committed(root: String, b: Long) =
+      ExportCommit.latest(root).exists(_.batchIds.contains(b))
+    if (!committed(shardsRoot, 0L)) {
+      val st = ExportCommit.stage(shardsRoot, 0L)
+      epoch0.write.partitionBy("shard").option("compression", "gzip").json(st)
+      ExportCommit.commitBatch(shardsRoot, 0L, st)
+    }
+    if (!committed(indexRoot, 0L)) {
+      val st = ExportCommit.stage(indexRoot, 0L)
+      epoch0.select(col("doc_id")).write.parquet(st)
+      ExportCommit.commitBatch(indexRoot, 0L, st)
+    }
+    if (!committed(shardsRoot, 1L) || !committed(indexRoot, 1L)) {
+      val idx = ExportCommit.readCommitted(s, indexRoot, idSchema, "parquet")
+      val fresh = exportAssigned(docs)
+        .join(idx, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // consumed twice: shard stage, index stage
+      val stS = ExportCommit.stage(shardsRoot, 1L)
+      fresh.write.partitionBy("shard").option("compression", "gzip").json(stS)
+      ExportCommit.commitBatch(shardsRoot, 1L, stS)
+      val stI = ExportCommit.stage(indexRoot, 1L)
+      fresh.select(col("doc_id")).write.parquet(stI)
+      ExportCommit.commitBatch(indexRoot, 1L, stI)
+    }
+    val nNew = ExportCommit.readBatch(s, shardsRoot, 1L, epoch0.schema)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_new"))
+    manifestFrom(ExportCommit.readCommitted(s, shardsRoot, epoch0.schema))
       .join(nNew, Seq("shard"), "left")
       .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))

@@ -478,9 +478,10 @@ object SourceOps {
   def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val proj = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_s21_${s.sparkContext.applicationId}_" +
-        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val dir = graft.sources.TmpDirs.registered(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_s21_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)).getAbsolutePath)
     proj.write.mode("overwrite").option("compression", "gzip").json(dir)
     s.read.schema(proj.schema).json(dir).orderBy(col("doc_id"))
   }

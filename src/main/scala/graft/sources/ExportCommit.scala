@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Atomic manifest-commit protocol for the training-export family
+  * (r11 verdict ask #3 — closes the documented at-least-once append
+  * window in p11/p12/s22). The file-append posture those operators
+  * shipped with could double-count a micro-batch replayed after a
+  * crash between its append and the checkpoint commit; this protocol
+  * makes the export exactly-once without a table format:
+  *
+  *   - every batch WRITES to a fresh staging directory
+  *     (`data/b{batchId}-{uuid}/`) — never into shared files;
+  *   - committing is the ATOMIC creation of `manifest-v{N}.json`,
+  *     which lists every committed (batchId, dir) pair — the manifest
+  *     IS the table state, its creation the one commit point;
+  *   - readers resolve the HIGHEST manifest version and read exactly
+  *     the directories it lists — an uncommitted (crashed) staging
+  *     dir is invisible, a replayed batchId is detected in the
+  *     manifest and its re-staged dir deleted instead of committed.
+  *
+  * Atomicity: the manifest content is written to a temp file and
+  * published with `Files.createLink` — hard-link creation is atomic
+  * and FAILS if the target exists, so two racing committers cannot
+  * both win version N (the loser re-reads and retries at N+1; the
+  * re-read also re-checks its batchId, so a replay that lost a race
+  * to its own earlier attempt is still dropped). Readers never see a
+  * torn manifest: the name appears only after the content is fully
+  * durable. This is the single-filesystem recipe; an object-store
+  * deployment replaces createLink with a conditional put
+  * (if-none-match) and keeps everything else.
+  *
+  * 100 TB shape: the manifest is (batches × path)-sized — kilobytes
+  * for thousands of committed batches; readers plan a union over the
+  * listed directories (one scan node per batch dir — linear plan
+  * growth, pruned like any multi-path scan); staging adds zero data
+  * movement (the batch was being written anyway).
+  */
+object ExportCommit {
+
+  /** One committed batch: its id and its data directory (root-relative). */
+  final case class Entry(batchId: Long, dir: String)
+
+  final case class Manifest(version: Int, entries: Seq[Entry]) {
+    def batchIds: Set[Long] = entries.map(_.batchId).toSet
+  }
+
+  private val ManifestName = "manifest-v(\\d+)\\.json".r
+
+  /** Highest committed manifest, if any. */
+  def latest(root: String): Option[Manifest] = {
+    val f = new File(root)
+    Option(f.list()).toSeq.flatten
+      .collect { case ManifestName(v) => v.toInt }
+      .maxOption
+      .map(v => parse(v, Files.readString(
+        Paths.get(root, s"manifest-v$v.json"), UTF_8)))
+  }
+
+  /** Fresh staging directory for a batch attempt — unique per attempt,
+    * so a replay never collides with a crashed attempt's files. */
+  def stage(root: String, batchId: Long): String = {
+    val dir = new File(new File(root, "data"),
+      s"b$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    dir.getParentFile.mkdirs()
+    dir.getAbsolutePath
+  }
+
+  /** Commit a staged directory under `batchId`. Returns true if this
+    * call published a new manifest version; false if the batchId was
+    * already committed (replay) — in which case the staged attempt is
+    * deleted, not published. Safe under concurrent committers via the
+    * createLink CAS; callers may re-invoke freely (idempotent). */
+  def commitBatch(root: String, batchId: Long, staged: String): Boolean = {
+    val rootPath = Paths.get(root)
+    while (true) {
+      val cur = latest(root)
+      if (cur.exists(_.batchIds.contains(batchId))) {
+        deleteRec(new File(staged))
+        return false
+      }
+      val next = cur.map(_.version).getOrElse(0) + 1
+      val rel = rootPath.relativize(Paths.get(staged)).toString
+      val m = Manifest(next,
+        cur.map(_.entries).getOrElse(Seq.empty) :+ Entry(batchId, rel))
+      val tmp = Files.createTempFile(rootPath, ".manifest", ".tmp")
+      try {
+        Files.writeString(tmp, render(m), UTF_8)
+        try {
+          Files.createLink(rootPath.resolve(s"manifest-v$next.json"), tmp)
+          return true
+        } catch {
+          case _: FileAlreadyExistsException => () // lost the race; retry
+        }
+      } finally Files.deleteIfExists(tmp)
+    }
+    false // unreachable
+  }
+
+  /** Absolute paths of every committed data directory, commit order. */
+  def committedDirs(root: String): Seq[String] =
+    latest(root).map(_.entries.map(e =>
+      Paths.get(root).resolve(e.dir).toString)).getOrElse(Seq.empty)
+
+  /** Read exactly the committed directories (empty relation when no
+    * manifest exists yet). Each dir is read with its own base path so
+    * partition columns (`shard=k/`) resolve per batch dir; the
+    * explicit schema carries their types. */
+  def readCommitted(s: SparkSession, root: String, schema: StructType,
+      format: String = "json"): DataFrame =
+    readDirs(s, committedDirs(root), schema, format)
+
+  /** Read only the directories committed under one batchId. */
+  def readBatch(s: SparkSession, root: String, batchId: Long,
+      schema: StructType, format: String = "json"): DataFrame = {
+    val dirs = latest(root).map(_.entries.filter(_.batchId == batchId)
+      .map(e => Paths.get(root).resolve(e.dir).toString))
+      .getOrElse(Seq.empty)
+    readDirs(s, dirs, schema, format)
+  }
+
+  private def readDirs(s: SparkSession, dirs: Seq[String],
+      schema: StructType, format: String): DataFrame =
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    else dirs.map(d => s.read.schema(schema).format(format).load(d))
+      .reduce(_.unionByName(_))
+
+  // ----- tiny hand-rolled manifest codec: the format is two flat
+  // arrays, so a JSON library adds nothing but a dependency surface;
+  // paths are uuid-safe (no quotes/escapes can occur) -----
+
+  private def render(m: Manifest): String = {
+    val es = m.entries.map(e =>
+      s"""{"batch_id":${e.batchId},"dir":"${e.dir}"}""").mkString(",")
+    s"""{"version":${m.version},"entries":[$es]}"""
+  }
+
+  private val EntryRe = """\{"batch_id":(\d+),"dir":"([^"]+)"\}""".r
+
+  private def parse(version: Int, s: String): Manifest =
+    Manifest(version,
+      EntryRe.findAllMatchIn(s).map(m =>
+        Entry(m.group(1).toLong, m.group(2))).toSeq)
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(); ()
+  }
+}
+
+/** Session-lifetime tmp-dir registry (r11 ADVICE): every export-family
+  * operator that materializes a corpus-sized tree under java.io.tmpdir
+  * routes its root through [[registered]], and ONE JVM shutdown hook
+  * deletes everything registered — sessions no longer leave a gzip
+  * copy of the corpus per run. Registration is idempotent per path. */
+object TmpDirs {
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach(d => deleteRec(new File(d)))))
+    ()
+  }
+
+  def registered(path: String): String = {
+    hook
+    dirs.add(path)
+    path
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(); ()
+  }
+}

@@ -693,33 +693,39 @@ object EventStreams {
     * the manifest is aggregation-only, so the contract is
     * order-independent by construction (s16's associativity stance).
     *
-    * Exactly-once: the checkpoint keeps committed batches from
-    * re-firing across restarts IN THIS LAYOUT only because the
-    * harness source replays deterministically; a crash BETWEEN a
-    * batch's append and its commit would re-append on replay
-    * (at-least-once). A production export closes that window with a
-    * transactional table format or s16's versioned-store discipline —
-    * this row pins the routing/format/manifest mechanics that
-    * transfer unchanged. */
+    * Exactly-once (r12): each micro-batch STAGES its files and
+    * publishes them through [[graft.sources.ExportCommit]]'s atomic
+    * manifest protocol — the formerly-documented crash window between
+    * a batch's append and its checkpoint commit is closed IN-REPO: a
+    * replayed batch id is detected in the manifest and its re-staged
+    * directory deleted, an uncommitted (crashed) attempt is invisible
+    * to the manifest reader. The checkpoint remains the normal-path
+    * replay suppressor; the manifest is the correctness backstop
+    * (ExportCommitSpec replays a batch and proves no double count). */
   def streamExportManifest(s: SparkSession, d: String): DataFrame = {
     val ss = streamSession(s)
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_s22_${s.sparkContext.applicationId}_" +
-        Integer.toHexString(d.hashCode)).getAbsolutePath
+    val base = graft.sources.TmpDirs.registered(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_s22_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)).getAbsolutePath)
+    val shardsRoot = s"$base/shards"
     val src = graft.operators.PackOps.exportAssigned(readDocuments(ss, d))
     val q = src.writeStream
-      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").partitionBy("shard")
-          .option("compression", "gzip").json(s"$base/shards"))
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => {
+        val staged = graft.sources.ExportCommit.stage(shardsRoot, batchId)
+        batch.write.partitionBy("shard")
+          .option("compression", "gzip").json(staged)
+        graft.sources.ExportCommit.commitBatch(shardsRoot, batchId, staged)
+        ()
+      })
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     unloadStateStores()
-    // re-runs in one session are no-ops past the checkpoint (the source
-    // is fully committed), so the read-back manifest is run-stable
     graft.operators.PackOps.manifestFrom(
-      ss.read.schema(src.schema).json(s"$base/shards"))
+      graft.sources.ExportCommit.readCommitted(ss, shardsRoot, src.schema))
   }
 
   /** s16 — streaming UPSERT through a `foreachBatch` merge sink (the
