@@ -169,34 +169,69 @@ object EventStreams {
       lastSink.values.forEach(v => clone.catalog.dropTempView(v))
       lastSink.clear()
       clone.catalog.clearCache()
+      // orphan sweep: per-query unload (below) already covers the
+      // normal path; this catches providers of queries that died
+      // before their unload ran. Keyed by LIVENESS, not position in a
+      // sweep — concurrent streams keep their providers.
+      val active = clone.streams.active.map(_.runId).toSet
+      loadedProviderIds.filterNot(id => active.contains(id.queryRunId))
+        .foreach(unloadProvider)
     }
-    unloadStateStores()
   }
 
-  /** Unload every loaded state-store provider and stop the maintenance
-    * thread. Harness streaming queries run AvailableNow to completion on
-    * a fresh temp checkpoint each time (except s11's deliberate
-    * restart-reuse, which reloads from its checkpoint files on the next
-    * run — bounded, and the reload IS the restart being exercised), so a
-    * terminated query's providers have no future consumer: left loaded,
-    * a long sweep accumulates dozens of orphaned providers whose
-    * in-memory maps hold heap and whose 60-second maintenance cycle
-    * snapshots dead state while later queries are being timed. The next
-    * store access lazily restarts maintenance — this is the standard
-    * between-queries reset, not a teardown.
+  /** Per-provider state-store unload (r12 — replaces the former
+    * process-global `StateStore.stop()` and retires its documented
+    * sequential-execution assumption): a finished query's providers are
+    * identified by the provider id's `queryRunId` — exact, no
+    * checkpoint-path normalization — and only THOSE are closed and
+    * removed. Concurrent streaming queries are untouched
+    * (spec-pinned: EventStreamsSpec runs two live stateful streams,
+    * finishes one, and the other's providers stay loaded and
+    * progressing), so the helper is deployment-safe. Left loaded, a
+    * long sweep otherwise accumulates dozens of orphaned providers
+    * whose in-memory maps hold heap and whose 60-second maintenance
+    * cycle snapshots dead state while later queries are being timed.
+    * The shared maintenance thread is left running (it idles over zero
+    * partitions between queries) — stopping it is a teardown decision,
+    * not a between-queries reset.
     *
-    * SEQUENTIAL-EXECUTION ASSUMPTION (r10 advisory): StateStore.stop()
-    * is process-global — it unloads EVERY loaded provider and kills the
-    * shared maintenance thread, which is only safe because harness
-    * streaming queries run strictly one at a time (runToMemory awaits
-    * termination before returning, and releaseSinks fires at family
-    * boundaries when nothing is running). A deployment running
-    * concurrent streaming queries must instead unload only the finished
-    * query's providers (StateStore.unload per provider id, keyed by the
-    * query's checkpoint location) — calling this helper there would
-    * yank live providers mid-batch. */
-  private def unloadStateStores(): Unit =
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    * Provider enumeration reads Spark's private `loadedProviders` map
+    * reflectively (the public API can unload a known id via
+    * `removeFromLoadedProvidersAndClose` but cannot list ids); the
+    * lookup is resolved once and falls back to the coarse global
+    * `stop()` if a Spark upgrade renames the member — degraded to
+    * exactly the old harness-only behavior, never silently leaking. */
+  private[graft] def unloadProvidersOf(runId: java.util.UUID): Unit =
+    loadedProviderIds.filter(_.queryRunId == runId).foreach(unloadProvider)
+
+  private def unloadProvider(
+      id: org.apache.spark.sql.execution.streaming.state.StateStoreProviderId)
+      : Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore
+      .removeFromLoadedProvidersAndClose(id)
+
+  private lazy val loadedProvidersAccessor: Option[java.lang.reflect.Method] =
+    try {
+      val m = org.apache.spark.sql.execution.streaming.state.StateStore
+        .getClass.getDeclaredMethod("loadedProviders")
+      m.setAccessible(true)
+      Some(m)
+    } catch { case _: ReflectiveOperationException => None }
+
+  private[graft] def loadedProviderIds: Seq[
+      org.apache.spark.sql.execution.streaming.state.StateStoreProviderId] = {
+    val store = org.apache.spark.sql.execution.streaming.state.StateStore
+    loadedProvidersAccessor match {
+      case Some(m) =>
+        val map = m.invoke(store).asInstanceOf[scala.collection.mutable.HashMap[
+          org.apache.spark.sql.execution.streaming.state.StateStoreProviderId, _]]
+        map.synchronized { map.keys.toSeq }
+      case None =>
+        // accessor gone (Spark upgrade): coarse fallback, loudly coarse
+        store.stop()
+        Seq.empty
+    }
+  }
 
   private def runToMemory(df: DataFrame, mode: String, prefix: String,
                           requireSingleBatch: Boolean = false): DataFrame = {
@@ -209,7 +244,7 @@ object EventStreams {
     q.awaitTermination()
     // the finished query's temp-checkpoint providers are orphans from
     // here on — unload before the caller's timing window closes
-    unloadStateStores()
+    unloadProvidersOf(q.runId)
     // Loud precondition for parity rows whose batch-analog oracle is
     // only valid when the whole source lands in ONE data micro-batch
     // (AvailableNow is documented to split large scans): a silent
@@ -457,7 +492,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    unloadStateStores()
+    unloadProvidersOf(q.runId)
     // explicit schema (the streaming plan's own): a corpus whose span
     // never closes a window leaves the sink with zero data files, and a
     // schema-inferring read would crash where the oracle cleanly
@@ -723,7 +758,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    unloadStateStores()
+    unloadProvidersOf(q.runId)
     graft.operators.PackOps.manifestFrom(
       graft.sources.ExportCommit.readCommitted(ss, shardsRoot, src.schema))
   }
@@ -754,7 +789,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    unloadStateStores()
+    unloadProvidersOf(q.runId)
     val v = prevStoreVersion(dir, Long.MaxValue).getOrElse(
       throw new IllegalStateException(
         s"s16: no store version written under $dir — empty source?"))

@@ -23,6 +23,45 @@ class EventStreamsSpec extends SparkSpec {
     q
   }
 
+  test("per-provider unload: finishing one stream leaves a concurrent stream's state loaded") {
+    // two live STATEFUL streams (r11 verdict ask #4 — the scenario the
+    // old process-global StateStore.stop() could not survive)
+    val in1 = MemoryStream[(Long, Timestamp)]
+    val in2 = MemoryStream[(Long, Timestamp)]
+    def agg(src: MemoryStream[(Long, Timestamp)]) =
+      src.toDF().toDF("k", "ts")
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    in1.addData((1L, ts(0)), (2L, ts(1)))
+    in2.addData((7L, ts(0)), (8L, ts(1)))
+    val q1 = agg(in1).writeStream.format("memory").queryName("unload_a")
+      .outputMode("update").start()
+    val q2 = agg(in2).writeStream.format("memory").queryName("unload_b")
+      .outputMode("update").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      def of(run: java.util.UUID) =
+        EventStreams.loadedProviderIds.filter(_.queryRunId == run)
+      assert(of(q1.runId).nonEmpty, "q1 providers loaded")
+      assert(of(q2.runId).nonEmpty, "q2 providers loaded")
+      // finish q1 through the harness path: stop + per-provider unload
+      q1.stop()
+      EventStreams.unloadProvidersOf(q1.runId)
+      assert(of(q1.runId).isEmpty, "q1 providers unloaded")
+      assert(of(q2.runId).nonEmpty, "q2 providers SURVIVE q1's unload")
+      // q2 is still live and processing with its surviving state
+      in2.addData((7L, ts(2)))
+      q2.processAllAvailable()
+      val n7 = spark.table("unload_b").filter(col("k") === 7L)
+        .agg(max(col("n"))).as[Long].head()
+      assert(n7 === 2L, "q2 state accumulated across q1's teardown")
+    } finally {
+      if (q1.isActive) q1.stop()
+      q2.stop()
+      EventStreams.unloadProvidersOf(q2.runId)
+    }
+  }
+
   test("hourlyCounts: closed windows match the batch aggregation") {
     val in = MemoryStream[(Long, Timestamp, String, Double)]
     val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
