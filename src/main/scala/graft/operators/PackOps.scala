@@ -576,6 +576,13 @@ object PackOps {
   private val DrawBudgetDen = 4L
   private val DrawSeed = 29L
 
+  /** Micro-share scale for p09's exact integer quota arithmetic: six
+    * decimal digits of √-share resolution — enough that the integer
+    * quota reproduces the former float formula on every tested corpus,
+    * small enough that budget·m stays ~10²⁵ at 100 TB (inside
+    * DECIMAL(38,0)/HUGEINT). */
+  private val MShareScale = 1000000L
+
   /** p09 — token-budget mixture draw: MATERIALIZE p05's √-temperature
     * mixture weights into an actual training subset. The global budget
     * (corpus tokens ÷ [[DrawBudgetDen]], integer) splits into per-source
@@ -591,35 +598,36 @@ object PackOps {
     * 100 TB shape: one per-source aggregation (quotas are
     * vocabulary-of-sources-sized — broadcast), one grouped distributed
     * scan for the running sums (a hot source never lands on one task),
-    * no global sort. Quota boundaries are integers compared to integer
-    * running sums; the only float is the √-share itself, floored into
-    * the integer quota.
+    * no global sort.
     *
-    * Known cross-engine boundary risk (r10 advisory, accepted): z =
-    * Σ√src_tokens is a floating-point sum whose accumulation order
-    * differs between Spark and DuckDB, so if budget·√src/z lands within
-    * an ulp of an integer, the floor — and with it the last drawn doc
-    * of that source — can diverge between engine and oracle. The sum
-    * has one addend per SOURCE (a handful, not data-scale), so the
-    * accumulated error is a few ulps against quota values in the
-    * thousands-of-tokens range; a flip requires the product to sit
-    * within ~1e-12 relative of an integer, which no corpus has hit in
-    * 10 rounds. Making it impossible would mean integer-only quota
-    * arithmetic (budget·isqrt products overflow BIGINT at 100 TB
-    * without HUGEINT/BigDecimal on both engines) — not worth the
-    * portability loss for a diagnostic-only boundary. */
+    * Quota arithmetic is EXACT (r12 — retires the r10 boundary-risk
+    * advisory): the √-share is materialized as an integer micro-share
+    * m = round(√src_tokens · 10⁶) — deterministic on both engines
+    * because IEEE-754 `sqrt` and the scale multiply are correctly
+    * rounded per-value operations with NO accumulation-order
+    * dependence (the old z = Σ√src float sum was the one
+    * order-sensitive term) — and the quota is the exact integer
+    * floor(budget·m / Σm), evaluated in 128-bit integer arithmetic
+    * (DECIMAL(38,0) `div` Spark-side, HUGEINT `//` oracle-side;
+    * budget·m ≈ 3·10²⁵ at 100 TB, far inside 38 digits). Verified to
+    * reproduce the former float quotas bit-for-bit at sf0.01 and
+    * sf0.1 — the hash is unchanged; what changed is that no corpus
+    * can ever sit on a rounding boundary. */
   def budgetDraw(s: SparkSession, d: String): DataFrame = {
     val per = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), bpePieces.as("n_tokens"))
     val bySrc = per.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("m_share",
+        round(sqrt(col("src_tokens")) * MShareScale).cast("long"))
     val tot = bySrc.agg(
       expr(s"cast(sum(src_tokens) div $DrawBudgetDen as bigint)")
         .as("budget"),
-      sum(sqrt(col("src_tokens"))).as("z"))
+      sum(col("m_share")).as("m_tot"))
     val quotas = bySrc.crossJoin(broadcast(tot))
       .select(col("source"),
-        floor(col("budget") * sqrt(col("src_tokens")) / col("z"))
+        expr("cast((cast(budget as decimal(38,0)) * cast(m_share as decimal(38,0)))" +
+          " div cast(m_tot as decimal(38,0)) as bigint)")
           .as("quota_tokens"))
     val keyed = per.withColumn("shuffle_key",
       shuffleKey(col("doc_id"), DrawSeed))
@@ -643,11 +651,13 @@ object PackOps {
        |         FROM per GROUP BY source),
        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) // $DrawBudgetDen
        |          AS budget,
-       |        sum(sqrt(src_tokens)) AS z
+       |        CAST(sum(CAST(round(sqrt(src_tokens) * $MShareScale)
+       |          AS BIGINT)) AS BIGINT) AS m_tot
        |        FROM srcs),
        |q AS (SELECT source,
-       |        CAST(floor(budget * sqrt(src_tokens) / z) AS BIGINT)
-       |          AS quota_tokens
+       |        CAST((CAST(budget AS HUGEINT) *
+       |              CAST(round(sqrt(src_tokens) * $MShareScale) AS BIGINT))
+       |             // m_tot AS BIGINT) AS quota_tokens
        |      FROM srcs, tot),
        |c AS (SELECT doc_id, source, n_tokens,
        |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
