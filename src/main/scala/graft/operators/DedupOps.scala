@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family — a first-class concern for a
@@ -1099,6 +1100,79 @@ object DedupOps {
        |        / count(*), 6) AS known_frac
        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Passage-hash fanout guard for d18's pair join: a passage shared by
+    * more than this many distinct documents is corpus furniture
+    * (d16's boilerplate business — its strip removes it anyway), not a
+    * quotation, and would pair-join quadratically. The same
+    * degenerate-key discipline as the LSH banded joins. */
+  private val MaxRunFanoutDocs = 32L
+
+  /** d18 — passage-RUN grain dedup (r11 verdict ask #6): maximal runs
+    * of ≥ 2 CONSECUTIVE shared passages between document pairs — the
+    * long-verbatim-quotation detector that containment (d12,
+    * token-set) and single-passage counts (d13/d15) both blur: a
+    * 40-passage verbatim block and 40 scattered shared passages look
+    * identical to them, but only the block is a quotation. Composes
+    * the SAME passage relation as d13/d15/d16/d17
+    * ([[passageInstances]] — one slicing definition) and finds runs by
+    * island detection: matched position pairs (pa, pb) lie on the
+    * diagonal pa − pb, and consecutive pa's on one diagonal share
+    * pa − row_number — the index-minus-rank group key. One row per
+    * maximal run: (doc_a, doc_b, a_start, b_start, run_len).
+    *
+    * 100 TB shape: shared-instance pair join on the uniform 128-bit
+    * passage hash with the [[MaxRunFanoutDocs]] degenerate-key guard
+    * (quotations live in few docs; furniture is d16's job), then a
+    * (doc_a, doc_b, diag)-partitioned window over per-pair matched
+    * positions — bounded by the shorter doc's passage count, never
+    * corpus-global. */
+  def passageRuns(s: SparkSession, d: String): DataFrame = {
+    val inst = passageInstances(s, d)
+      .select(col("doc_id"), col("pi"),
+        md5(col("passage").cast("binary")).as("h"))
+    val ok = inst.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2L, MaxRunFanoutDocs))
+      .select(col("h"))
+    val shared = inst.join(ok, "h")
+    val pairs = shared.select(col("h"), col("doc_id").as("doc_a"), col("pi").as("pa"))
+      .join(shared.select(col("h"), col("doc_id").as("doc_b"), col("pi").as("pb")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    pairs.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= 2)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("run_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
+  private val passageRunsSql =
+    s"""WITH $passageCtesSql,
+       |inst AS (SELECT doc_id, pi, md5(passage) AS h FROM ch),
+       |ok AS (SELECT h FROM inst GROUP BY h
+       |       HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxRunFanoutDocs),
+       |sh AS (SELECT i.doc_id, i.pi, i.h FROM inst i JOIN ok USING (h)),
+       |pr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.pi AS pa, y.pi AS pb
+       |       FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |g AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |                                ORDER BY pa) AS grp
+       |      FROM pr)
+       |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_start,
+       |  CAST(min(pb) AS BIGINT) AS b_start,
+       |  CAST(count(*) AS BIGINT) AS run_len
+       |FROM g GROUP BY doc_a, doc_b, diag, grp
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
     QueryDef("d02_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
@@ -1123,5 +1197,6 @@ object DedupOps {
     QueryDef("d16_boilerplate_strip", boilerplateStrip,
       Some(boilerplateStripSql)),
     QueryDef("d17_incremental_passages", incrementalPassageDedup,
-      Some(incrementalPassageDedupSql)))
+      Some(incrementalPassageDedupSql)),
+    QueryDef("d18_passage_runs", passageRuns, Some(passageRunsSql)))
 }
