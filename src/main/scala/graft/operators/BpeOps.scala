@@ -210,7 +210,8 @@ object BpeOps {
         explode(TextFunctions.tokens(col("text"))).as("word"))
     val pieces = applyMerges(toks.select(col("word")).distinct(), merges)
       .select(col("word"), size(symsOf(col("seg"))).cast("long").as("n_sym"))
-    toks.join(graft.plans.SizeGuard.broadcastIfSmall(pieces), "word")
+    toks.join(graft.plans.SizeGuard.broadcastIfSmall(pieces,
+        s"t18_pieces|$d|$NMerges"), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),

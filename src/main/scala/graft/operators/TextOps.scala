@@ -221,7 +221,7 @@ object TextOps {
       .crossJoin(broadcast(consts))
       .select(col("lang"), log(col("n_lang") / col("n_all")).as("prior"),
         log(col("n_inst") + col("v")).as("denom"))
-    val matched = dt.join(graft.plans.SizeGuard.broadcastIfSmall(m), "tg")
+    val matched = dt.join(graft.plans.SizeGuard.broadcastIfSmall(m, s"t17_model|$d"), "tg")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("k") * log(col("c") + 1)).as("msum"))
     val scored = perDoc.crossJoin(broadcast(li))
@@ -634,7 +634,7 @@ object TextOps {
         explode(TextFunctions.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = tf.agg(sum(col("cnt")).as("total"))
-    toks.join(graft.plans.SizeGuard.broadcastIfSmall(tf), "term")
+    toks.join(graft.plans.SizeGuard.broadcastIfSmall(tf, s"t13_probs|$d"), "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -674,10 +674,15 @@ object TextOps {
     * corpus worth training on, shuffle join past the web-scale type
     * ceiling). */
   def bigramCe(s: SparkSession, d: String): DataFrame =
-    bigramCeFrom(Tables.documents(s, d))
+    bigramCeFrom(Tables.documents(s, d), Some(s"t15_prefix|$d"))
 
-  /** Frame-parametric form of t15 — any (doc_id, text) relation. */
-  def bigramCeFrom(documents: DataFrame): DataFrame = {
+  /** Frame-parametric form of t15 — any (doc_id, text) relation.
+    * `memoKey` (the registered row passes its dataset-scoped key)
+    * memoizes the prefix-table materialization across re-runs; frame
+    * callers whose relation varies per invocation (tests, micro-batch
+    * shapes) leave it None and get a per-call checkpoint they own. */
+  def bigramCeFrom(documents: DataFrame,
+      memoKey: Option[String] = None): DataFrame = {
     val bg = TextFunctions.withNgrams(
         documents
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words")),
@@ -689,7 +694,7 @@ object TextOps {
       .agg(sum(col("c2")).as("c1"))
     bg.join(bgf, "bg")
       .withColumn("prev", split(col("bg"), " ").getItem(0))
-      .join(graft.plans.SizeGuard.broadcastIfSmall(pf), "prev")
+      .join(graft.plans.SizeGuard.broadcastIfSmall(pf, memoKey), "prev")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(log2(col("c2") / col("c1"))) / count(lit(1)), 6)
@@ -750,7 +755,7 @@ object TextOps {
           .agg(count(lit(1)).as("n_t"))))
     val termLogw = log2(col("c_t") + 1) + log2(col("n_c") + col("v")) -
       log2(col("c_c") + 1) - log2(col("n_t") + col("v"))
-    toks.join(graft.plans.SizeGuard.broadcastIfSmall(model), "term")
+    toks.join(graft.plans.SizeGuard.broadcastIfSmall(model, s"p10_model|$d"), "term")
       .crossJoin(broadcast(consts))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

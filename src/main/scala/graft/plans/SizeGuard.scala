@@ -38,12 +38,38 @@ object SizeGuard {
     * hardware, an order of magnitude under a web-scale type inventory. */
   val DefaultMaxRows: Long = 10L * 1000 * 1000
 
-  /** `rel`, materialized once, with a broadcast hint iff its row count
-    * is at or under the session's configured ceiling. */
-  def broadcastIfSmall(rel: DataFrame): DataFrame = {
+  /** `rel`, materialized once per (session, `memoKey`), with a
+    * broadcast hint iff its row count is at or under the session's
+    * configured ceiling.
+    *
+    * The materialization (checkpoint + its count) is memoized through
+    * [[graft.api.Intermediates]] (r11 ADVICE): repeat constructions of
+    * the same query — bench re-runs, a long-lived session — reuse ONE
+    * checkpoint instead of parking a new vocabulary-sized RDD in the
+    * block manager per call; the harness's family-boundary release
+    * reclaims it like every other pinned intermediate. The key names
+    * the (operator, dataset) pair because it fully describes the
+    * relation's content. The broadcast-or-shuffle DECISION is re-taken
+    * per call against the current conf ceiling (the fallback spec
+    * flips the ceiling at runtime), only the materialization is
+    * shared. */
+  def broadcastIfSmall(rel: DataFrame, memoKey: String): DataFrame =
+    broadcastIfSmall(rel, Some(memoKey))
+
+  /** As above; `None` skips the memo — for frame-parametric callers
+    * whose relation varies per invocation (micro-batch shapes, specs),
+    * where memoizing would serve STALE data. Those callers own the
+    * per-call checkpoint's lifecycle (released by the harness's
+    * non-pinned scratch sweep, or at session end). */
+  def broadcastIfSmall(rel: DataFrame, memoKey: Option[String]): DataFrame = {
     val maxRows = rel.sparkSession.conf
       .get(MaxRowsKey, DefaultMaxRows.toString).toLong
-    val mat = rel.localCheckpoint()
-    if (mat.count() <= maxRows) broadcast(mat) else mat
+    def build = { val m = rel.localCheckpoint(); (m, m.count()) }
+    val (mat, n) = memoKey match {
+      case Some(k) =>
+        graft.api.Intermediates.memo(rel.sparkSession, s"sizeguard|$k")(build)
+      case None => build
+    }
+    if (n <= maxRows) broadcast(mat) else mat
   }
 }

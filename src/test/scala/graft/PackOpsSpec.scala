@@ -402,11 +402,17 @@ class PackOpsSpec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, sfTiny)
     assert(inc.map(_._5).sum === docs.filter(col("doc_id") % 10 === 0).count(),
       "n_new must be exactly the planted growth slice")
-    // the stored id index ends complete: one id per corpus doc
-    val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+    // the stored id index ends complete: one id per corpus doc — read
+    // through the commit protocol (r12: the root holds manifests +
+    // staged dirs, not bare parquet)
+    val idxRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_p12_${spark.sparkContext.applicationId}_" +
         Integer.toHexString(sfTiny.hashCode)).getAbsolutePath + "/index"
-    val idx = spark.read.parquet(idxDir).as[Long].collect()
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val idx = graft.sources.ExportCommit
+      .readCommitted(spark, idxRoot, idSchema, "parquet").as[Long].collect()
     assert(idx.length === idx.distinct.length, "index holds duplicate ids")
     assert(idx.toSet === docs.select(col("doc_id")).as[Long].collect().toSet,
       "index must cover exactly the exported corpus")

@@ -47,25 +47,28 @@ class QualitySignalsSpec extends SparkSpec {
 
   test("t14 confusion card cross-foots with t05 and the corpus") {
     import spark.implicits._
+    // r12 schema: (gate, lang, guess, n_docs, lang_share) — the
+    // heuristic arm must still cross-foot with t05 exactly
     val card = graft.operators.TextOps.langConfusion(spark, sfTiny)
-      .as[(String, String, Long, Double)].collect()
-    assert(card.nonEmpty)
-    // counts partition the corpus
+      .as[(String, String, String, Long, Double)].collect()
+    assert(card.map(_._1).toSet === Set("heuristic", "model"))
+    val heur = card.filter(_._1 == "heuristic")
+    // heuristic-arm counts partition the corpus (every doc gets a guess)
     val total = graft.sources.Tables.documents(spark, sfTiny).count()
-    assert(card.map(_._3).sum === total)
-    // shares sum to 1 within each true language (6dp rounding slack)
-    card.groupBy(_._1).foreach { case (lang, rows) =>
-      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3,
-        s"$lang shares do not partition")
+    assert(heur.map(_._4).sum === total)
+    // shares sum to 1 within each (gate, true language)
+    card.groupBy(r => (r._1, r._2)).foreach { case (key, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3,
+        s"$key shares do not partition")
     }
-    // the card must agree with t05's per-doc guesses exactly
+    // the heuristic arm must agree with t05's per-doc guesses exactly
     val want = graft.operators.TextOps.langGuess(spark, sfTiny)
       .join(graft.sources.Tables.documents(spark, sfTiny)
         .select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"), col("lang_guess")).count()
       .as[(String, String, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    card.foreach { case (lang, guess, n, _) =>
+    heur.foreach { case (_, lang, guess, n, _) =>
       assert(want((lang, guess)) === n, s"($lang,$guess) diverges from t05")
     }
   }
