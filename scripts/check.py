@@ -5,6 +5,7 @@ Usage: python3 scripts/check.py [sfDir] [verifyOut]
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -17,7 +18,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # synthetic scale corpora materialize only documents/embeddings/events;
+    # queries over absent tables are not part of those runs. Spark-written
+    # tables are DIRECTORIES of part files - glob those.
+    path = f"{SF}/{t}.parquet"
+    if os.path.isdir(path):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+    elif os.path.exists(path):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 

@@ -47,7 +47,18 @@ object ScaleProbe {
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, base, bigDir, mult)
+    probe(spark, base, bigDir, mult)
+    spark.stop()
+  }
 
+  /** Build the cipher-isomorphic mult-x corpus under bigDir
+    * (documents, embeddings, events) — shared by the timing probe and
+    * the 20x correctness-gate receipt (scripts/gate20x.sh). */
+  def synthesize(spark: SparkSession, base: String, bigDir: String,
+      mult: Int): Unit = {
+    require(mult >= 1 && mult <= 26,
+      s"mult must be in [1, 26] (got $mult): rotations repeat past 26")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val lower = ('a' to 'z').mkString
@@ -101,7 +112,10 @@ object ScaleProbe {
         .withColumn("user_id", col("user_id") + lit(i.toLong * (maxUser + 1)))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+  }
 
+  private def probe(spark: SparkSession, base: String, bigDir: String,
+      mult: Int): Unit = {
     def clean(): Unit = {
       // clean pool before every timed run, same as the bench's family
       // boundaries — memoized fits must be REBUILT inside the timing
@@ -133,6 +147,23 @@ object ScaleProbe {
       println(f"| $q | x$mult | ${baseT(q)}%.2f | ${bigT(q)}%.2f | " +
         f"${bigT(q) / baseT(q)}%.1f |")
     }
+  }
+}
+
+/** Synthesis-only entry: build the cipher-isomorphic mult-x corpus and
+  * exit (the 20x gate receipt wants the corpus without the timing
+  * probe). Usage: runMain graft.Synth [baseDir] [bigDir] [mult] */
+object Synth {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val bigDir = if (args.length > 1) args(1) else "/tmp/graft_scale_synth"
+    val mult = if (args.length > 2) args(2).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.configure(
+      org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]"),
+      cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleProbe.synthesize(spark, base, bigDir, mult)
     spark.stop()
   }
 }

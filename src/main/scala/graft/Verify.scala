@@ -28,7 +28,13 @@ object Verify {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query subset (the 20x scale
+    // receipt runs the invariant-style rows against a synthetic corpus
+    // that only materializes the documents/embeddings/events tables)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, c) => (a, b, Some(c.split(",").map(_.trim).toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -48,7 +54,9 @@ object Verify {
     // foreach visits families interleaved, which would make the boundary
     // release below fire between most queries and thrash the shared
     // materializations it exists to protect)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // Family-boundary release (same rationale as Bench): a finished
       // family's pinned materializations and streaming memory sinks have
       // no future consumer in the name-sorted sweep — drop them so the
@@ -82,6 +90,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Machine-readable failure ledger alongside the dumps (always written,
