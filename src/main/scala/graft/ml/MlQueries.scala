@@ -308,13 +308,33 @@ object MlQueries {
     *    duplicates them. */
   def clusterMerge(s: SparkSession, d: String): DataFrame = {
     import graft.refine.{CosineMerge, Renumber}
+    import s.implicits._
     val fm = graft.api.ModelPipeline.fitted(s, d, k = 15, seed = 123)
     val centers = CosineMerge.collectCenters(fm.assignments)
     val mm = CosineMerge.mergeMap(centers, threshold = 0.9)
-    // k-row driver-side map algebra (closed-form at ANY corpus)
-    val mapMono = mm.forall { case (x, r) => r <= x }
-    val mapTotal = mm.keySet == centers.keySet &&
-      mm.valuesIterator.forall(centers.keySet)
+    // k-row map algebra, evaluated IN the executed plan (r11 ADVICE —
+    // formerly driver-side booleans baked as literals at construction):
+    // the merge map and center universe become k-row local relations
+    // and the mono/totality flags aggregate over their full-outer
+    // alignment, so re-executing the returned DataFrame re-checks them.
+    val mmDf = mm.toSeq.toDF("x", "r")
+    val uni = centers.keySet.toSeq.toDF("cid")
+    val mapFlags = mmDf
+      .join(uni.withColumnRenamed("cid", "xk"),
+        col("x") === col("xk"), "full_outer")
+      .join(uni.withColumnRenamed("cid", "rk"),
+        col("r") === col("rk"), "left")
+      .agg(
+        // every universe id keyed, no stray keys
+        min(when(col("x").isNotNull && col("xk").isNotNull, 1).otherwise(0))
+          .as("map_keys_ok"),
+        // every retarget lands inside the universe (vacuous on rows
+        // that already fail the key check — r is null there)
+        min(when(col("r").isNull || col("rk").isNotNull, 1).otherwise(0))
+          .as("map_vals_ok"),
+        // retargets only ever point DOWNWARD (first-wins scan order)
+        min(when(col("r").isNull || col("r") <= col("x"), 1).otherwise(0))
+          .as("map_mono_ok"))
     val fitN = fm.assignments.agg(count(lit(1)).as("fit_docs"))
     graft.refine.ModelRefresh.stats(
         Renumber.dense(CosineMerge.apply(fm.assignments, mm)))
@@ -324,11 +344,13 @@ object MlQueries {
         (countDistinct(col("cluster")) <= fm.model.getK)
           .cast("int").as("k_le_fit_ok"))
       .crossJoin(broadcast(fitN))
+      .crossJoin(broadcast(mapFlags))
       .select(col("n_docs"), col("dense_ok"),
         col("nonneg_ok").cast("int").as("nonneg_ok"),
         col("k_le_fit_ok"),
-        lit(if (mapMono) 1 else 0).as("map_mono_ok"),
-        lit(if (mapTotal) 1 else 0).as("map_total_ok"),
+        col("map_mono_ok"),
+        (col("map_keys_ok") === 1 && col("map_vals_ok") === 1)
+          .cast("int").as("map_total_ok"),
         (col("n_docs") === col("fit_docs")).cast("int")
           .as("conserves_fit_ok"))
   }
