@@ -198,25 +198,84 @@ object BpeOps {
       .orderBy(col("step"))
   }
 
-  /** t18 — the corpus retokenized under the learned vocabulary: per-doc
-    * whitespace-word and BPE-piece counts plus the pieces-per-word
-    * ratio (the compression the tokenizer actually achieves — the unit
-    * of account the p-family would bill in). Zero-token docs drop on
-    * both engines (t13's convention). */
-  def bpeRetokenize(s: SparkSession, d: String): DataFrame = {
-    val merges = trainedMerges(s, d)
+  /** Per-doc (n_words, n_bpe_tokens) under a given merge table — the
+    * shared kernel of t18, t19, and p13's piece counts. `memoTag`
+    * keys the SizeGuard materialization of the word→pieces relation:
+    * t18 and t19 use DISTINCT tags even though their relations should
+    * be content-identical, because sharing one would mask exactly the
+    * save/load drift t19 exists to catch. */
+  private def docPieceCounts(s: SparkSession, d: String,
+      merges: Seq[MergeRow], memoTag: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("word"))
     val pieces = applyMerges(toks.select(col("word")).distinct(), merges)
       .select(col("word"), size(symsOf(col("seg"))).cast("long").as("n_sym"))
     toks.join(graft.plans.SizeGuard.broadcastIfSmall(pieces,
-        s"t18_pieces|$d|$NMerges"), "word")
+        s"${memoTag}_pieces|$d|$NMerges"), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  private def withRatio(counts: DataFrame): DataFrame =
+    counts
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         round(col("n_bpe_tokens") / col("n_words"), 6).as("pieces_per_word"))
       .orderBy(col("doc_id"))
+
+  /** t18 — the corpus retokenized under the learned vocabulary: per-doc
+    * whitespace-word and BPE-piece counts plus the pieces-per-word
+    * ratio (the compression the tokenizer actually achieves — the unit
+    * of account the p-family would bill in). Zero-token docs drop on
+    * both engines (t13's convention). */
+  def bpeRetokenize(s: SparkSession, d: String): DataFrame =
+    withRatio(docPieceCounts(s, d, trainedMerges(s, d), "t18"))
+
+  /** (doc_id, n_tokens) in LEARNED-BPE units — p13's unit of account. */
+  private[graft] def docBpeCounts(s: SparkSession, d: String): DataFrame =
+    docPieceCounts(s, d, trainedMerges(s, d), "t18")
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+
+  // ---------------------------------------------------------------------
+  // t19 — the tokenizer ARTIFACT round-trip: the merge table is what a
+  // trainer actually ships next to its export shards (every worker
+  // retokenizes with the SAME vocabulary, or token accounting drifts
+  // between data and training). S7/S9's model-sink discipline applied
+  // to the tokenizer: save the ordered merge table as parquet, load it
+  // back, retokenize the corpus with the LOADED table, and emit t18's
+  // exact relation — t18's oracle transfers verbatim, so a lossy save,
+  // a step-order drift, or a dropped merge breaks the hash, not a
+  // training run months later.
+  // ---------------------------------------------------------------------
+
+  /** Persist a merge table (ordered, one row per step). */
+  def saveMerges(s: SparkSession, merges: Seq[MergeRow], dir: String): Unit = {
+    import s.implicits._
+    merges.toDF().coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a merge table in training order. Loud on an empty/absent
+    * store — applying zero merges would silently degrade every
+    * consumer to char-level tokens. */
+  def loadMerges(s: SparkSession, dir: String): Seq[MergeRow] = {
+    import s.implicits._
+    val rows = s.read.parquet(dir)
+      .select(col("step"), col("pair"), col("merged"), col("n"))
+      .orderBy(col("step"))
+      .as[MergeRow].collect().toSeq
+    require(rows.nonEmpty, s"bpe: no merges under $dir")
+    require(rows.map(_.step) == (1L to rows.length.toLong),
+      s"bpe: merge table under $dir is not a dense 1..n step sequence")
+    rows
+  }
+
+  def bpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.TmpDirs.registered(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_t19_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)).getAbsolutePath)
+    saveMerges(s, trainedMerges(s, d), dir)
+    withRatio(docPieceCounts(s, d, loadMerges(s, dir), "t19"))
   }
 
   // ---------------------------------------------------------------------
@@ -282,15 +341,21 @@ object BpeOps {
     s"WITH ${chainSql(NMerges)}\n$union\nORDER BY step"
   }
 
-  private val bpeRetokenizeSql =
-    s"""WITH ${chainSql(NMerges)},
+  /** Chain + per-word piece counts + tokenized corpus, ending in
+    * `t2 (doc_id, word)` ⋈ `pieces (word, n_sym)` — shared by the
+    * t18/t19 oracle and p13's BPE-denominated budget draw. */
+  private[graft] val docBpeCtesSql =
+    s"""${chainSql(NMerges)},
        |pieces AS (
        |  SELECT word,
        |    CAST(len(regexp_extract_all(seg, '\\(([^()]+)\\)', 1)) AS BIGINT)
        |      AS n_sym
        |  FROM a$NMerges),
        |toks AS (SELECT doc_id, unnest($tokListSql) AS word FROM documents),
-       |t2 AS (SELECT doc_id, word FROM toks WHERE word <> '')
+       |t2 AS (SELECT doc_id, word FROM toks WHERE word <> '')""".stripMargin
+
+  private val bpeRetokenizeSql =
+    s"""WITH $docBpeCtesSql
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
        |  round(sum(n_sym) / count(*), 6) AS pieces_per_word
@@ -299,5 +364,8 @@ object BpeOps {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t16_bpe_merges", bpeMerges, Some(bpeMergesSql)),
-    QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)))
+    QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)),
+    // t19 emits t18's exact relation through the disk round-trip, so
+    // the oracle transfers verbatim (the s22/p11 transfer discipline)
+    QueryDef("t19_bpe_roundtrip", bpeRoundtrip, Some(bpeRetokenizeSql)))
 }

@@ -613,9 +613,15 @@ object PackOps {
     * reproduce the former float quotas bit-for-bit at sf0.01 and
     * sf0.1 — the hash is unchanged; what changed is that no corpus
     * can ever sit on a rounding boundary. */
-  def budgetDraw(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), bpePieces.as("n_tokens"))
+  def budgetDraw(s: SparkSession, d: String): DataFrame =
+    budgetDrawFrom(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), bpePieces.as("n_tokens")))
+
+  /** The draw kernel over any (doc_id, source, n_tokens) relation —
+    * shared by p09 (regex-piece units) and p13 (learned-BPE units):
+    * the unit of account is a PARAMETER, the quota/draw algebra is
+    * one definition. */
+  private def budgetDrawFrom(per: DataFrame): DataFrame = {
     val bySrc = per.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
       .withColumn("m_share",
@@ -640,14 +646,11 @@ object PackOps {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
-  private val budgetDrawSql =
-    s"""WITH per AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all(lower(text),
-       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
-       |    ${shuffleKeySql("doc_id", DrawSeed)} AS shuffle_key
-       |  FROM documents),
-       |srcs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+  /** The draw algebra after a `per (doc_id, source, n_tokens,
+    * shuffle_key)` CTE — shared verbatim by p09 and p13 (one quota
+    * definition, two units of account). */
+  private val budgetDrawTailSql =
+    s"""srcs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
        |         FROM per GROUP BY source),
        |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) // $DrawBudgetDen
        |          AS budget,
@@ -669,6 +672,43 @@ object PackOps {
        |FROM c JOIN q USING (source)
        |WHERE c.cum_tokens < q.quota_tokens
        |ORDER BY source, cum_tokens""".stripMargin
+
+  private val budgetDrawSql =
+    s"""WITH per AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       |    ${shuffleKeySql("doc_id", DrawSeed)} AS shuffle_key
+       |  FROM documents),
+       |$budgetDrawTailSql""".stripMargin
+
+  /** p13 — the budget draw billed in LEARNED-BPE tokens (the payoff of
+    * t16: the p-family's unit of account comes from the trained
+    * tokenizer, not the fixed regex approximation — the r11 verdict's
+    * motivating gap). Identical draw algebra to p09
+    * ([[budgetDrawFrom]] / [[budgetDrawTailSql]] shared verbatim);
+    * only `n_tokens` changes meaning — so comparing p09 and p13 rows
+    * IS the audit of how far regex-piece accounting drifts from the
+    * learned unit. Docs the tokenizer cannot count (zero clean tokens)
+    * drop on both engines (t18's convention).
+    *
+    * 100 TB shape: t18's retokenization (vocabulary-scale replay +
+    * size-guarded join) feeding p09's draw shape (per-source quotas
+    * broadcast, grouped prefix scan, no global sort). */
+  def bpeBudgetDraw(s: SparkSession, d: String): DataFrame =
+    budgetDrawFrom(Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(BpeOps.docBpeCounts(s, d), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens")))
+
+  private val bpeBudgetDrawSql =
+    s"""WITH ${BpeOps.docBpeCtesSql},
+       |nb AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+       |       FROM t2 JOIN pieces USING (word) GROUP BY doc_id),
+       |per AS (
+       |  SELECT d.doc_id, d.source, nb.n_tokens,
+       |    ${shuffleKeySql("d.doc_id", DrawSeed)} AS shuffle_key
+       |  FROM documents d JOIN nb ON nb.doc_id = d.doc_id),
+       |$budgetDrawTailSql""".stripMargin
 
   /** p11 — training-export shard MANIFEST through real written shards
     * (the handoff artifact every training job consumes: which shard
@@ -857,6 +897,7 @@ object PackOps {
     QueryDef("p07_epoch_shuffle", epochShuffleDocs, Some(epochShuffleSql)),
     QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)),
     QueryDef("p09_budget_draw", budgetDraw, Some(budgetDrawSql)),
+    QueryDef("p13_bpe_budget_draw", bpeBudgetDraw, Some(bpeBudgetDrawSql)),
     QueryDef("p11_export_manifest", exportManifest,
       Some(exportManifestSql)),
     QueryDef("p12_incremental_export", incrementalExport,

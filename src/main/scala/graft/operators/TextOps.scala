@@ -196,21 +196,38 @@ object TextOps {
   // data-scale on the driver.
   // --------------------------------------------------------------------
 
-  /** Char trigrams of a cleaned-text column. Guarded against Spark's
-    * descending `sequence` when length < 3 (the ngrams pitfall) — docs
-    * too short for one trigram drop from the model row (t13's
-    * zero-token convention; DuckDB's generate_series drops identically). */
-  private def charTrigrams(c: Column): Column =
-    when(length(c) >= 3,
-      transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+  /** Char-trigram instance relation (doc_id, lang, tg): explode the
+    * POSITIONS, then slice with a plain projection `substr`. The
+    * tempting one-liner — `transform(sequence(...), i => c.substr(i,
+    * 3))` — re-evaluates the captured expression per lambda element,
+    * and `c` here is the ~20-pass cleanText regex chain: measured 26s
+    * at sf0.1 for what this shape does in ~1s. Position-explode keeps
+    * every expression a once-per-row codegen'd projection (the clean
+    * chain runs once per doc in the pre-Generate project, the substr
+    * once per instance), the t08-fanout lesson applied to char grain.
+    * Docs too short for one trigram drop (t13's zero-token convention;
+    * DuckDB's generate_series drops identically). */
+  private def charTriInstances(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.cleanText(col("text")).as("c"))
+      .select(col("doc_id"), col("lang"), col("c"),
+        explode(when(length(col("c")) >= 3,
+            sequence(lit(1), length(col("c")) - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("lang"),
+        col("c").substr(col("i"), lit(3)).as("tg"))
 
   /** (doc_id, lang_model, nb_logp, with the argmax already applied) —
     * shared by t17 and the t14 model arm. */
   private[graft] def langModelPred(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val ti = docs.select(col("doc_id"), col("lang"),
-      explode(charTrigrams(TextFunctions.cleanText(col("text")))).as("tg"))
+    // the instance relation feeds FIVE subtrees (model counts, per-doc
+    // counts, totals, vocab size, scoring join) — materialize it once
+    // per (session, dataset), the DFM-subtree discipline
+    val ti = graft.api.Intermediates.memo(s, s"t17_tri|$d") {
+      charTriInstances(docs).localCheckpoint()
+    }
     val m = ti.groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("c"))
     val dt = ti.groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("k"))
     val perDoc = ti.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
