@@ -173,7 +173,7 @@ object BpeOps {
   /** Train once per (dataset, nMerges) and share across t16/t18/specs —
     * the merge table is k-row driver state, exactly what the
     * Intermediates memo exists for. */
-  private def trainedMerges(s: SparkSession, d: String): Seq[MergeRow] =
+  private[graft] def trainedMerges(s: SparkSession, d: String): Seq[MergeRow] =
     graft.api.Intermediates.memo(s, s"bpe_merges|$d|$NMerges") {
       trainBpe(sliceWords(Tables.documents(s, d)), NMerges)
     }
@@ -204,18 +204,29 @@ object BpeOps {
     * t18 and t19 use DISTINCT tags even though their relations should
     * be content-identical, because sharing one would mask exactly the
     * save/load drift t19 exists to catch. */
-  private def docPieceCounts(s: SparkSession, d: String,
+  /** The size-guarded (word, n_sym) piece-count relation under a merge
+    * table — the tokenizer's APPLY surface, shared by t18/t19/t20/p13
+    * and the s23 stream-static join. */
+  private[graft] def piecesFor(s: SparkSession, d: String,
       merges: Seq[MergeRow], memoTag: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    val words = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .distinct()
+    graft.plans.SizeGuard.broadcastIfSmall(
+      applyMerges(words, merges)
+        .select(col("word"),
+          size(symsOf(col("seg"))).cast("long").as("n_sym")),
+      s"${memoTag}_pieces|$d|$NMerges")
+  }
+
+  private def docPieceCounts(s: SparkSession, d: String,
+      merges: Seq[MergeRow], memoTag: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("word"))
-    val pieces = applyMerges(toks.select(col("word")).distinct(), merges)
-      .select(col("word"), size(symsOf(col("seg"))).cast("long").as("n_sym"))
-    toks.join(graft.plans.SizeGuard.broadcastIfSmall(pieces,
-        s"${memoTag}_pieces|$d|$NMerges"), "word")
+      .join(piecesFor(s, d, merges, memoTag), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
-  }
 
   private def withRatio(counts: DataFrame): DataFrame =
     counts
@@ -341,6 +352,38 @@ object BpeOps {
     s"WITH ${chainSql(NMerges)}\n$union\nORDER BY step"
   }
 
+  /** t20 — the tokenizer AUDIT card (t14's audit discipline applied to
+    * the tokenizer: every shipped model-ish artifact gets a card a
+    * pipeline reads before trusting it): per SOURCE, doc/word/piece
+    * counts, the achieved compression (pieces per word), and the
+    * CHAR-LEVEL fraction — word instances whose segmentation is still
+    * fully character-split, i.e. words the learned vocabulary knows
+    * nothing about. A source whose char_level_frac is high is
+    * out-of-domain for the tokenizer (its token budget is being
+    * billed at the worst rate); that column is the signal a curation
+    * pipeline uses to decide the tokenizer needs retraining before
+    * the next export epoch.
+    *
+    * 100 TB shape: t18's token-stream ⋈ size-guarded pieces join plus
+    * one sources-sized hash agg — nothing beyond shapes already
+    * audited. */
+  def bpeCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .join(piecesFor(s, d, trainedMerges(s, d), "t18"), "word")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(when(col("n_sym") === length(col("word")), 1L).otherwise(0L))
+          .as("n_char_level"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") / col("n_words"), 6).as("pieces_per_word"),
+        round(col("n_char_level") / col("n_words"), 6).as("char_level_frac"))
+      .orderBy(col("source"))
+
   /** Chain + per-word piece counts + tokenized corpus, ending in
     * `t2 (doc_id, word)` ⋈ `pieces (word, n_sym)` — shared by the
     * t18/t19 oracle and p13's BPE-denominated budget draw. */
@@ -362,10 +405,24 @@ object BpeOps {
        |FROM t2 JOIN pieces USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val bpeCardSql =
+    s"""WITH $docBpeCtesSql,
+       |tw AS (SELECT d.source, t.doc_id, t.word, p.n_sym
+       |       FROM t2 t JOIN pieces p USING (word)
+       |       JOIN documents d ON d.doc_id = t.doc_id)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  round(sum(n_sym) / count(*), 6) AS pieces_per_word,
+       |  round(sum(CASE WHEN n_sym = length(word) THEN 1 ELSE 0 END)
+       |        / count(*), 6) AS char_level_frac
+       |FROM tw GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t16_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)),
     // t19 emits t18's exact relation through the disk round-trip, so
     // the oracle transfers verbatim (the s22/p11 transfer discipline)
-    QueryDef("t19_bpe_roundtrip", bpeRoundtrip, Some(bpeRetokenizeSql)))
+    QueryDef("t19_bpe_roundtrip", bpeRoundtrip, Some(bpeRetokenizeSql)),
+    QueryDef("t20_bpe_card", bpeCard, Some(bpeCardSql)))
 }

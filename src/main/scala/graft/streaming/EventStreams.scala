@@ -671,6 +671,45 @@ object EventStreams {
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
       |GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** s23 — STREAMING token accounting under the LEARNED tokenizer (the
+    * deployment split of the t18/p13 unit of account — a pipeline
+    * meters ingest in the same units it bills training in): documents
+    * stream through the tokenizer's apply surface — the SAME
+    * size-guarded (word, n_sym) pieces relation as t18/t19/p13
+    * ([[graft.operators.BpeOps.piecesFor]], the shared-definition
+    * discipline) joined stream-static per micro-batch (s13's posture)
+    * — into per-source word/piece totals. Complete-mode memory sink;
+    * AvailableNow drains the corpus, so the final state must equal the
+    * batch aggregation and the oracle composes the t16 chain with the
+    * per-source roll-up.
+    *
+    * 100 TB shape: the pieces relation is vocabulary-sized (broadcast
+    * under the guard ceiling), the aggregation state is sources-sized
+    * — both constant in stream length. */
+  def streamTokenStats(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val pieces = graft.operators.BpeOps.piecesFor(ss, d,
+      graft.operators.BpeOps.trainedMerges(ss, d), "t18")
+    val agg = readDocuments(ss, d)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("word"))
+      .join(pieces, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    runToMemory(agg, "complete", "s23_stream_token_stats")
+      .orderBy(col("source"))
+  }
+
+  private val streamTokenStatsSql =
+    s"""WITH ${graft.operators.BpeOps.docBpeCtesSql},
+       |tw AS (SELECT d.source, p.n_sym
+       |       FROM t2 t JOIN pieces p USING (word)
+       |       JOIN documents d ON d.doc_id = t.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM tw GROUP BY source ORDER BY source""".stripMargin
+
   /** Latest store version strictly BELOW the current batch id: on a
     * foreachBatch replay after a crash, a partially-written
     * `store_v{batchId}` from the failed attempt must never be read as
@@ -830,7 +869,9 @@ object EventStreams {
     QueryDef("s20_stream_cross_modal", streamCrossModalGate,
       Some(graft.operators.PackOps.crossModalGateSql)),
     QueryDef("s22_stream_export", streamExportManifest,
-      Some(graft.operators.PackOps.exportManifestSql)))
+      Some(graft.operators.PackOps.exportManifestSql)),
+    QueryDef("s23_stream_token_stats", streamTokenStats,
+      Some(streamTokenStatsSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

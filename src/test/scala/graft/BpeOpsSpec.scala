@@ -144,6 +144,36 @@ class BpeOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t20 card cross-foots with t18 and bounds its ratios") {
+    val card = BpeOps.bpeCard(spark, sfTiny)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(card.nonEmpty)
+    card.foreach { case (src, nd, nw, nb, ppw, clf) =>
+      assert(nd > 0 && nw > 0, src)
+      assert(nb >= nw, s"$src: a word yields >= 1 piece")
+      assert(ppw >= 1.0, src)
+      assert(clf >= 0.0 && clf <= 1.0, src)
+    }
+    // totals cross-foot with the per-doc t18 relation
+    val t18 = BpeOps.bpeRetokenize(spark, sfTiny)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens")))
+      .as[(Long, Long)].head()
+    assert((card.map(_._3).sum, card.map(_._4).sum) === t18)
+  }
+
+  test("saveMerges/loadMerges round-trips the table in training order") {
+    val merges = BpeOps.trainBpe(
+      Seq(("lower", 3L), ("newer", 2L)).toDF("word", "f"), nMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    BpeOps.saveMerges(spark, merges, dir)
+    assert(BpeOps.loadMerges(spark, dir) === merges)
+    // loud on an empty store
+    val empty = java.nio.file.Files.createTempDirectory("bpe_rt_e").toString
+    BpeOps.saveMerges(spark, merges.take(0), empty)
+    intercept[Exception] { BpeOps.loadMerges(spark, empty) }
+    ()
+  }
+
   test("t16 merge table on sfTiny is monotone in step with positive counts") {
     val m = BpeOps.bpeMerges(spark, sfTiny).as[(Long, String, String, Long)].collect()
     assert(m.nonEmpty && m.length <= BpeOps.NMerges)
