@@ -383,6 +383,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t17: NB scoring plans no interpreted HOF and a doc-partitioned argmax") {
+    // the r12 fanout lesson pinned: the trigram slice must be a plain
+    // projection (the transform(sequence, i => substr) form re-ran the
+    // clean chain per element — 26s/query), and the argmax window must
+    // partition by doc_id, never run global
+    val p = plan("t17_lang_model")
+    assert(!p.contains("lambdafunction"), s"t17 plans an interpreted HOF:\n$p")
+    assert("windowspecdefinition\\(doc_id#\\d+L, score".r.findFirstIn(p).isDefined,
+      s"t17 argmax must partition by doc_id:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d18: run detection windows per (pair, diagonal) — no global window") {
+    val p = plan("d18_passage_runs")
+    assert("windowspecdefinition\\(doc_a#\\d+L, doc_b#\\d+L, diag"
+      .r.findFirstIn(p).isDefined,
+      s"d18 island window must partition by (pair, diagonal):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"d18 plans a single-partition stage:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p13: BPE draw shares p09's grouped-scan shape — quotas broadcast, no bare-source window") {
+    val p = plan("p13_bpe_budget_draw")
+    assert("windowspecdefinition\\(__pid#\\d+, source".r.findFirstIn(p).isDefined,
+      s"p13 data window must key on (__pid, source):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"p13 quota join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"p13 plans a shuffle join:\n$p")
+  }
+
   test("no registered query plans an unconditioned CartesianProduct") {
     // CartesianProductExec appears only when Spark has no join condition
     // and no broadcastable side — every cross in this engine is either a
