@@ -32,7 +32,12 @@ object ScaleProbe {
     // session store doesn't witness (r10 verdict item 7) — and the
     // trainer-facing export (gzip-JSONL shard write + read-back
     // manifest: the literal 100 TB output path)
-    "s07_stream_join", "p11_export_manifest")
+    "s07_stream_join", "p11_export_manifest",
+    // r12 additions: the trained language-ID scoring join (trigram
+    // instances ⋈ vocabulary-sized model + doc-partitioned argmax) and
+    // the learned-unit budget draw (tokenizer replay + grouped prefix
+    // scan — the t16 apply surface under the p09 draw shape)
+    "t17_lang_model", "p13_bpe_budget_draw")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

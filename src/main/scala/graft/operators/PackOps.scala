@@ -453,6 +453,74 @@ object PackOps {
        |LEFT JOIN eo ON eo.vec_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+  /** c05 — the per-source dataset DATASHEET (Gebru et al.'s
+    * "Datasheets for Datasets" in relational form — the audit table a
+    * dataset RELEASE ships, where c03 is the raw source card and c04
+    * the per-doc gate): for every source, corpus size in the LEARNED
+    * unit of account (t18's BPE tokens), the tokenizer's achieved
+    * compression, mean quality (t04), the share the trained language
+    * gate calls English (t17), the mean duplicated-passage fraction
+    * (d15), and the fraction surviving the full cross-modal gate
+    * (c04's keep). Every column is the REGISTERED operator's own
+    * relation composed by doc_id (the c01/c04 composition discipline
+    * — one definition per signal, so the datasheet can never disagree
+    * with the operators it summarizes). Docs outside a signal's domain
+    * stay honest: en_share_model's denominator is docs the model can
+    * score (≥ 1 trigram), pieces_per_word's is docs with ≥ 1 clean
+    * token.
+    *
+    * 100 TB shape: four uniform doc_id equi-joins (each side an
+    * already-audited relation) into one sources-sized hash agg —
+    * nothing new shuffles; the datasheet is kilobytes. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val gate = crossModalGate(s, d)
+      .select(col("doc_id"), col("quality_score"), col("dup_frac"),
+        col("keep"))
+    val pred = TextOps.langModelPred(s, d)
+      .select(col("doc_id"), col("lang_model"))
+    val bpe = BpeOps.bpeRetokenize(s, d)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    src.join(gate, "doc_id")
+      .join(pred, Seq("doc_id"), "left")
+      .join(bpe, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")) / sum(col("n_words")), 6)
+          .as("pieces_per_word"),
+        round(avg(col("quality_score")), 6).as("mean_quality"),
+        round(sum(when(col("lang_model") === "en", 1L).otherwise(0L)) /
+          count(col("lang_model")), 6).as("en_share_model"),
+        round(avg(col("dup_frac")), 6).as("mean_dup_frac"),
+        round(avg(col("keep")), 6).as("keep_frac"))
+      .orderBy(col("source"))
+  }
+
+  private val datasetCardSql =
+    s"""WITH ${TextOps.langModelChainSql},
+       |${BpeOps.docBpeCtesSql},
+       |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_sym) AS BIGINT) AS nb_tokens
+       |       FROM t2 JOIN pieces USING (word) GROUP BY doc_id),
+       |g AS ($crossModalGateSql),
+       |base AS (SELECT d.doc_id, d.source, g.quality_score, g.dup_frac,
+       |           g.keep, p.lang_model, nb.n_words, nb.nb_tokens
+       |         FROM documents d
+       |         JOIN g ON g.doc_id = d.doc_id
+       |         LEFT JOIN (SELECT doc_id, lang_model FROM pred
+       |                    WHERE rn = 1) p ON p.doc_id = d.doc_id
+       |         LEFT JOIN nb ON nb.doc_id = d.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nb_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  round(sum(nb_tokens) / sum(n_words), 6) AS pieces_per_word,
+       |  round(avg(quality_score), 6) AS mean_quality,
+       |  round(sum(CASE WHEN lang_model = 'en' THEN 1 ELSE 0 END)
+       |        / count(lang_model), 6) AS en_share_model,
+       |  round(avg(dup_frac), 6) AS mean_dup_frac,
+       |  round(avg(keep), 6) AS keep_frac
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
+
   /** Epoch-shuffle scramble: Knuth's multiplicative hash over the
     * 2^31-reduced id, mod 2^32. Every term stays < 2^63 for ANY long
     * input (the reduction precedes the multiply), so the formula is
@@ -889,6 +957,7 @@ object PackOps {
     QueryDef("c03_source_card", sourceCard, Some(sourceCardSql)),
     QueryDef("c04_cross_modal_gate", crossModalGate,
       Some(crossModalGateSql)),
+    QueryDef("c05_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("p01_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("p03_quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
     QueryDef("p04_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

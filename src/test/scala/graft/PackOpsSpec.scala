@@ -378,6 +378,43 @@ class PackOpsSpec extends SparkSpec {
       "at least one drop must come from the text modality")
   }
 
+  test("c05 datasheet cross-foots with the corpus, t20, and c04") {
+    val card = PackOps.datasetCard(spark, sfTiny)
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(card.nonEmpty)
+    // doc counts partition the corpus (the gate anchors on documents)
+    val total = graft.sources.Tables.documents(spark, sfTiny).count()
+    assert(card.map(_._2).sum === total)
+    // token totals and compression agree with the t20 tokenizer card
+    val t20 = graft.operators.BpeOps.bpeCard(spark, sfTiny)
+      .select(col("source"), col("n_bpe_tokens"), col("pieces_per_word"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    card.foreach { case (src, _, nb, ppw, _, _, _, _) =>
+      assert(t20(src)._1 === nb, s"$src tokens diverge from t20")
+      assert(math.abs(t20(src)._2 - ppw) < 1e-9, s"$src compression diverges")
+    }
+    // keep_frac cross-foots with c04's per-doc verdicts
+    val keptBySrc = PackOps.crossModalGate(spark, sfTiny)
+      .join(graft.sources.Tables.documents(spark, sfTiny)
+        .select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(avg(col("keep")).as("kf"))
+      .as[(String, Double)].collect().toMap
+    card.foreach { case (src, _, _, _, _, _, _, kf) =>
+      assert(math.abs(keptBySrc(src) - kf) < 1e-6, s"$src keep_frac")
+    }
+    // shares and fractions live in their ranges
+    card.foreach { case (src, _, _, ppw, mq, en, df, kf) =>
+      assert(ppw >= 1.0, src)
+      assert(mq > 0.0 && mq <= 1.0, src)
+      assert(en >= 0.0 && en <= 1.0, src)
+      assert(df >= 0.0 && df <= 1.0, src)
+      assert(kf >= 0.0 && kf <= 1.0, src)
+    }
+  }
+
   test("p02 never splits a near-dup component across train and test") {
     val df = GraphOps.leakageSplit(spark, sfTiny)
       .select(col("component"), col("split")).as[(Long, String)].collect()
