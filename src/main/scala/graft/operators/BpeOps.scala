@@ -384,6 +384,45 @@ object BpeOps {
         round(col("n_char_level") / col("n_words"), 6).as("char_level_frac"))
       .orderBy(col("source"))
 
+  /** t21 — tokenizer FAIRNESS card: t20's compression audit cut by the
+    * ground-truth language instead of the source. Subword tokenizers
+    * trained on one language's statistics bill other languages more
+    * pieces per word — the widely-reported tokenizer-equity problem: a
+    * language at 2× pieces_per_word pays 2× the per-document token
+    * budget in every p-family decision (packing, quotas, manifests)
+    * and gets half the effective context window. This card is the
+    * audit a multilingual release publishes: per language, the
+    * achieved compression, the char-level fraction, and the premium
+    * relative to the best-compressed language (rounded ratio of
+    * rounded ratios — deterministic cross-engine).
+    *
+    * 100 TB shape: identical to t20 (token stream ⋈ size-guarded
+    * pieces, languages-sized agg) plus a 1-row broadcast of the best
+    * compression — the m06 crossJoin pattern. */
+  def bpeLangCard(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("word"))
+      .join(piecesFor(s, d, trainedMerges(s, d), "t18"), "word")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"),
+        sum(when(col("n_sym") === length(col("word")), 1L).otherwise(0L))
+          .as("n_char_level"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") / col("n_words"), 6).as("pieces_per_word"),
+        round(col("n_char_level") / col("n_words"), 6).as("char_level_frac"))
+    val best = per.agg(min(col("pieces_per_word")).as("best_ppw"))
+    per.crossJoin(broadcast(best))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("pieces_per_word"), col("char_level_frac"),
+        round(col("pieces_per_word") / col("best_ppw"), 6)
+          .as("token_premium"))
+      .orderBy(col("lang"))
+  }
+
   /** Chain + per-word piece counts + tokenized corpus, ending in
     * `t2 (doc_id, word)` ⋈ `pieces (word, n_sym)` — shared by the
     * t18/t19 oracle and p13's BPE-denominated budget draw. */
@@ -418,11 +457,30 @@ object BpeOps {
        |        / count(*), 6) AS char_level_frac
        |FROM tw GROUP BY source ORDER BY source""".stripMargin
 
+  private val bpeLangCardSql =
+    s"""WITH $docBpeCtesSql,
+       |tw AS (SELECT d.lang, t.doc_id, t.word, p.n_sym
+       |       FROM t2 t JOIN pieces p USING (word)
+       |       JOIN documents d ON d.doc_id = t.doc_id),
+       |per AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |          CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |          round(sum(n_sym) / count(*), 6) AS pieces_per_word,
+       |          round(sum(CASE WHEN n_sym = length(word) THEN 1 ELSE 0 END)
+       |                / count(*), 6) AS char_level_frac
+       |        FROM tw GROUP BY lang),
+       |best AS (SELECT min(pieces_per_word) AS best_ppw FROM per)
+       |SELECT lang, n_docs, n_words, n_bpe_tokens, pieces_per_word,
+       |  char_level_frac,
+       |  round(pieces_per_word / best_ppw, 6) AS token_premium
+       |FROM per, best ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t16_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)),
     // t19 emits t18's exact relation through the disk round-trip, so
     // the oracle transfers verbatim (the s22/p11 transfer discipline)
     QueryDef("t19_bpe_roundtrip", bpeRoundtrip, Some(bpeRetokenizeSql)),
-    QueryDef("t20_bpe_card", bpeCard, Some(bpeCardSql)))
+    QueryDef("t20_bpe_card", bpeCard, Some(bpeCardSql)),
+    QueryDef("t21_bpe_lang_card", bpeLangCard, Some(bpeLangCardSql)))
 }

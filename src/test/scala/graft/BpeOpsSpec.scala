@@ -161,6 +161,22 @@ class BpeOpsSpec extends SparkSpec {
     assert((card.map(_._3).sum, card.map(_._4).sum) === t18)
   }
 
+  test("t21 fairness card: premiums anchored at 1.0, totals cross-foot with t20") {
+    val card = BpeOps.bpeLangCard(spark, sfTiny)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(card.nonEmpty)
+    // exactly the best-compressed language sits at premium 1.0; all >= 1
+    assert(card.map(_._7).min === 1.0)
+    card.foreach { case (lang, _, _, _, ppw, _, prem) =>
+      assert(prem >= 1.0, lang)
+      assert(ppw >= 1.0, lang)
+    }
+    // the two cards partition the same token universe
+    val t20Total = BpeOps.bpeCard(spark, sfTiny)
+      .agg(sum(col("n_bpe_tokens"))).as[Long].head()
+    assert(card.map(_._4).sum === t20Total)
+  }
+
   test("saveMerges/loadMerges round-trips the table in training order") {
     val merges = BpeOps.trainBpe(
       Seq(("lower", 3L), ("newer", 2L)).toDF("word", "f"), nMerges = 6)
