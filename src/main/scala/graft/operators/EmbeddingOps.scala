@@ -540,6 +540,92 @@ object EmbeddingOps {
       |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")} AS b_id
       |FROM embeddings ORDER BY a_id""".stripMargin
 
+  /** Every [[BatchQueryMod]]-th base vector is a query in e13's batch. */
+  private val BatchQueryMod = 20L
+
+  /** e13 — BATCH ANN serving: the production query path e05's
+    * one-query probe cannot scale to. e05 assigns a query's probe
+    * cells DRIVER-SIDE (collect the query, sort the centers) — right
+    * for interactive lookups, a driver bottleneck for the offline
+    * serving shape where a MILLION queries arrive as a table
+    * (recommendation backfills, eval-set retrieval, dedup-against-
+    * index). Here the whole batch is answered in ONE plan, no driver
+    * loop anywhere: probe assignment is relational — queries ×
+    * broadcast centers (a cells-sized relation with |c|² precomputed;
+    * on the unit sphere ‖f−c‖² = 1+|c|²−2f·c, the codegen'd ArrayDot
+    * kernel), ranked per query by (sqdist, cell) and cut at
+    * [[IvfProbes]] — then candidates come from ONE cell equi-join
+    * against the shared index (never query × corpus), scored exactly,
+    * and the per-query argmax is a query-partitioned window.
+    *
+    * Contract (e07's planted discipline — nothing k-means-dependent is
+    * emitted): over the planted union, every query's top-1 is its
+    * identical twin at cosine 1.0, CLOSED FORM — the twin shares the
+    * query's cell (identical features ⇒ identical deterministic
+    * assignment), the query's own cell is always probed (its center is
+    * nearest — rank 1 of 4), and cosine 1.0 strictly beats every
+    * native pair (≤ 0.61 measured at every shipped SF). A probe-
+    * assignment bug, a lost cell in the candidate join, or a broken
+    * argmax surfaces as a wrong id or a missing query row. Full DuckDB
+    * oracle: one row per query.
+    *
+    * 100 TB shape: the probe-rank relation is queries × cells with a
+    * cells-sized broadcast (cells grows as n/256 — at [[IvfMaxCells]]
+    * the broadcast is ~32 MB of centers, still a broadcast); the
+    * candidate join shuffles on the cell id like e10's pair pass; the
+    * two windows partition by query_id. Nothing data-scale touches
+    * the driver — the batch can be arbitrarily large. */
+  def annBatchServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (union, off) = DedupOps.plantedUnion(base, "vec_id")
+    val cells = ivfCellsFor(2L * corpusCount(s, d))
+    // the SAME shared index build as e07/e10 (one memo key)
+    val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$cells") {
+      ivfBuild(union, cells)
+    }
+    val centers = index.model.clusterCenters.zipWithIndex.map {
+      case (c, i) =>
+        val a = c.toArray
+        (i, a, a.map(v => v * v).sum)
+    }.toSeq.toDF("cell", "c_arr", "c_norm2")
+    val queries = index.assigned
+      .filter(col("vec_id") < off && col("vec_id") % BatchQueryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .as("q_feat"),
+        col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("sqd"), col("cell"))
+    val probes = queries.crossJoin(broadcast(centers))
+      .withColumn("sqd", lit(1.0) + col("c_norm2") -
+        lit(2.0) * arrayDot(col("q_feat"), col("c_arr")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes
+      .join(index.assigned.select(col("vec_id"), col("embedding"),
+        col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(fastCosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("top1_id"), col("cos_sim"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annBatchServeSql =
+    s"""SELECT vec_id AS query_id,
+      |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")}
+      |    AS top1_id,
+      |  1.0 AS cos_sim
+      |FROM embeddings WHERE vec_id % $BatchQueryMod = 0
+      |ORDER BY query_id""".stripMargin
+
   /** e10 — PRODUCTION semantic dedup (the SemDeDup shape, d10's
     * composition for the embedding modality): the FULL corpus is
     * cell-partitioned by the real IVF coarse quantizer ([[ivfBuild]] —
@@ -908,6 +994,7 @@ object EmbeddingOps {
     QueryDef("e05_ann_ivf", annIvfBound, Some(annIvfBoundSql)),
     QueryDef("e06_ann_planted_recall", annPlantedRecall, Some(annPlantedRecallSql)),
     QueryDef("e07_ivf_planted_recall", ivfPlantedRecall, Some(ivfPlantedRecallSql)),
+    QueryDef("e13_ann_batch_serve", annBatchServe, Some(annBatchServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

@@ -253,4 +253,33 @@ class SkewOpsSpec extends SparkSpec {
     assert(edges.contains((2128L, 2129L)) && edges.contains((2228L, 2229L)),
       s"planted small-cell pairs missing: $edges")
   }
+
+  test("e13 batch serving agrees with e05's driver-side probe path per query") {
+    import spark.implicits._
+    // the registered row's closed-form contract: every query's top-1 is
+    // its planted twin at cosine 1.0, query universe = base ids % 20
+    val out = EmbeddingOps.annBatchServe(spark, sfTiny)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val base = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val baseIds = base.select(col("vec_id")).as[Long].collect().toSet
+    assert(out.map(_._1).toSet === baseIds.filter(_ % 20 == 0))
+    out.foreach { case (q, t, c) => assert(c === 1.0, s"query $q cosine") }
+    // twin offset is one constant across the batch
+    val offs = out.map(t => t._2 - t._1).distinct
+    assert(offs.length === 1)
+    val off = offs.head
+    // DIFFERENTIAL: the relational probe assignment must reach the same
+    // answer as e05's driver-side probedCells path on the same union
+    val union = base.unionByName(
+      base.withColumn("vec_id", col("vec_id") + lit(off)))
+    val cells = EmbeddingOps.ivfCellsFor(2L * base.count())
+    out.take(3).foreach { case (q, want, _) =>
+      val got = EmbeddingOps.ivfTopK(union, q, k = 1,
+        cells = cells, probes = EmbeddingOps.IvfProbes)
+        .collect().head.getLong(0)
+      assert(got === want, s"query $q: batch=$want driver=$got")
+    }
+  }
 }
