@@ -75,6 +75,45 @@ class ExportCommitSpec extends SparkSpec {
     assert(got.schema === schema)
   }
 
+  test("concurrent committers never lose a batch and never double-commit one") {
+    // 8 threads racing 40 distinct batch ids through the hard-link CAS,
+    // each batch attempted by TWO threads (the replay-under-race case):
+    // exactly one attempt per batch may win, every batch must land, and
+    // the version sequence must be dense (no lost updates).
+    val r = root()
+    val batchIds = (0L until 40L)
+    val attempts = scala.util.Random.shuffle(
+      (batchIds ++ batchIds).toList) // two attempts per batch
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = attempts.map { b =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val st = ExportCommit.stage(r, b)
+            // stage a real (tiny) file so the dir is nonempty (Spark
+            // writers create the staged dir themselves; a direct file
+            // writer makes it explicitly)
+            new java.io.File(st).mkdirs()
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(st).resolve("part-0.json"),
+              s"""{"doc_id":$b,"text":"d$b","shard":0}""")
+            if (ExportCommit.commitBatch(r, b, st)) { wins.incrementAndGet(); () }
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(wins.get() === 40, "every batch exactly one winning commit")
+    val m = ExportCommit.latest(r).get
+    assert(m.version === 40, "versions dense — no lost CAS update")
+    assert(m.batchIds === batchIds.toSet)
+    // every committed dir exists and is distinct
+    val dirs = ExportCommit.committedDirs(r)
+    assert(dirs.distinct.length === 40)
+    dirs.foreach(d0 => assert(new java.io.File(d0).isDirectory, d0))
+  }
+
   test("p11 operator is re-run idempotent: second call reuses the committed manifest") {
     val m1 = graft.operators.PackOps.exportManifest(spark, sfTiny).collect()
     val m2 = graft.operators.PackOps.exportManifest(spark, sfTiny).collect()
