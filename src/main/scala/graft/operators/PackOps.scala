@@ -137,6 +137,37 @@ object PackOps {
 
   private val sequencePackSql = s"$sequencePackInnerSql ORDER BY doc_id"
 
+  /** p14 — sequence packing billed in LEARNED-BPE tokens (completes the
+    * unit-of-account migration the r11 verdict motivated: p13 converted
+    * the budget DRAW, this converts the PACKING — the two big
+    * token-denominated consumers now both bill in the trained
+    * tokenizer's units). The packing kernel is p01's [[packByBudget]]
+    * shared verbatim; only the per-doc count relation changes
+    * ([[BpeOps.docBpeCounts]]). Docs the tokenizer cannot count (zero
+    * clean tokens) drop on both engines (t18's convention) — p01 keeps
+    * them as zero-width rows, which is exactly the difference between
+    * billing in raw regex pieces and billing in the unit a trainer
+    * actually consumes.
+    *
+    * 100 TB shape: t18's retokenization feeding p01's distributed
+    * prefix scan — both shapes already audited. */
+  def bpeSequencePack(s: SparkSession, d: String): DataFrame =
+    packByBudget(BpeOps.docBpeCounts(s, d))
+
+  private val bpeSequencePackSql =
+    s"""WITH ${BpeOps.docBpeCtesSql},
+       |nb AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+       |       FROM t2 JOIN pieces USING (word) GROUP BY doc_id),
+       |c AS (SELECT doc_id, n_tokens,
+       |        COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before
+       |      FROM nb)
+       |SELECT doc_id, n_tokens,
+       |  CAST(cum_before // $SeqBudget AS BIGINT) AS seq_id,
+       |  CAST(cum_before % $SeqBudget AS BIGINT) AS tok_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** p03 — exact quality-quartile bucketing (curriculum mixing): global
     * 0-based rank by (quality_score, doc_id) via the distributed scan,
     * then bucket = rank·4 ÷ N + 1. Same spread as ntile(4) but with the
@@ -967,6 +998,8 @@ object PackOps {
     QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)),
     QueryDef("p09_budget_draw", budgetDraw, Some(budgetDrawSql)),
     QueryDef("p13_bpe_budget_draw", bpeBudgetDraw, Some(bpeBudgetDrawSql)),
+    QueryDef("p14_bpe_sequence_pack", bpeSequencePack,
+      Some(bpeSequencePackSql)),
     QueryDef("p11_export_manifest", exportManifest,
       Some(exportManifestSql)),
     QueryDef("p12_incremental_export", incrementalExport,
