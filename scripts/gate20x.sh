@@ -8,13 +8,19 @@
 # literals), so green here is a third-scale-point receipt that the
 # correctness contract carries past the tested SFs.
 #
+# Since r12 the receipt also runs the round's new FULL-ORACLE rows
+# (BPE family, trained language ID, passage runs, BPE-unit draw/pack,
+# datasheet, batch ANN) — their oracles recompute on the synthetic
+# corpus, so they are checkable at any scale; they are here because
+# they are cheap enough to afford.
+#
 # Rows NOT runnable here, and why (documented, not silent):
 #   - q01..q40: read the TPC-H tables, which the synthetic corpus does
 #     not materialize (documents/embeddings/events only);
-#   - full-hash rows (t*, d01.., c*, p*, s*): correctness-checkable at
-#     ANY SF by re-running their oracle — already proven at two SFs;
-#     excluded HERE only to keep the receipt cheap, not because their
-#     contracts are SF-bound.
+#   - the remaining full-hash rows (t01.., d01.., c01-c04, p01.., s*):
+#     correctness-checkable at ANY SF by re-running their oracle —
+#     already proven at two SFs; excluded HERE only to keep the
+#     receipt cheap, not because their contracts are SF-bound.
 #
 # Usage: scripts/gate20x.sh [baseDir] [bigDir] [mult]
 set -euo pipefail
@@ -30,7 +36,10 @@ e04_ann_lsh,e05_ann_ivf,e06_ann_planted_recall,e07_ivf_planted_recall,\
 e09_quantize_embeddings,m06_kmeans_stats,m07_lda_optimize,\
 m08_cluster_merge,m09_refiner_report,m10_model_predict,\
 m11_predict_planted,m12_kmeans_invariants,m13_lda_invariants,\
-m15_classifier_planted"
+m15_classifier_planted,\
+t16_bpe_merges,t17_lang_model,t18_bpe_retokenize,t20_bpe_card,\
+t21_bpe_lang_card,d18_passage_runs,p13_bpe_budget_draw,\
+p14_bpe_sequence_pack,c05_dataset_card,e13_ann_batch_serve"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \
