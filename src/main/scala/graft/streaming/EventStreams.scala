@@ -685,7 +685,13 @@ object EventStreams {
     *
     * 100 TB shape: the pieces relation is vocabulary-sized (broadcast
     * under the guard ceiling), the aggregation state is sources-sized
-    * — both constant in stream length. */
+    * — both constant in stream length. Note the pieces memo keys on
+    * the stream CLONE session (Intermediates is deliberately
+    * session-scoped for conf isolation), so a sweep that runs both
+    * t18 and s23 materializes the vocabulary-sized relation twice —
+    * once per session, both released at family boundaries; the right
+    * trade for keeping the clone's conf cap from leaking into batch
+    * plans. */
   def streamTokenStats(s: SparkSession, d: String): DataFrame = {
     val ss = streamSession(s)
     val pieces = graft.operators.BpeOps.piecesFor(ss, d,
