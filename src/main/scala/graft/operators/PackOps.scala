@@ -843,7 +843,12 @@ object PackOps {
 
   /** The manifest tail over a read-back export — shared by p11/s22:
     * n_tokens re-tokenized from the round-tripped text, so export-path
-    * corruption fails the manifest hash. */
+    * corruption fails the manifest hash. The count is deliberately the
+    * REGEX piece count, not the learned-BPE unit: its job here is
+    * corruption DETECTION (any deterministic text-sensitive count
+    * works, and the regex needs no model join inside the export path);
+    * billing in learned units is p13/p14's business, and s23 meters
+    * the same stream in them. */
   private[graft] def manifestFrom(readBack: DataFrame): DataFrame =
     readBack.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
