@@ -84,8 +84,18 @@ object Bench {
       System.gc()
       System.err.println(s"[bench] family $fam start: ${footprint()}")
     }
+    // Diagnostic subset filter (A/B arms only — the driver leaves it
+    // unset and sweeps everything): comma-separated name PREFIXES, a
+    // query runs iff its name starts with one of them. Family-scoped
+    // arms ("m", "s09,s20") isolate whether a regression reproduces
+    // without the rest of the sweep's session pressure.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     var prevFam = ""
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val fam = name.take(1)
       if (prevFam.nonEmpty && fam != prevFam) familyBoundary(prevFam, fam)
       prevFam = fam

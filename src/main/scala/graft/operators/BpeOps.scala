@@ -35,8 +35,30 @@ import org.apache.spark.sql.functions._
   * symbol boundaries ("(ab)(c)" does not contain "(b)(c)") and no
   * shared-delimiter misses ("(a)(b)(a)(b)" merges BOTH occurrences —
   * the classic space-separated encoding loses the second one to the
-  * consumed boundary space). Symbols are post-clean `[a-z]+`, so the
-  * parentheses are unambiguous; [[trainBpe]] guards the invariant.
+  * consumed boundary space).
+  *
+  * Alphabet (r12 verdict ask #4 — full coverage, not `[a-z]+`): words
+  * are RAW whitespace tokens of the document text — digits,
+  * punctuation, and non-Latin characters all reach the tokenizer (the
+  * GPT-2-style posture: the tokenizer sees everything; nothing is
+  * cleaned away before it). The parenthesis delimiters stay
+  * unambiguous because segmentations live in a REMAPPED symbol space:
+  * `'('`/`')'` translate 1:1 to the private-use chars U+E000/U+E001
+  * on entry ([[segInit]]) and back on every user-facing surface (t16
+  * rows, the saved artifact). Escaping instead of remapping would NOT
+  * be safe — substring matching is context-free, so an escaped
+  * pattern can false-match spanning an escape char (e.g. pattern
+  * `(\()(\()` matches inside `(\(\()(\()` at offset 2) — while after
+  * remapping the delimiters simply cannot occur in a symbol body and
+  * the original proof holds verbatim. Input words containing the two
+  * PUA chars themselves fail loudly (they are non-interchange
+  * codepoints by definition; the guard names the restriction).
+  * Tie-breaks order pairs in the ENCODED space — deterministic, and
+  * the oracle computes in the same space so both engines agree.
+  * `word` COLUMNS stay raw everywhere (join keys, output rows); only
+  * `seg` is encoded. Java regex and RE2 both treat `.`/`[^()]` as
+  * one BMP codepoint over these strings; astral-plane symbols
+  * (surrogate pairs) are outside the supported alphabet.
   *
   * The training corpus is a SEEDED SLICE (`doc_id % 5 == 0`): a 100 TB
   * deployment trains its tokenizer on a sample, then applies it
@@ -46,11 +68,20 @@ import org.apache.spark.sql.functions._
   * training table's final state.
   *
   * Saturation: if no adjacent pair remains before `nMerges` steps, the
-  * loop stops and the merge table is short — and the ORACLE degrades
-  * identically (an empty step-k argmax empties every later CTE, so its
-  * union of merge rows ends at the same step). The registered row pins
-  * [[NMerges]] = 40, measured well under this corpus's saturation
-  * point (~89 merges at every SF — the vocabulary is SF-invariant).
+  * loop stops, the merge table is short, and the already-merged
+  * segmentation still applies to the full vocabulary — and the ORACLE
+  * degrades identically: each step joins its argmax CTE via
+  * `LEFT JOIN ... ON TRUE` with a COALESCE back to the previous
+  * segmentation, so an empty step-k argmax passes w{k}/a{k} through
+  * UNCHANGED (every later argmax is then empty too — the merge-row
+  * union ends at the same step, and the full-vocab segmentation arm
+  * survives for every consumer oracle, exactly like the engine's
+  * early stop + apply). A plain cross join here would instead EMPTY
+  * every later CTE and hash-mismatch all eight consumer rows on any
+  * corpus that saturates under `nMerges` (r12 ADVICE). The registered
+  * row pins [[NMerges]] = 40, measured well under this corpus's
+  * saturation point (~89 merges at every SF — the vocabulary is
+  * SF-invariant); BpeOpsSpec pins the saturating case end-to-end.
   *
   * 100 TB shape: one corpus scan builds the sliced word counts (uniform
   * word-keyed hash agg, map-side combined); each merge step shuffles the
@@ -70,14 +101,46 @@ object BpeOps {
   /** Training slice: every 5th document by id (seeded, SF-stable). */
   private val TrainMod = 5L
 
+  /** `pair`/`merged` are in the ENCODED symbol space (see object doc);
+    * [[decode]] / [[decodeStr]] translate back for user-facing rows and
+    * the saved artifact. */
   final case class MergeRow(step: Long, pair: String, merged: String, n: Long)
 
-  private val tokListSql = graft.oracle.DuckFragments.tokListSql
+  /** Encoded stand-ins for the two structural delimiters — private-use
+    * codepoints, non-interchange by definition. */
+  private[graft] val SafeOpen = "\uE000"
+  private[graft] val SafeClose = "\uE001"
 
-  /** Initial segmentation: every character individually wrapped —
-    * "scan" → "(s)(c)(a)(n)". */
+  /** Raw whitespace tokenization — the tokenizer's input surface (full
+    * alphabet coverage; the clean chain does NOT gate what reaches BPE).
+    * `array_remove` keeps the projection codegen'd (no lambda). */
+  private[graft] def rawWords(text: Column): Column =
+    array_remove(split(text, "\\s+"), "")
+
+  /** Word → encoded symbol space: 1:1 translate of the delimiters, loud
+    * failure on input that already contains the PUA stand-ins (the only
+    * unsupported codepoints). Vocabulary-scale call sites only. */
+  private def encodeWord(word: Column): Column =
+    when(word.contains(SafeOpen) || word.contains(SafeClose),
+      raise_error(concat(lit("bpe: word contains reserved codepoints " +
+        "U+E000/U+E001 (the encoded delimiters): "), word)).cast("string"))
+      .otherwise(translate(word, "()", SafeOpen + SafeClose))
+
+  /** Encoded symbol text → true text (t16 rows, saved artifacts). */
+  private def decode(c: Column): Column =
+    translate(c, SafeOpen + SafeClose, "()")
+  private def decodeStr(s: String): String =
+    s.replace(SafeOpen, "(").replace(SafeClose, ")")
+  private def encodeStr(s: String): String = {
+    require(!s.contains(SafeOpen) && !s.contains(SafeClose),
+      s"bpe: artifact symbol contains reserved codepoints U+E000/U+E001: $s")
+    s.replace("(", SafeOpen).replace(")", SafeClose)
+  }
+
+  /** Initial segmentation: every character of the ENCODED word
+    * individually wrapped — "scan" → "(s)(c)(a)(n)". */
   private def segInit(word: Column): Column =
-    regexp_replace(word, "(.)", "($1)")
+    regexp_replace(encodeWord(word), "(.)", "($1)")
 
   /** Symbol list of a wrapped segmentation: strip the outer parens,
     * split on the ")(" boundaries. Pure string ops — no regex scan in
@@ -91,11 +154,12 @@ object BpeOps {
   private def mergeOnce(seg: Column, a: String, b: String): Column =
     replace(seg, lit(s"($a)($b)"), lit(s"($a$b)"))
 
-  /** The sliced training word-frequency relation (word, f). */
+  /** The sliced training word-frequency relation (word, f) — raw
+    * whitespace words (full-alphabet coverage, see object doc). */
   private[graft] def sliceWords(documents: DataFrame): DataFrame =
     documents
       .filter(col("doc_id") % TrainMod === 0)
-      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .select(explode(rawWords(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("f"))
 
@@ -148,12 +212,13 @@ object BpeOps {
         val pair = best(0).getString(0)
         val n = best(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
-        // the wrapped encoding is only unambiguous while symbols stay
-        // alphabetic — post-clean tokens guarantee it; fail loudly if a
-        // caller feeds unclean words
-        require(a.matches("[a-z]+") && b.matches("[a-z]+"),
-          s"bpe: non-alphabetic symbol in pair '$pair' — train on " +
-            "cleaned tokens")
+        // the wrapped encoding is only unambiguous while symbol bodies
+        // carry no structural delimiter and no whitespace (the pair's
+        // own separator) — encodeWord guarantees it; fail loudly if
+        // the invariant is ever broken upstream
+        require(!s"$a$b".exists(ch => ch == '(' || ch == ')' ||
+            Character.isWhitespace(ch)),
+          s"bpe: delimiter/whitespace inside encoded symbol pair '$pair'")
         merges += MergeRow(step.toLong, pair, a + b, n)
         words = words.withColumn("seg", mergeOnce(col("seg"), a, b))
         if (step % SwapEvery == 0) {
@@ -190,11 +255,13 @@ object BpeOps {
         df.withColumn("seg", mergeOnce(col("seg"), a, b))
     }
 
-  /** t16 — the learned merge table itself: (step, pair, merged, n). */
+  /** t16 — the learned merge table itself: (step, pair, merged, n),
+    * decoded back to true symbol text. */
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     trainedMerges(s, d).toDF()
-      .select(col("step"), col("pair"), col("merged"), col("n"))
+      .select(col("step"), decode(col("pair")).as("pair"),
+        decode(col("merged")).as("merged"), col("n"))
       .orderBy(col("step"))
   }
 
@@ -210,7 +277,7 @@ object BpeOps {
   private[graft] def piecesFor(s: SparkSession, d: String,
       merges: Seq[MergeRow], memoTag: String): DataFrame = {
     val words = Tables.documents(s, d)
-      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .select(explode(rawWords(col("text"))).as("word"))
       .distinct()
     graft.plans.SizeGuard.broadcastIfSmall(
       applyMerges(words, merges)
@@ -223,7 +290,7 @@ object BpeOps {
       merges: Seq[MergeRow], memoTag: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("word"))
+        explode(rawWords(col("text"))).as("word"))
       .join(piecesFor(s, d, merges, memoTag), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
@@ -259,10 +326,15 @@ object BpeOps {
   // training run months later.
   // ---------------------------------------------------------------------
 
-  /** Persist a merge table (ordered, one row per step). */
+  /** Persist a merge table (ordered, one row per step). The artifact
+    * stores TRUE symbol text (decoded) — the file a trainer ships must
+    * read as the user's vocabulary, not the engine's internal
+    * delimiter encoding; [[loadMerges]] re-encodes on the way in. */
   def saveMerges(s: SparkSession, merges: Seq[MergeRow], dir: String): Unit = {
     import s.implicits._
-    merges.toDF().coalesce(1).write.mode("overwrite").parquet(dir)
+    merges.map(m => m.copy(pair = decodeStr(m.pair),
+        merged = decodeStr(m.merged)))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** Load a merge table in training order. Loud on an empty/absent
@@ -274,6 +346,8 @@ object BpeOps {
       .select(col("step"), col("pair"), col("merged"), col("n"))
       .orderBy(col("step"))
       .as[MergeRow].collect().toSeq
+      .map(m => m.copy(pair = encodeStr(m.pair),
+        merged = encodeStr(m.merged)))
     require(rows.nonEmpty, s"bpe: no merges under $dir")
     require(rows.map(_.step) == (1L to rows.length.toLong),
       s"bpe: merge table under $dir is not a dense 1..n step sequence")
@@ -304,18 +378,36 @@ object BpeOps {
   // engine runs.
   // ---------------------------------------------------------------------
 
-  /** CTE prefix w0..w{n}, a0..a{n}, b1..b{n} (no leading WITH). */
+  /** Raw whitespace token list ≙ [[rawWords]] (may contain '' entries —
+    * filtered at use). */
+  private val rawTokSql = "string_split_regex(text, '\\s+')"
+
+  /** Word → encoded-space initial segmentation ≙ [[segInit]]:
+    * delimiters remapped to the PUA stand-ins (chr 57344/57345 =
+    * U+E000/U+E001), then every codepoint wrapped. */
+  private def segInitSql(word: String): String =
+    s"regexp_replace(replace(replace($word, '(', chr(57344)), ')', " +
+      s"chr(57345)), '(.)', '(\\1)', 'g')"
+
+  /** Decode an encoded symbol string back to true text ≙ [[decode]]. */
+  private def decodeSql(c: String): String =
+    s"replace(replace($c, chr(57344), '('), chr(57345), ')')"
+
+  /** CTE prefix w0..w{n}, a0..a{n}, b1..b{n} (no leading WITH).
+    * Each step's w/a CTE takes its argmax via `LEFT JOIN b ON TRUE`
+    * with COALESCE back to the unmerged seg, so saturation (empty b)
+    * passes the chain through unchanged — see the object doc. */
   private def chainSql(n: Int): String = {
     val base =
       s"""w0 AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS f,
-         |    regexp_replace(word, '(.)', '(\\1)', 'g') AS seg
-         |  FROM (SELECT unnest($tokListSql) AS word FROM documents
+         |    ${segInitSql("word")} AS seg
+         |  FROM (SELECT unnest($rawTokSql) AS word FROM documents
          |        WHERE doc_id % $TrainMod = 0) t
          |  WHERE word <> '' GROUP BY word),
          |a0 AS MATERIALIZED (
-         |  SELECT word, regexp_replace(word, '(.)', '(\\1)', 'g') AS seg
-         |  FROM (SELECT DISTINCT unnest($tokListSql) AS word
+         |  SELECT word, ${segInitSql("word")} AS seg
+         |  FROM (SELECT DISTINCT unnest($rawTokSql) AS word
          |        FROM documents) t
          |  WHERE word <> '')""".stripMargin
     val steps = (1 to n).map { k =>
@@ -329,25 +421,26 @@ object BpeOps {
          |  SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS n
          |  FROM px$k GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT w.word, w.f, replace(w.seg,
+         |  SELECT w.word, w.f, COALESCE(replace(w.seg,
          |    '(' || string_split(b.pair, ' ')[1] || ')(' ||
          |      string_split(b.pair, ' ')[2] || ')',
-         |    '(' || replace(b.pair, ' ', '') || ')') AS seg
-         |  FROM w$p w, b$k b),
+         |    '(' || replace(b.pair, ' ', '') || ')'), w.seg) AS seg
+         |  FROM w$p w LEFT JOIN b$k b ON TRUE),
          |a$k AS MATERIALIZED (
-         |  SELECT a.word, replace(a.seg,
+         |  SELECT a.word, COALESCE(replace(a.seg,
          |    '(' || string_split(b.pair, ' ')[1] || ')(' ||
          |      string_split(b.pair, ' ')[2] || ')',
-         |    '(' || replace(b.pair, ' ', '') || ')') AS seg
-         |  FROM a$p a, b$k b)""".stripMargin
+         |    '(' || replace(b.pair, ' ', '') || ')'), a.seg) AS seg
+         |  FROM a$p a LEFT JOIN b$k b ON TRUE)""".stripMargin
     }
     (base +: steps).mkString(",\n")
   }
 
   private val bpeMergesSql = {
     val union = (1 to NMerges).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS step, pair,
-         |  replace(pair, ' ', '') AS merged, n FROM b$k""".stripMargin
+      s"""SELECT CAST($k AS BIGINT) AS step, ${decodeSql("pair")} AS pair,
+         |  ${decodeSql("replace(pair, ' ', '')")} AS merged, n
+         |FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"WITH ${chainSql(NMerges)}\n$union\nORDER BY step"
   }
@@ -370,7 +463,7 @@ object BpeOps {
   def bpeCard(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        explode(TextFunctions.tokens(col("text"))).as("word"))
+        explode(rawWords(col("text"))).as("word"))
       .join(piecesFor(s, d, trainedMerges(s, d), "t18"), "word")
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -402,7 +495,7 @@ object BpeOps {
   def bpeLangCard(s: SparkSession, d: String): DataFrame = {
     val per = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(TextFunctions.tokens(col("text"))).as("word"))
+        explode(rawWords(col("text"))).as("word"))
       .join(piecesFor(s, d, trainedMerges(s, d), "t18"), "word")
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -433,7 +526,7 @@ object BpeOps {
        |    CAST(len(regexp_extract_all(seg, '\\(([^()]+)\\)', 1)) AS BIGINT)
        |      AS n_sym
        |  FROM a$NMerges),
-       |toks AS (SELECT doc_id, unnest($tokListSql) AS word FROM documents),
+       |toks AS (SELECT doc_id, unnest($rawTokSql) AS word FROM documents),
        |t2 AS (SELECT doc_id, word FROM toks WHERE word <> '')""".stripMargin
 
   private val bpeRetokenizeSql =

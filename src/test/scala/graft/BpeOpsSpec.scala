@@ -113,11 +113,54 @@ class BpeOpsSpec extends SparkSpec {
     assert(got.head.merged === "ab")
   }
 
-  test("trainBpe rejects non-alphabetic symbols (encoding guard)") {
+  // ----- full-alphabet coverage (r12 verdict ask #4) -----
+
+  /** The spec-side twin of the engine's delimiter encoding. */
+  private def enc(w: String): String =
+    w.replace("(", BpeOps.SafeOpen).replace(")", BpeOps.SafeClose)
+  private def dec(w: String): String =
+    w.replace(BpeOps.SafeOpen, "(").replace(BpeOps.SafeClose, ")")
+
+  test("full-alphabet training (digits/punct/parens/CJK/apostrophes) matches the reference") {
+    // words the old [a-z]+ guard rejected outright — now first-class;
+    // the reference runs over ENCODED words (the engine's tie-break
+    // space), results compared decoded
+    val freqs = Map("c3:p0" -> 4L, "(a1)" -> 3L, "a1+b2" -> 5L,
+      "日本語" -> 4L, "日本" -> 3L, "don't" -> 2L,
+      "((" -> 2L)
+    val got = BpeOps.trainBpe(wordsDf(freqs), nMerges = 10)
+    val (want, _) = refTrain(freqs.map { case (k, v) => enc(k) -> v }, 10)
+    assert(got.map(m => (dec(m.pair), dec(m.merged), m.n)) ===
+      want.map { case (p, m, n) => (dec(p), dec(m), n) })
+    // and the apply path segments a paren-heavy unseen word correctly:
+    // greedy left-to-right, no false match spanning the delimiters
+    val parenMerge = Seq(BpeOps.MergeRow(1L, s"${enc("(")} ${enc("(")}",
+      enc("(("), 1L))
+    val segs = BpeOps.applyMerges(Seq("(((").toDF("word"), parenMerge)
+      .select(BpeOps.symsOf(col("seg"))).as[Seq[String]].head()
+    assert(segs.map(dec) === Seq("((", "("))
+  }
+
+  test("trainBpe rejects words containing the reserved PUA delimiters (encoding guard)") {
     val ex = intercept[Exception] {
-      BpeOps.trainBpe(Seq(("a(b", 2L)).toDF("word", "f"), nMerges = 1)
+      BpeOps.trainBpe(Seq(("a" + BpeOps.SafeOpen + "b", 2L))
+        .toDF("word", "f"), nMerges = 1)
     }
-    assert(ex.getMessage.contains("bpe"))
+    assert(ex.getMessage.contains("reserved codepoints"))
+  }
+
+  test("merge-table artifact stores TRUE symbol text (parens decoded at rest)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toString
+    val freqs = Map("((" -> 3L, "))" -> 2L)
+    val merges = BpeOps.trainBpe(wordsDf(freqs), nMerges = 2)
+    BpeOps.saveMerges(spark, merges, dir)
+    val atRest = spark.read.parquet(dir).select("pair", "merged")
+      .as[(String, String)].collect()
+    assert(atRest.forall { case (p, m) =>
+      !p.contains(BpeOps.SafeOpen) && !m.contains(BpeOps.SafeClose) })
+    assert(atRest.exists { case (_, m) => m == "((" || m == "))" })
+    // and the round-trip re-encodes: loaded == in-memory
+    assert(BpeOps.loadMerges(spark, dir) === merges)
   }
 
   test("trainBpe leaves no persistent RDDs behind") {
