@@ -1,0 +1,59 @@
+package graft
+
+import graft.api.IvfStore
+import graft.operators.EmbeddingOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** e14/e15 — the IVF index as a shipped artifact: save/load identity,
+  * the round-trip serve's differential against the in-session path,
+  * and the append path's structural twin-cell guarantee. */
+class IvfStoreSpec extends SparkSpec {
+
+  private def baseEmb =
+    Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"ivf_$tag").toString
+
+  test("save/load round-trips the assigned relation and the quantizer exactly") {
+    val index = EmbeddingOps.ivfBuild(baseEmb, cells = 4)
+    val dir = IvfStore.versionedDir(tmp("rt"), 4, java.time.LocalDate.ofEpochDay(0))
+    IvfStore.save(dir, index)
+    val loaded = IvfStore.load(spark, dir)
+    assert(loaded.model.clusterCenters.toSeq === index.model.clusterCenters.toSeq)
+    val want = index.assigned.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val got = loaded.assigned.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(got === want)
+    // features survive bit-identically (the probe ranking inputs)
+    val f0 = index.assigned.orderBy("vec_id").select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    val g0 = loaded.assigned.orderBy("vec_id").select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(f0 === g0)
+  }
+
+  test("e14 loaded-index serve equals the in-session e13 serve row-for-row") {
+    val a = EmbeddingOps.annBatchServe(spark, sfTiny).collect().toSeq
+    val b = EmbeddingOps.annIndexRoundtrip(spark, sfTiny).collect().toSeq
+    assert(a.nonEmpty)
+    assert(b === a)
+  }
+
+  test("e15 append assigns every increment twin to its original's cell (no refit)") {
+    val res = EmbeddingOps.annIndexAppend(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    val off = res.head._2 - res.head._1
+    assert(res.forall { case (q, t, c) => t == q + off && c == 1.0 })
+  }
+
+  test("load fails loudly on an absent or partial store") {
+    val ex = intercept[Exception] {
+      IvfStore.load(spark, tmp("absent") + "/nothing")
+    }
+    assert(ex != null)
+  }
+}
