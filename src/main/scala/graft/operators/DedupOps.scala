@@ -1140,17 +1140,31 @@ object DedupOps {
         Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    diagonalRuns(pairs, minRun = 2L)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
+
+  /** The island kernel shared by d18 (passage grain) and d19 (char-gram
+    * grain): maximal runs of CONSECUTIVE matched positions per
+    * (pair, diagonal) — matched position pairs (pa, pb) lie on the
+    * diagonal pa − pb, and consecutive pa's on one diagonal share
+    * pa − row_number (index-minus-rank). Input: (doc_a, doc_b, pa, pb);
+    * output: one row per maximal run of ≥ `minRun` matches,
+    * (doc_a, doc_b, a_start, b_start, run_len), un-ordered (callers
+    * pin their own output order). The window partitions by
+    * (pair, diagonal) — bounded by the shorter doc's position count,
+    * never corpus-global. */
+  private[graft] def diagonalRuns(matches: DataFrame, minRun: Long): DataFrame = {
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
-    pairs.withColumn("diag", col("pa") - col("pb"))
+    matches.withColumn("diag", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
         count(lit(1)).as("run_len"))
-      .filter(col("run_len") >= 2)
+      .filter(col("run_len") >= minRun)
       .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
         col("run_len"))
-      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
   }
 
   private val passageRunsSql =
@@ -1172,6 +1186,112 @@ object DedupOps {
        |FROM g GROUP BY doc_a, doc_b, diag, grp
        |HAVING count(*) >= 2
        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin
+
+  /** d19 candidate threshold: pairs must share this many distinct
+    * (fanout-guarded) fingerprints before the exact verification pass
+    * looks at them. Winnowing picks ≥ 1 position per w-gram window, so
+    * a shared span of L chars yields ~(L−k+1)/w selections — ≥ 4
+    * distinct shared fingerprints corresponds to a span on the order
+    * of MinRunGrams, modulo distinct-hash collapse. */
+  private val MinSharedFingerprints = 4L
+
+  /** d19 verification threshold: a reported run must cover ≥ this many
+    * consecutive matched gram positions ⇒ a verbatim shared substring
+    * of ≥ MinRunGrams + k − 1 = 20 chars. */
+  private val MinRunGrams = 16L
+
+  /** d19 — cross-doc WINNOWING-fingerprint dedup, the MOSS composition
+    * (r12 verdict ask #3): fingerprint match → candidate pairs → exact
+    * run verification, catching verbatim reuse at SUBSTRING grain that
+    * passage boundaries blur (d18 sees 20-token passages; a quotation
+    * starting mid-passage straddles two passage hashes and vanishes —
+    * at char grain it is one diagonal run).
+    *
+    * Stage 1 (candidates) runs on t08's fingerprint relation
+    * ([[TextOps.winnowFrom]] — the codegen'd kernel, ~1/w of the gram
+    * stream): fingerprints shared by 2..[[MaxRunFanoutDocs]] docs
+    * (d18's furniture guard — a fingerprint in more docs is corpus
+    * boilerplate, d16's business, and would pair-join quadratically;
+    * on THIS tiny-vocabulary synthetic corpus most shared substrings
+    * are genuinely furniture, so the row thins honestly as SF grows),
+    * pair-joined and kept at ≥ [[MinSharedFingerprints]] shared
+    * fingerprints.
+    *
+    * Stage 2 (verification) is EXACT, not approximate: candidate pairs
+    * only are joined on [[TextOps.gramHashes]] — the same injective
+    * gram hash the kernel selects minima from, at every position, so
+    * hash equality is substring equality — and [[diagonalRuns]] (d18's
+    * island kernel, shared verbatim) extracts maximal consecutive
+    * matched-position runs ≥ [[MinRunGrams]]. Winnowing's guarantee
+    * (any shared span ≥ w+k−1 chars shares a fingerprint — Schleimer
+    * et al. 2003) makes stage 1 a superset of every pair stage 2 could
+    * report at these thresholds; the planted-quotation differential in
+    * PassageRunsSpec pins recall end-to-end.
+    *
+    * Emits one row per verified maximal run:
+    * (doc_a, doc_b, a_pos, b_pos, run_len, match_len = run_len + k − 1
+    * shared chars).
+    *
+    * 100 TB shape: candidates come from the fingerprint index (w×
+    * smaller than the gram stream) under the same degenerate-key
+    * guard as every banded join; the corpus-scale gram relation is
+    * joined ONLY scoped to candidate pairs (first on doc_a — a
+    * candidate-docs semi-join in effect — then on (doc_b, h), both
+    * uniform keys); the island window partitions per (pair, diagonal).
+    * Nothing global ever self-joins at gram grain. */
+  def winnowRunDedup(s: SparkSession, d: String): DataFrame = {
+    val fps = TextOps.winnowFrom(Tables.documents(s, d))
+    val ok = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2L, MaxRunFanoutDocs))
+      .select(col("fp"))
+    val sh = fps.join(ok, "fp")
+    val cand = sh.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("nsh"))
+      .filter(col("nsh") >= MinSharedFingerprints)
+      .select(col("doc_a"), col("doc_b"))
+    val grams = TextOps.gramHashes(Tables.documents(s, d))
+    val matches = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("h")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("h")), Seq("doc_b", "h"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    diagonalRuns(matches, MinRunGrams)
+      .select(col("doc_a"), col("doc_b"), col("a_start").as("a_pos"),
+        col("b_start").as("b_pos"), col("run_len"),
+        (col("run_len") + lit(TextOps.WinnowK - 1)).as("match_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"))
+  }
+
+  private val winnowRunDedupSql =
+    s"""WITH ${TextOps.winnowCtesSql},
+       |wok AS (SELECT fp FROM fps GROUP BY fp
+       |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxRunFanoutDocs),
+       |wsh AS (SELECT f.doc_id, f.fp FROM fps f JOIN wok USING (fp)),
+       |wcand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM wsh x JOIN wsh y
+       |            ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2
+       |          HAVING count(*) >= $MinSharedFingerprints),
+       |wma AS (SELECT cd.doc_a, cd.doc_b, x.pos AS pa, y.pos AS pb
+       |        FROM wcand cd
+       |        JOIN h x ON x.doc_id = cd.doc_a
+       |        JOIN h y ON y.doc_id = cd.doc_b AND y.h = x.h),
+       |wg AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |                                 ORDER BY pa) AS grp
+       |       FROM wma)
+       |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_pos,
+       |  CAST(min(pb) AS BIGINT) AS b_pos,
+       |  CAST(count(*) AS BIGINT) AS run_len,
+       |  CAST(count(*) + ${TextOps.WinnowK - 1} AS BIGINT) AS match_len
+       |FROM wg GROUP BY doc_a, doc_b, diag, grp
+       |HAVING count(*) >= $MinRunGrams
+       |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
@@ -1198,5 +1318,6 @@ object DedupOps {
       Some(boilerplateStripSql)),
     QueryDef("d17_incremental_passages", incrementalPassageDedup,
       Some(incrementalPassageDedupSql)),
-    QueryDef("d18_passage_runs", passageRuns, Some(passageRunsSql)))
+    QueryDef("d18_passage_runs", passageRuns, Some(passageRunsSql)),
+    QueryDef("d19_winnow_run_dedup", winnowRunDedup, Some(winnowRunDedupSql)))
 }

@@ -416,6 +416,41 @@ object TextOps {
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     winnowFrom(Tables.documents(s, d))
 
+  /** Winnowing parameters shared by t08 and d19's verification grain:
+    * k-char grams, window w ⇒ any shared substring of ≥ w + k − 1 = 12
+    * chars yields a shared fingerprint (Schleimer et al. 2003, Thm 1). */
+  private[operators] val WinnowK = 5
+  private[operators] val WinnowW = 8
+
+  /** The per-position k-gram hash relation (doc_id, pos, h) — d19's
+    * VERIFICATION grain: the exact same gram hash the winnow kernel
+    * selects minima from (base-32 polynomial × Knuth step, injective
+    * over post-clean text, so hash equality IS substring equality),
+    * but at EVERY position. Corpus-scale: only ever joined scoped to
+    * candidate pairs (d19), never self-joined globally. Shape per the
+    * r12 lesson: position-explode FIRST, then a plain projection
+    * computes the hash (a transform() lambda would re-run the captured
+    * clean chain per element). */
+  private[operators] def gramHashes(documents: DataFrame): DataFrame = {
+    val k = WinnowK
+    val poly = (1 until k).foldLeft(
+        (ascii(col("c").substr(col("pos"), lit(1))) % 32).cast("long")) {
+      (acc, i) =>
+        acc * 32L + (ascii(col("c").substr(col("pos") + lit(i), lit(1))) % 32)
+          .cast("long")
+    }
+    graft.sources.Scans
+      .widenForFanout(documents.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), TextFunctions.cleanText(col("text")).as("c"))
+      .filter(length(col("c")) >= k)
+      .select(col("doc_id"), col("c"),
+        explode(sequence(lit(1), length(col("c")) - (k - 1))).as("pos"))
+      // long positions: the published run offsets are BIGINT (oracle
+      // parity — generate_series is int64 in DuckDB)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        ((poly * 2654435761L) % 4294967296L).as("h"))
+  }
+
   private[graft] def winnowFrom(documents: DataFrame): DataFrame =
     // Whole-doc codegen'd kernel ([[graft.expressions.WinnowFingerprints]]):
     // clean → per-doc fingerprint SET in one map-only pass — no
@@ -429,25 +464,35 @@ object TextOps {
       .widenForFanout(documents.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(graft.expressions.WinnowFingerprints.winnowFingerprints(
-          TextFunctions.cleanText(col("text")), 5, 8)).as("fp"))
+          TextFunctions.cleanText(col("text")), WinnowK, WinnowW)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
 
-  private val winnowFingerprintsSql = {
-    val poly = (1 until 5).foldLeft("(ascii(substr(c, pos, 1)) % 32)::BIGINT") {
+  /** Shared CTE prefix c/p/h/m/fps ≙ [[gramHashes]] (h) and
+    * [[winnowFrom]] (fps) — ONE definition of the gram hash and the
+    * window-min selection, composed by both the t08 oracle and d19's
+    * candidate + verification stages (a slicing/hash change breaks
+    * them together). */
+  private[operators] val winnowCtesSql = {
+    val k = WinnowK
+    val poly = (1 until k).foldLeft("(ascii(substr(c, pos, 1)) % 32)::BIGINT") {
       (acc, i) => s"($acc) * 32 + (ascii(substr(c, pos + $i, 1)) % 32)::BIGINT"
     }
     val gramHash = s"(($poly) * 2654435761) % 4294967296"
-    s"""WITH c AS (SELECT doc_id, $cleanSql AS c FROM documents),
-       |p AS (SELECT doc_id, c, unnest(generate_series(1, length(c) - 4)) AS pos
-       |      FROM c WHERE length(c) >= 5),
+    s"""c AS (SELECT doc_id, $cleanSql AS c FROM documents),
+       |p AS (SELECT doc_id, c, unnest(generate_series(1, length(c) - ${k - 1})) AS pos
+       |      FROM c WHERE length(c) >= $k),
        |h AS (SELECT doc_id, pos, $gramHash AS h FROM p),
        |m AS (SELECT doc_id, pos, h,
        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
-       |                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
-       |      FROM h)
-       |SELECT DISTINCT doc_id, h AS fp FROM m WHERE h = mh
-       |ORDER BY doc_id, fp""".stripMargin
+       |                     ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mh
+       |      FROM h),
+       |fps AS (SELECT DISTINCT doc_id, h AS fp FROM m WHERE h = mh)""".stripMargin
   }
+
+  private val winnowFingerprintsSql =
+    s"""WITH $winnowCtesSql
+       |SELECT doc_id, fp FROM fps
+       |ORDER BY doc_id, fp""".stripMargin
 
   /** Token-count statistics: whitespace tokens, BPE-style pre-tokenizer
     * pieces (letter runs / digit runs / single punctuation — the GPT-2

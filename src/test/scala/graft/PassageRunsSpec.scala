@@ -106,6 +106,114 @@ class PassageRunsSpec extends SparkSpec {
     }
   }
 
+  // ----- d19: winnowing-fingerprint dedup (the MOSS composition) -----
+
+  private def d19Runs(rows: Seq[(Long, String)])
+      : Set[(Long, Long, Long, Long, Long, Long)] =
+    DedupOps.winnowRunDedup(spark, docsDir(rows))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+
+  /** Independent char-grain reference: brute diagonal walk over 5-gram
+    * equality (direct substring compare — no hashing, so a shared
+    * hash-collision bug cannot hide), maximal runs >= minRun. Models
+    * stage 2 only — callers plant quotations long enough that stage
+    * 1's candidate threshold provably passes (>= 48 shared chars =>
+    * >= 5 window selections >= the 4-fingerprint threshold). */
+  private def refCharRuns(rows: Seq[(Long, String)], minRun: Int)
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    val k = 5
+    val ids = rows.map(_._1).sorted
+    val txt = rows.toMap
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long, Long)]
+    for {
+      a <- ids; b <- ids if a < b
+      ta = txt(a); tb = txt(b)
+      na = ta.length - k + 1; nb = tb.length - k + 1
+      diag <- -(nb - 1) to (na - 1)
+    } {
+      var run = 0L; var start = -1L
+      val paRange = math.max(0, diag) to math.min(na - 1, nb - 1 + diag)
+      for (pa <- paRange) {
+        val pb = pa - diag
+        if (ta.substring(pa.toInt, pa.toInt + k) ==
+            tb.substring(pb.toInt, pb.toInt + k)) {
+          if (run == 0) start = pa
+          run += 1
+        } else {
+          if (run >= minRun) out += ((a, b, start + 1, start - diag + 1, run, run + k - 1))
+          run = 0
+        }
+      }
+      if (run >= minRun) out += ((a, b, start + 1, start - diag + 1, run, run + k - 1))
+    }
+    out.toSet
+  }
+
+  test("d19: planted shifted quotation recovered at substring grain with exact offsets") {
+    val q = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      1L -> s"alpha beta gamma delta $q epsilon zeta",
+      2L -> s"omega psi $q chi phi upsilon tau")
+    val got = d19Runs(rows)
+    val want = refCharRuns(rows, 16)
+    assert(got === want)
+    assert(got.size === 1)
+    // the run covers the quotation plus its flanking shared spaces
+    val (_, _, aPos, bPos, runLen, matchLen) = got.head
+    assert(aPos === rows.head._2.indexOf(q).toLong) // 1-based pos of the leading space
+    assert(bPos === rows(1)._2.indexOf(q).toLong)
+    assert(matchLen === q.length + 2L && runLen === matchLen - 4L)
+  }
+
+  test("d19: a quotation that straddles passage boundaries is invisible to d18, found by d19") {
+    // 25-token quote at token offsets 5 vs 12 — no aligned 20-token
+    // passage is shared, so passage-grain dedup sees nothing
+    // letter-only words: the engine fingerprints CLEANED text (digits
+    // strip), the reference walks the raw string — they must coincide
+    def w(tag: String, i: Int) =
+      s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    val quote = (0 until 25).map(i => w("qq", i)).mkString(" ")
+    val rows = Seq(
+      1L -> ((0 until 5).map(i => w("af", i)).mkString(" ") + " " + quote + " " +
+        (0 until 15).map(i => w("am", i)).mkString(" ")),
+      2L -> ((0 until 12).map(i => w("bf", i)).mkString(" ") + " " + quote + " " +
+        (0 until 10).map(i => w("bm", i)).mkString(" ")))
+    val dir = docsDir(rows)
+    assert(DedupOps.passageRuns(spark, dir).count() === 0L)
+    val got = DedupOps.winnowRunDedup(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === refCharRuns(rows, 16))
+    assert(got.nonEmpty)
+    // one maximal run spanning the whole quotation (plus flanking spaces)
+    assert(got.exists { case (_, _, _, _, _, ml) => ml >= quote.length })
+  }
+
+  test("d19: a short shared string (< 20 chars) is below the verification grain") {
+    val rows = Seq(
+      1L -> "aaa bbb ccc shared here ddd eee",
+      2L -> "fff ggg shared here hhh iii jjj")
+    // "shared here" is 11 chars — winnowing may fingerprint it, but no
+    // 16-gram run exists
+    assert(d19Runs(rows) === Set.empty)
+  }
+
+  test("d19: fuzzed planted quotations match the char-grain reference exactly") {
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      def w(tag: String, i: Int) =
+        s"$tag${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+      val quote = (0 until 10 + rng.nextInt(10)).map(i => w("qw", i)).mkString(" ")
+      def filler(tag: String, n: Int) =
+        (0 until n).map(i => w(tag, i)).mkString(" ")
+      val rows = Seq(
+        1L -> (filler("av", 2 + rng.nextInt(6)) + " " + quote + " " +
+          filler("aw", 2 + rng.nextInt(6))),
+        2L -> (filler("bv", 2 + rng.nextInt(6)) + " " + quote + " " +
+          filler("bw", 2 + rng.nextInt(6))))
+      assert(d19Runs(rows) === refCharRuns(rows, 16), s"trial $trial rows $rows")
+    }
+  }
+
   test("degenerate-fanout guard: a passage in >32 docs forms no pairs") {
     // 40 docs all sharing the same two consecutive passages — furniture,
     // not quotation; the guard suppresses the quadratic pair fanout
