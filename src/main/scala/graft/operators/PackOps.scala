@@ -745,32 +745,39 @@ object PackOps {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
-  /** The draw algebra after a `per (doc_id, source, n_tokens,
-    * shuffle_key)` CTE — shared verbatim by p09 and p13 (one quota
-    * definition, two units of account). */
-  private val budgetDrawTailSql =
-    s"""srcs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
-       |         FROM per GROUP BY source),
-       |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) // $DrawBudgetDen
+  /** The draw algebra after a `per$sfx (doc_id, source, n_tokens,
+    * shuffle_key)` CTE, as CTEs ending in `drawn$sfx` — ONE quota
+    * definition shared by p09 (regex units, sfx ""), p13 (learned-BPE
+    * units, sfx "") and c06 (BOTH, suffixed `_rx`/`_bp` so the two
+    * instantiations coexist in one query). */
+  private def budgetDrawTailCtes(sfx: String): String =
+    s"""srcs$sfx AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |         FROM per$sfx GROUP BY source),
+       |tot$sfx AS (SELECT CAST(sum(src_tokens) AS BIGINT) // $DrawBudgetDen
        |          AS budget,
        |        CAST(sum(CAST(round(sqrt(src_tokens) * $MShareScale)
        |          AS BIGINT)) AS BIGINT) AS m_tot
-       |        FROM srcs),
-       |q AS (SELECT source,
+       |        FROM srcs$sfx),
+       |q$sfx AS (SELECT source,
        |        CAST((CAST(budget AS HUGEINT) *
        |              CAST(round(sqrt(src_tokens) * $MShareScale) AS BIGINT))
        |             // m_tot AS BIGINT) AS quota_tokens
-       |      FROM srcs, tot),
-       |c AS (SELECT doc_id, source, n_tokens,
+       |      FROM srcs$sfx, tot$sfx),
+       |c$sfx AS (SELECT doc_id, source, n_tokens,
        |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source
        |          ORDER BY shuffle_key, doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |          AS BIGINT) AS cum_tokens
-       |      FROM per)
-       |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, q.quota_tokens
-       |FROM c JOIN q USING (source)
-       |WHERE c.cum_tokens < q.quota_tokens
-       |ORDER BY source, cum_tokens""".stripMargin
+       |      FROM per$sfx),
+       |drawn$sfx AS (
+       |  SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, q.quota_tokens
+       |  FROM c$sfx c JOIN q$sfx q USING (source)
+       |  WHERE c.cum_tokens < q.quota_tokens)""".stripMargin
+
+  private val budgetDrawTailSql =
+    s"""${budgetDrawTailCtes("")}
+       |SELECT doc_id, source, n_tokens, cum_tokens, quota_tokens
+       |FROM drawn ORDER BY source, cum_tokens""".stripMargin
 
   private val budgetDrawSql =
     s"""WITH per AS (
@@ -808,6 +815,104 @@ object PackOps {
        |    ${shuffleKeySql("d.doc_id", DrawSeed)} AS shuffle_key
        |  FROM documents d JOIN nb ON nb.doc_id = d.doc_id),
        |$budgetDrawTailSql""".stripMargin
+
+  /** The regex-piece token count as an oracle fragment ≙ [[bpePieces]]
+    * over a `documents` alias. */
+  private def bpePiecesSqlOf(alias: String): String =
+    s"CAST(len(regexp_extract_all(lower($alias.text), " +
+      "'[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)"
+
+  /** c06 — UNIT-DRIFT audit (SURVEY X114, r12 verdict ask #6): per
+    * source, how far the p09 regex-piece accounting drifts from p13's
+    * learned-BPE unit — the number a pipeline reads before trusting
+    * historical regex-billed budgets. Composes p09's and p13's OWN
+    * draw relations ([[budgetDraw]] / [[bpeBudgetDraw]] verbatim —
+    * their shared quota algebra means any disagreement is the UNIT,
+    * never the draw): per source,
+    *   - n_docs and both unit totals with the drift ratio
+    *     (bpe_tokens / regex_tokens — >1 means regex UNDER-bills and a
+    *     regex-budgeted epoch overruns its true token budget),
+    *   - the draw disagreement: docs drawn under exactly one unit
+    *     (n_only_regex / n_only_bpe) vs drawn under both — the
+    *     concrete training-set churn a unit migration causes.
+    * Docs the tokenizer cannot count (zero raw words) carry
+    * bpe_tokens 0 and can only be regex-drawn — the denominators stay
+    * honest about model coverage (c05's discipline).
+    *
+    * 100 TB shape: two draws the engine already runs (each: broadcast
+    * quotas + grouped prefix scan), two membership left-joins on
+    * doc_id, one sources-sized agg — pure relational algebra over
+    * relations p09/p13 materialize anyway. */
+  def unitDriftAudit(s: SparkSession, d: String): DataFrame = {
+    val inRx = budgetDraw(s, d)
+      .select(col("doc_id"), lit(1L).as("in_rx"))
+    val inBp = bpeBudgetDraw(s, d)
+      .select(col("doc_id"), lit(1L).as("in_bp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), bpePieces.as("regex_tokens"))
+      .join(BpeOps.docBpeCounts(s, d)
+        .select(col("doc_id"), col("n_tokens").as("bpe_tokens")),
+        Seq("doc_id"), "left")
+      .join(inRx, Seq("doc_id"), "left")
+      .join(inBp, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("regex_tokens")).as("regex_tokens"),
+        sum(coalesce(col("bpe_tokens"), lit(0L))).as("bpe_tokens"),
+        sum(coalesce(col("in_rx"), lit(0L))).as("n_drawn_regex"),
+        sum(coalesce(col("in_bp"), lit(0L))).as("n_drawn_bpe"),
+        sum(when(col("in_rx") === 1L && col("in_bp") === 1L, 1L)
+          .otherwise(0L)).as("n_drawn_both"),
+        sum(when(col("in_rx") === 1L && col("in_bp").isNull, 1L)
+          .otherwise(0L)).as("n_only_regex"),
+        sum(when(col("in_bp") === 1L && col("in_rx").isNull, 1L)
+          .otherwise(0L)).as("n_only_bpe"))
+      .select(col("source"), col("n_docs"), col("regex_tokens"),
+        col("bpe_tokens"),
+        round(col("bpe_tokens") / col("regex_tokens"), 6).as("drift_ratio"),
+        col("n_drawn_regex"), col("n_drawn_bpe"), col("n_drawn_both"),
+        col("n_only_regex"), col("n_only_bpe"))
+      .orderBy(col("source"))
+  }
+
+  private val unitDriftAuditSql =
+    s"""WITH ${BpeOps.docBpeCtesSql},
+       |nb AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+       |       FROM t2 JOIN pieces USING (word) GROUP BY doc_id),
+       |per_rx AS (
+       |  SELECT d.doc_id, d.source, ${bpePiecesSqlOf("d")} AS n_tokens,
+       |    ${shuffleKeySql("d.doc_id", DrawSeed)} AS shuffle_key
+       |  FROM documents d),
+       |${budgetDrawTailCtes("_rx")},
+       |per_bp AS (
+       |  SELECT d.doc_id, d.source, nb.n_tokens,
+       |    ${shuffleKeySql("d.doc_id", DrawSeed)} AS shuffle_key
+       |  FROM documents d JOIN nb ON nb.doc_id = d.doc_id),
+       |${budgetDrawTailCtes("_bp")},
+       |u AS (
+       |  SELECT d.doc_id, d.source, ${bpePiecesSqlOf("d")} AS regex_tokens,
+       |    COALESCE(nb.n_tokens, 0) AS bpe_tokens,
+       |    CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS in_rx,
+       |    CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS in_bp
+       |  FROM documents d
+       |  LEFT JOIN nb ON nb.doc_id = d.doc_id
+       |  LEFT JOIN (SELECT DISTINCT doc_id FROM drawn_rx) r
+       |    ON r.doc_id = d.doc_id
+       |  LEFT JOIN (SELECT DISTINCT doc_id FROM drawn_bp) b
+       |    ON b.doc_id = d.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(regex_tokens) AS BIGINT) AS regex_tokens,
+       |  CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  round(sum(bpe_tokens) / sum(regex_tokens), 6) AS drift_ratio,
+       |  CAST(sum(in_rx) AS BIGINT) AS n_drawn_regex,
+       |  CAST(sum(in_bp) AS BIGINT) AS n_drawn_bpe,
+       |  CAST(sum(CASE WHEN in_rx = 1 AND in_bp = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_drawn_both,
+       |  CAST(sum(CASE WHEN in_rx = 1 AND in_bp = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_only_regex,
+       |  CAST(sum(CASE WHEN in_bp = 1 AND in_rx = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_only_bpe
+       |FROM u GROUP BY source ORDER BY source""".stripMargin
 
   /** p11 — training-export shard MANIFEST through real written shards
     * (the handoff artifact every training job consumes: which shard
@@ -1003,6 +1108,7 @@ object PackOps {
     QueryDef("p08_source_cap", sourceCap, Some(sourceCapSql)),
     QueryDef("p09_budget_draw", budgetDraw, Some(budgetDrawSql)),
     QueryDef("p13_bpe_budget_draw", bpeBudgetDraw, Some(bpeBudgetDrawSql)),
+    QueryDef("c06_unit_drift", unitDriftAudit, Some(unitDriftAuditSql)),
     QueryDef("p14_bpe_sequence_pack", bpeSequencePack,
       Some(bpeSequencePackSql)),
     QueryDef("p11_export_manifest", exportManifest,
