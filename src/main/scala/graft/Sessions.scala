@@ -13,6 +13,16 @@ object Sessions {
       // math rewrites to the codegen'd ArrayDot kernel
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache (Janino output) defaults to 100
+      // entries — smaller than this library's registry working set.
+      // Past that point every additional query family EVICTS earlier
+      // plans and each re-run recompiles from scratch: the r12 sweep
+      // measured the m-family +52% (m04 0.44→1.51 tight-min) purely
+      // from recompilation churn; 4096 restores r11 timings exactly
+      // (SCALE.md r13 postmortem). Cost is driver heap for compiled
+      // classes — megabytes, standard tuning on a long-lived session
+      // serving many distinct plans.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as

@@ -170,7 +170,7 @@ object TemporalOps {
     * SF fine, while the Spark side proves the join-free plan. Tie-break
     * parity: rn orders (us DESC, event_id DESC) ≙ the window's
     * last-over-(us ASC, id ASC). */
-  private val asofViewsSql =
+  private[graft] val asofViewsSql =
     """WITH p AS (
       |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
       |    round(value, 2) AS purchase_value

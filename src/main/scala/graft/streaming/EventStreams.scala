@@ -671,6 +671,68 @@ object EventStreams {
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
       |GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** s24 — STREAMING as-of enrichment (the temporal family's
+    * deployment shape, r12 verdict ask #5): each purchase arriving on
+    * the stream is matched to the VERSION of its user's dimension in
+    * force at its event time. The dimension is q35's view history
+    * materialized as VALIDITY-INTERVAL rows — a batch window turns
+    * each view into (user_id, view_id, valid_from = its time,
+    * valid_to = the next view's time, exclusive; +infinity for the
+    * current version). Equal-timestamp views leave the earlier id an
+    * EMPTY interval, so the later id wins — exactly q35's
+    * (us DESC, event_id DESC) tie-break. The stream then LEFT-joins
+    * the static intervals per micro-batch on user_id with the
+    * containment predicate — the planner keys the hash join on
+    * user_id and applies the range as the join residual — which by
+    * construction matches AT MOST ONE version per event: stateless
+    * (s13/s19's posture — no stream-stream state, no watermark, no
+    * stream-side window), and batching-insensitive (every micro-batch
+    * joins the same static relation, so AvailableNow's slicing cannot
+    * change the result — no single-batch precondition needed). A
+    * match older than q35's 2 h tolerance nulls the enrichment but
+    * keeps the event row (left-outer semantics).
+    *
+    * The emitted relation is q35's exactly — same columns, same
+    * tie-break, same tolerance nulling — so [[graft.operators.TemporalOps.asofViewsSql]]
+    * transfers VERBATIM and the parity proves the backward as-of
+    * survives the batch→streaming split (EventStreamsSpec additionally
+    * pins row-for-row agreement with the batch q35 operator).
+    *
+    * 100 TB shape: the interval dimension is corpus-sized — at
+    * deployment an s12-bucketed table maintained by its own job (the
+    * s20 discipline: NO broadcast hint; the planner may broadcast at
+    * test scale), re-joined per micro-batch with state bounded by the
+    * batch. */
+  def streamAsofEnrich(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val tol = 2L * 3600 * 1000000
+    val vw = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val dim = graft.sources.Tables.events(ss, d)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("valid_to",
+        coalesce(lead(col("us"), 1).over(vw), lit(Long.MaxValue)))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("us").as("valid_from"), col("valid_to"))
+    val purchases = readEvents(ss, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value"), 2).as("purchase_value"))
+    val joined = purchases.join(dim,
+        purchases("user_id") === dim("user_id") &&
+          col("us") >= col("valid_from") && col("us") < col("valid_to"),
+        "left")
+      .select(col("event_id"), purchases("user_id"), col("purchase_value"),
+        when(col("us") - col("valid_from") <= tol, col("view_id"))
+          .as("view_id"),
+        when(col("us") - col("valid_from") <= tol,
+          (col("us") - col("valid_from")) / lit(1000000L))
+          .cast("long").as("gap_s"))
+    runToMemory(joined, "append", "s24_stream_asof")
+      .orderBy(col("event_id"))
+  }
+
   /** s23 — STREAMING token accounting under the LEARNED tokenizer (the
     * deployment split of the t18/p13 unit of account — a pipeline
     * meters ingest in the same units it bills training in): documents
@@ -876,6 +938,8 @@ object EventStreams {
       Some(graft.operators.PackOps.crossModalGateSql)),
     QueryDef("s22_stream_export", streamExportManifest,
       Some(graft.operators.PackOps.exportManifestSql)),
+    QueryDef("s24_stream_asof_enrich", streamAsofEnrich,
+      Some(graft.operators.TemporalOps.asofViewsSql)),
     QueryDef("s23_stream_token_stats", streamTokenStats,
       Some(streamTokenStatsSql)))
 

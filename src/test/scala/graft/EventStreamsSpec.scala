@@ -429,6 +429,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(graft.sources.Tables.embeddingsDs(spark, sfTiny).head().embedding.nonEmpty)
   }
 
+  test("s24 streaming as-of enrichment equals the batch q35 operator row-for-row") {
+    val got = EventStreams.streamAsofEnrich(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.TemporalOps.asofViews(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got === want)
+    // the enrichment actually fires: some events carry a matched
+    // version, and the tolerance nulling leaves some unmatched
+    assert(want.exists(r => r(3) != null))
+  }
+
   test("readEvents streams the parquet events table (AvailableNow smoke)") {
     val stream = EventStreams.readEvents(spark, sfTiny)
     assert(stream.isStreaming)
