@@ -77,7 +77,15 @@ object ExportCommit {
     * deleted, not published. Safe under concurrent committers via the
     * createLink CAS; callers may re-invoke freely (idempotent). */
   def commitBatch(root: String, batchId: Long, staged: String): Boolean = {
-    val rootPath = Paths.get(root)
+    val rootPath = Paths.get(root).toAbsolutePath.normalize()
+    val stagedPath = Paths.get(staged).toAbsolutePath.normalize()
+    // loud precondition (r12 ADVICE): a staged dir outside the root
+    // would either throw an opaque IllegalArgumentException from
+    // relativize (relative root + absolute staged) or silently record
+    // a ../-escaping manifest entry readers can't trust
+    require(stagedPath.startsWith(rootPath),
+      s"staged dir $stagedPath is not under the export root $rootPath — " +
+        "stage() against the same root you commit to")
     while (true) {
       val cur = latest(root)
       if (cur.exists(_.batchIds.contains(batchId))) {
@@ -85,7 +93,7 @@ object ExportCommit {
         return false
       }
       val next = cur.map(_.version).getOrElse(0) + 1
-      val rel = rootPath.relativize(Paths.get(staged)).toString
+      val rel = rootPath.relativize(stagedPath).toString
       val m = Manifest(next,
         cur.map(_.entries).getOrElse(Seq.empty) :+ Entry(batchId, rel))
       val tmp = Files.createTempFile(rootPath, ".manifest", ".tmp")
@@ -100,6 +108,30 @@ object ExportCommit {
       } finally Files.deleteIfExists(tmp)
     }
     false // unreachable
+  }
+
+  /** Garbage-collect staging directories no manifest references —
+    * crashed attempts' `data/b*-*` trees are invisible to readers but
+    * otherwise accumulate forever in a long-running deployment (r12
+    * ADVICE). Deletes only UNREFERENCED dirs matching the staging
+    * name shape under `data/`; a dir committed by a racing writer
+    * between the manifest read and the sweep is safe (it appears in a
+    * LATER manifest — so the sweep re-reads the latest manifest right
+    * before each delete and skips anything now referenced). Returns
+    * the deleted paths. Deployments run this from a janitor schedule,
+    * never from the write path. */
+  def gcStaging(root: String): Seq[String] = {
+    val dataDir = new File(root, "data")
+    val stagingName = "b\\d+-[0-9a-f]{8}".r
+    Option(dataDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && stagingName.matches(f.getName))
+      .flatMap { f =>
+        val referenced = latest(root).map(_.entries.map(e =>
+          Paths.get(root).toAbsolutePath.normalize()
+            .resolve(e.dir).normalize()).toSet).getOrElse(Set.empty)
+        if (referenced.contains(f.toPath.toAbsolutePath.normalize())) None
+        else { deleteRec(f); Some(f.getAbsolutePath) }
+      }
   }
 
   /** Absolute paths of every committed data directory, commit order. */

@@ -171,13 +171,25 @@ object EventStreams {
       clone.catalog.clearCache()
       // orphan sweep: per-query unload (below) already covers the
       // normal path; this catches providers of queries that died
-      // before their unload ran. Keyed by LIVENESS, not position in a
-      // sweep — concurrent streams keep their providers.
-      val active = clone.streams.active.map(_.runId).toSet
-      loadedProviderIds.filterNot(id => active.contains(id.queryRunId))
+      // before their unload ran. Scoped to runIds THIS helper issued
+      // (r12 ADVICE): loadedProviders is process-global, so a
+      // liveness-only filter would unload a live stateful query
+      // started on any OTHER session in the JVM (a test session, a
+      // second parent) mid-batch. Issued-and-not-active is exact:
+      // foreign queries are never touched, and a died-before-unload
+      // query of OURS is still reclaimed.
+      val active = (clone.streams.active ++ parent.streams.active)
+        .map(_.runId).toSet
+      loadedProviderIds.filter(id => issuedRunIds.contains(id.queryRunId) &&
+          !active.contains(id.queryRunId))
         .foreach(unloadProvider)
     }
   }
+
+  /** Every streaming runId [[runToMemory]] ever started in this JVM —
+    * the exact scope of the orphan sweep above. */
+  private val issuedRunIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
   /** Per-provider state-store unload (r12 — replaces the former
     * process-global `StateStore.stop()` and retires its documented
@@ -241,6 +253,7 @@ object EventStreams {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    issuedRunIds.add(q.runId)
     q.awaitTermination()
     // the finished query's temp-checkpoint providers are orphans from
     // here on — unload before the caller's timing window closes

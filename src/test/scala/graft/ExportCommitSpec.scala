@@ -169,6 +169,35 @@ class ExportCommitSpec extends SparkSpec {
     assert(increment() === Seq.empty)
   }
 
+  test("commitBatch rejects a staged dir outside the export root, loudly") {
+    val root = java.nio.file.Files.createTempDirectory("ec_root").toString
+    val foreign = java.nio.file.Files.createTempDirectory("ec_foreign").toString
+    val ex = intercept[IllegalArgumentException] {
+      ExportCommit.commitBatch(root, 1L, foreign)
+    }
+    assert(ex.getMessage.contains("not under the export root"))
+  }
+
+  test("gcStaging deletes crashed attempts' dirs and never a committed one") {
+    val root = java.nio.file.Files.createTempDirectory("ec_gc").toString
+    // committed attempt
+    val ok = ExportCommit.stage(root, 1L)
+    new java.io.File(ok).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ok, "part.json"), "{}")
+    assert(ExportCommit.commitBatch(root, 1L, ok))
+    // crashed attempts: staged, never committed
+    val dead1 = ExportCommit.stage(root, 2L)
+    val dead2 = ExportCommit.stage(root, 3L)
+    Seq(dead1, dead2).foreach(d => new java.io.File(d).mkdirs())
+    val deleted = ExportCommit.gcStaging(root)
+    assert(deleted.toSet === Set(dead1, dead2).map(d =>
+      new java.io.File(d).getAbsolutePath))
+    assert(!new java.io.File(dead1).exists && !new java.io.File(dead2).exists)
+    assert(new java.io.File(ok).exists)
+    // committed data still reads back
+    assert(ExportCommit.committedDirs(root).size === 1)
+  }
+
   test("p12 operator end-to-end is re-run idempotent in one session") {
     val m1 = graft.operators.PackOps.incrementalExport(spark, sfTiny).collect()
     val m2 = graft.operators.PackOps.incrementalExport(spark, sfTiny).collect()
