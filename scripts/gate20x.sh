@@ -10,9 +10,10 @@
 #
 # Since r12 the receipt also runs the round's new FULL-ORACLE rows
 # (BPE family, trained language ID, passage runs, BPE-unit draw/pack,
-# datasheet, batch ANN) — their oracles recompute on the synthetic
-# corpus, so they are checkable at any scale; they are here because
-# they are cheap enough to afford.
+# datasheet, batch ANN; r13 adds the index round-trip/append, winnow
+# dedup, unit-drift audit, and streaming as-of) — their oracles
+# recompute on the synthetic corpus, so they are checkable at any
+# scale; they are here because they are cheap enough to afford.
 #
 # Rows NOT runnable here, and why (documented, not silent):
 #   - q01..q40: read the TPC-H tables, which the synthetic corpus does
@@ -39,7 +40,9 @@ m11_predict_planted,m12_kmeans_invariants,m13_lda_invariants,\
 m15_classifier_planted,\
 t16_bpe_merges,t17_lang_model,t18_bpe_retokenize,t20_bpe_card,\
 t21_bpe_lang_card,d18_passage_runs,p13_bpe_budget_draw,\
-p14_bpe_sequence_pack,c05_dataset_card,e13_ann_batch_serve"
+p14_bpe_sequence_pack,c05_dataset_card,e13_ann_batch_serve,\
+e14_ann_index_roundtrip,e15_ann_index_append,d19_winnow_run_dedup,\
+c06_unit_drift,s24_stream_asof_enrich"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \
