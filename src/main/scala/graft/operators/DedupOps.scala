@@ -1240,7 +1240,14 @@ object DedupOps {
     * uniform keys); the island window partitions per (pair, diagonal).
     * Nothing global ever self-joins at gram grain. */
   def winnowRunDedup(s: SparkSession, d: String): DataFrame = {
-    val fps = TextOps.winnowFrom(Tables.documents(s, d))
+    // The fingerprint INDEX is materialized once (localCheckpoint) —
+    // the deployment posture: t08's output is a stored index table
+    // (d11's discipline), and this plan reads it twice (fanout census
+    // + shared-instance join). Un-materialized, Catalyst re-runs the
+    // 80-regex clean chain + winnow kernel once per branch — measured
+    // 4x the corpus clean cost and ~10s/query at sf0.1 for a plan
+    // whose joins are kilobytes.
+    val fps = TextOps.winnowFrom(Tables.documents(s, d)).localCheckpoint()
     val ok = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd").between(2L, MaxRunFanoutDocs))
@@ -1253,11 +1260,22 @@ object DedupOps {
       .agg(count(lit(1)).as("nsh"))
       .filter(col("nsh") >= MinSharedFingerprints)
       .select(col("doc_a"), col("doc_b"))
-    val grams = TextOps.gramHashes(Tables.documents(s, d))
+      .localCheckpoint()
+    // Verification grams for CANDIDATE DOCS ONLY, computed once: the
+    // semi-join runs BEFORE the clean+explode chain (the corpus-scale
+    // gram stream is never materialized — MOSS's whole point), and the
+    // bounded candidate-doc gram relation is checkpointed so the
+    // self-join's two sides share one computation.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candGrams = TextOps.gramHashes(
+        Tables.documents(s, d).join(candDocs, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
     val matches = cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+      .join(candGrams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
         col("h")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+      .join(candGrams.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
         col("h")), Seq("doc_b", "h"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
     diagonalRuns(matches, MinRunGrams)

@@ -405,6 +405,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d19: winnow-run verification windows per (pair, diagonal) — no global window, no cartesian") {
+    // the MOSS composition inherits d18's island kernel: the window key
+    // must stay (pair, diagonal), and neither the fingerprint candidate
+    // join nor the pair-scoped gram verification may plan a cartesian
+    // or a single-partition stage
+    val p = plan("d19_winnow_run_dedup")
+    assert(("windowspecdefinition\\(doc_a#\\d+L, doc_b#\\d+L, diag"
+      ).r.findFirstIn(p).isDefined,
+      s"d19 island window must partition by (pair, diagonal): $p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"d19 plans a single-partition stage: $p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("p13: BPE draw shares p09's grouped-scan shape — quotas broadcast, no bare-source window") {
     val p = plan("p13_bpe_budget_draw")
     assert("windowspecdefinition\\(__pid#\\d+, source".r.findFirstIn(p).isDefined,
