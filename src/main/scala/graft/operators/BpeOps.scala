@@ -155,10 +155,13 @@ object BpeOps {
     replace(seg, lit(s"($a)($b)"), lit(s"($a$b)"))
 
   /** The sliced training word-frequency relation (word, f) — raw
-    * whitespace words (full-alphabet coverage, see object doc). */
-  private[graft] def sliceWords(documents: DataFrame): DataFrame =
+    * whitespace words (full-alphabet coverage, see object doc).
+    * `residue` selects the slice (doc_id % TrainMod): 0 is the shipped
+    * tokenizer's slice, other residues are t22's retrain slices. */
+  private[graft] def sliceWords(documents: DataFrame,
+      residue: Long = 0L): DataFrame =
     documents
-      .filter(col("doc_id") % TrainMod === 0)
+      .filter(col("doc_id") % TrainMod === residue)
       .select(explode(rawWords(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("f"))
@@ -241,6 +244,15 @@ object BpeOps {
   private[graft] def trainedMerges(s: SparkSession, d: String): Seq[MergeRow] =
     graft.api.Intermediates.memo(s, s"bpe_merges|$d|$NMerges") {
       trainBpe(sliceWords(Tables.documents(s, d)), NMerges)
+    }
+
+  /** t22's RETRAIN-slice tokenizer (doc_id % TrainMod == `residue`) —
+    * its own memo key, so the shipped tokenizer's materialization can
+    * never stand in for it. */
+  private[graft] def retrainedMerges(s: SparkSession, d: String,
+      residue: Long): Seq[MergeRow] =
+    graft.api.Intermediates.memo(s, s"bpe_merges|$d|$NMerges|r$residue") {
+      trainBpe(sliceWords(Tables.documents(s, d), residue), NMerges)
     }
 
   /** Replay a merge table over any (word) relation — the BPE APPLY rule
@@ -397,41 +409,48 @@ object BpeOps {
     * Each step's w/a CTE takes its argmax via `LEFT JOIN b ON TRUE`
     * with COALESCE back to the unmerged seg, so saturation (empty b)
     * passes the chain through unchanged — see the object doc. */
-  private def chainSql(n: Int): String = {
+  private def chainSql(n: Int): String = chainSql(n, "", 0L)
+
+  /** As above, suffix-parametric (CTE names w{k}$sfx etc.) with a
+    * selectable training-slice residue — t22 instantiates TWO chains
+    * in one query (shipped tokenizer, "", residue 0; retrain slice,
+    * "_b", residue 1). One generator: the merge recipe cannot drift
+    * between the instantiations. */
+  private def chainSql(n: Int, sfx: String, residue: Long): String = {
     val base =
-      s"""w0 AS MATERIALIZED (
+      s"""w0$sfx AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS f,
          |    ${segInitSql("word")} AS seg
          |  FROM (SELECT unnest($rawTokSql) AS word FROM documents
-         |        WHERE doc_id % $TrainMod = 0) t
+         |        WHERE doc_id % $TrainMod = $residue) t
          |  WHERE word <> '' GROUP BY word),
-         |a0 AS MATERIALIZED (
+         |a0$sfx AS MATERIALIZED (
          |  SELECT word, ${segInitSql("word")} AS seg
          |  FROM (SELECT DISTINCT unnest($rawTokSql) AS word
          |        FROM documents) t
          |  WHERE word <> '')""".stripMargin
     val steps = (1 to n).map { k =>
       val p = k - 1
-      s"""px$k AS (
+      s"""px$k$sfx AS (
          |  SELECT f, l, unnest(generate_series(1, len(l) - 1)) AS i
          |  FROM (SELECT f, regexp_extract_all(seg, '\\(([^()]+)\\)', 1) AS l
-         |        FROM w$p)
+         |        FROM w$p$sfx)
          |  WHERE len(l) > 1),
-         |b$k AS MATERIALIZED (
+         |b$k$sfx AS MATERIALIZED (
          |  SELECT l[i] || ' ' || l[i + 1] AS pair, CAST(sum(f) AS BIGINT) AS n
-         |  FROM px$k GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
-         |w$k AS MATERIALIZED (
+         |  FROM px$k$sfx GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+         |w$k$sfx AS MATERIALIZED (
          |  SELECT w.word, w.f, COALESCE(replace(w.seg,
          |    '(' || string_split(b.pair, ' ')[1] || ')(' ||
          |      string_split(b.pair, ' ')[2] || ')',
          |    '(' || replace(b.pair, ' ', '') || ')'), w.seg) AS seg
-         |  FROM w$p w LEFT JOIN b$k b ON TRUE),
-         |a$k AS MATERIALIZED (
+         |  FROM w$p$sfx w LEFT JOIN b$k$sfx b ON TRUE),
+         |a$k$sfx AS MATERIALIZED (
          |  SELECT a.word, COALESCE(replace(a.seg,
          |    '(' || string_split(b.pair, ' ')[1] || ')(' ||
          |      string_split(b.pair, ' ')[2] || ')',
          |    '(' || replace(b.pair, ' ', '') || ')'), a.seg) AS seg
-         |  FROM a$p a LEFT JOIN b$k b ON TRUE)""".stripMargin
+         |  FROM a$p$sfx a LEFT JOIN b$k$sfx b ON TRUE)""".stripMargin
     }
     (base +: steps).mkString(",\n")
   }
@@ -568,6 +587,68 @@ object BpeOps {
        |  round(pieces_per_word / best_ppw, 6) AS token_premium
        |FROM per, best ORDER BY lang""".stripMargin
 
+  /** t22 — tokenizer RETRAIN-DRIFT card (closes the loop t20 opens:
+    * t20's char_level_frac says "this tokenizer is going stale for
+    * that source"; t22 quantifies what a retrain would actually
+    * change BEFORE anyone re-bills historical budgets): a second
+    * tokenizer is trained on a DIFFERENT seeded slice
+    * (doc_id % 5 == 1 — a stand-in for "the next epoch's training
+    * sample") and the full corpus is retokenized under both. Per
+    * source: word count, token totals under the shipped and retrained
+    * vocabularies, both compressions, and the retrain drift ratio —
+    * the number that decides whether t19's shipped artifact can keep
+    * billing the next export epoch (drift ≈ 1) or the unit itself
+    * moved (c06's regex-vs-BPE audit, applied tokenizer-to-tokenizer).
+    *
+    * The shipped side shares t18's pieces materialization (same
+    * tokenizer — sharing is correct); the retrain side gets its own
+    * memo keys ([[retrainedMerges]], tag "t22b") so the shipped
+    * materialization can never stand in for it (t19's lesson).
+    *
+    * 100 TB shape: one extra vocabulary-scale merge loop + one extra
+    * size-guarded pieces relation; the corpus-scale token stream is
+    * scanned once and joins two vocabulary-sized relations. */
+  def bpeRetrainDrift(s: SparkSession, d: String): DataFrame = {
+    val a = piecesFor(s, d, trainedMerges(s, d), "t18")
+    val b = piecesFor(s, d, retrainedMerges(s, d, 1L), "t22b")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(rawWords(col("text"))).as("word"))
+      .join(a.select(col("word"), col("n_sym").as("a_sym")), "word")
+      .join(b.select(col("word"), col("n_sym").as("b_sym")), "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("a_sym")).as("tokens_shipped"),
+        sum(col("b_sym")).as("tokens_retrain"))
+      .select(col("source"), col("n_words"), col("tokens_shipped"),
+        col("tokens_retrain"),
+        round(col("tokens_shipped") / col("n_words"), 6).as("ppw_shipped"),
+        round(col("tokens_retrain") / col("n_words"), 6).as("ppw_retrain"),
+        round(col("tokens_retrain") / col("tokens_shipped"), 6)
+          .as("retrain_drift"))
+      .orderBy(col("source"))
+  }
+
+  private val bpeRetrainDriftSql =
+    s"""WITH $docBpeCtesSql,
+       |${chainSql(NMerges, "_b", 1L)},
+       |pieces_b AS (
+       |  SELECT word,
+       |    CAST(len(regexp_extract_all(seg, '\\(([^()]+)\\)', 1)) AS BIGINT)
+       |      AS n_sym
+       |  FROM a${NMerges}_b),
+       |tw AS (SELECT dd.source, t.word, pa.n_sym AS a_sym, pb.n_sym AS b_sym
+       |       FROM t2 t JOIN pieces pa USING (word)
+       |       JOIN pieces_b pb USING (word)
+       |       JOIN documents dd ON dd.doc_id = t.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(a_sym) AS BIGINT) AS tokens_shipped,
+       |  CAST(sum(b_sym) AS BIGINT) AS tokens_retrain,
+       |  round(sum(a_sym) / count(*), 6) AS ppw_shipped,
+       |  round(sum(b_sym) / count(*), 6) AS ppw_retrain,
+       |  round(sum(b_sym) / sum(a_sym), 6) AS retrain_drift
+       |FROM tw GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t16_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)),
@@ -575,5 +656,6 @@ object BpeOps {
     // the oracle transfers verbatim (the s22/p11 transfer discipline)
     QueryDef("t19_bpe_roundtrip", bpeRoundtrip, Some(bpeRetokenizeSql)),
     QueryDef("t20_bpe_card", bpeCard, Some(bpeCardSql)),
-    QueryDef("t21_bpe_lang_card", bpeLangCard, Some(bpeLangCardSql)))
+    QueryDef("t21_bpe_lang_card", bpeLangCard, Some(bpeLangCardSql)),
+    QueryDef("t22_retrain_drift", bpeRetrainDrift, Some(bpeRetrainDriftSql)))
 }

@@ -785,6 +785,56 @@ object DedupOps {
       .orderBy(col("in_id"))
   }
 
+  /** d20 — incremental near-dup against a STORED band index (the
+    * [[graft.api.LshIndexStore]] round-trip of d11, r13 — completing
+    * the stored-index symmetry e14 established for the embedding
+    * side): the pruned band index d11 builds in-session is PERSISTED
+    * (S9 versioned path), loaded back, and the SAME incoming batch is
+    * probed against the LOADED relation — d11's planted oracle
+    * transfers verbatim, so a lossy save (dropped buckets, truncated
+    * hashes) or a load-path schema drift breaks this row instead of a
+    * crawl increment under-deduping in production. The loaded
+    * relation is deliberately not memoized (the t19/e14 lesson: a
+    * shared materialization would mask exactly the drift the row
+    * exists to catch).
+    *
+    * 100 TB shape: identical to d11 (batch ⋈ index on the uniform
+    * (band, bucket) key, never corpus ⋈ corpus) plus one index-sized
+    * parquet write/scan — at deployment the store is bucketed by the
+    * probe key and maintained by the indexing job, not rebuilt per
+    * batch. */
+  def incrementalNeardupStored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val refetched = existing.filter(col("doc_id") < 200)
+      .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(refetched)
+    val index = minhashBands(existing)
+    val okBuckets = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    val pruned = index.join(okBuckets, Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val dir = graft.api.LshIndexStore.versionedDir(
+      graft.sources.TmpDirs.registered(
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_d20_${s.sparkContext.applicationId}_" +
+            Integer.toHexString(d.hashCode)).getAbsolutePath),
+      Bands, java.time.LocalDate.ofEpochDay(0))
+    graft.api.LshIndexStore.save(dir, pruned)
+    val loaded = graft.api.LshIndexStore.load(s, dir)
+      .select(col("doc_id").as("src_id"), col("band"), col("bucket"))
+    minhashBands(incoming)
+      .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
+      .join(loaded, Seq("band", "bucket"))
+      .select(col("in_id"), col("src_id"))
+      .distinct()
+      .filter(col("in_id") === col("src_id") + lit(off))
+      .orderBy(col("in_id"))
+  }
+
   private val incrementalNeardupSql =
     s"""SELECT doc_id + ${plantOffsetSql("doc_id", "documents")} AS in_id,
       |  doc_id AS src_id
@@ -1324,6 +1374,10 @@ object DedupOps {
       Some(incrementalDedupSql)),
     QueryDef("d09_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("d11_incremental_neardup", incrementalNeardup,
+      Some(incrementalNeardupSql)),
+    // d20 probes the LOADED store with d11's scenario — the planted
+    // oracle transfers verbatim (see d20 doc)
+    QueryDef("d20_stored_neardup", incrementalNeardupStored,
       Some(incrementalNeardupSql)),
     QueryDef("d13_passage_dedup", passageDedup, Some(passageDedupSql)),
     QueryDef("d15_passage_dup_fraction", passageDupFraction,
