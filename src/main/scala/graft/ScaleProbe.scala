@@ -37,7 +37,12 @@ object ScaleProbe {
     // instances ⋈ vocabulary-sized model + doc-partitioned argmax) and
     // the learned-unit budget draw (tokenizer replay + grouped prefix
     // scan — the t16 apply surface under the p09 draw shape)
-    "t17_lang_model", "p13_bpe_budget_draw")
+    "t17_lang_model", "p13_bpe_budget_draw",
+    // r13 additions: the MOSS winnow-run composition (fingerprint
+    // candidates + pair-scoped gram verification — the guarded-fanout
+    // claim under test) and the stored-band-index probe (batch ⋈
+    // loaded index through a real parquet round-trip)
+    "d19_winnow_run_dedup", "d20_stored_neardup")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
