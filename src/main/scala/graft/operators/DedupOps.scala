@@ -882,7 +882,7 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  private val decontaminateSql = {
+  private[graft] val decontaminateSql = {
     val tokList = graft.oracle.DuckFragments.tokListSql
     s"""WITH t AS (SELECT doc_id, list_filter($tokList, x -> x <> '') AS l
       |           FROM documents),

@@ -746,6 +746,57 @@ object EventStreams {
       .orderBy(col("event_id"))
   }
 
+  /** s25 — STREAMING decontamination (d09's deployment split: the
+    * benchmark-leak check runs AT INGEST, before a contaminated doc
+    * can enter an export, not as a batch sweep after the fact): the
+    * incoming corpus — novel docs plus d09's planted eval-set leaks
+    * under fresh crawl ids — arrives as a document STREAM and is
+    * 5-gram-shingle-joined per micro-batch against the STATIC eval-set
+    * shingle index (broadcast: eval sets are benchmark-sized by
+    * definition, the one join in the dedup family that is legitimately
+    * broadcast at 100 TB). The join is stateless; the per-doc distinct
+    * hit roll-up runs in complete mode as the parity harness (a
+    * deployment emits per-batch hit increments in append mode into a
+    * downstream sum instead — the gate decision only needs hits > 0,
+    * which any single batch already proves). d09's oracle transfers
+    * verbatim: same planted leaks, same shingle definition, same
+    * hit counts. */
+  def streamDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val ss = streamSession(s)
+    val batchDocs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(batchDocs, "doc_id"))
+    def shingles(df: DataFrame): DataFrame =
+      TextFunctions.withNgrams(
+          df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks")),
+          "toks", "shs", 5)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val evalShingles = shingles(batchDocs.filter(col("doc_id") % 97 === 0))
+      .select(col("sh")).distinct()
+    val stream = readDocuments(ss, d).select(col("doc_id"), col("text"))
+    val incoming = stream.filter(col("doc_id") % 97 =!= 0)
+      .unionByName(stream.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+    // distinct-ness is established IN-ROW (array_distinct before the
+    // explode): each doc is one stream row, so its shingle set dedups
+    // inside the row and the roll-up is a PLAIN count — streaming
+    // forbids countDistinct, and this shape needs no second stateful
+    // operator to work around it
+    val hits = TextFunctions.withNgrams(
+        incoming.select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("toks")),
+        "toks", "shs", 5)
+      .select(col("doc_id"),
+        explode(array_distinct(col("shs"))).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingle_hits"))
+    runToMemory(hits, "complete", "s25_stream_decon")
+      .orderBy(col("doc_id"))
+  }
+
   /** s23 — STREAMING token accounting under the LEARNED tokenizer (the
     * deployment split of the t18/p13 unit of account — a pipeline
     * meters ingest in the same units it bills training in): documents
@@ -951,6 +1002,8 @@ object EventStreams {
       Some(graft.operators.PackOps.crossModalGateSql)),
     QueryDef("s22_stream_export", streamExportManifest,
       Some(graft.operators.PackOps.exportManifestSql)),
+    QueryDef("s25_stream_decontaminate", streamDecontaminate,
+      Some(graft.operators.DedupOps.decontaminateSql)),
     QueryDef("s24_stream_asof_enrich", streamAsofEnrich,
       Some(graft.operators.TemporalOps.asofViewsSql)),
     QueryDef("s23_stream_token_stats", streamTokenStats,

@@ -441,6 +441,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(want.exists(r => r(3) != null))
   }
 
+  test("s25 streaming decontamination equals the batch d09 operator row-for-row") {
+    val got = EventStreams.streamDecontaminate(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.DedupOps.decontaminate(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty) // the planted leaks are visible
+    assert(got === want)
+  }
+
   test("readEvents streams the parquet events table (AvailableNow smoke)") {
     val stream = EventStreams.readEvents(spark, sfTiny)
     assert(stream.isStreaming)
