@@ -530,8 +530,16 @@ object EventStreams {
     * [[readEvents]]) — the ingest-side source for streaming dedup. */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // same two-layout dispatch as readEvents: a bare FILE needs the
+    // glob-filtered directory scan, while a Spark-written DIRECTORY of
+    // part files (the 20x synthetic corpus, any compacted copy) is the
+    // stream path itself — the filename filter matches no part file
+    // and would silently stream ZERO documents
+    if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+      spark.readStream.schema(schema).parquet(s"$dir/documents.parquet")
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
 
   /** s14 — STREAMING ingest dedup (d08's steady-state exact-dedup shape
