@@ -56,9 +56,14 @@ import org.apache.spark.sql.functions._
   * Tie-breaks order pairs in the ENCODED space — deterministic, and
   * the oracle computes in the same space so both engines agree.
   * `word` COLUMNS stay raw everywhere (join keys, output rows); only
-  * `seg` is encoded. Java regex and RE2 both treat `.`/`[^()]` as
-  * one BMP codepoint over these strings; astral-plane symbols
-  * (surrogate pairs) are outside the supported alphabet.
+  * `seg` is encoded. The whitespace split uses an EXPLICIT separator
+  * class enumerated identically on both engines (Java `\s` and RE2
+  * `\s` disagree on U+000B, and their `.` metachars disagree on the
+  * line separators — see [[rawWords]]); after that split no
+  * `.`-divergent codepoint can appear inside a word, so the per-char
+  * wrap agrees too. Both regex engines treat `.`/`[^()]` as one BMP
+  * codepoint over these strings; astral-plane symbols (surrogate
+  * pairs) are outside the supported alphabet.
   *
   * The training corpus is a SEEDED SLICE (`doc_id % 5 == 0`): a 100 TB
   * deployment trains its tokenizer on a sample, then applies it
@@ -113,9 +118,15 @@ object BpeOps {
 
   /** Raw whitespace tokenization — the tokenizer's input surface (full
     * alphabet coverage; the clean chain does NOT gate what reaches BPE).
+    * The separator class is EXPLICIT, not `\s`: Java `\s` includes
+    * U+000B where RE2's does not, and Java `.` excludes the line
+    * separators U+0085/U+2028/U+2029 where RE2's `.` excludes only
+    * `\n` — enumerating the class on both engines makes the split
+    * identical AND removes every `.`-divergent codepoint from word
+    * bodies, so [[segInit]]'s per-char wrap cannot disagree either.
     * `array_remove` keeps the projection codegen'd (no lambda). */
   private[graft] def rawWords(text: Column): Column =
-    array_remove(split(text, "\\s+"), "")
+    array_remove(split(text, "[ \t\n\u000B\f\r\u0085\u2028\u2029]+"), "")
 
   /** Word → encoded symbol space: 1:1 translate of the delimiters, loud
     * failure on input that already contains the PUA stand-ins (the only
@@ -392,7 +403,9 @@ object BpeOps {
 
   /** Raw whitespace token list ≙ [[rawWords]] (may contain '' entries —
     * filtered at use). */
-  private val rawTokSql = "string_split_regex(text, '\\s+')"
+  private val rawTokSql =
+    "string_split_regex(text, " +
+      "'[ \\t\\n\\x0B\\f\\r\\x{0085}\\x{2028}\\x{2029}]+')"
 
   /** Word → encoded-space initial segmentation ≙ [[segInit]]:
     * delimiters remapped to the PUA stand-ins (chr 57344/57345 =

@@ -818,10 +818,7 @@ object DedupOps {
     val pruned = index.join(okBuckets, Seq("band", "bucket"))
       .select(col("doc_id"), col("band"), col("bucket"))
     val dir = graft.api.LshIndexStore.versionedDir(
-      graft.sources.TmpDirs.registered(
-        new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_d20_${s.sparkContext.applicationId}_" +
-            Integer.toHexString(d.hashCode)).getAbsolutePath),
+      graft.sources.TmpDirs.artifactRoot(s, d, "d20"),
       Bands, java.time.LocalDate.ofEpochDay(0))
     graft.api.LshIndexStore.save(dir, pruned)
     val loaded = graft.api.LshIndexStore.load(s, dir)

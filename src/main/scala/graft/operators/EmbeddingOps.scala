@@ -380,7 +380,7 @@ object EmbeddingOps {
     * normalization every IVF surface shares (build, and e15's no-refit
     * append assignment: identical inputs through the identical function
     * is what makes twin-cell agreement structural, not measured). */
-  private[graft] def toFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
+  private[graft] val toFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { a: Seq[Float] =>
       val x = a.map(_.toDouble).toArray
       val n = math.sqrt(x.map(v => v * v).sum)
@@ -658,10 +658,7 @@ object EmbeddingOps {
   private val IndexDate = java.time.LocalDate.ofEpochDay(0)
 
   private def indexTmpBase(s: SparkSession, d: String, tag: String): String =
-    graft.sources.TmpDirs.registered(
-      new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_${tag}_${s.sparkContext.applicationId}_" +
-          Integer.toHexString(d.hashCode)).getAbsolutePath)
+    graft.sources.TmpDirs.artifactRoot(s, d, tag)
 
   /** e14 — the ANN index as a SHIPPED ARTIFACT (t19's round-trip
     * discipline applied to the IVF index, r12 verdict ask #2): the

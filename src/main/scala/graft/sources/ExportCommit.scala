@@ -120,11 +120,20 @@ object ExportCommit {
     * before each delete and skips anything now referenced). Returns
     * the deleted paths. Deployments run this from a janitor schedule,
     * never from the write path. */
-  def gcStaging(root: String): Seq[String] = {
+  def gcStaging(root: String,
+      minAgeMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val dataDir = new File(root, "data")
     val stagingName = "b\\d+-[0-9a-f]{8}".r
+    val cutoff = System.currentTimeMillis() - minAgeMillis
     Option(dataDir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && stagingName.matches(f.getName))
+      // age gate FIRST: a dir younger than the grace period may belong
+      // to an IN-FLIGHT writer (staged, not yet committed) — deleting
+      // it would let that writer's commitBatch publish a manifest
+      // entry pointing at nothing. The default grace of 24h is far
+      // past any batch's write+commit window; crashed attempts are by
+      // definition older than it on the janitor's next day.
+      .filter(f => newestMtime(f) < cutoff)
       .flatMap { f =>
         val referenced = latest(root).map(_.entries.map(e =>
           Paths.get(root).toAbsolutePath.normalize()
@@ -133,6 +142,13 @@ object ExportCommit {
         else { deleteRec(f); Some(f.getAbsolutePath) }
       }
   }
+
+  /** Most recent mtime in a tree — a writer still producing files
+    * keeps refreshing it, so the age gate sees activity anywhere in
+    * the staged dir, not just at its root. */
+  private def newestMtime(f: File): Long =
+    (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
+      .map(newestMtime)).max
 
   /** Absolute paths of every committed data directory, commit order. */
   def committedDirs(root: String): Seq[String] =
@@ -205,6 +221,16 @@ object TmpDirs {
     dirs.add(path)
     path
   }
+
+  /** Session-scoped artifact root under java.io.tmpdir, registered for
+    * exit cleanup — ONE recipe for every harness store (e14/e15 IVF,
+    * d20 LSH, t19-style tmp artifacts), so path hygiene changes happen
+    * once. Keyed by (applicationId, dataset hash, tag). */
+  def artifactRoot(s: org.apache.spark.sql.SparkSession, dataset: String,
+      tag: String): String =
+    registered(new File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(dataset.hashCode)).getAbsolutePath)
 
   private def deleteRec(f: File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)

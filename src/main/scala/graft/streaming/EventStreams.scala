@@ -175,11 +175,21 @@ object EventStreams {
       // (r12 ADVICE): loadedProviders is process-global, so a
       // liveness-only filter would unload a live stateful query
       // started on any OTHER session in the JVM (a test session, a
-      // second parent) mid-batch. Issued-and-not-active is exact:
-      // foreign queries are never touched, and a died-before-unload
-      // query of OURS is still reclaimed.
-      val active = (clone.streams.active ++ parent.streams.active)
-        .map(_.runId).toSet
+      // second parent) mid-batch. Liveness is unioned across EVERY
+      // (parent, clone) pair this helper has ever served — not just
+      // the sweeping caller's — so a concurrent runToMemory query on
+      // a second parent is live here too, not a false orphan.
+      // Issued-and-not-active is then exact: foreign queries are
+      // never touched, our live queries on any session survive, and a
+      // died-before-unload query of ours is still reclaimed.
+      val sessions = {
+        val b = Seq.newBuilder[SparkSession]
+        streamSessionCache.synchronized {
+          streamSessionCache.forEach((p, c) => { b += p; b += c })
+        }
+        (b.result() :+ parent :+ clone).distinct
+      }
+      val active = sessions.flatMap(_.streams.active.map(_.runId)).toSet
       loadedProviderIds.filter(id => issuedRunIds.contains(id.queryRunId) &&
           !active.contains(id.queryRunId))
         .foreach(unloadProvider)
@@ -832,7 +842,11 @@ object EventStreams {
       graft.operators.BpeOps.trainedMerges(ss, d), "t18")
     val agg = readDocuments(ss, d)
       .select(col("source"),
-        explode(graft.functions.TextFunctions.tokens(col("text")))
+        // RAW whitespace words — the tokenizer's own input surface
+        // (r13 full-alphabet change): the stream-side join key must
+        // match the pieces relation and the rawTokSql oracle, or any
+        // non-clean-invariant text silently drops in the join
+        explode(graft.operators.BpeOps.rawWords(col("text")))
           .as("word"))
       .join(pieces, "word")
       .groupBy(col("source"))

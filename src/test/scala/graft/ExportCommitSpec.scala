@@ -189,7 +189,15 @@ class ExportCommitSpec extends SparkSpec {
     val dead1 = ExportCommit.stage(root, 2L)
     val dead2 = ExportCommit.stage(root, 3L)
     Seq(dead1, dead2).foreach(d => new java.io.File(d).mkdirs())
-    val deleted = ExportCommit.gcStaging(root)
+    // under the default grace period these dirs look IN-FLIGHT (fresh
+    // mtime) and must survive — deleting a writer's staged dir before
+    // its commitBatch would publish a manifest entry pointing at
+    // nothing
+    assert(ExportCommit.gcStaging(root) === Seq.empty)
+    assert(new java.io.File(dead1).exists && new java.io.File(dead2).exists)
+    // past the grace period (zero for the test) they are crashed
+    // attempts and are collected
+    val deleted = ExportCommit.gcStaging(root, minAgeMillis = -1L)
     assert(deleted.toSet === Set(dead1, dead2).map(d =>
       new java.io.File(d).getAbsolutePath))
     assert(!new java.io.File(dead1).exists && !new java.io.File(dead2).exists)
