@@ -43,7 +43,8 @@ t21_bpe_lang_card,d18_passage_runs,p13_bpe_budget_draw,\
 p14_bpe_sequence_pack,c05_dataset_card,e13_ann_batch_serve,\
 e14_ann_index_roundtrip,e15_ann_index_append,d19_winnow_run_dedup,\
 c06_unit_drift,s24_stream_asof_enrich,d20_stored_neardup,\
-t22_retrain_drift,s25_stream_decontaminate,s23_stream_token_stats"
+t22_retrain_drift,s25_stream_decontaminate,s23_stream_token_stats,\
+e16_ivfpq_serve"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -597,7 +597,15 @@ object EmbeddingOps {
     * code path and their common closed-form oracle transfers: a lossy
     * save, an assignment drift, or a lost appended cell breaks the
     * respective row's hash instead of a serving job months later. */
-  private[graft] def batchServeAgainst(index: IvfIndex, off: Long): DataFrame = {
+  /** The batch query selection + relational probe assignment shared by
+    * e13/e14/e15's exact re-rank and e16's PQ-ADC re-rank: queries are
+    * every [[BatchQueryMod]]-th base vector, probe cells ranked by
+    * unit-sphere ‖f−c‖² = 1+‖c‖²−2f·c against broadcast centers and
+    * cut at [[IvfProbes]]. Returns (queries, probes): one row per
+    * query carrying its feature array + raw embedding, and one row per
+    * (query, probed cell). */
+  private def batchProbes(index: IvfIndex, off: Long)
+      : (DataFrame, DataFrame) = {
     val s = index.assigned.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -620,6 +628,12 @@ object EmbeddingOps {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= IvfProbes)
       .select(col("query_id"), col("q_emb"), col("cell"))
+    (queries, probes)
+  }
+
+  private[graft] def batchServeAgainst(index: IvfIndex, off: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, probes) = batchProbes(index, off)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     probes
@@ -740,6 +754,156 @@ object EmbeddingOps {
       loaded.model)
     batchServeAgainst(appended, off)
   }
+
+  /** PQ geometry: M subvectors × K centroids per subspace. K = 16 at
+    * harness scale (k-means needs k ≪ n per subspace at the smallest
+    * SF); production is K = 256 (one byte per subspace) — the geometry
+    * is a constant of the artifact, like [[IvfCells]]. */
+  val PqSubspaces = 8
+  val PqCodes = 16
+
+  /** Per-subspace coarse codebooks — one seeded k-means per subvector
+    * slice of the NORMALIZED feature space (the IVF metric space: on
+    * the unit sphere, squared-L2 ADC ranks exactly like cosine). */
+  private[graft] final case class PqModel(
+      models: Seq[org.apache.spark.ml.clustering.KMeansModel])
+
+  private def pqTrain(vecs: DataFrame, dim: Int): PqModel = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val sub = dim / PqSubspaces
+    val arr = vecs.select(vector_to_array(col("features")).as("f"))
+      .localCheckpoint()
+    PqModel((0 until PqSubspaces).map { m =>
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(PqCodes).setSeed(42L + m)
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(arr.select(
+          array_to_vector(slice(col("f"), m * sub + 1, sub)).as("features")))
+    })
+  }
+
+  /** Corpus encoding: each vector's M per-subspace nearest-centroid
+    * codes, assigned by the codebooks' own transform (the e15
+    * discipline — identical deterministic assignment function for
+    * every row, which is what makes the twin-code argument structural). */
+  private def pqEncode(assigned: DataFrame, pq: PqModel, dim: Int): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val sub = dim / PqSubspaces
+    val base = assigned.select(col("vec_id"), col("cell"),
+      vector_to_array(col("features")).as("f"))
+    (0 until PqSubspaces).foldLeft(base) { (df, m) =>
+      pq.models(m).copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setFeaturesCol(s"__sub$m").setPredictionCol(s"code$m")
+        .transform(df.withColumn(s"__sub$m",
+          array_to_vector(slice(col("f"), m * sub + 1, sub))))
+        .drop(s"__sub$m")
+    }.drop("f")
+  }
+
+  /** e16 — IVF-PQ batch serving, the production vector-search stack
+    * (coarse quantizer for candidate selection + product-quantization
+    * asymmetric-distance re-rank; Jégou et al. 2011): e13's probe
+    * stage selects each query's candidate cells, but candidates are
+    * scored by ADC TABLE LOOKUP against the M×K codebooks instead of
+    * exact cosine — the memory/bandwidth shape that serves billions of
+    * vectors (codes are M small ints per vector; raw embeddings never
+    * ride the scoring join). Fully relational: the per-query lookup
+    * table is queries × broadcast (m, code, centroid) rows scoring
+    * ‖c‖² − 2·q_m·c (the per-query ‖q_m‖² terms are constant across
+    * candidates and cancel in the argmin), candidates come from the
+    * shared IVF index's probed cells, codes unpivot to (m, code) rows
+    * and join the LUT, and the per-(query, candidate) ADC is one sum
+    * over M partials with a query-partitioned argmin.
+    *
+    * Contract (e13's closed form carried through the quantization):
+    * the planted twin shares the query's cell AND its full PQ code
+    * (identical features through the identical per-subspace
+    * assignment), and the LUT's per-subspace minimum over codes is
+    * achieved exactly by the query's own code — so the twin's ADC is
+    * the GLOBAL minimum over all codes and the twin wins the
+    * (adc asc, vec_id asc) argmin. A native vector sharing a query's
+    * FULL code would tie and win the id tie-break — that precondition
+    * is ASSERTED on the encoded relation per run (loud failure naming
+    * the collision, the e10 discipline), not assumed. Emits
+    * (query_id, top1_id); the oracle is e13's closed form minus the
+    * exact-cosine column.
+    *
+    * 100 TB shape: codebooks are (M×K×dim/M) doubles — kilobytes,
+    * broadcast; the LUT is |batch|×M×K rows; the scoring join moves
+    * M-int code rows instead of full embeddings (the 16-64× bandwidth
+    * reduction that IS the point of PQ); everything partitions by
+    * query_id or the cell key. */
+  def annIvfPqServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (union, off) = DedupOps.plantedUnion(base, "vec_id")
+    val cells = ivfCellsFor(2L * corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$cells") {
+      ivfBuild(union, cells)
+    }
+    val dim = index.model.clusterCenters.head.size
+    val sub = dim / PqSubspaces
+    val pq = graft.api.Intermediates.memo(s, s"pq|$d|$PqSubspaces|$PqCodes") {
+      pqTrain(index.assigned, dim)
+    }
+    val codes = graft.api.Intermediates.memo(s, s"pqcodes|$d|$PqSubspaces|$PqCodes") {
+      pqEncode(index.assigned, pq, dim).localCheckpoint()
+    }
+    // loud precondition: no NATIVE vector may share a query's full
+    // code (it would tie the twin's ADC and win the id tie-break on a
+    // correct engine — the e13 corpus assumption, asserted instead of
+    // assumed because quantization makes collisions more likely than
+    // exact-duplicate vectors)
+    val codeCols = (0 until PqSubspaces).map(m => s"code$m")
+    val qCodes = codes.filter(col("vec_id") < off &&
+        col("vec_id") % BatchQueryMod === 0)
+      .select((col("vec_id").as("query_id") +: codeCols.map(col)): _*)
+    val collisions = qCodes.join(
+        codes.filter(col("vec_id") < off), codeCols)
+      .filter(col("vec_id") =!= col("query_id"))
+      .count()
+    require(collisions == 0L,
+      s"e16: $collisions native vector(s) share a query's full PQ code — " +
+        "the closed-form twin contract does not hold on this corpus")
+    val (queries, probes) = batchProbes(index, off)
+    val cents = (for {
+      m <- 0 until PqSubspaces
+      (c, k) <- pq.models(m).clusterCenters.zipWithIndex
+    } yield {
+      val a = c.toArray
+      (m, k, a, a.map(v => v * v).sum)
+    }).toDF("m", "code", "c_arr", "c_norm2")
+    val lut = queries.select(col("query_id"), col("q_feat"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("m"), col("code"),
+        (col("c_norm2") - lit(2.0) * arrayDot(
+          slice(col("q_feat"), col("m") * lit(sub) + lit(1), lit(sub)),
+          col("c_arr"))).as("d2"))
+    val stackExpr = s"stack(${PqSubspaces}, " +
+      (0 until PqSubspaces).map(m => s"$m, code$m").mkString(", ") +
+      ") as (m, code)"
+    val cand = probes.select(col("query_id"), col("cell"))
+      .join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), expr(stackExpr))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    cand.join(lut, Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("top1_id"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annIvfPqServeSql =
+    s"""SELECT vec_id AS query_id,
+      |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")}
+      |    AS top1_id
+      |FROM embeddings WHERE vec_id % $BatchQueryMod = 0
+      |ORDER BY query_id""".stripMargin
 
   /** e10 — PRODUCTION semantic dedup (the SemDeDup shape, d10's
     * composition for the embedding modality): the FULL corpus is
@@ -1116,6 +1280,7 @@ object EmbeddingOps {
       Some(annBatchServeSql)),
     QueryDef("e15_ann_index_append", annIndexAppend,
       Some(annBatchServeSql)),
+    QueryDef("e16_ivfpq_serve", annIvfPqServe, Some(annIvfPqServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

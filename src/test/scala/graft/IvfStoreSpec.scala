@@ -50,6 +50,37 @@ class IvfStoreSpec extends SparkSpec {
     assert(res.forall { case (q, t, c) => t == q + off && c == 1.0 })
   }
 
+  test("e16 IVF-PQ serve agrees with e13's exact serve on every query") {
+    val exact = EmbeddingOps.annBatchServe(spark, sfTiny)
+      .select("query_id", "top1_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pq = EmbeddingOps.annIvfPqServe(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty)
+    assert(pq === exact) // both find the planted twin, via independent scorers
+  }
+
+  test("e16 collision guard fails loudly when a native duplicates a query vector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_dup").toString
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 60L).map { i =>
+      (i, Array.fill(64)(rng.nextFloat()))
+    }
+    // vec_id 40 duplicates query vector 0 exactly — same features, same
+    // PQ code, smaller-than-twin id: the closed form would silently
+    // break, so the operator must refuse loudly instead
+    val planted = rows.map { case (i, v) =>
+      if (i == 40L) (i, rows.head._2.clone()) else (i, v)
+    }
+    planted.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      EmbeddingOps.annIvfPqServe(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("share a query's full PQ code"))
+  }
+
   test("load fails loudly on an absent or partial store") {
     val ex = intercept[Exception] {
       IvfStore.load(spark, tmp("absent") + "/nothing")
