@@ -148,7 +148,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
     val firstTotal = results.collect { case (_, v, _, _, f, _) if v >= 0 => f }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":$runsPerQuery,"first_total":$firstTotal,"flaky":$flaky,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // Registry-growth canary for the whole-stage-codegen class cache
+    // (r13 verdict ask #5 — the r12 regression was silent for a full
+    // round because nothing watched this): the sweep's total compile
+    // count is the session's distinct-plan working set when the cache
+    // holds (every plan compiles once); a working set past the cache
+    // capacity recompiles on every run and the count balloons past it.
+    // Guard at 80% capacity so the registry outgrowing the cache is
+    // named BEFORE eviction churn starts skewing family timings.
+    val compiled = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    val cacheMax = scala.util.Try(
+      spark.conf.get("spark.sql.codegen.cache.maxEntries").toLong)
+      .getOrElse(100L)
+    val cacheOk = compiled <= (cacheMax * 8) / 10
+    if (!cacheOk)
+      System.err.println(
+        s"[bench] CODEGEN CACHE CANARY FAILED: $compiled generated classes " +
+          s"compiled this session vs spark.sql.codegen.cache.maxEntries=" +
+          s"$cacheMax — the registry's distinct-plan working set is within " +
+          "20% of (or past) the cache capacity; raise maxEntries in " +
+          "Sessions.configure or late-sweep families will recompile every " +
+          "plan every run (the r12 m-family regression, SCALE.md postmortem)")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":$runsPerQuery,"first_total":$firstTotal,"flaky":$flaky,"failed":${failed.mkString("[", ",", "]")},"codegen_cache_canary":{"compiled_classes":$compiled,"cache_max":$cacheMax,"ok":$cacheOk},"sf":"$sfDir"}"""
     // Truncation-proofing: both prior rounds' driver artifacts captured
     // only a tail of stdout and cut the medians dict. The file is the
     // authoritative copy; the stdout line stays for the driver's parser.

@@ -18,11 +18,15 @@ object Sessions {
       // Past that point every additional query family EVICTS earlier
       // plans and each re-run recompiles from scratch: the r12 sweep
       // measured the m-family +52% (m04 0.44→1.51 tight-min) purely
-      // from recompilation churn; 4096 restores r11 timings exactly
-      // (SCALE.md r13 postmortem). Cost is driver heap for compiled
-      // classes — megabytes, standard tuning on a long-lived session
-      // serving many distinct plans.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // from recompilation churn; 4096 restored r11 timings exactly
+      // (SCALE.md r13 postmortem). Sized WITH the registry now that a
+      // canary watches it (Bench + QueryRegistrySpec, r13 verdict ask
+      // #5): r14 measured ~17 compiled classes per registered query,
+      // so 8192 carries the registry past 300 queries at the guarded
+      // 20/query allowance. Cost is driver heap for compiled classes —
+      // tens of MB, standard tuning on a long-lived session serving
+      // many distinct plans.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as

@@ -58,4 +58,69 @@ object IvfStore {
       s"ivf store $dir/assigned is missing columns: ${missing.mkString(", ")}")
     IvfIndex(assigned, model)
   }
+
+  // ----- IVF-PQ artifact (r13 verdict ask #1): the PQ stage is a
+  // fitted model like any other — without persisting it, every serving
+  // session retrains the codebooks, and a retrain CHANGES the corpus
+  // codes (different centroids), exactly the drift the round-trip rows
+  // exist to catch. Layout extends the coarse layout IN THE SAME
+  // directory:
+  //   pq/m{i}/ — per-subspace codebook i (KMeansModel via ML
+  //              persistence — centroids round-trip as exact doubles,
+  //              so the loaded ADC lookup table is bit-identical)
+  //   codes/   — parquet (vec_id, cell, code0..code{M-1}): the corpus
+  //              PQ codes, assigned at encode time by the saved
+  //              codebooks' own transform. Stored rather than
+  //              re-encoded at load: re-encoding is the refit the
+  //              artifact exists to avoid, and the codes ARE the
+  //              compressed corpus a PQ serving job ships.
+  // 100 TB shape: codebooks are (M x K x dim/M) doubles — kilobytes;
+  // codes/ is the corpus-sized piece at M small ints per vector (the
+  // 16-64x compression that is PQ's point), written as ordinary
+  // parquet (at scale bucketed by cell, the probe access path). -----
+
+  /** S9 versioned path for a full IVF-PQ artifact: f(cells, subspaces,
+    * codebook size, date). The geometry is part of the path because an
+    * artifact is only servable by the geometry that built it. */
+  def versionedPqDir(base: String, cells: Int, subspaces: Int, codes: Int,
+      date: java.time.LocalDate): String =
+    s"$base/${cells}_cell_${subspaces}x${codes}_ivfpq_index_$date"
+
+  /** Persist the full IVF-PQ artifact: coarse quantizer + assigned
+    * corpus (the [[save]] layout) + per-subspace codebooks + corpus
+    * codes. */
+  def savePq(dir: String, index: IvfIndex,
+      pq: graft.operators.EmbeddingOps.PqModel, codes: org.apache.spark.sql.DataFrame): Unit = {
+    save(dir, index)
+    pq.models.zipWithIndex.foreach { case (m, i) =>
+      m.write.overwrite().save(s"$dir/pq/m$i")
+    }
+    val codeCols = pq.models.indices.map(i => col(s"code$i"))
+    codes.select((Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load the full IVF-PQ artifact. Loud on any missing piece: a
+    * serving job that silently dropped one subspace's codebook would
+    * score every candidate on a truncated ADC sum and mis-rank
+    * everything while still returning plausible rows. */
+  def loadPq(spark: SparkSession, dir: String, subspaces: Int)
+      : (IvfIndex, graft.operators.EmbeddingOps.PqModel,
+         org.apache.spark.sql.DataFrame) = {
+    val index = load(spark, dir)
+    val models = (0 until subspaces).map { i =>
+      val sub = s"$dir/pq/m$i"
+      require(new java.io.File(sub).isDirectory,
+        s"ivf-pq store $dir is missing subspace codebook pq/m$i of " +
+          s"$subspaces — refusing to serve a truncated ADC")
+      KMeansModel.load(sub)
+    }
+    val codes = spark.read.parquet(s"$dir/codes")
+    val missing = (Seq("vec_id", "cell") ++
+      (0 until subspaces).map(i => s"code$i"))
+      .filterNot(codes.columns.contains)
+    require(missing.isEmpty,
+      s"ivf-pq store $dir/codes is missing columns: ${missing.mkString(", ")}")
+    (index, graft.operators.EmbeddingOps.PqModel(models), codes)
+  }
 }

@@ -227,12 +227,18 @@ object BpeOps {
         val n = best(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         // the wrapped encoding is only unambiguous while symbol bodies
-        // carry no structural delimiter and no whitespace (the pair's
-        // own separator) — encodeWord guarantees it; fail loudly if
-        // the invariant is ever broken upstream
-        require(!s"$a$b".exists(ch => ch == '(' || ch == ')' ||
-            Character.isWhitespace(ch)),
-          s"bpe: delimiter/whitespace inside encoded symbol pair '$pair'")
+        // carry no structural delimiter and no ASCII space (the pair
+        // string's own separator; [[rawWords]]' explicit split class
+        // keeps it out of word bodies, and encodeWord keeps the
+        // delimiters out) — fail loudly if the invariant is ever
+        // broken upstream. The guard is exactly this TRUE ambiguity
+        // set (r13 ADVICE): a broader isWhitespace check would reject
+        // legitimate full-alphabet symbols containing Unicode spaces
+        // the separator class deliberately leaves in word bodies
+        // (U+1680, U+2000-U+200A, U+205F, U+3000, ...), crashing the
+        // engine on input the oracle handles fine.
+        require(!s"$a$b".exists(ch => ch == '(' || ch == ')' || ch == ' '),
+          s"bpe: delimiter/separator inside encoded symbol pair '$pair'")
         merges += MergeRow(step.toLong, pair, a + b, n)
         words = words.withColumn("seg", mergeOnce(col("seg"), a, b))
         if (step % SwapEvery == 0) {

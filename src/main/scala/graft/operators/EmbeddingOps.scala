@@ -834,8 +834,15 @@ object EmbeddingOps {
     * reduction that IS the point of PQ); everything partitions by
     * query_id or the cell key. */
   def annIvfPqServe(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    val (index, pq, codes, off) = pqSharedBuild(s, d)
+    adcServe(index, pq, codes, off)
+  }
+
+  /** The shared e16/e17 IVF-PQ build: the e13-family index plus the
+    * memoized codebooks and corpus codes. e17 SAVES these; its serve
+    * side reads only the loaded artifact (the e14/t19 discipline). */
+  private def pqSharedBuild(s: SparkSession, d: String)
+      : (IvfIndex, PqModel, DataFrame, Long) = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (union, off) = DedupOps.plantedUnion(base, "vec_id")
     val cells = ivfCellsFor(2L * corpusCount(s, d))
@@ -843,13 +850,29 @@ object EmbeddingOps {
       ivfBuild(union, cells)
     }
     val dim = index.model.clusterCenters.head.size
-    val sub = dim / PqSubspaces
     val pq = graft.api.Intermediates.memo(s, s"pq|$d|$PqSubspaces|$PqCodes") {
       pqTrain(index.assigned, dim)
     }
     val codes = graft.api.Intermediates.memo(s, s"pqcodes|$d|$PqSubspaces|$PqCodes") {
       pqEncode(index.assigned, pq, dim).localCheckpoint()
     }
+    (index, pq, codes, off)
+  }
+
+  /** The e16 ADC serve plan against ARBITRARY (index, codebooks, codes)
+    * — shared verbatim by e16 (in-session PQ) and e17 (loaded-from-disk
+    * PQ), so the two rows run ONE code path and the common closed-form
+    * oracle transfers: a lossy codebook save, a code-column drift, or a
+    * truncated subspace breaks e17's hash instead of a serving job
+    * months later. The collision precondition is asserted on the codes
+    * relation actually being SERVED (for e17: the loaded one). */
+  private[graft] def adcServe(index: IvfIndex, pq: PqModel,
+      codes: DataFrame, off: Long): DataFrame = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dim = index.model.clusterCenters.head.size
+    val sub = dim / PqSubspaces
     // loud precondition: no NATIVE vector may share a query's full
     // code (it would tie the twin's ADC and win the id tie-break on a
     // correct engine — the e13 corpus assumption, asserted instead of
@@ -904,6 +927,34 @@ object EmbeddingOps {
       |    AS top1_id
       |FROM embeddings WHERE vec_id % $BatchQueryMod = 0
       |ORDER BY query_id""".stripMargin
+
+  /** e17 — the IVF-PQ stack as a SHIPPED ARTIFACT (r13 verdict ask #1,
+    * closing the last unshippable piece of the serving stack): e16's
+    * per-subspace codebooks and corpus codes are persisted through
+    * [[graft.api.IvfStore.savePq]] (S9 versioned path; codebooks via ML
+    * persistence so centroids round-trip as exact doubles; codes as
+    * parquet alongside `assigned/` — stored, never re-encoded at load,
+    * because a re-encode through retrained codebooks is exactly the
+    * drift this row exists to catch), loaded back, and e16's whole
+    * batch is served against the LOADED artifact through the SAME
+    * [[adcServe]] kernel — e16's closed-form oracle transfers verbatim.
+    * Nothing served reads the in-session memos (their keys hold only
+    * the build side — the e14/t19 discipline applied a third time), so
+    * a lossy save, a dropped subspace, or a code-column drift breaks
+    * THIS row's hash instead of a production serving job.
+    *
+    * 100 TB shape: e16 plus one artifact-sized parquet write/scan; the
+    * codes relation is the corpus at M small ints per vector — the
+    * compressed corpus IS the artifact a PQ serving fleet ships. */
+  def annPqRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val (index, pq, codes, off) = pqSharedBuild(s, d)
+    val dir = graft.api.IvfStore.versionedPqDir(
+      indexTmpBase(s, d, "e17"), index.model.getK, PqSubspaces, PqCodes,
+      IndexDate)
+    graft.api.IvfStore.savePq(dir, index, pq, codes)
+    val (li, lp, lc) = graft.api.IvfStore.loadPq(s, dir, PqSubspaces)
+    adcServe(li, lp, lc, off)
+  }
 
   /** e10 — PRODUCTION semantic dedup (the SemDeDup shape, d10's
     * composition for the embedding modality): the FULL corpus is
@@ -1281,6 +1332,9 @@ object EmbeddingOps {
     QueryDef("e15_ann_index_append", annIndexAppend,
       Some(annBatchServeSql)),
     QueryDef("e16_ivfpq_serve", annIvfPqServe, Some(annIvfPqServeSql)),
+    // e17 serves e16's batch against the LOADED PQ artifact through the
+    // same adcServe kernel — the closed-form oracle transfers verbatim
+    QueryDef("e17_pq_roundtrip", annPqRoundtrip, Some(annIvfPqServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

@@ -99,6 +99,19 @@ object ExportCommit {
       val tmp = Files.createTempFile(rootPath, ".manifest", ".tmp")
       try {
         Files.writeString(tmp, render(m), UTF_8)
+        // Janitor fence (r13 ADVICE): gcStaging renames a GC candidate
+        // ASIDE before deleting it, so a writer whose stage-to-commit
+        // gap exceeded the grace period observes its dir GONE here and
+        // fails loudly instead of publishing a manifest entry pointing
+        // at nothing. Checked as late as possible — after the rename
+        // the dir can never reappear, so a pass here means the janitor
+        // had not claimed it when we looked (see gcStaging for the
+        // ordering argument that closes the remaining window).
+        if (!Files.isDirectory(stagedPath))
+          throw new IllegalStateException(
+            s"staged dir $stagedPath vanished before commit — the " +
+              "gcStaging janitor reclaimed it (stage-to-commit gap " +
+              "exceeded the GC grace period); re-stage and re-commit")
         try {
           Files.createLink(rootPath.resolve(s"manifest-v$next.json"), tmp)
           return true
@@ -114,18 +127,43 @@ object ExportCommit {
     * crashed attempts' `data/b*-*` trees are invisible to readers but
     * otherwise accumulate forever in a long-running deployment (r12
     * ADVICE). Deletes only UNREFERENCED dirs matching the staging
-    * name shape under `data/`; a dir committed by a racing writer
-    * between the manifest read and the sweep is safe (it appears in a
-    * LATER manifest — so the sweep re-reads the latest manifest right
-    * before each delete and skips anything now referenced). Returns
-    * the deleted paths. Deployments run this from a janitor schedule,
-    * never from the write path. */
+    * name shape under `data/`. Returns the deleted paths. Deployments
+    * run this from a janitor schedule, never from the write path.
+    *
+    * Race protocol vs a slow committer (r13 ADVICE — the delete is
+    * made VERIFIABLE instead of best-effort): each candidate is
+    * renamed ASIDE (atomic, to a `.gc` suffix no manifest can name and
+    * the sweep's own name filter skips), THEN the latest manifest is
+    * re-read; if the original name is now referenced the rename is
+    * undone and the dir survives, otherwise the aside copy is deleted.
+    * A racing `commitBatch` in turn verifies its staged dir still
+    * exists immediately before publishing — after our rename that
+    * check fails loudly. Remaining exposure: the commit's existence
+    * check and manifest link must BOTH land inside the window between
+    * our rename and our re-read (microseconds apart) — and even then
+    * the re-read sees the new reference and restores the dir; a
+    * dangling entry needs the link to land after the re-read too,
+    * i.e. a filesystem-level pause longer than the entire rename+read,
+    * on a dir that already sat staged past the 24h grace. A crashed
+    * janitor can strand a renamed `.gc` dir; it is unreferenced by
+    * construction (its content dir was), so the next sweep deletes it
+    * through the same age gate. */
   def gcStaging(root: String,
       minAgeMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val dataDir = new File(root, "data")
     val stagingName = "b\\d+-[0-9a-f]{8}".r
+    val strandedName = "b\\d+-[0-9a-f]{8}\\.gc".r
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    Option(dataDir.listFiles()).toSeq.flatten
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    val all = Option(dataDir.listFiles()).toSeq.flatten
+    // stranded aside-dirs from a crashed janitor: unreferenced by
+    // construction (only unreferenced dirs are renamed), age-gated like
+    // everything else
+    val stranded = all
+      .filter(f => f.isDirectory && strandedName.matches(f.getName))
+      .filter(f => newestMtime(f) < cutoff)
+      .map { f => deleteRec(f); f.getAbsolutePath }
+    val swept = all
       .filter(f => f.isDirectory && stagingName.matches(f.getName))
       // age gate FIRST: a dir younger than the grace period may belong
       // to an IN-FLIGHT writer (staged, not yet committed) — deleting
@@ -135,12 +173,24 @@ object ExportCommit {
       // definition older than it on the janitor's next day.
       .filter(f => newestMtime(f) < cutoff)
       .flatMap { f =>
-        val referenced = latest(root).map(_.entries.map(e =>
-          Paths.get(root).toAbsolutePath.normalize()
-            .resolve(e.dir).normalize()).toSet).getOrElse(Set.empty)
-        if (referenced.contains(f.toPath.toAbsolutePath.normalize())) None
-        else { deleteRec(f); Some(f.getAbsolutePath) }
+        val aside = new File(f.getParentFile, f.getName + ".gc")
+        // rename aside, THEN re-read: any reference published before
+        // the re-read is honored by restoring; any commit attempt
+        // after the rename fails its own existence check
+        if (!f.renameTo(aside)) None // concurrent janitor/writer won
+        else {
+          val referenced = latest(root).map(_.entries.map(e =>
+            rootAbs.resolve(e.dir).normalize()).toSet).getOrElse(Set.empty)
+          if (referenced.contains(f.toPath.toAbsolutePath.normalize())) {
+            if (!aside.renameTo(f))
+              throw new IllegalStateException(
+                s"gcStaging: could not restore committed dir $f from " +
+                  s"$aside — manual intervention required")
+            None
+          } else { deleteRec(aside); Some(f.getAbsolutePath) }
+        }
       }
+    stranded ++ swept
   }
 
   /** Most recent mtime in a tree — a writer still producing files
@@ -225,12 +275,23 @@ object TmpDirs {
   /** Session-scoped artifact root under java.io.tmpdir, registered for
     * exit cleanup — ONE recipe for every harness store (e14/e15 IVF,
     * d20 LSH, t19-style tmp artifacts), so path hygiene changes happen
-    * once. Keyed by (applicationId, dataset hash, tag). */
+    * once. Keyed by (applicationId, dataset digest, tag) — a SHA-256
+    * prefix of the dataset path, not String.hashCode (r13 ADVICE: two
+    * datasets colliding on the 32-bit hash under the same tag and app
+    * would silently share one store directory; 64 digest bits make
+    * that effectively impossible). */
   def artifactRoot(s: org.apache.spark.sql.SparkSession, dataset: String,
       tag: String): String =
     registered(new File(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${s.sparkContext.applicationId}_" +
-        Integer.toHexString(dataset.hashCode)).getAbsolutePath)
+        pathDigest(dataset)).getAbsolutePath)
+
+  /** First 8 bytes of SHA-256(path), hex — collision-resistant tmp-dir
+    * key component. */
+  private[graft] def pathDigest(path: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
 
   private def deleteRec(f: File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)

@@ -206,6 +206,28 @@ class ExportCommitSpec extends SparkSpec {
     assert(ExportCommit.committedDirs(root).size === 1)
   }
 
+  test("gcStaging sweeps a crashed janitor's stranded .gc dir; commit refuses a reclaimed dir") {
+    val root = java.nio.file.Files.createTempDirectory("ec_gc2").toString
+    // a stranded aside-dir (janitor crashed between rename and delete):
+    // unreferenced by construction, collected by the next sweep
+    val stranded = new java.io.File(new java.io.File(root, "data"),
+      "b7-0123abcd.gc")
+    stranded.mkdirs()
+    val deleted = ExportCommit.gcStaging(root, minAgeMillis = -1L)
+    assert(deleted === Seq(stranded.getAbsolutePath))
+    assert(!stranded.exists)
+    // janitor fence: a writer whose staged dir was reclaimed must fail
+    // loudly at commit instead of publishing a dangling manifest entry
+    val staged = ExportCommit.stage(root, 9L)
+    new java.io.File(staged).mkdirs()
+    assert(ExportCommit.gcStaging(root, minAgeMillis = -1L).nonEmpty)
+    val ex = intercept[IllegalStateException] {
+      ExportCommit.commitBatch(root, 9L, staged)
+    }
+    assert(ex.getMessage.contains("vanished before commit"))
+    assert(ExportCommit.latest(root).isEmpty) // nothing dangling published
+  }
+
   test("p12 operator end-to-end is re-run idempotent in one session") {
     val m1 = graft.operators.PackOps.incrementalExport(spark, sfTiny).collect()
     val m2 = graft.operators.PackOps.incrementalExport(spark, sfTiny).collect()

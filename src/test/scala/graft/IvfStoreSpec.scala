@@ -87,4 +87,55 @@ class IvfStoreSpec extends SparkSpec {
     }
     assert(ex != null)
   }
+
+  test("e17 loaded-PQ serve equals the in-session e16 serve row-for-row") {
+    val a = EmbeddingOps.annIvfPqServe(spark, sfTiny).collect().toSeq
+    val b = EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect().toSeq
+    assert(a.nonEmpty)
+    assert(b === a)
+  }
+
+  test("e17 store round-trips every codebook centroid exactly") {
+    // save through the real operator path, then load and compare the
+    // codebooks against the in-session PQ memo they were built from
+    EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
+    val dir = IvfStore.versionedPqDir(
+      graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e17"),
+      graft.operators.EmbeddingOps.IvfCells,
+      EmbeddingOps.PqSubspaces, EmbeddingOps.PqCodes,
+      java.time.LocalDate.ofEpochDay(0))
+    val (_, lp, lc) = IvfStore.loadPq(spark, dir, EmbeddingOps.PqSubspaces)
+    assert(lp.models.size === EmbeddingOps.PqSubspaces)
+    lp.models.foreach(m =>
+      assert(m.clusterCenters.length === EmbeddingOps.PqCodes))
+    assert(lc.count() > 0)
+  }
+
+  test("loadPq fails loudly when one subspace codebook is dropped") {
+    // a real PQ artifact via the operator path, copied then truncated
+    EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
+    val src = IvfStore.versionedPqDir(
+      graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e17"),
+      graft.operators.EmbeddingOps.IvfCells,
+      EmbeddingOps.PqSubspaces, EmbeddingOps.PqCodes,
+      java.time.LocalDate.ofEpochDay(0))
+    val dst = tmp("truncated")
+    // copy then DROP one codebook — the truncated-artifact scenario
+    def copyRec(a: java.io.File, b: java.io.File): Unit = {
+      if (a.isDirectory) {
+        b.mkdirs()
+        a.listFiles().foreach(f => copyRec(f, new java.io.File(b, f.getName)))
+      } else java.nio.file.Files.copy(a.toPath, b.toPath)
+    }
+    copyRec(new java.io.File(src), new java.io.File(dst))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$dst/pq/m3"))
+    val ex = intercept[IllegalArgumentException] {
+      IvfStore.loadPq(spark, dst, EmbeddingOps.PqSubspaces)
+    }
+    assert(ex.getMessage.contains("missing subspace codebook pq/m3"))
+  }
 }

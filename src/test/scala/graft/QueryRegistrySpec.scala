@@ -19,6 +19,28 @@ class QueryRegistrySpec extends SparkSpec {
     assert(names.size >= 43)
   }
 
+  test("registry growth stays under the codegen class-cache capacity") {
+    // The r12 regression postmortem (SCALE.md): once the session's
+    // distinct-plan working set outgrows spark.sql.codegen.cache.maxEntries,
+    // every sweep run recompiles evicted plans and late families slow
+    // 1.5-2.5x with zero source diff. Bench measures the real compile
+    // count per sweep (its canary); this is the STRUCTURAL half — the
+    // registry cannot grow past the cache even at a generous
+    // plans-per-query allowance (r14 calibration: 2835 compiled
+    // classes for a 169-query sweep ≈ 17/query incl. shared builds;
+    // 20 is the guarded ceiling). Fails at build time, naming the knob.
+    // SparkSpec's session is built through Sessions.local → configure,
+    // so the conf read here IS the configured sweep value
+    val cacheMax =
+      spark.conf.get("spark.sql.codegen.cache.maxEntries").toLong
+    val estimate = QueryRegistry.all.size * 20L
+    assert(estimate <= (cacheMax * 8) / 10,
+      s"registry (${QueryRegistry.all.size} queries x 20 plans/query = " +
+        s"$estimate) is within 20% of spark.sql.codegen.cache.maxEntries=" +
+        s"$cacheMax — raise the cache in Sessions.configure before the " +
+        "sweep starts thrashing (r12 m-family regression, SCALE.md)")
+  }
+
   test("every non-iterative query runs at sf0.001") {
     QueryRegistry.all.filterNot(q => mlFits(q.name)).foreach { q =>
       val n = q.fn(spark, sfTiny).count()
