@@ -631,7 +631,13 @@ object EmbeddingOps {
     (queries, probes)
   }
 
-  private[graft] def batchServeAgainst(index: IvfIndex, off: Long): DataFrame = {
+  /** The ranked candidate relation behind the batch serve: probed-cell
+    * candidates scored exactly, per-query rank by (cos desc, vec_id) —
+    * cut at `k`. ONE kernel for e13/e14/e15's top-1 projection and
+    * e18's top-k list, so the top-k path is provably the same plan the
+    * closed-form top-1 rows pin. */
+  private[graft] def batchServeTopKAgainst(index: IvfIndex, off: Long,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (_, probes) = batchProbes(index, off)
     val wTop = Window.partitionBy(col("query_id"))
@@ -643,10 +649,13 @@ object EmbeddingOps {
       .select(col("query_id"), col("vec_id"),
         round(fastCosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= k)
+  }
+
+  private[graft] def batchServeAgainst(index: IvfIndex, off: Long): DataFrame =
+    batchServeTopKAgainst(index, off, 1)
       .select(col("query_id"), col("vec_id").as("top1_id"), col("cos_sim"))
       .orderBy(col("query_id"))
-  }
 
   /** Shared by e13/e14/e15 — the closed-form serve contract. CORPUS
     * ASSUMPTION (r12 ADVICE): "top-1 = the planted twin" additionally
@@ -955,6 +964,107 @@ object EmbeddingOps {
     val (li, lp, lc) = graft.api.IvfStore.loadPq(s, dir, PqSubspaces)
     adcServe(li, lp, lc, off)
   }
+
+  /** Neighbors served per query by e18's top-k list (k = 10 — the RAG /
+    * k-NN-backfill regime the r13 verdict named). */
+  val ServeTopK = 10
+
+  /** e18 — TOP-K batch serving under the e05/X10 bound-contract
+    * discipline at batch scale (r13 verdict ask #2: e13-e16 all cut at
+    * rank 1, but real retrieval — RAG context assembly, k-NN
+    * recommendation backfills, dedup-against-index review queues —
+    * consumes top-k LISTS): the REAL serve path runs
+    * [[batchServeTopKAgainst]] (the same kernel whose k=1 projection
+    * e13/e14/e15 pin) for the WHOLE batch, and the emitted rows are the
+    * deterministic EXACT top-[[ServeTopK]] per window query (brute
+    * force over the planted union, rounded cosine, vec_id tie-break —
+    * e01's discipline batched) with each exact neighbor flagged
+    * `in_served_or_unprobed`:
+    *
+    *  - if the neighbor's cell IS in the query's probe set, it MUST
+    *    appear in the served top-k — within the probed candidate subset
+    *    its (cos desc, vec_id) rank can only improve on its global rank
+    *    ≤ k, and the re-rank is exact, so absence is a
+    *    probe/candidate-join/limit/rank BUG (e05's defining IVF
+    *    guarantee, extended from one query to the whole batch);
+    *  - if its cell is NOT probed, missing it is the documented IVF
+    *    recall/latency trade and the flag passes unconditionally.
+    *
+    * The planted twin stays the closed-form anchor: every query's exact
+    * rank 1 is its twin at cosine 1.0 (same argument as e13), which the
+    * brute-force oracle reproduces organically. Queries are window-
+    * capped (`vec_id < VerifyWindow.MaxId`) so the exact side stays
+    * bounded at every SF; the SERVE side runs the full batch — the
+    * graded subset is a projection of the real path, never a special
+    * case (the d03/e04 bound posture).
+    *
+    * 100 TB shape: the serve side is e13's plan with a wider window
+    * cut; the exact side is (window queries × union) through the
+    * codegen'd cosine kernel — verification-scale by construction, and
+    * at deployment the exact side is the offline eval job, not the
+    * serving path. */
+  def annTopkServeBound(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (union, off) = DedupOps.plantedUnion(base, "vec_id")
+    val cells = ivfCellsFor(2L * corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$cells") {
+      ivfBuild(union, cells)
+    }
+    val served = batchServeTopKAgainst(index, off, ServeTopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("__served"))
+    val probed = batchProbes(index, off)._2
+      .select(col("query_id"), col("cell"), lit(1).as("__probed"))
+      .distinct()
+    val queriesWin = index.assigned
+      .filter(col("vec_id") < off && col("vec_id") % BatchQueryMod === 0 &&
+        col("vec_id") < VerifyWindow.MaxId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    index.assigned.select(col("vec_id"), col("embedding"), col("cell"))
+      .crossJoin(broadcast(queriesWin))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(fastCosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= ServeTopK)
+      .join(served, Seq("query_id", "vec_id"), "left")
+      .join(probed, Seq("query_id", "cell"), "left")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos_sim"),
+        when(col("__served").isNotNull || col("__probed").isNull, 1)
+          .otherwise(0).as("in_served_or_unprobed"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** e18's oracle: exact top-k per window query over the union, flag
+    * pinned to 1 (see the operator doc for why a probed exact neighbor
+    * is ALWAYS served on a correct engine). */
+  private val annTopkServeBoundSql =
+    s"""WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")},
+      |    embedding
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      |      WHERE vec_id % $BatchQueryMod = 0
+      |        AND vec_id < ${VerifyWindow.MaxId}),
+      |z AS (SELECT q.query_id, u.vec_id,
+      |        unnest(u.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+      |      FROM u JOIN q ON u.vec_id <> q.query_id),
+      |s AS (SELECT query_id, vec_id, sum(x*y) AS dot,
+      |        sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+      |      FROM z GROUP BY query_id, vec_id),
+      |r AS (SELECT query_id, vec_id, round(dot / (nx * ny), 6) AS cos_sim,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY round(dot / (nx * ny), 6) DESC, vec_id) AS rank
+      |      FROM s)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim,
+      |  1 AS in_served_or_unprobed
+      |FROM r WHERE rank <= $ServeTopK
+      |ORDER BY query_id, rank""".stripMargin
 
   /** e10 — PRODUCTION semantic dedup (the SemDeDup shape, d10's
     * composition for the embedding modality): the FULL corpus is
@@ -1335,6 +1445,8 @@ object EmbeddingOps {
     // e17 serves e16's batch against the LOADED PQ artifact through the
     // same adcServe kernel — the closed-form oracle transfers verbatim
     QueryDef("e17_pq_roundtrip", annPqRoundtrip, Some(annIvfPqServeSql)),
+    QueryDef("e18_topk_serve", annTopkServeBound,
+      Some(annTopkServeBoundSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

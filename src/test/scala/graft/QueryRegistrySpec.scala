@@ -139,6 +139,29 @@ class QueryRegistrySpec extends SparkSpec {
       "IVF found none of the exact top-20 — the flag was vacuous")
   }
 
+  test("e18 top-k bound flags hold and are non-vacuous on a second corpus (sfTiny)") {
+    val rows = graft.operators.EmbeddingOps.annTopkServeBound(spark, sfTiny)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("in_served_or_unprobed") === 1,
+      s"IVF top-k lost neighbor ${r.getAs[Long]("vec_id")} of query " +
+        s"${r.getAs[Long]("query_id")} despite probing its cell"))
+    // the closed-form anchor: every query's exact rank 1 is its planted
+    // twin at cosine 1.0
+    val r1 = rows.filter(_.getAs[Long]("rank") == 1L)
+    assert(r1.nonEmpty)
+    val off = r1.head.getAs[Long]("vec_id") - r1.head.getAs[Long]("query_id")
+    r1.foreach { r =>
+      assert(r.getAs[Long]("vec_id") === r.getAs[Long]("query_id") + off)
+      assert(r.getAs[Double]("cos_sim") === 1.0)
+    }
+    // non-vacuity: the served list really contains some exact
+    // neighbors beyond the twin (the flag would also pass if every
+    // deeper neighbor sat in an unprobed cell)
+    assert(rows.count(_.getAs[Long]("rank") > 1L) > 0,
+      "no exact neighbor beyond rank 1 — the top-k contract was vacuous")
+  }
+
   test("q31 funnel orders the stages strictly (fixture)") {
     import spark.implicits._
     import java.sql.Timestamp
