@@ -206,6 +206,33 @@ object DedupOps {
       .localCheckpoint()
   }
 
+  /** ROW-LOCAL twin of [[minhashBands]] for streaming probes (s27):
+    * [[minhashSignatures]] computes each min via explode + groupBy —
+    * a STATEFUL aggregation a stream-side band computation cannot run
+    * (it would buffer shingles across the micro-batch under a second
+    * stateful operator). Here each document is one stream row, so the
+    * 32 per-seed minima reduce IN-ROW (`array_min` over a per-seed
+    * `transform` of the shingle array — s25's distinct-in-row
+    * posture), making the plan stateless and per-batch. Same
+    * xxhash64(seed, shingle) values, same min, same band hash — the
+    * equality is pinned row-for-row by DedupInvariantSpec, so the
+    * probe side provably computes the SAME buckets the stored index
+    * was built with. No localCheckpoint (illegal on a stream; the
+    * relation is consumed once per micro-batch anyway). */
+  private[graft] def minhashBandsRowLocal(documents: DataFrame): DataFrame = {
+    val tokenized = documents
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
+    val docs = TextFunctions.withNgrams(tokenized, "words", "shingles", 3)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sig = array((0 until MinHashFns).map(i =>
+      array_min(transform(col("toks"), sh => xxhash64(lit(i), sh)))): _*)
+    docs.select(col("doc_id"), posexplode(
+        array((0 until Bands).map(b =>
+          xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** @param bucketCap oversized-bucket guard. Planted-union harnesses
     *   (d05/d10) pass `copies × MaxBucketSize`: a k-fold union multiplies
     *   every bucket's population by k, so an unscaled cap would narrow
@@ -760,6 +787,22 @@ object DedupOps {
     * LSH-specific and excluded by the projection, as in d05). The index
     * side drops oversized buckets at build time (a stored index caps its
     * degenerate buckets once, not per probe). */
+  /** The pruned (doc_id, band, bucket) band index over an existing
+    * corpus — ONE builder for d11's in-session index, d20's stored
+    * artifact, and s27's stream-probed store (shared definition: the
+    * build paths cannot drift). 1-entry buckets stay (they match
+    * probes); only degenerate boilerplate buckets are excluded, as at
+    * any index build. */
+  private[graft] def prunedBandIndex(existing: DataFrame): DataFrame = {
+    val index = minhashBands(existing)
+    val okBuckets = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    index.join(okBuckets, Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"), col("bucket"))
+  }
+
   def incrementalNeardup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val off = plantOffset(maxIdOf(docs, "doc_id"))
@@ -767,14 +810,7 @@ object DedupOps {
     val refetched = existing.filter(col("doc_id") < 200)
       .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
     val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(refetched)
-    val index = minhashBands(existing)
-    // 1-entry buckets stay (they match probes); only degenerate
-    // boilerplate buckets are excluded, as at any index build
-    val okBuckets = index.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= MaxBucketSize)
-      .select(col("band"), col("bucket"))
-    val prunedIndex = index.join(okBuckets, Seq("band", "bucket"))
+    val prunedIndex = prunedBandIndex(existing)
       .select(col("doc_id").as("src_id"), col("band"), col("bucket"))
     minhashBands(incoming)
       .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
@@ -810,13 +846,7 @@ object DedupOps {
     val refetched = existing.filter(col("doc_id") < 200)
       .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
     val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(refetched)
-    val index = minhashBands(existing)
-    val okBuckets = index.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= MaxBucketSize)
-      .select(col("band"), col("bucket"))
-    val pruned = index.join(okBuckets, Seq("band", "bucket"))
-      .select(col("doc_id"), col("band"), col("bucket"))
+    val pruned = prunedBandIndex(existing)
     val dir = graft.api.LshIndexStore.versionedDir(
       graft.sources.TmpDirs.artifactRoot(s, d, "d20"),
       Bands, java.time.LocalDate.ofEpochDay(0))
@@ -832,7 +862,7 @@ object DedupOps {
       .orderBy(col("in_id"))
   }
 
-  private val incrementalNeardupSql =
+  private[graft] val incrementalNeardupSql =
     s"""SELECT doc_id + ${plantOffsetSql("doc_id", "documents")} AS in_id,
       |  doc_id AS src_id
       |FROM documents

@@ -668,7 +668,7 @@ object EmbeddingOps {
     * probability ~0). A future corpus regeneration that plants exact
     * native duplicates must revisit this oracle, not debug the
     * engine. */
-  private val annBatchServeSql =
+  private[graft] val annBatchServeSql =
     s"""SELECT vec_id AS query_id,
       |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")}
       |    AS top1_id,

@@ -815,6 +815,169 @@ object EventStreams {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming scan of the embeddings table ([[readDocuments]]' layout
+    * dispatch) — the ingest-side source for streaming index
+    * maintenance. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+      spark.readStream.schema(schema).parquet(s"$dir/embeddings.parquet")
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+  }
+
+  /** One s26 micro-batch: assign the incoming vectors to the STORED
+    * quantizer's cells (no refit — e15's structural-twin discipline:
+    * the loaded model's own transform, the same deterministic function
+    * that assigned the stored rows), stage the assigned rows as
+    * parquet, and publish through [[graft.sources.ExportCommit]]'s
+    * atomic manifest — a replayed batchId is detected there and its
+    * re-staged dir deleted instead of committed (the s22 protocol
+    * applied to the index artifact; the replay spec proves no
+    * double-append). `features` is stored as ARRAY<DOUBLE>
+    * (vector_to_array) so the committed files carry a plain parquet
+    * schema; the reader converts back losslessly. */
+  private[graft] def appendIndexBatch(root: String,
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      model: org.apache.spark.ml.clustering.KMeansModel): Unit = {
+    val assigned = model.transform(
+        batch.toDF().select(col("vec_id"), col("embedding"),
+          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+            .as("features")))
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .as("features_arr"),
+        col(model.getPredictionCol).as("cell"))
+    val staged = graft.sources.ExportCommit.stage(root, batchId)
+    assigned.write.parquet(staged)
+    graft.sources.ExportCommit.commitBatch(root, batchId, staged)
+    ()
+  }
+
+  /** s26 — STREAMING index append (e15 on the live path, r13 verdict
+    * ask #4: a continuously-crawling pipeline's vectors arrive as a
+    * stream and must reach the STORED IVF index without a refit): the
+    * base-corpus index is persisted through [[graft.api.IvfStore]]
+    * (e14's artifact), the increment — the id-shifted planted copy —
+    * arrives as a vector STREAM, and each micro-batch is appended to
+    * the store via [[appendIndexBatch]] (loaded-quantizer assignment +
+    * ExportCommit's atomic manifest versioning, exactly-once under
+    * replay). After the drain, e13's whole batch is served against
+    * loaded-index ∪ committed-appends through the SAME
+    * batchServeAgainst kernel — e13's closed-form oracle transfers
+    * verbatim (the e15 argument: identical vectors through the
+    * identical deterministic assignment land in their originals'
+    * cells, so every query's twin is probe-reachable at cosine 1.0).
+    *
+    * 100 TB shape: per micro-batch, increment × broadcast centers plus
+    * one staged parquet write — the increment never joins the corpus;
+    * the manifest read plans a union over committed batch dirs (at
+    * deployment, periodic compaction folds them into the bucketed
+    * `assigned/` relation — s17's job). */
+  def streamIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(base, "vec_id"))
+    val cells = graft.operators.EmbeddingOps.ivfCellsFor(
+      graft.api.Intermediates.memo(ss, s"embcount|$d") { base.count() })
+    val index = graft.api.Intermediates.memo(ss, s"ivf|$d|$cells") {
+      graft.operators.EmbeddingOps.ivfBuild(base, cells)
+    }
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s26")
+    val baseDir = graft.api.IvfStore.versionedDir(
+      root, cells, java.time.LocalDate.ofEpochDay(0))
+    graft.api.IvfStore.save(baseDir, index)
+    val loaded = graft.api.IvfStore.load(ss, baseDir)
+    val appendRoot = s"$root/append"
+    val stream = readEmbeddings(ss, d)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        appendIndexBatch(appendRoot, batch, batchId, loaded.model))
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadProvidersOf(q.runId)
+    // committed appends, read with the EXACT schema the batches wrote
+    // (derived from the same projection on a zero-row slice — an empty
+    // manifest still reads as a typed empty relation)
+    val writtenSchema = loaded.model.transform(
+        base.limit(0).select(col("vec_id"), col("embedding"),
+          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+            .as("features")))
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .as("features_arr"),
+        col(loaded.model.getPredictionCol).as("cell")).schema
+    val appendedRows = graft.sources.ExportCommit.readCommitted(
+        ss, appendRoot, writtenSchema, format = "parquet")
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.ml.functions.array_to_vector(col("features_arr"))
+          .as("features"),
+        col("cell"))
+    val full = graft.operators.EmbeddingOps.IvfIndex(
+      loaded.assigned
+        .select(col("vec_id"), col("embedding"), col("features"), col("cell"))
+        .unionByName(appendedRows),
+      loaded.model)
+    graft.operators.EmbeddingOps.batchServeAgainst(full, off)
+  }
+
+  /** s27 — STREAMING near-dup probe against the STORED LSH band index
+    * (d20 on the live path, r13 verdict ask #6 — the LSH side of s26):
+    * the existing corpus's pruned band index is persisted through
+    * [[graft.api.LshIndexStore]] and loaded back; the incoming
+    * document stream — d11's exact scenario, novel docs plus re-fetched
+    * content under fresh crawl ids — computes its band buckets
+    * ROW-LOCALLY ([[graft.operators.DedupOps.minhashBandsRowLocal]]:
+    * same hash/band math as the index build, reduced in-row so the
+    * stream plan stays stateless) and equi-joins the loaded index on
+    * (band, bucket) per micro-batch — stream-static, s14's posture at
+    * the near-dup grain. The planted projection filters BEFORE the
+    * roll-up (stateless), and pair distinctness is one complete-mode
+    * aggregation (a pair can meet in up to 8 shared bands). d11's
+    * planted oracle transfers verbatim.
+    *
+    * 100 TB shape: the probe is batch ⋈ index on the uniform
+    * (band, bucket) key — never corpus ⋈ corpus; at deployment the
+    * store is bucketed by the probe key so the join is co-located,
+    * and the index is maintained by the indexing job (s26's shape),
+    * not rebuilt per batch. */
+  def streamLshProbe(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val dir = graft.api.LshIndexStore.versionedDir(
+      graft.sources.TmpDirs.artifactRoot(ss, d, "s27"),
+      graft.operators.DedupOps.Bands, java.time.LocalDate.ofEpochDay(0))
+    graft.api.LshIndexStore.save(dir,
+      graft.operators.DedupOps.prunedBandIndex(existing))
+    val loaded = graft.api.LshIndexStore.load(ss, dir)
+      .select(col("doc_id").as("src_id"), col("band"), col("bucket"))
+    val stream = readDocuments(ss, d).select(col("doc_id"), col("text"))
+    val incoming = stream.filter(col("doc_id") % 2 === 1)
+      .unionByName(stream
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 200)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+    val hits = graft.operators.DedupOps.minhashBandsRowLocal(incoming)
+      .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
+      .join(loaded, Seq("band", "bucket"))
+      .filter(col("in_id") === col("src_id") + lit(off))
+      .groupBy(col("in_id"), col("src_id"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("in_id"), col("src_id"))
+    runToMemory(hits, "complete", "s27_stream_lsh_probe")
+      .orderBy(col("in_id"))
+  }
+
   /** s23 — STREAMING token accounting under the LEARNED tokenizer (the
     * deployment split of the t18/p13 unit of account — a pipeline
     * meters ingest in the same units it bills training in): documents
@@ -1029,7 +1192,15 @@ object EventStreams {
     QueryDef("s24_stream_asof_enrich", streamAsofEnrich,
       Some(graft.operators.TemporalOps.asofViewsSql)),
     QueryDef("s23_stream_token_stats", streamTokenStats,
-      Some(streamTokenStatsSql)))
+      Some(streamTokenStatsSql)),
+    // s26 serves e13's batch against the drained (loaded ∪ appended)
+    // index — the closed-form serve oracle transfers verbatim
+    QueryDef("s26_stream_index_append", streamIndexAppend,
+      Some(graft.operators.EmbeddingOps.annBatchServeSql)),
+    // s27 probes the loaded store with d11's scenario — the planted
+    // oracle transfers verbatim
+    QueryDef("s27_stream_lsh_probe", streamLshProbe,
+      Some(graft.operators.DedupOps.incrementalNeardupSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

@@ -32,6 +32,57 @@ class StoredIndexSpec extends SparkSpec {
     assert(b === a)
   }
 
+  test("row-local minhash bands equal the batch aggregation path row-for-row") {
+    // the s27 stream side provably computes the SAME (doc_id, band,
+    // bucket) buckets the stored index was built with — full equality,
+    // both directions
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val batch = DedupOps.minhashBands(docs)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val rowLocal = DedupOps.minhashBandsRowLocal(docs)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(rowLocal === batch)
+  }
+
+  test("s27 streaming probe equals the batch d11/d20 probe row-for-row") {
+    val a = DedupOps.incrementalNeardup(spark, sfTiny)
+      .as[(Long, Long)].collect().toSeq
+    val b = graft.streaming.EventStreams.streamLshProbe(spark, sfTiny)
+      .as[(Long, Long)].collect().toSeq
+    assert(a.nonEmpty)
+    assert(b === a)
+  }
+
+  test("s26 streaming index append equals the batch e15 append row-for-row") {
+    val a = graft.operators.EmbeddingOps.annIndexAppend(spark, sfTiny)
+      .collect().toSeq
+    val b = graft.streaming.EventStreams.streamIndexAppend(spark, sfTiny)
+      .collect().toSeq
+    assert(a.nonEmpty)
+    assert(b === a)
+  }
+
+  test("s26 append batch is exactly-once under batchId replay") {
+    val emb = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.operators.EmbeddingOps.ivfBuild(emb, cells = 4)
+    val root = java.nio.file.Files.createTempDirectory("s26_replay").toString
+    val batch = emb.limit(10)
+    // the same batchId staged+committed twice — the foreachBatch replay
+    // scenario after a crash between commit and checkpoint
+    graft.streaming.EventStreams.appendIndexBatch(root, batch, 0L, index.model)
+    graft.streaming.EventStreams.appendIndexBatch(root, batch, 0L, index.model)
+    val dirs = graft.sources.ExportCommit.committedDirs(root)
+    assert(dirs.size === 1, s"replayed batch committed twice: $dirs")
+    val rows = spark.read.parquet(dirs.head).count()
+    assert(rows === 10L)
+    // a DIFFERENT batch id still appends
+    graft.streaming.EventStreams.appendIndexBatch(root, batch, 1L, index.model)
+    assert(graft.sources.ExportCommit.committedDirs(root).size === 2)
+  }
+
   test("t22 cross-foots with t18 and its ratios are sane") {
     val card = BpeOps.bpeRetrainDrift(spark, sfTiny).cache()
     assert(card.count() > 0)
