@@ -304,8 +304,17 @@ object BpeOps {
     * table — the tokenizer's APPLY surface, shared by t18/t19/t20/p13
     * and the s23 stream-static join. */
   private[graft] def piecesFor(s: SparkSession, d: String,
-      merges: Seq[MergeRow], memoTag: String): DataFrame = {
-    val words = Tables.documents(s, d)
+      merges: Seq[MergeRow], memoTag: String): DataFrame =
+    piecesForDocs(s, d, Tables.documents(s, d), merges, memoTag)
+
+  /** As [[piecesFor]] over an ARBITRARY documents relation — t23 feeds
+    * the planted multi-script union through the SAME apply surface the
+    * shipped corpus uses (the BPE apply rule handles words the training
+    * slice never saw; unseen-script words stay fully char-split, which
+    * is exactly what the fairness card measures). */
+  private[graft] def piecesForDocs(s: SparkSession, d: String,
+      docs: DataFrame, merges: Seq[MergeRow], memoTag: String): DataFrame = {
+    val words = docs
       .select(explode(rawWords(col("text"))).as("word"))
       .distinct()
     graft.plans.SizeGuard.broadcastIfSmall(
@@ -434,8 +443,11 @@ object BpeOps {
     * selectable training-slice residue — t22 instantiates TWO chains
     * in one query (shipped tokenizer, "", residue 0; retrain slice,
     * "_b", residue 1). One generator: the merge recipe cannot drift
-    * between the instantiations. */
-  private def chainSql(n: Int, sfx: String, residue: Long): String = {
+    * between the instantiations. `docsRel` selects the APPLY-side
+    * vocabulary relation (a0) — training (w0) always reads the real
+    * corpus; t23 applies the shipped tokenizer to its planted union. */
+  private def chainSql(n: Int, sfx: String, residue: Long,
+      docsRel: String = "documents"): String = {
     val base =
       s"""w0$sfx AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS f,
@@ -446,7 +458,7 @@ object BpeOps {
          |a0$sfx AS MATERIALIZED (
          |  SELECT word, ${segInitSql("word")} AS seg
          |  FROM (SELECT DISTINCT unnest($rawTokSql) AS word
-         |        FROM documents) t
+         |        FROM $docsRel) t
          |  WHERE word <> '')""".stripMargin
     val steps = (1 to n).map { k =>
       val p = k - 1
@@ -530,11 +542,19 @@ object BpeOps {
     * 100 TB shape: identical to t20 (token stream ⋈ size-guarded
     * pieces, languages-sized agg) plus a 1-row broadcast of the best
     * compression — the m06 crossJoin pattern. */
-  def bpeLangCard(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.documents(s, d)
+  def bpeLangCard(s: SparkSession, d: String): DataFrame =
+    langCardOver(Tables.documents(s, d),
+      piecesFor(s, d, trainedMerges(s, d), "t18"))
+
+  /** The t21 per-language roll-up over an arbitrary (doc_id, lang,
+    * text) relation and pieces table — ONE kernel for t21 (shipped
+    * corpus) and t23 (planted multi-script union), so the fairness
+    * arithmetic cannot drift between them. */
+  private def langCardOver(docs: DataFrame, pieces: DataFrame): DataFrame = {
+    val per = docs
       .select(col("doc_id"), col("lang"),
         explode(rawWords(col("text"))).as("word"))
-      .join(piecesFor(s, d, trainedMerges(s, d), "t18"), "word")
+      .join(pieces, "word")
       .groupBy(col("lang"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_words"),
@@ -552,6 +572,55 @@ object BpeOps {
         round(col("pieces_per_word") / col("best_ppw"), 6)
           .as("token_premium"))
       .orderBy(col("lang"))
+  }
+
+  /** The planted multi-script slice (r13 verdict ask #3): the shipped
+    * corpus is `[a-z ]`-only at every SF, so t20/t21/t22 observe ~trivial
+    * char-level fractions and premiums on real runs — the full-alphabet
+    * machinery was proven only by spec fixtures. These deterministic
+    * docs (CJK, digits, delimiter-bearing punctuation, mixed-script)
+    * join the corpus IN-QUERY under fresh plantOffset ids and their own
+    * lang codes, making the fairness family's numbers non-trivial at
+    * every SF: no learned merge contains a non-[a-z] char, so zz_cjk's
+    * words stay fully char-split — char_level_frac = 1, ppw = 4 (all
+    * words are 4 chars), premium = 4/best > 1 structurally. ONE
+    * definition feeds both the Scala literal relation and the oracle's
+    * VALUES clause. */
+  private[graft] val PlantedScriptDocs: Seq[(Long, String, String, String)] =
+    Seq(
+      (0L, "zz_cjk", "planted_script",
+        "深度学习 自然语言 机器翻译 神经网络 模型训练"),
+      (1L, "zz_digit", "planted_script", "2024 12345 678901 31415 99"),
+      (2L, "zz_punct", "planted_script",
+        "(alpha) beta, gamma! delta? (epsilon)"),
+      (3L, "zz_mixed", "planted_script", "abc123 mixed2024 data-set v2.0"))
+
+  /** documents ∪ the planted multi-script docs at plantOffset ids. */
+  private def plantedUnionDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    docs.unionByName(PlantedScriptDocs
+      .map { case (i, lang, source, text) => (off + i, lang, source, text) }
+      .toDF("doc_id", "lang", "source", "text"))
+  }
+
+  /** t23 — the fairness card over the planted multi-script union: t21's
+    * exact roll-up (shared [[langCardOver]] kernel), fed by the SAME
+    * shipped tokenizer applied to the union's vocabulary through
+    * [[piecesForDocs]] (its own memo tag — the planted words must reach
+    * the real apply chain, not t18's corpus-only materialization).
+    * Training is untouched: the tokenizer is [[trainedMerges]] over the
+    * real corpus slice, exactly the artifact t19 ships — t23 measures
+    * how that artifact BILLS scripts it never saw, which is the
+    * tokenizer-equity question.
+    *
+    * 100 TB shape: t21 plus four constant rows — nothing new. */
+  def bpeScriptCard(s: SparkSession, d: String): DataFrame = {
+    val union = plantedUnionDocs(s, d)
+    langCardOver(union,
+      piecesForDocs(s, d, union, trainedMerges(s, d), "t23"))
   }
 
   /** Chain + per-word piece counts + tokenized corpus, ending in
@@ -668,6 +737,47 @@ object BpeOps {
        |  round(sum(b_sym) / sum(a_sym), 6) AS retrain_drift
        |FROM tw GROUP BY source ORDER BY source""".stripMargin
 
+  /** t23's oracle: the planted union as a VALUES CTE (generated from
+    * the SAME [[PlantedScriptDocs]] literal), the shipped tokenizer's
+    * chain with the apply side reading the union, and t21's roll-up. */
+  private val bpeScriptCardSql = {
+    val values = PlantedScriptDocs.map { case (i, lang, source, text) =>
+      s"($i, '$lang', '$source', '$text')"
+    }.mkString(",\n         ")
+    s"""WITH pl AS (
+       |  SELECT ${DedupOps.plantOffsetSql("doc_id", "documents")} + v.i
+       |      AS doc_id,
+       |    v.lang, v.source, v.text
+       |  FROM (VALUES $values) v(i, lang, source, text)),
+       |pdocs AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, lang, source, text FROM pl),
+       |${chainSql(NMerges, "", 0L, "pdocs")},
+       |pieces AS (
+       |  SELECT word,
+       |    CAST(len(regexp_extract_all(seg, '\\(([^()]+)\\)', 1)) AS BIGINT)
+       |      AS n_sym
+       |  FROM a$NMerges),
+       |toks AS (SELECT doc_id, unnest($rawTokSql) AS word FROM pdocs),
+       |t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+       |tw AS (SELECT d.lang, t.doc_id, t.word, p.n_sym
+       |       FROM t2 t JOIN pieces p USING (word)
+       |       JOIN pdocs d ON d.doc_id = t.doc_id),
+       |per AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |          CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |          round(sum(n_sym) / count(*), 6) AS pieces_per_word,
+       |          round(sum(CASE WHEN n_sym = length(word) THEN 1 ELSE 0 END)
+       |                / count(*), 6) AS char_level_frac
+       |        FROM tw GROUP BY lang),
+       |best AS (SELECT min(pieces_per_word) AS best_ppw FROM per)
+       |SELECT lang, n_docs, n_words, n_bpe_tokens, pieces_per_word,
+       |  char_level_frac,
+       |  round(pieces_per_word / best_ppw, 6) AS token_premium
+       |FROM per, best ORDER BY lang""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t16_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)),
@@ -676,5 +786,6 @@ object BpeOps {
     QueryDef("t19_bpe_roundtrip", bpeRoundtrip, Some(bpeRetokenizeSql)),
     QueryDef("t20_bpe_card", bpeCard, Some(bpeCardSql)),
     QueryDef("t21_bpe_lang_card", bpeLangCard, Some(bpeLangCardSql)),
-    QueryDef("t22_retrain_drift", bpeRetrainDrift, Some(bpeRetrainDriftSql)))
+    QueryDef("t22_retrain_drift", bpeRetrainDrift, Some(bpeRetrainDriftSql)),
+    QueryDef("t23_script_card", bpeScriptCard, Some(bpeScriptCardSql)))
 }
