@@ -11,7 +11,9 @@
 # Since r12 the receipt also runs the round's new FULL-ORACLE rows
 # (BPE family, trained language ID, passage runs, BPE-unit draw/pack,
 # datasheet, batch ANN; r13 adds the index round-trip/append, winnow
-# dedup, unit-drift audit, and streaming as-of) — their oracles
+# dedup, unit-drift audit, and streaming as-of; r14 adds the PQ
+# artifact round-trip, top-k serving bound, streaming index append /
+# LSH probe, and the planted multi-script card) — their oracles
 # recompute on the synthetic corpus, so they are checkable at any
 # scale; they are here because they are cheap enough to afford.
 #
@@ -44,7 +46,8 @@ p14_bpe_sequence_pack,c05_dataset_card,e13_ann_batch_serve,\
 e14_ann_index_roundtrip,e15_ann_index_append,d19_winnow_run_dedup,\
 c06_unit_drift,s24_stream_asof_enrich,d20_stored_neardup,\
 t22_retrain_drift,s25_stream_decontaminate,s23_stream_token_stats,\
-e16_ivfpq_serve"
+e16_ivfpq_serve,e17_pq_roundtrip,e18_topk_serve,\
+s26_stream_index_append,s27_stream_lsh_probe,t23_script_card"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -876,6 +876,18 @@ object EmbeddingOps {
     * months later. The collision precondition is asserted on the codes
     * relation actually being SERVED (for e17: the loaded one). */
   private[graft] def adcServe(index: IvfIndex, pq: PqModel,
+      codes: DataFrame, off: Long): DataFrame =
+    adcRank(index, pq, codes, off)
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("top1_id"))
+      .orderBy(col("query_id"))
+
+  /** The full ADC-ranked candidate relation (query_id, vec_id, adc,
+    * rn) behind [[adcServe]] — e16/e17 project rn = 1 (the closed-form
+    * twin), e19 cuts an rn ≤ R SHORTLIST for exact re-ranking (the
+    * IVFADC-R serve). One kernel: the shortlist path is provably the
+    * same scoring join the top-1 rows pin. */
+  private[graft] def adcRank(index: IvfIndex, pq: PqModel,
       codes: DataFrame, off: Long): DataFrame = {
     val s = index.assigned.sparkSession
     import s.implicits._
@@ -925,9 +937,6 @@ object EmbeddingOps {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d2")).as("adc"))
       .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("vec_id").as("top1_id"))
-      .orderBy(col("query_id"))
   }
 
   private val annIvfPqServeSql =
@@ -1004,18 +1013,40 @@ object EmbeddingOps {
     * at deployment the exact side is the offline eval job, not the
     * serving path. */
   def annTopkServeBound(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (index, off) = topkSharedIndex(s, d)
+    val served = batchServeTopKAgainst(index, off, ServeTopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("__served"))
+    val probed = batchProbes(index, off)._2
+      .select(col("query_id"), col("cell"), lit(1).as("__probed"))
+      .distinct()
+    exactWindowTopK(index, off)
+      .join(served, Seq("query_id", "vec_id"), "left")
+      .join(probed, Seq("query_id", "cell"), "left")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos_sim"),
+        when(col("__served").isNotNull || col("__probed").isNull, 1)
+          .otherwise(0).as("in_served_or_unprobed"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The shared e13-family union index, for the top-k bound rows. */
+  private def topkSharedIndex(s: SparkSession, d: String): (IvfIndex, Long) = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (union, off) = DedupOps.plantedUnion(base, "vec_id")
     val cells = ivfCellsFor(2L * corpusCount(s, d))
     val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$cells") {
       ivfBuild(union, cells)
     }
-    val served = batchServeTopKAgainst(index, off, ServeTopK)
-      .select(col("query_id"), col("vec_id"), lit(1).as("__served"))
-    val probed = batchProbes(index, off)._2
-      .select(col("query_id"), col("cell"), lit(1).as("__probed"))
-      .distinct()
+    (index, off)
+  }
+
+  /** The deterministic EXACT side shared by e18 and e19: per window
+    * query, the brute-force top-[[ServeTopK]] over the union (rounded
+    * cosine, vec_id tie-break — e01's discipline batched), with the
+    * neighbor's cell carried for the probe-flag join. Window-capped so
+    * the exact pass stays bounded at every SF. */
+  private def exactWindowTopK(index: IvfIndex, off: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val queriesWin = index.assigned
       .filter(col("vec_id") < off && col("vec_id") % BatchQueryMod === 0 &&
         col("vec_id") < VerifyWindow.MaxId)
@@ -1029,19 +1060,79 @@ object EmbeddingOps {
         round(fastCosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= ServeTopK)
+  }
+
+  /** ADC shortlist depth for e19's re-rank stage (R ≫ k: the shortlist
+    * absorbs quantization mis-ranking so the exact re-rank can recover
+    * the true order — Jégou et al.'s IVFADC-R parameterization). */
+  val AdcShortlist = 50
+
+  /** e19 — IVFADC-R: the COMPLETE production serving stack, composing
+    * this family end-to-end (coarse probe → PQ-ADC shortlist → EXACT
+    * re-rank → top-k list). e16 proved the ADC argmin finds the twin;
+    * e18 proved the exact-scored top-k list; a deployed PQ fleet runs
+    * BOTH stages — ADC cuts the candidate set to an R-deep shortlist
+    * using only codes (bandwidth-cheap), then the re-rank stage fetches
+    * the R raw vectors per query and scores them exactly (Jégou et
+    * al. 2011's IVFADC-R). Emitted rows are e18's exact window top-k,
+    * each flagged `in_served_or_unshortlisted`:
+    *
+    *  - a neighbor IN the ADC shortlist with global exact rank ≤ k
+    *    MUST be served — within the shortlist its exact (cos desc,
+    *    vec_id) rank can only improve, and the re-rank is exact, so
+    *    absence is a shortlist-join/re-rank/limit BUG;
+    *  - a neighbor NOT in the shortlist (unprobed cell, or probed but
+    *    ADC-ranked past R) is the documented quantization recall trade
+    *    and passes unconditionally — that trade is exactly what R
+    *    tunes, and the spec pins its non-vacuity (the shortlist really
+    *    contains deeper exact neighbors, not just the twin).
+    *
+    * The twin stays the closed-form anchor end-to-end: its ADC is the
+    * global minimum (e16's argument) so it is ALWAYS shortlisted at
+    * any R ≥ 1, and the exact re-rank puts it at rank 1, cosine 1.0.
+    *
+    * 100 TB shape: the ADC stage is e16's (codes ride the scoring
+    * join, never embeddings); the re-rank joins |batch| × R code rows
+    * back to raw vectors — an equi-join on vec_id, the only stage that
+    * touches embeddings, sized by the shortlist, not the corpus. */
+  def annIvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (index, pq, codes, off) = pqSharedBuild(s, d)
+    val shortlist = adcRank(index, pq, codes, off)
+      .filter(col("rn") <= AdcShortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qEmb = index.assigned
+      .filter(col("vec_id") < off && col("vec_id") % BatchQueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val served = shortlist
+      .join(index.assigned.select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .join(qEmb, Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(fastCosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= ServeTopK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("__served"))
+    val short = shortlist.select(col("query_id"), col("vec_id"),
+      lit(1).as("__short"))
+    exactWindowTopK(index, off)
       .join(served, Seq("query_id", "vec_id"), "left")
-      .join(probed, Seq("query_id", "cell"), "left")
+      .join(short, Seq("query_id", "vec_id"), "left")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cos_sim"),
-        when(col("__served").isNotNull || col("__probed").isNull, 1)
-          .otherwise(0).as("in_served_or_unprobed"))
+        when(col("__served").isNotNull || col("__short").isNull, 1)
+          .otherwise(0).as("in_served_or_unshortlisted"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** e18's oracle: exact top-k per window query over the union, flag
-    * pinned to 1 (see the operator doc for why a probed exact neighbor
-    * is ALWAYS served on a correct engine). */
-  private val annTopkServeBoundSql =
+  /** The e18/e19 oracle: exact top-k per window query over the union,
+    * the bound flag pinned to 1 (see the operator docs for why a
+    * probed/shortlisted exact neighbor is ALWAYS served on a correct
+    * engine) — one generator, flag-name-parametric, so the two rows'
+    * exact sides cannot drift. */
+  private def exactTopkOracleSql(flag: String): String =
     s"""WITH u AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
@@ -1062,9 +1153,15 @@ object EmbeddingOps {
       |          ORDER BY round(dot / (nx * ny), 6) DESC, vec_id) AS rank
       |      FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_sim,
-      |  1 AS in_served_or_unprobed
+      |  1 AS $flag
       |FROM r WHERE rank <= $ServeTopK
       |ORDER BY query_id, rank""".stripMargin
+
+  private val annTopkServeBoundSql =
+    exactTopkOracleSql("in_served_or_unprobed")
+
+  private val annIvfPqRerankSql =
+    exactTopkOracleSql("in_served_or_unshortlisted")
 
   /** e10 — PRODUCTION semantic dedup (the SemDeDup shape, d10's
     * composition for the embedding modality): the FULL corpus is
@@ -1447,6 +1544,8 @@ object EmbeddingOps {
     QueryDef("e17_pq_roundtrip", annPqRoundtrip, Some(annIvfPqServeSql)),
     QueryDef("e18_topk_serve", annTopkServeBound,
       Some(annTopkServeBoundSql)),
+    QueryDef("e19_ivfpq_rerank", annIvfPqRerank,
+      Some(annIvfPqRerankSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

@@ -162,6 +162,24 @@ class QueryRegistrySpec extends SparkSpec {
       "no exact neighbor beyond rank 1 — the top-k contract was vacuous")
   }
 
+  test("e19 IVFADC-R flags hold; the shortlist re-rank is non-vacuous (sfTiny)") {
+    val rows = graft.operators.EmbeddingOps.annIvfPqRerank(spark, sfTiny)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Int]("in_served_or_unshortlisted") === 1,
+        s"re-rank lost shortlisted neighbor ${r.getAs[Long]("vec_id")} of " +
+          s"query ${r.getAs[Long]("query_id")}"))
+    // twin anchor survives both quantized stages end-to-end
+    val r1 = rows.filter(_.getAs[Long]("rank") == 1L)
+    assert(r1.nonEmpty)
+    r1.foreach(r => assert(r.getAs[Double]("cos_sim") === 1.0))
+    // non-vacuity: the R-deep shortlist recovers exact neighbors BEYOND
+    // the twin (otherwise the flag only ever exercises its escape hatch)
+    assert(rows.count(_.getAs[Long]("rank") > 1L) > 0,
+      "no exact neighbor beyond rank 1 — the re-rank contract was vacuous")
+  }
+
   test("q31 funnel orders the stages strictly (fixture)") {
     import spark.implicits._
     import java.sql.Timestamp
