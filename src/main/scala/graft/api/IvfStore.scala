@@ -100,6 +100,80 @@ object IvfStore {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  // ----- Index MAINTENANCE (r14): the append/compact lifecycle a
+  // continuously-crawling deployment runs against the stored artifact.
+  // Appends publish through ExportCommit's atomic manifest (staged dir
+  // + createLink CAS — a replayed batchId is detected and its
+  // re-staged dir deleted, so the append is exactly-once under
+  // at-least-once batch delivery); compaction periodically folds the
+  // committed batch dirs back into ONE versioned artifact so the
+  // probe-side scan plans one bucketed relation instead of a
+  // manifest-length union (s17's compaction posture applied to the
+  // index). -----
+
+  /** Stage + atomically commit one append batch: the incoming
+    * (vec_id, embedding) rows are assigned to the STORED quantizer's
+    * cells by the model's own transform (no refit — e15's
+    * structural-twin discipline) and committed under `batchId`.
+    * `features` is persisted as ARRAY<DOUBLE> so the batch files carry
+    * a plain parquet schema; [[committedAppends]] converts back
+    * losslessly. */
+  def appendBatch(root: String, batch: org.apache.spark.sql.DataFrame,
+      batchId: Long, model: KMeansModel): Unit = {
+    val assigned = model.transform(
+        batch.select(col("vec_id"), col("embedding"),
+          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+            .as("features")))
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .as("features_arr"),
+        col(model.getPredictionCol).as("cell"))
+    val staged = graft.sources.ExportCommit.stage(root, batchId)
+    assigned.write.parquet(staged)
+    graft.sources.ExportCommit.commitBatch(root, batchId, staged)
+    ()
+  }
+
+  /** Every committed appended row, in the index-relation shape
+    * (vec_id, embedding, features, cell). An empty manifest reads as a
+    * typed empty relation (embedding as ARRAY<FLOAT> — the corpus
+    * contract). */
+  def committedAppends(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dirs = graft.sources.ExportCommit.committedDirs(root)
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("features",
+            org.apache.spark.ml.linalg.SQLDataTypes.VectorType),
+          StructField("cell", IntegerType))))
+    } else
+      spark.read.parquet(dirs: _*)
+        .select(col("vec_id"), col("embedding"),
+          org.apache.spark.ml.functions.array_to_vector(col("features_arr"))
+            .as("features"),
+          col("cell"))
+  }
+
+  /** Fold base artifact + committed appends into ONE new versioned
+    * artifact at `outDir` (the quantizer is copied unchanged — a
+    * compaction never refits; re-sharding is a rebuild). After the new
+    * artifact is adopted, the append root's batch dirs are garbage —
+    * ExportCommit.gcStaging-style retirement is the janitor's job, not
+    * the compactor's. */
+  def compactAppends(spark: SparkSession, baseDir: String,
+      appendRoot: String, outDir: String): Unit = {
+    val base = load(spark, baseDir)
+    val folded = base.assigned
+      .select(col("vec_id"), col("embedding"), col("features"), col("cell"))
+      .unionByName(committedAppends(spark, appendRoot))
+    save(outDir, IvfIndex(folded, base.model))
+  }
+
   /** Load the full IVF-PQ artifact. Loud on any missing piece: a
     * serving job that silently dropped one subspace's codebook would
     * score every candidate on a truncated ADC sum and mis-rank

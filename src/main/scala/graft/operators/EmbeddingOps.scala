@@ -974,6 +974,50 @@ object EmbeddingOps {
     adcServe(li, lp, lc, off)
   }
 
+  /** e20 — index COMPACTION (s17's posture applied to the index
+    * artifact, closing the maintenance loop s26 opens): a deployment's
+    * append manifest grows one batch dir per micro-batch, and the
+    * probe-side scan plans a manifest-length union — periodically the
+    * compactor folds base + committed appends into ONE new versioned
+    * artifact ([[graft.api.IvfStore.compactAppends]]; the quantizer is
+    * copied unchanged — compaction never refits, re-sharding is a
+    * rebuild). Here the full lifecycle runs in-row: base index saved,
+    * TWO crawl increments committed as separate append batches through
+    * the SAME [[graft.api.IvfStore.appendBatch]] API s26's stream
+    * path uses, the store compacted, and e13's batch served against
+    * the LOADED COMPACTED artifact — the closed-form oracle transfers
+    * verbatim, so a compaction that drops, duplicates, or re-assigns
+    * any row breaks this hash instead of a serving fleet's recall
+    * months later.
+    *
+    * 100 TB shape: compaction is one union-scan + one partitioned
+    * (at scale: bucketed-by-cell) parquet write, run by the janitor
+    * cadence — never on the serve path; the serve side is e13's plan
+    * against one relation again. */
+  def annIndexCompact(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cells = ivfCellsFor(corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(base, cells)
+    }
+    val root = indexTmpBase(s, d, "e20")
+    val baseDir = graft.api.IvfStore.versionedDir(
+      s"$root/base", cells, IndexDate)
+    graft.api.IvfStore.save(baseDir, index)
+    val loaded = graft.api.IvfStore.load(s, baseDir)
+    val (union, off) = DedupOps.plantedUnion(base, "vec_id")
+    val inc = union.filter(col("vec_id") >= off)
+    val appendRoot = s"$root/append"
+    graft.api.IvfStore.appendBatch(appendRoot,
+      inc.filter(col("vec_id") % 2 === 0), 0L, loaded.model)
+    graft.api.IvfStore.appendBatch(appendRoot,
+      inc.filter(col("vec_id") % 2 === 1), 1L, loaded.model)
+    val outDir = graft.api.IvfStore.versionedDir(
+      s"$root/compacted", cells, IndexDate)
+    graft.api.IvfStore.compactAppends(s, baseDir, appendRoot, outDir)
+    batchServeAgainst(graft.api.IvfStore.load(s, outDir), off)
+  }
+
   /** Neighbors served per query by e18's top-k list (k = 10 — the RAG /
     * k-NN-backfill regime the r13 verdict named). */
   val ServeTopK = 10
@@ -1546,6 +1590,10 @@ object EmbeddingOps {
       Some(annTopkServeBoundSql)),
     QueryDef("e19_ivfpq_rerank", annIvfPqRerank,
       Some(annIvfPqRerankSql)),
+    // e20 serves against the loaded COMPACTED artifact — the e13
+    // closed-form oracle transfers verbatim (see e20 doc)
+    QueryDef("e20_index_compact", annIndexCompact,
+      Some(annBatchServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

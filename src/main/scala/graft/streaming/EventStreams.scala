@@ -827,33 +827,18 @@ object EventStreams {
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
   }
 
-  /** One s26 micro-batch: assign the incoming vectors to the STORED
-    * quantizer's cells (no refit — e15's structural-twin discipline:
-    * the loaded model's own transform, the same deterministic function
-    * that assigned the stored rows), stage the assigned rows as
-    * parquet, and publish through [[graft.sources.ExportCommit]]'s
-    * atomic manifest — a replayed batchId is detected there and its
+  /** One s26 micro-batch: [[graft.api.IvfStore.appendBatch]] — the
+    * loaded quantizer's own assignment (no refit, e15's
+    * structural-twin discipline) published through ExportCommit's
+    * atomic manifest, so a replayed batchId is detected and its
     * re-staged dir deleted instead of committed (the s22 protocol
     * applied to the index artifact; the replay spec proves no
-    * double-append). `features` is stored as ARRAY<DOUBLE>
-    * (vector_to_array) so the committed files carry a plain parquet
-    * schema; the reader converts back losslessly. */
+    * double-append). ONE maintenance API shared with e20's batch
+    * compaction path. */
   private[graft] def appendIndexBatch(root: String,
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
-      model: org.apache.spark.ml.clustering.KMeansModel): Unit = {
-    val assigned = model.transform(
-        batch.toDF().select(col("vec_id"), col("embedding"),
-          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
-            .as("features")))
-      .select(col("vec_id"), col("embedding"),
-        org.apache.spark.ml.functions.vector_to_array(col("features"))
-          .as("features_arr"),
-        col(model.getPredictionCol).as("cell"))
-    val staged = graft.sources.ExportCommit.stage(root, batchId)
-    assigned.write.parquet(staged)
-    graft.sources.ExportCommit.commitBatch(root, batchId, staged)
-    ()
-  }
+      model: org.apache.spark.ml.clustering.KMeansModel): Unit =
+    graft.api.IvfStore.appendBatch(root, batch.toDF(), batchId, model)
 
   /** s26 — STREAMING index append (e15 on the live path, r13 verdict
     * ask #4: a continuously-crawling pipeline's vectors arrive as a
@@ -903,27 +888,10 @@ object EventStreams {
       .start()
     q.awaitTermination()
     unloadProvidersOf(q.runId)
-    // committed appends, read with the EXACT schema the batches wrote
-    // (derived from the same projection on a zero-row slice — an empty
-    // manifest still reads as a typed empty relation)
-    val writtenSchema = loaded.model.transform(
-        base.limit(0).select(col("vec_id"), col("embedding"),
-          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
-            .as("features")))
-      .select(col("vec_id"), col("embedding"),
-        org.apache.spark.ml.functions.vector_to_array(col("features"))
-          .as("features_arr"),
-        col(loaded.model.getPredictionCol).as("cell")).schema
-    val appendedRows = graft.sources.ExportCommit.readCommitted(
-        ss, appendRoot, writtenSchema, format = "parquet")
-      .select(col("vec_id"), col("embedding"),
-        org.apache.spark.ml.functions.array_to_vector(col("features_arr"))
-          .as("features"),
-        col("cell"))
     val full = graft.operators.EmbeddingOps.IvfIndex(
       loaded.assigned
         .select(col("vec_id"), col("embedding"), col("features"), col("cell"))
-        .unionByName(appendedRows),
+        .unionByName(graft.api.IvfStore.committedAppends(ss, appendRoot)),
       loaded.model)
     graft.operators.EmbeddingOps.batchServeAgainst(full, off)
   }

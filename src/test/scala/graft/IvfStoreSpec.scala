@@ -111,6 +111,36 @@ class IvfStoreSpec extends SparkSpec {
     assert(lc.count() > 0)
   }
 
+  test("e20 compacted-store serve equals the e15 append serve row-for-row") {
+    val a = EmbeddingOps.annIndexAppend(spark, sfTiny).collect().toSeq
+    val b = EmbeddingOps.annIndexCompact(spark, sfTiny).collect().toSeq
+    assert(a.nonEmpty)
+    assert(b === a)
+  }
+
+  test("compactAppends folds base + appends exactly once, quantizer unchanged") {
+    val index = EmbeddingOps.ivfBuild(baseEmb, cells = 4)
+    val root = tmp("compact")
+    val baseDir = s"$root/base"
+    IvfStore.save(baseDir, index)
+    val n = baseEmb.count()
+    // two append batches of shifted ids, one replayed
+    val inc1 = baseEmb.limit(5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val inc2 = baseEmb.limit(8)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    IvfStore.appendBatch(s"$root/append", inc1, 0L, index.model)
+    IvfStore.appendBatch(s"$root/append", inc1, 0L, index.model) // replay
+    IvfStore.appendBatch(s"$root/append", inc2, 1L, index.model)
+    IvfStore.compactAppends(spark, baseDir, s"$root/append", s"$root/out")
+    val out = IvfStore.load(spark, s"$root/out")
+    assert(out.assigned.count() === n + 5 + 8)
+    assert(out.model.clusterCenters.toSeq === index.model.clusterCenters.toSeq)
+    // an EMPTY manifest compacts to exactly the base
+    IvfStore.compactAppends(spark, baseDir, s"$root/none", s"$root/out2")
+    assert(IvfStore.load(spark, s"$root/out2").assigned.count() === n)
+  }
+
   test("loadPq fails loudly when one subspace codebook is dropped") {
     // a real PQ artifact via the operator path, copied then truncated
     EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
