@@ -42,7 +42,13 @@ object ScaleProbe {
     // candidates + pair-scoped gram verification — the guarded-fanout
     // claim under test) and the stored-band-index probe (batch ⋈
     // loaded index through a real parquet round-trip)
-    "d19_winnow_run_dedup", "d20_stored_neardup")
+    "d19_winnow_run_dedup", "d20_stored_neardup",
+    // r14 additions: the IVFADC-R composition (ADC shortlist join +
+    // exact re-rank — the codes-not-embeddings bandwidth claim under
+    // test at scale) and the streaming index append (per-batch
+    // quantizer assignment + manifest commit + union-serve — the live
+    // maintenance path's full write/read cycle)
+    "e19_ivfpq_rerank", "s26_stream_index_append")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
