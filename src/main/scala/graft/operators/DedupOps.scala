@@ -157,17 +157,17 @@ object DedupOps {
   val Bands = 8
   val RowsPerBand: Int = MinHashFns / Bands
 
-  /** MinHash signatures via explode + 32 codegen'd min-aggregates (one
-    * shuffle, no interpreted higher-order array scans): doc → shingles →
-    * min(xxhash64(seed_i, shingle)) per seed → signature array. */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(col("toks")).as("shingle"))
-    val aggs = (0 until MinHashFns).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinHashFns).map(i => col(s"h$i")): _*).as("sig"))
-  }
+  /** MinHash signatures through the codegen'd
+    * [[graft.expressions.MinHashSignature]] kernel (r14 — replaces the
+    * explode + 32-min-aggregate formulation): one map-only pass per
+    * document, bit-identical values (the kernel runs the SAME
+    * XxHash64Function steps as `min(xxhash64(lit(i), shingle))`), and
+    * NO corpus-scale (doc_id, shingle) shuffle — at 100 TB the index
+    * build's widest stage becomes a scan. */
+  private def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.MinHashSignature
+        .minhashSignature(col("toks"), MinHashFns).as("sig"))
 
   /** Buckets larger than this are skipped as degenerate (boilerplate
     * shingle sets) — standard LSH guard that bounds the candidate join at
@@ -191,45 +191,36 @@ object DedupOps {
     * (self-joins defeat common-subexpression reuse). localCheckpoint is
     * eager, cuts lineage, and its blocks are GC-released after the query
     * (a bare persist() would leak cache across the shared session). */
-  private[graft] def minhashBands(documents: DataFrame): DataFrame = {
-    val tokenized = graft.sources.Scans
-      .widenForFanout(documents.select(col("doc_id"), col("text")), col("doc_id"))
+  private[graft] def minhashBands(documents: DataFrame): DataFrame =
+    bandRelation(graft.sources.Scans.widenForFanout(
+        documents.select(col("doc_id"), col("text")), col("doc_id")))
+      .localCheckpoint()
+
+  /** ROW-LOCAL twin of [[minhashBands]] for streaming probes (s27):
+    * the signature kernel is row-local by construction (r14 — both
+    * paths now run the IDENTICAL [[minhashSignatures]] projection, so
+    * the probe side computes the SAME buckets the stored index was
+    * built with by shared definition, with the row-for-row equality
+    * additionally pinned by spec). The stream variant skips
+    * [[graft.sources.Scans.widenForFanout]] (micro-batches size their
+    * own parallelism) and localCheckpoint (illegal on a stream; the
+    * relation is consumed once per micro-batch anyway) — both
+    * batch-side materialization choices, not band math. */
+  private[graft] def minhashBandsRowLocal(documents: DataFrame): DataFrame =
+    bandRelation(documents.select(col("doc_id"), col("text")))
+
+  /** shingle → signature → (doc_id, band, bucket), one definition for
+    * both band builders. */
+  private def bandRelation(docs: DataFrame): DataFrame = {
+    val tokenized = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
-    val docs = minhashSignatures(
+    val sigs = minhashSignatures(
       TextFunctions.withNgrams(tokenized, "words", "shingles", 3)
         .select(col("doc_id"), array_distinct(col("shingles")).as("toks"))
         .filter(size(col("toks")) > 0))
-    docs.select(col("doc_id"), posexplode(
-      array((0 until Bands).map(b =>
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .localCheckpoint()
-  }
-
-  /** ROW-LOCAL twin of [[minhashBands]] for streaming probes (s27):
-    * [[minhashSignatures]] computes each min via explode + groupBy —
-    * a STATEFUL aggregation a stream-side band computation cannot run
-    * (it would buffer shingles across the micro-batch under a second
-    * stateful operator). Here each document is one stream row, so the
-    * 32 per-seed minima reduce IN-ROW (`array_min` over a per-seed
-    * `transform` of the shingle array — s25's distinct-in-row
-    * posture), making the plan stateless and per-batch. Same
-    * xxhash64(seed, shingle) values, same min, same band hash — the
-    * equality is pinned row-for-row by DedupInvariantSpec, so the
-    * probe side provably computes the SAME buckets the stored index
-    * was built with. No localCheckpoint (illegal on a stream; the
-    * relation is consumed once per micro-batch anyway). */
-  private[graft] def minhashBandsRowLocal(documents: DataFrame): DataFrame = {
-    val tokenized = documents
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
-    val docs = TextFunctions.withNgrams(tokenized, "words", "shingles", 3)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("toks"))
-      .filter(size(col("toks")) > 0)
-    val sig = array((0 until MinHashFns).map(i =>
-      array_min(transform(col("toks"), sh => xxhash64(lit(i), sh)))): _*)
-    docs.select(col("doc_id"), posexplode(
+    sigs.select(col("doc_id"), posexplode(
         array((0 until Bands).map(b =>
-          xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand))): _*)))
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 

@@ -179,6 +179,12 @@ object ExportCommit {
         // after the rename fails its own existence check
         if (!f.renameTo(aside)) None // concurrent janitor/writer won
         else {
+          // rename preserves the dir's OLD mtime, so without a touch a
+          // second janitor's stranded-sweep could reap this aside dir
+          // inside our rename→re-read→restore window; stamping it now
+          // keeps it under the grace period until we either delete it
+          // ourselves or restore it
+          aside.setLastModified(System.currentTimeMillis())
           val referenced = latest(root).map(_.entries.map(e =>
             rootAbs.resolve(e.dir).normalize()).toSet).getOrElse(Set.empty)
           if (referenced.contains(f.toPath.toAbsolutePath.normalize())) {

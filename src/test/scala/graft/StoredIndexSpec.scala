@@ -32,10 +32,10 @@ class StoredIndexSpec extends SparkSpec {
     assert(b === a)
   }
 
-  test("row-local minhash bands equal the batch aggregation path row-for-row") {
-    // the s27 stream side provably computes the SAME (doc_id, band,
-    // bucket) buckets the stored index was built with — full equality,
-    // both directions
+  test("row-local minhash bands equal the batch path row-for-row") {
+    // both builders share ONE bandRelation definition since r14; this
+    // stays as the regression witness that the wrappers (widening,
+    // checkpointing) never change a bucket
     val docs = graft.sources.Tables.documents(spark, sfTiny)
       .select(col("doc_id"), col("text"))
     val batch = DedupOps.minhashBands(docs)
@@ -44,6 +44,48 @@ class StoredIndexSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().sorted.toSeq
     assert(batch.nonEmpty)
     assert(rowLocal === batch)
+  }
+
+  test("MinHashSignature kernel is bit-identical to the min(xxhash64) aggregation") {
+    // the kernel replaced the explode + 32-min-aggregate build (r14);
+    // every stored band index depends on the values being EXACTLY
+    // Spark's own xxhash64 minima — compared here over the full corpus
+    import graft.functions.TextFunctions
+    val toks = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
+    val docs = TextFunctions.withNgrams(toks, "words", "shingles", 3)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val kernel = docs.select(col("doc_id"),
+        graft.expressions.MinHashSignature
+          .minhashSignature(col("toks"), DedupOps.MinHashFns).as("sig"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val sh = docs.select(col("doc_id"), explode(col("toks")).as("shingle"))
+    val aggs = (0 until DedupOps.MinHashFns).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val reference = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until DedupOps.MinHashFns).map(i => col(s"h$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(kernel.nonEmpty)
+    assert(kernel === reference)
+    // degenerate inputs: empty set is null (the "no rows" case); a
+    // null shingle element contributes exactly xxhash64(i, null)
+    val edge = Seq((1L, Seq.empty[String]), (2L, Seq[String](null)),
+        (3L, Seq("abc", null)))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), graft.expressions.MinHashSignature
+        .minhashSignature(col("toks"), 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(edge(1L).isEmpty)
+    val nullOnly = spark.sql(
+      "SELECT array(xxhash64(0, CAST(NULL AS STRING)), " +
+        "xxhash64(1, CAST(NULL AS STRING)), " +
+        "xxhash64(2, CAST(NULL AS STRING)), " +
+        "xxhash64(3, CAST(NULL AS STRING))) AS sig")
+      .collect().head.getSeq[Long](0).toList
+    assert(edge(2L).get
+      .asInstanceOf[scala.collection.Seq[Long]].toList === nullOnly)
   }
 
   test("s27 streaming probe equals the batch d11/d20 probe row-for-row") {
