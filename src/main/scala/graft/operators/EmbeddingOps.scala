@@ -445,7 +445,7 @@ object EmbeddingOps {
     * quantizer sizing needs it BEFORE the build (the memo key pins the
     * cell count the index was actually built with), but repeat probes
     * must not pay a sizing scan per call (ADVICE r8). */
-  private def corpusCount(s: SparkSession, d: String): Long =
+  private[graft] def corpusCount(s: SparkSession, d: String): Long =
     graft.api.Intermediates.memo(s, s"embcount|$d") {
       Tables.embeddings(s, d).count()
     }
@@ -637,9 +637,16 @@ object EmbeddingOps {
     * e18's top-k list, so the top-k path is provably the same plan the
     * closed-form top-1 rows pin. */
   private[graft] def batchServeTopKAgainst(index: IvfIndex, off: Long,
+      k: Int): DataFrame =
+    topKFromProbes(index, batchProbes(index, off)._2, k)
+
+  /** The serve ranking given an already-computed probe relation — lets
+    * e18 share ONE probe sub-plan between its serve side and its
+    * probed-cell flag instead of planning the queries × centers window
+    * twice (r14 review). */
+  private def topKFromProbes(index: IvfIndex, probes: DataFrame,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (_, probes) = batchProbes(index, off)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     probes
@@ -1058,9 +1065,11 @@ object EmbeddingOps {
     * serving path. */
   def annTopkServeBound(s: SparkSession, d: String): DataFrame = {
     val (index, off) = topkSharedIndex(s, d)
-    val served = batchServeTopKAgainst(index, off, ServeTopK)
+    // ONE probe sub-plan feeds both the serve side and the flag
+    val probes = batchProbes(index, off)._2
+    val served = topKFromProbes(index, probes, ServeTopK)
       .select(col("query_id"), col("vec_id"), lit(1).as("__served"))
-    val probed = batchProbes(index, off)._2
+    val probed = probes
       .select(col("query_id"), col("cell"), lit(1).as("__probed"))
       .distinct()
     exactWindowTopK(index, off)

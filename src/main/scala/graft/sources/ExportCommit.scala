@@ -131,22 +131,28 @@ object ExportCommit {
     * run this from a janitor schedule, never from the write path.
     *
     * Race protocol vs a slow committer (r13 ADVICE — the delete is
-    * made VERIFIABLE instead of best-effort): each candidate is
-    * renamed ASIDE (atomic, to a `.gc` suffix no manifest can name and
-    * the sweep's own name filter skips), THEN the latest manifest is
-    * re-read; if the original name is now referenced the rename is
-    * undone and the dir survives, otherwise the aside copy is deleted.
-    * A racing `commitBatch` in turn verifies its staged dir still
-    * exists immediately before publishing — after our rename that
-    * check fails loudly. Remaining exposure: the commit's existence
-    * check and manifest link must BOTH land inside the window between
-    * our rename and our re-read (microseconds apart) — and even then
-    * the re-read sees the new reference and restores the dir; a
-    * dangling entry needs the link to land after the re-read too,
-    * i.e. a filesystem-level pause longer than the entire rename+read,
-    * on a dir that already sat staged past the 24h grace. A crashed
-    * janitor can strand a renamed `.gc` dir; it is unreferenced by
-    * construction (its content dir was), so the next sweep deletes it
+    * made VERIFIABLE instead of best-effort): manifest-REFERENCED dirs
+    * are never candidates (committed data keeps the staging name shape
+    * and its old mtime forever — touching it per sweep would put every
+    * committed dir through a transient rename on every janitor run,
+    * and a crash mid-sweep would strand it); each UNREFERENCED aged
+    * candidate is renamed ASIDE (atomic, to a `.gc` suffix no manifest
+    * can name), THEN the latest manifest is re-read; if the original
+    * name is referenced by now (a commit raced the sweep) the rename
+    * is undone, otherwise the aside copy is deleted. A racing
+    * `commitBatch` in turn verifies its staged dir still exists
+    * immediately before publishing — after our rename that check fails
+    * loudly. Remaining exposure: the commit's existence check and
+    * manifest link must BOTH land inside the window between our rename
+    * and our re-read (microseconds apart) — and even then the re-read
+    * sees the new reference and restores the dir; a dangling entry
+    * needs the link to land after the re-read too, i.e. a
+    * filesystem-level pause longer than the entire rename+read, on a
+    * dir that already sat staged past the 24h grace. A crashed janitor
+    * can strand a renamed `.gc` dir: the next sweep HEALS it — if its
+    * original name is manifest-referenced it is renamed back (a
+    * committed dir returns to its canonical path before anything
+    * else), otherwise it is an ordinary crashed attempt and is deleted
     * through the same age gate. */
   def gcStaging(root: String,
       minAgeMillis: Long = 24L * 3600 * 1000): Seq[String] = {
@@ -155,14 +161,30 @@ object ExportCommit {
     val strandedName = "b\\d+-[0-9a-f]{8}\\.gc".r
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    def referenced(): Set[java.nio.file.Path] =
+      latest(root).map(_.entries.map(e =>
+        rootAbs.resolve(e.dir).normalize()).toSet).getOrElse(Set.empty)
     val all = Option(dataDir.listFiles()).toSeq.flatten
-    // stranded aside-dirs from a crashed janitor: unreferenced by
-    // construction (only unreferenced dirs are renamed), age-gated like
+    val refs0 = referenced()
+    // stranded aside-dirs from a crashed janitor, handled FIRST: a
+    // committed dir caught mid-rename is healed back to its canonical
+    // path; an unreferenced one is a crashed attempt, age-gated like
     // everything else
     val stranded = all
       .filter(f => f.isDirectory && strandedName.matches(f.getName))
-      .filter(f => newestMtime(f) < cutoff)
-      .map { f => deleteRec(f); f.getAbsolutePath }
+      .flatMap { f =>
+        val orig = new File(f.getParentFile,
+          f.getName.stripSuffix(".gc"))
+        if (refs0.contains(orig.toPath.toAbsolutePath.normalize())) {
+          if (!f.renameTo(orig) && !orig.isDirectory)
+            throw new IllegalStateException(
+              s"gcStaging: could not heal committed dir $orig from " +
+                s"stranded $f — manual intervention required")
+          None
+        } else if (newestMtime(f) < cutoff) {
+          deleteRec(f); Some(f.getAbsolutePath)
+        } else None
+      }
     val swept = all
       .filter(f => f.isDirectory && stagingName.matches(f.getName))
       // age gate FIRST: a dir younger than the grace period may belong
@@ -172,6 +194,8 @@ object ExportCommit {
       // past any batch's write+commit window; crashed attempts are by
       // definition older than it on the janitor's next day.
       .filter(f => newestMtime(f) < cutoff)
+      // committed dirs are NEVER candidates (see the doc above)
+      .filterNot(f => refs0.contains(f.toPath.toAbsolutePath.normalize()))
       .flatMap { f =>
         val aside = new File(f.getParentFile, f.getName + ".gc")
         // rename aside, THEN re-read: any reference published before
@@ -185,9 +209,7 @@ object ExportCommit {
           // keeps it under the grace period until we either delete it
           // ourselves or restore it
           aside.setLastModified(System.currentTimeMillis())
-          val referenced = latest(root).map(_.entries.map(e =>
-            rootAbs.resolve(e.dir).normalize()).toSet).getOrElse(Set.empty)
-          if (referenced.contains(f.toPath.toAbsolutePath.normalize())) {
+          if (referenced().contains(f.toPath.toAbsolutePath.normalize())) {
             if (!aside.renameTo(f))
               throw new IllegalStateException(
                 s"gcStaging: could not restore committed dir $f from " +

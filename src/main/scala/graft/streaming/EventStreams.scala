@@ -27,22 +27,28 @@ object EventStreams {
     * is normalized to TimestampType by the same dispatch as the batch
     * reader ([[graft.sources.Tables.normalizeEventTime]]), so watermarks
     * see event-time regardless of which producer wrote the file. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // Both on-disk layouts stream: a bare `events.parquet` FILE (the
-    // generated corpus) needs a directory scan glob-filtered to that
-    // name, while an `events.parquet/` DIRECTORY of part files (any
-    // Spark-written copy, e.g. the scale probe's blow-up) is the
-    // stream path itself — the filename filter would silently exclude
-    // every part-*.parquet and the source would read ZERO rows.
-    val raw =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
-        spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
-      else
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-    graft.sources.Tables.normalizeEventTime(raw)
+  /** Streaming scan of one generated parquet table under `dir`. Both
+    * on-disk layouts stream: a bare `<name>.parquet` FILE (the
+    * generated corpus) needs a directory scan glob-filtered to that
+    * name, while a `<name>.parquet/` DIRECTORY of part files (any
+    * Spark-written copy, e.g. the scale probe's blow-up) is the
+    * stream path itself — the filename filter would silently exclude
+    * every part-*.parquet and the source would read ZERO rows (the
+    * r13 s25 catch). ONE dispatch for events/documents/embeddings so
+    * the hazard can only ever be fixed in one place (r14 review). */
+  private def streamTable(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$name").schema
+    if (new java.io.File(s"$dir/$name").isDirectory)
+      spark.readStream.schema(schema).parquet(s"$dir/$name")
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", name).parquet(dir)
   }
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.normalizeEventTime(
+      streamTable(spark, dir, "events.parquet"))
 
   /** Streaming form of q15: tumbling hourly counts per event type.
     * Late data beyond 2 hours is dropped; closed windows emit finals in
@@ -536,21 +542,10 @@ object EventStreams {
       |      + INTERVAL 3 HOUR <= m
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
-  /** Streaming scan of the documents table (same glob-filter shape as
-    * [[readEvents]]) — the ingest-side source for streaming dedup. */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    // same two-layout dispatch as readEvents: a bare FILE needs the
-    // glob-filtered directory scan, while a Spark-written DIRECTORY of
-    // part files (the 20x synthetic corpus, any compacted copy) is the
-    // stream path itself — the filename filter matches no part file
-    // and would silently stream ZERO documents
-    if (new java.io.File(s"$dir/documents.parquet").isDirectory)
-      spark.readStream.schema(schema).parquet(s"$dir/documents.parquet")
-    else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-  }
+  /** Streaming scan of the documents table ([[streamTable]]'s
+    * dispatch) — the ingest-side source for streaming dedup. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    streamTable(spark, dir, "documents.parquet")
 
   /** s14 — STREAMING ingest dedup (d08's steady-state exact-dedup shape
     * on the live path): the incoming document stream — novel docs plus
@@ -815,17 +810,11 @@ object EventStreams {
       .orderBy(col("doc_id"))
   }
 
-  /** Streaming scan of the embeddings table ([[readDocuments]]' layout
+  /** Streaming scan of the embeddings table ([[streamTable]]'s
     * dispatch) — the ingest-side source for streaming index
     * maintenance. */
-  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
-      spark.readStream.schema(schema).parquet(s"$dir/embeddings.parquet")
-    else
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-  }
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    streamTable(spark, dir, "embeddings.parquet")
 
   /** One s26 micro-batch: [[graft.api.IvfStore.appendBatch]] — the
     * loaded quantizer's own assignment (no refit, e15's
@@ -867,7 +856,7 @@ object EventStreams {
     val off = graft.operators.DedupOps.plantOffset(
       graft.operators.DedupOps.maxIdOf(base, "vec_id"))
     val cells = graft.operators.EmbeddingOps.ivfCellsFor(
-      graft.api.Intermediates.memo(ss, s"embcount|$d") { base.count() })
+      graft.operators.EmbeddingOps.corpusCount(ss, d))
     val index = graft.api.Intermediates.memo(ss, s"ivf|$d|$cells") {
       graft.operators.EmbeddingOps.ivfBuild(base, cells)
     }

@@ -241,18 +241,29 @@ class BpeOpsSpec extends SparkSpec {
       assert(rows.contains(l), s"planted lang $l missing")
       assert(rows(l).getAs[Long]("n_docs") === 1L)
     }
-    // zz_cjk closed form: no learned merge contains a non-[a-z] char,
-    // so its five 4-char words stay fully char-split at ANY SF
-    val cjk = rows("zz_cjk")
-    assert(cjk.getAs[Double]("pieces_per_word") === 4.0)
-    assert(cjk.getAs[Double]("char_level_frac") === 1.0)
-    assert(cjk.getAs[Double]("token_premium") > 1.0,
-      "zz_cjk premium not > 1 — the fairness card is trivial again")
-    // the judge's done criterion: at least one script with premium > 1
-    // AND char_level_frac > 0 — structural for all four planted langs
-    Seq("zz_digit", "zz_punct", "zz_mixed").foreach { l =>
-      assert(rows(l).getAs[Double]("char_level_frac") > 0.0, s"$l frac")
-      assert(rows(l).getAs[Double]("token_premium") > 1.0, s"$l premium")
+    // The hard closed forms below are STRUCTURAL only while every
+    // learned merge is pure [a-z] (today's corpus is [a-z ]-only at
+    // every SF); a regenerated multi-script corpus could legitimately
+    // learn digit/punct merges, so the guard keeps this spec from
+    // failing a CORRECT engine there (the t23 ORACLE row stays valid
+    // either way — both engines run the same relational computation).
+    // zz_punct carries no hard value assertion at all: its words are
+    // [a-z] bodies with punctuation, so merges CAN legitimately apply
+    // (r14 review — the claim was corpus-dependent, not structural).
+    val latinOnly = graft.operators.BpeOps.trainedMerges(spark, sfTiny)
+      .forall(_.merged.forall(c => c >= 'a' && c <= 'z'))
+    if (latinOnly) {
+      // zz_cjk closed form: no [a-z]-only merge can apply inside a
+      // CJK-only word, so its five 4-char words stay fully char-split
+      val cjk = rows("zz_cjk")
+      assert(cjk.getAs[Double]("pieces_per_word") === 4.0)
+      assert(cjk.getAs[Double]("char_level_frac") === 1.0)
+      assert(cjk.getAs[Double]("token_premium") > 1.0,
+        "zz_cjk premium not > 1 — the fairness card is trivial again")
+      // digit-only and no-adjacent-[a-z] words are merge-free too
+      assert(rows("zz_digit").getAs[Double]("char_level_frac") === 1.0)
+      assert(rows("zz_digit").getAs[Double]("token_premium") > 1.0)
+      assert(rows("zz_mixed").getAs[Double]("char_level_frac") > 0.0)
     }
     // real-corpus rows unchanged by the plant: t21's card is a subset
     // projection of t23 on the shared langs (same tokenizer, same

@@ -206,6 +206,32 @@ class ExportCommitSpec extends SparkSpec {
     assert(ExportCommit.committedDirs(root).size === 1)
   }
 
+  test("gcStaging never touches a committed dir and heals a stranded committed aside") {
+    val root = java.nio.file.Files.createTempDirectory("ec_gc3").toString
+    val ok = ExportCommit.stage(root, 1L)
+    new java.io.File(ok).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ok, "part.json"), "{}")
+    assert(ExportCommit.commitBatch(root, 1L, ok))
+    // a committed dir is ARBITRARILY old by construction (its mtime
+    // never refreshes) — even past the grace period the sweep must not
+    // rename it aside, let alone delete it (r14 review: the transient
+    // rename would break concurrent readers and a crash mid-sweep
+    // would strand committed data)
+    assert(ExportCommit.gcStaging(root, minAgeMillis = -1L) === Seq.empty)
+    assert(new java.io.File(ok).isDirectory)
+    assert(ExportCommit.committedDirs(root).size === 1)
+    // a stranded .gc of a COMMITTED dir (crashed janitor mid-rename in
+    // a pre-fix deployment) is healed back to its canonical path, not
+    // deleted
+    val aside = new java.io.File(ok + ".gc")
+    assert(new java.io.File(ok).renameTo(aside))
+    assert(ExportCommit.gcStaging(root, minAgeMillis = -1L) === Seq.empty)
+    assert(new java.io.File(ok).isDirectory, "committed dir not healed")
+    assert(!aside.exists)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ok, "part.json")))
+  }
+
   test("gcStaging sweeps a crashed janitor's stranded .gc dir; commit refuses a reclaimed dir") {
     val root = java.nio.file.Files.createTempDirectory("ec_gc2").toString
     // a stranded aside-dir (janitor crashed between rename and delete):

@@ -13,6 +13,14 @@ class IvfStoreSpec extends SparkSpec {
   private def baseEmb =
     Tables.embeddings(spark, sfTiny).select(col("vec_id"), col("embedding"))
 
+  /** The cell count annPqRoundtrip actually builds with — derived the
+    * same way the operator derives it (ivfCellsFor over the planted
+    * union size), not the IvfCells floor constant, so these specs keep
+    * finding the artifact if the tiny fixture ever outgrows the floor
+    * (r14 review). */
+  private def e17Cells: Int =
+    graft.operators.EmbeddingOps.ivfCellsFor(2L * baseEmb.count())
+
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"ivf_$tag").toString
 
@@ -101,8 +109,7 @@ class IvfStoreSpec extends SparkSpec {
     EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
     val dir = IvfStore.versionedPqDir(
       graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e17"),
-      graft.operators.EmbeddingOps.IvfCells,
-      EmbeddingOps.PqSubspaces, EmbeddingOps.PqCodes,
+      e17Cells, EmbeddingOps.PqSubspaces, EmbeddingOps.PqCodes,
       java.time.LocalDate.ofEpochDay(0))
     val (_, lp, lc) = IvfStore.loadPq(spark, dir, EmbeddingOps.PqSubspaces)
     assert(lp.models.size === EmbeddingOps.PqSubspaces)
@@ -146,8 +153,7 @@ class IvfStoreSpec extends SparkSpec {
     EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
     val src = IvfStore.versionedPqDir(
       graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e17"),
-      graft.operators.EmbeddingOps.IvfCells,
-      EmbeddingOps.PqSubspaces, EmbeddingOps.PqCodes,
+      e17Cells, EmbeddingOps.PqSubspaces, EmbeddingOps.PqCodes,
       java.time.LocalDate.ofEpochDay(0))
     val dst = tmp("truncated")
     // copy then DROP one codebook — the truncated-artifact scenario
