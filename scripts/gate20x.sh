@@ -48,7 +48,7 @@ c06_unit_drift,s24_stream_asof_enrich,d20_stored_neardup,\
 t22_retrain_drift,s25_stream_decontaminate,s23_stream_token_stats,\
 e16_ivfpq_serve,e17_pq_roundtrip,e18_topk_serve,\
 s26_stream_index_append,s27_stream_lsh_probe,t23_script_card,\
-e19_ivfpq_rerank,e20_index_compact"
+e19_ivfpq_rerank,e20_index_compact,s28_stream_pq_append"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -159,6 +159,51 @@ object IvfStore {
           col("cell"))
   }
 
+  /** Stage + atomically commit one PQ-CODED append batch: the
+    * incoming (vec_id, embedding) rows are coarse-assigned by the
+    * STORED quantizer and PQ-encoded by the STORED codebooks — both
+    * the loaded models' own transforms, no refit of either stage (the
+    * e15 discipline applied twice: identical vectors through identical
+    * deterministic assignments get their originals' cell AND code).
+    * Committed rows carry (vec_id, cell, code0..code{M-1}) — the
+    * compressed-corpus shape the ADC serve consumes; raw embeddings
+    * are NOT in the committed files (PQ's bandwidth point applies to
+    * the maintenance path too). */
+  def appendPqBatch(root: String, batch: org.apache.spark.sql.DataFrame,
+      batchId: Long, model: KMeansModel,
+      pq: graft.operators.EmbeddingOps.PqModel): Unit = {
+    val dim = model.clusterCenters.head.size
+    val assigned = model.transform(
+        batch.select(col("vec_id"), col("embedding"),
+          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+            .as("features")))
+      .select(col("vec_id"), col("features"),
+        col(model.getPredictionCol).as("cell"))
+    val coded = graft.operators.EmbeddingOps.pqEncode(assigned, pq, dim)
+    val codeCols = pq.models.indices.map(i => col(s"code$i"))
+    val staged = graft.sources.ExportCommit.stage(root, batchId)
+    coded.select((Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
+      .write.parquet(staged)
+    graft.sources.ExportCommit.commitBatch(root, batchId, staged)
+    ()
+  }
+
+  /** Every committed PQ-coded appended row. An empty manifest reads
+    * as a typed empty relation. */
+  def committedPqCodes(spark: SparkSession, root: String,
+      subspaces: Int): org.apache.spark.sql.DataFrame = {
+    val dirs = graft.sources.ExportCommit.committedDirs(root)
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(
+          Seq(StructField("vec_id", LongType),
+            StructField("cell", IntegerType)) ++
+          (0 until subspaces).map(i => StructField(s"code$i", IntegerType))))
+    } else spark.read.parquet(dirs: _*)
+  }
+
   /** Fold base artifact + committed appends into ONE new versioned
     * artifact at `outDir` (the quantizer is copied unchanged — a
     * compaction never refits; re-sharding is a rebuild). After the new

@@ -784,7 +784,7 @@ object EmbeddingOps {
   private[graft] final case class PqModel(
       models: Seq[org.apache.spark.ml.clustering.KMeansModel])
 
-  private def pqTrain(vecs: DataFrame, dim: Int): PqModel = {
+  private[graft] def pqTrain(vecs: DataFrame, dim: Int): PqModel = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val sub = dim / PqSubspaces
     val arr = vecs.select(vector_to_array(col("features")).as("f"))
@@ -802,7 +802,7 @@ object EmbeddingOps {
     * codes, assigned by the codebooks' own transform (the e15
     * discipline — identical deterministic assignment function for
     * every row, which is what makes the twin-code argument structural). */
-  private def pqEncode(assigned: DataFrame, pq: PqModel, dim: Int): DataFrame = {
+  private[graft] def pqEncode(assigned: DataFrame, pq: PqModel, dim: Int): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val sub = dim / PqSubspaces
     val base = assigned.select(col("vec_id"), col("cell"),
@@ -946,7 +946,7 @@ object EmbeddingOps {
       .withColumn("rn", row_number().over(wTop))
   }
 
-  private val annIvfPqServeSql =
+  private[graft] val annIvfPqServeSql =
     s"""SELECT vec_id AS query_id,
       |  vec_id + ${DedupOps.plantOffsetSql("vec_id", "embeddings")}
       |    AS top1_id

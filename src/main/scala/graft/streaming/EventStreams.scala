@@ -885,6 +885,81 @@ object EventStreams {
     graft.operators.EmbeddingOps.batchServeAgainst(full, off)
   }
 
+  /** s28 — STREAMING PQ-CODED index append (s26 composed with the e17
+    * artifact: a PQ serving fleet's live maintenance path keeps the
+    * COMPRESSED corpus current, not just the raw one): the base
+    * corpus's full IVF-PQ artifact (coarse quantizer + per-subspace
+    * codebooks + corpus codes) is persisted through
+    * [[graft.api.IvfStore.savePq]]; the increment arrives as a vector
+    * STREAM, and each micro-batch is coarse-assigned by the LOADED
+    * quantizer AND PQ-encoded by the LOADED codebooks
+    * ([[graft.api.IvfStore.appendPqBatch]] — no refit of either
+    * stage, both through ExportCommit's atomic manifest, so a
+    * replayed batchId can never double-code a vector). After the
+    * drain, e16's whole batch is ADC-served against loaded codes ∪
+    * committed appended codes through the SAME [[graft.operators
+    * .EmbeddingOps.adcServe]] kernel. The closed form carries through
+    * BOTH quantized stages structurally: an identical vector through
+    * the identical deterministic coarse assignment lands in its
+    * original's cell, through the identical per-subspace codebook
+    * assignment gets its original's FULL code, and the query's own
+    * code achieves the LUT's per-subspace minimum — so every query's
+    * top-1 is its appended twin, e16's oracle verbatim.
+    *
+    * 100 TB shape: per micro-batch the increment meets only broadcast
+    * centers and kilobyte codebooks, and the committed rows are M
+    * small ints per vector (the compressed corpus IS what ships);
+    * the serve side is e16's codes-only scoring join. */
+  def streamPqAppend(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(base, "vec_id"))
+    val cells = graft.operators.EmbeddingOps.ivfCellsFor(
+      graft.operators.EmbeddingOps.corpusCount(ss, d))
+    val index = graft.api.Intermediates.memo(ss, s"ivf|$d|$cells") {
+      graft.operators.EmbeddingOps.ivfBuild(base, cells)
+    }
+    val dim = index.model.clusterCenters.head.size
+    val m = graft.operators.EmbeddingOps.PqSubspaces
+    val k = graft.operators.EmbeddingOps.PqCodes
+    // base-corpus PQ stage — its OWN memo keys (e16's codebooks are
+    // trained on the union-built recall index; this is the
+    // base-index deployment posture)
+    val pq = graft.api.Intermediates.memo(ss, s"pq_base|$d|$m|$k") {
+      graft.operators.EmbeddingOps.pqTrain(index.assigned, dim)
+    }
+    val codes = graft.api.Intermediates.memo(ss, s"pqcodes_base|$d|$m|$k") {
+      graft.operators.EmbeddingOps.pqEncode(index.assigned, pq, dim)
+        .localCheckpoint()
+    }
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s28")
+    val dir = graft.api.IvfStore.versionedPqDir(
+      root, cells, m, k, java.time.LocalDate.ofEpochDay(0))
+    graft.api.IvfStore.savePq(dir, index, pq, codes)
+    val (li, lp, lc) = graft.api.IvfStore.loadPq(ss, dir, m)
+    val appendRoot = s"$root/append"
+    val stream = readEmbeddings(ss, d)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+    val q = stream.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.api.IvfStore.appendPqBatch(appendRoot, batch.toDF(),
+          batchId, li.model, lp))
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadProvidersOf(q.runId)
+    val codeCols = Seq(col("vec_id"), col("cell")) ++
+      (0 until m).map(i => col(s"code$i"))
+    val codesAll = lc.select(codeCols: _*)
+      .unionByName(graft.api.IvfStore.committedPqCodes(ss, appendRoot, m)
+        .select(codeCols: _*))
+    graft.operators.EmbeddingOps.adcServe(li, lp, codesAll, off)
+  }
+
   /** s27 — STREAMING near-dup probe against the STORED LSH band index
     * (d20 on the live path, r13 verdict ask #6 — the LSH side of s26):
     * the existing corpus's pruned band index is persisted through
@@ -1157,7 +1232,11 @@ object EventStreams {
     // s27 probes the loaded store with d11's scenario — the planted
     // oracle transfers verbatim
     QueryDef("s27_stream_lsh_probe", streamLshProbe,
-      Some(graft.operators.DedupOps.incrementalNeardupSql)))
+      Some(graft.operators.DedupOps.incrementalNeardupSql)),
+    // s28 ADC-serves against loaded ∪ streamed-appended PQ codes —
+    // e16's closed-form oracle transfers verbatim (see s28 doc)
+    QueryDef("s28_stream_pq_append", streamPqAppend,
+      Some(graft.operators.EmbeddingOps.annIvfPqServeSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

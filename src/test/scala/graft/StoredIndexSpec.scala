@@ -106,6 +106,46 @@ class StoredIndexSpec extends SparkSpec {
     assert(b === a)
   }
 
+  test("s28 streamed PQ append serves every twin at rank 1 (closed form)") {
+    val res = graft.streaming.EventStreams.streamPqAppend(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.nonEmpty)
+    val off = res.head._2 - res.head._1
+    assert(res.forall { case (q, t) => t == q + off },
+      "a query's ADC top-1 is not its streamed-appended twin")
+  }
+
+  test("appendPqBatch is exactly-once and codes match the build-time encoder") {
+    val emb = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.operators.EmbeddingOps.ivfBuild(emb, cells = 4)
+    val dim = index.model.clusterCenters.head.size
+    val pq = graft.operators.EmbeddingOps.pqTrain(index.assigned, dim)
+    val root = java.nio.file.Files.createTempDirectory("s28_replay").toString
+    val batch = emb.limit(10)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    graft.api.IvfStore.appendPqBatch(root, batch, 0L, index.model, pq)
+    graft.api.IvfStore.appendPqBatch(root, batch, 0L, index.model, pq) // replay
+    val m = graft.operators.EmbeddingOps.PqSubspaces
+    val got = graft.api.IvfStore.committedPqCodes(spark, root, m)
+    assert(got.count() === 10L)
+    // the append-path encoder IS the build-time encoder: re-encode the
+    // same rows through the direct path and compare every code column
+    val want = graft.operators.EmbeddingOps.pqEncode(
+      index.model.transform(batch.select(col("vec_id"), col("embedding"),
+          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+            .as("features")))
+        .select(col("vec_id"), col("features"),
+          col(index.model.getPredictionCol).as("cell")),
+      pq, dim)
+    val cols = Seq("vec_id", "cell") ++ (0 until m).map(i => s"code$i")
+    val a = got.select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = want.select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("s26 append batch is exactly-once under batchId replay") {
     val emb = graft.sources.Tables.embeddings(spark, sfTiny)
       .select(col("vec_id"), col("embedding"))
