@@ -118,16 +118,26 @@ object IvfStore {
     * `features` is persisted as ARRAY<DOUBLE> so the batch files carry
     * a plain parquet schema; [[committedAppends]] converts back
     * losslessly. */
-  def appendBatch(root: String, batch: org.apache.spark.sql.DataFrame,
-      batchId: Long, model: KMeansModel): Unit = {
-    val assigned = model.transform(
+  /** The no-refit coarse assignment both append paths share (e15's
+    * structural-twin discipline lives in exactly one place — r14
+    * review): (vec_id, embedding) → (vec_id, embedding, features,
+    * cell) through the stored quantizer's own transform. */
+  private def coarseAssign(batch: org.apache.spark.sql.DataFrame,
+      model: KMeansModel): org.apache.spark.sql.DataFrame =
+    model.transform(
         batch.select(col("vec_id"), col("embedding"),
           graft.operators.EmbeddingOps.toFeatures(col("embedding"))
             .as("features")))
+      .select(col("vec_id"), col("embedding"), col("features"),
+        col(model.getPredictionCol).as("cell"))
+
+  def appendBatch(root: String, batch: org.apache.spark.sql.DataFrame,
+      batchId: Long, model: KMeansModel): Unit = {
+    val assigned = coarseAssign(batch, model)
       .select(col("vec_id"), col("embedding"),
         org.apache.spark.ml.functions.vector_to_array(col("features"))
           .as("features_arr"),
-        col(model.getPredictionCol).as("cell"))
+        col("cell"))
     val staged = graft.sources.ExportCommit.stage(root, batchId)
     assigned.write.parquet(staged)
     graft.sources.ExportCommit.commitBatch(root, batchId, staged)
@@ -173,12 +183,8 @@ object IvfStore {
       batchId: Long, model: KMeansModel,
       pq: graft.operators.EmbeddingOps.PqModel): Unit = {
     val dim = model.clusterCenters.head.size
-    val assigned = model.transform(
-        batch.select(col("vec_id"), col("embedding"),
-          graft.operators.EmbeddingOps.toFeatures(col("embedding"))
-            .as("features")))
-      .select(col("vec_id"), col("features"),
-        col(model.getPredictionCol).as("cell"))
+    val assigned = coarseAssign(batch, model)
+      .select(col("vec_id"), col("features"), col("cell"))
     val coded = graft.operators.EmbeddingOps.pqEncode(assigned, pq, dim)
     val codeCols = pq.models.indices.map(i => col(s"code$i"))
     val staged = graft.sources.ExportCommit.stage(root, batchId)

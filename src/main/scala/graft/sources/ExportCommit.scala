@@ -210,7 +210,11 @@ object ExportCommit {
           // ourselves or restore it
           aside.setLastModified(System.currentTimeMillis())
           if (referenced().contains(f.toPath.toAbsolutePath.normalize())) {
-            if (!aside.renameTo(f))
+            // tolerate a concurrent janitor's heal pass having already
+            // renamed the aside back (then aside is gone but f exists —
+            // the store is healthy); only a rename failure with the
+            // canonical path STILL absent is a real stranding
+            if (!aside.renameTo(f) && !f.isDirectory)
               throw new IllegalStateException(
                 s"gcStaging: could not restore committed dir $f from " +
                   s"$aside — manual intervention required")

@@ -20,22 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
-  /** File-source streaming scan of an events directory (S5-as-stream:
-    * new parquet files are discovered per micro-batch). Schema comes
-    * from a batch peek — streaming sources require one up front. The
-    * on-disk `ts` encoding (nano-epoch long, TIMESTAMP_NTZ, or TIMESTAMP)
-    * is normalized to TimestampType by the same dispatch as the batch
-    * reader ([[graft.sources.Tables.normalizeEventTime]]), so watermarks
-    * see event-time regardless of which producer wrote the file. */
-  /** Streaming scan of one generated parquet table under `dir`. Both
-    * on-disk layouts stream: a bare `<name>.parquet` FILE (the
-    * generated corpus) needs a directory scan glob-filtered to that
-    * name, while a `<name>.parquet/` DIRECTORY of part files (any
-    * Spark-written copy, e.g. the scale probe's blow-up) is the
-    * stream path itself — the filename filter would silently exclude
-    * every part-*.parquet and the source would read ZERO rows (the
-    * r13 s25 catch). ONE dispatch for events/documents/embeddings so
-    * the hazard can only ever be fixed in one place (r14 review). */
+  /** Streaming scan of one generated parquet table under `dir` (new
+    * files discovered per micro-batch; schema from a batch peek —
+    * streaming sources require one up front). Both on-disk layouts
+    * stream: a bare `<name>.parquet` FILE (the generated corpus) needs
+    * a directory scan glob-filtered to that name, while a
+    * `<name>.parquet/` DIRECTORY of part files (any Spark-written
+    * copy, e.g. the scale probe's blow-up) is the stream path itself —
+    * the filename filter would silently exclude every part-*.parquet
+    * and the source would read ZERO rows (the r13 s25 catch). ONE
+    * dispatch for events/documents/embeddings so the hazard can only
+    * ever be fixed in one place (r14 review). NO column normalization
+    * happens here — readers with typed columns wrap it themselves
+    * ([[readEvents]]' ts dispatch). */
   private def streamTable(spark: SparkSession, dir: String,
       name: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/$name").schema
@@ -46,6 +43,11 @@ object EventStreams {
         .option("pathGlobFilter", name).parquet(dir)
   }
 
+  /** Streaming scan of the events table. The on-disk `ts` encoding
+    * (nano-epoch long, TIMESTAMP_NTZ, or TIMESTAMP) is normalized to
+    * TimestampType by the same dispatch as the batch reader
+    * ([[graft.sources.Tables.normalizeEventTime]]), so watermarks see
+    * event-time regardless of which producer wrote the file. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.normalizeEventTime(
       streamTable(spark, dir, "events.parquet"))

@@ -250,21 +250,6 @@ class BpeOpsSpec extends SparkSpec {
     // zz_punct carries no hard value assertion at all: its words are
     // [a-z] bodies with punctuation, so merges CAN legitimately apply
     // (r14 review — the claim was corpus-dependent, not structural).
-    val latinOnly = graft.operators.BpeOps.trainedMerges(spark, sfTiny)
-      .forall(_.merged.forall(c => c >= 'a' && c <= 'z'))
-    if (latinOnly) {
-      // zz_cjk closed form: no [a-z]-only merge can apply inside a
-      // CJK-only word, so its five 4-char words stay fully char-split
-      val cjk = rows("zz_cjk")
-      assert(cjk.getAs[Double]("pieces_per_word") === 4.0)
-      assert(cjk.getAs[Double]("char_level_frac") === 1.0)
-      assert(cjk.getAs[Double]("token_premium") > 1.0,
-        "zz_cjk premium not > 1 — the fairness card is trivial again")
-      // digit-only and no-adjacent-[a-z] words are merge-free too
-      assert(rows("zz_digit").getAs[Double]("char_level_frac") === 1.0)
-      assert(rows("zz_digit").getAs[Double]("token_premium") > 1.0)
-      assert(rows("zz_mixed").getAs[Double]("char_level_frac") > 0.0)
-    }
     // real-corpus rows unchanged by the plant: t21's card is a subset
     // projection of t23 on the shared langs (same tokenizer, same
     // words) except the premium denominator — compare ppw/frac
@@ -276,6 +261,26 @@ class BpeOpsSpec extends SparkSpec {
       assert(rows(l).getAs[Double]("char_level_frac") ===
         r.getAs[Double]("char_level_frac"), s"$l frac drifted")
     }
+    // (parity above runs regardless of the alphabet guard below)
+    val latinOnly = graft.operators.BpeOps.trainedMerges(spark, sfTiny)
+      .forall(_.merged.forall(c => c >= 'a' && c <= 'z'))
+    // assume (not if): a non-latin-merge corpus CANCELS the closed-form
+    // coverage visibly in the test report instead of silently shrinking
+    // this test to presence checks (r14 review)
+    assume(latinOnly,
+      "corpus learned non-[a-z] merges — planted closed forms skipped; " +
+        "re-derive the structural values for the new alphabet")
+    // zz_cjk closed form: no [a-z]-only merge can apply inside a
+    // CJK-only word, so its five 4-char words stay fully char-split
+    val cjk = rows("zz_cjk")
+    assert(cjk.getAs[Double]("pieces_per_word") === 4.0)
+    assert(cjk.getAs[Double]("char_level_frac") === 1.0)
+    assert(cjk.getAs[Double]("token_premium") > 1.0,
+      "zz_cjk premium not > 1 — the fairness card is trivial again")
+    // digit-only and no-adjacent-[a-z] words are merge-free too
+    assert(rows("zz_digit").getAs[Double]("char_level_frac") === 1.0)
+    assert(rows("zz_digit").getAs[Double]("token_premium") > 1.0)
+    assert(rows("zz_mixed").getAs[Double]("char_level_frac") > 0.0)
   }
 
   test("t16 merge table on sfTiny is monotone in step with positive counts") {

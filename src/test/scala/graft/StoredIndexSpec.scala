@@ -122,8 +122,12 @@ class StoredIndexSpec extends SparkSpec {
     val dim = index.model.clusterCenters.head.size
     val pq = graft.operators.EmbeddingOps.pqTrain(index.assigned, dim)
     val root = java.nio.file.Files.createTempDirectory("s28_replay").toString
+    // materialize the slice ONCE: LIMIT without ORDER BY is not
+    // deterministic across jobs, and this test compares row CONTENT
+    // across three independent evaluations (r14 review)
     val batch = emb.limit(10)
       .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
     graft.api.IvfStore.appendPqBatch(root, batch, 0L, index.model, pq)
     graft.api.IvfStore.appendPqBatch(root, batch, 0L, index.model, pq) // replay
     val m = graft.operators.EmbeddingOps.PqSubspaces
