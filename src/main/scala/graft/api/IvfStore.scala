@@ -131,8 +131,19 @@ object IvfStore {
       .select(col("vec_id"), col("embedding"), col("features"),
         col(model.getPredictionCol).as("cell"))
 
+  /** True when `batchId` is already committed under `root` — the
+    * at-least-once replay's common path. Both append entry points check
+    * it BEFORE staging (r14 ADVICE): a crash-replay loop would
+    * otherwise rewrite the whole corpus increment per retry only for
+    * commitBatch to discard it. commitBatch's CAS still guards the
+    * race — this is a fast path, not the correctness gate. */
+  private def alreadyCommitted(root: String, batchId: Long): Boolean =
+    graft.sources.ExportCommit.latest(root)
+      .exists(_.batchIds.contains(batchId))
+
   def appendBatch(root: String, batch: org.apache.spark.sql.DataFrame,
       batchId: Long, model: KMeansModel): Unit = {
+    if (alreadyCommitted(root, batchId)) return
     val assigned = coarseAssign(batch, model)
       .select(col("vec_id"), col("embedding"),
         org.apache.spark.ml.functions.vector_to_array(col("features"))
@@ -161,12 +172,20 @@ object IvfStore {
           StructField("features",
             org.apache.spark.ml.linalg.SQLDataTypes.VectorType),
           StructField("cell", IntegerType))))
-    } else
-      spark.read.parquet(dirs: _*)
-        .select(col("vec_id"), col("embedding"),
-          org.apache.spark.ml.functions.array_to_vector(col("features_arr"))
-            .as("features"),
-          col("cell"))
+    } else {
+      val read = spark.read.parquet(dirs: _*)
+      // same loud contract as load's (r14 ADVICE): a batch dir written
+      // by an older or mis-built writer must fail HERE with the store's
+      // named violation, not as an AnalysisException at the consumer
+      val missing = Seq("vec_id", "embedding", "features_arr", "cell")
+        .filterNot(read.columns.contains)
+      require(missing.isEmpty,
+        s"ivf append store $root is missing columns: ${missing.mkString(", ")}")
+      read.select(col("vec_id"), col("embedding"),
+        org.apache.spark.ml.functions.array_to_vector(col("features_arr"))
+          .as("features"),
+        col("cell"))
+    }
   }
 
   /** Stage + atomically commit one PQ-CODED append batch: the
@@ -182,6 +201,7 @@ object IvfStore {
   def appendPqBatch(root: String, batch: org.apache.spark.sql.DataFrame,
       batchId: Long, model: KMeansModel,
       pq: graft.operators.EmbeddingOps.PqModel): Unit = {
+    if (alreadyCommitted(root, batchId)) return
     val dim = model.clusterCenters.head.size
     val assigned = coarseAssign(batch, model)
       .select(col("vec_id"), col("features"), col("cell"))
@@ -207,7 +227,18 @@ object IvfStore {
           Seq(StructField("vec_id", LongType),
             StructField("cell", IntegerType)) ++
           (0 until subspaces).map(i => StructField(s"code$i", IntegerType))))
-    } else spark.read.parquet(dirs: _*)
+    } else {
+      val read = spark.read.parquet(dirs: _*)
+      // same loud contract as loadPq's (r14 ADVICE): missing/renamed
+      // code columns are the store's named violation, not a downstream
+      // AnalysisException at the consumer's select
+      val missing = (Seq("vec_id", "cell") ++
+        (0 until subspaces).map(i => s"code$i"))
+        .filterNot(read.columns.contains)
+      require(missing.isEmpty,
+        s"pq append store $root is missing columns: ${missing.mkString(", ")}")
+      read
+    }
   }
 
   /** Fold base artifact + committed appends into ONE new versioned

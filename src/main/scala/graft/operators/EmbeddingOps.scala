@@ -870,7 +870,11 @@ object EmbeddingOps {
       pqTrain(index.assigned, dim)
     }
     val codes = graft.api.Intermediates.memo(s, s"pqcodes|$d|$PqSubspaces|$PqCodes") {
-      pqEncode(index.assigned, pq, dim).localCheckpoint()
+      val encoded = pqEncode(index.assigned, pq, dim).localCheckpoint()
+      // write-time collision assert (once per dataset per session —
+      // the memo IS the code-production site for this family)
+      assertNoQueryCodeCollisions(encoded, off)
+      encoded
     }
     (index, pq, codes, off)
   }
@@ -894,18 +898,19 @@ object EmbeddingOps {
     * twin), e19 cuts an rn ≤ R SHORTLIST for exact re-ranking (the
     * IVFADC-R serve). One kernel: the shortlist path is provably the
     * same scoring join the top-1 rows pin. */
-  private[graft] def adcRank(index: IvfIndex, pq: PqModel,
-      codes: DataFrame, off: Long): DataFrame = {
-    val s = index.assigned.sparkSession
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val dim = index.model.clusterCenters.head.size
-    val sub = dim / PqSubspaces
-    // loud precondition: no NATIVE vector may share a query's full
-    // code (it would tie the twin's ADC and win the id tie-break on a
-    // correct engine — the e13 corpus assumption, asserted instead of
-    // assumed because quantization makes collisions more likely than
-    // exact-duplicate vectors)
+  /** Loud precondition on a freshly ENCODED corpus: no NATIVE vector
+    * may share a query's full code (it would tie the twin's ADC and win
+    * the id tie-break on a correct engine — the e13 corpus assumption,
+    * asserted instead of assumed because quantization makes collisions
+    * more likely than exact-duplicate vectors). Asserted ONCE where the
+    * codes are produced (the build memos), never inside the serve
+    * plan's build (r14 verdict item 6: the eager count was one extra
+    * Spark job per e16/e17/e19/s28 invocation; a deployment asserts at
+    * code-write time — appends are exempt structurally, their vec_ids
+    * sit above `off`). Serves against LOADED codes inherit the
+    * write-time check through the round-trip rows' hash contracts. */
+  private[graft] def assertNoQueryCodeCollisions(codes: DataFrame,
+      off: Long): Unit = {
     val codeCols = (0 until PqSubspaces).map(m => s"code$m")
     val qCodes = codes.filter(col("vec_id") < off &&
         col("vec_id") % BatchQueryMod === 0)
@@ -913,10 +918,22 @@ object EmbeddingOps {
     val collisions = qCodes.join(
         codes.filter(col("vec_id") < off), codeCols)
       .filter(col("vec_id") =!= col("query_id"))
-      .count()
-    require(collisions == 0L,
-      s"e16: $collisions native vector(s) share a query's full PQ code — " +
-        "the closed-form twin contract does not hold on this corpus")
+      .select(col("query_id"), col("vec_id"))
+      .limit(5).collect()
+      .map(r => s"(query ${r.getLong(0)}, native ${r.getLong(1)})")
+    require(collisions.isEmpty,
+      s"pq encode: native vector(s) ${collisions.mkString(", ")} share a " +
+        "query's full PQ code — the closed-form twin contract does not " +
+        "hold on this corpus")
+  }
+
+  private[graft] def adcRank(index: IvfIndex, pq: PqModel,
+      codes: DataFrame, off: Long): DataFrame = {
+    val s = index.assigned.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dim = index.model.clusterCenters.head.size
+    val sub = dim / PqSubspaces
     val (queries, probes) = batchProbes(index, off)
     val cents = (for {
       m <- 0 until PqSubspaces

@@ -136,10 +136,13 @@ object ExportCommit {
     * and its old mtime forever — touching it per sweep would put every
     * committed dir through a transient rename on every janitor run,
     * and a crash mid-sweep would strand it); each UNREFERENCED aged
-    * candidate is renamed ASIDE (atomic, to a `.gc` suffix no manifest
-    * can name), THEN the latest manifest is re-read; if the original
-    * name is referenced by now (a commit raced the sweep) the rename
-    * is undone, otherwise the aside copy is deleted. A racing
+    * candidate is renamed ASIDE (atomic, to a `.gc-<epochMillis>`
+    * suffix no manifest can name — the sweep timestamp rides IN the
+    * name, so the stamp is atomic with the rename; r14 ADVICE closed
+    * the rename→setLastModified gap a second janitor could race),
+    * THEN the latest manifest is re-read; if the original name is
+    * referenced by now (a commit raced the sweep) the rename is
+    * undone, otherwise the aside copy is deleted. A racing
     * `commitBatch` in turn verifies its staged dir still exists
     * immediately before publishing — after our rename that check fails
     * loudly. Remaining exposure: the commit's existence check and
@@ -149,16 +152,17 @@ object ExportCommit {
     * needs the link to land after the re-read too, i.e. a
     * filesystem-level pause longer than the entire rename+read, on a
     * dir that already sat staged past the 24h grace. A crashed janitor
-    * can strand a renamed `.gc` dir: the next sweep HEALS it — if its
-    * original name is manifest-referenced it is renamed back (a
+    * can strand a renamed `.gc-<ts>` dir: the next sweep HEALS it — if
+    * its original name is manifest-referenced it is renamed back (a
     * committed dir returns to its canonical path before anything
-    * else), otherwise it is an ordinary crashed attempt and is deleted
-    * through the same age gate. */
+    * else), otherwise it is an ordinary crashed attempt, age-gated on
+    * the PARSED sweep timestamp (never mtime — rename preserves the
+    * old mtime, which would mis-age a just-renamed aside). */
   def gcStaging(root: String,
       minAgeMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val dataDir = new File(root, "data")
     val stagingName = "b\\d+-[0-9a-f]{8}".r
-    val strandedName = "b\\d+-[0-9a-f]{8}\\.gc".r
+    val strandedName = "(b\\d+-[0-9a-f]{8})\\.gc-(\\d+)".r
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val rootAbs = Paths.get(root).toAbsolutePath.normalize()
     def referenced(): Set[java.nio.file.Path] =
@@ -168,23 +172,26 @@ object ExportCommit {
     val refs0 = referenced()
     // stranded aside-dirs from a crashed janitor, handled FIRST: a
     // committed dir caught mid-rename is healed back to its canonical
-    // path; an unreferenced one is a crashed attempt, age-gated like
-    // everything else
-    val stranded = all
-      .filter(f => f.isDirectory && strandedName.matches(f.getName))
-      .flatMap { f =>
-        val orig = new File(f.getParentFile,
-          f.getName.stripSuffix(".gc"))
-        if (refs0.contains(orig.toPath.toAbsolutePath.normalize())) {
-          if (!f.renameTo(orig) && !orig.isDirectory)
-            throw new IllegalStateException(
-              s"gcStaging: could not heal committed dir $orig from " +
-                s"stranded $f — manual intervention required")
-          None
-        } else if (newestMtime(f) < cutoff) {
-          deleteRec(f); Some(f.getAbsolutePath)
-        } else None
+    // path; an unreferenced one is a crashed attempt, age-gated on the
+    // sweep timestamp parsed from its own name. Both branches report
+    // the CANONICAL original path (r14 ADVICE: janitor logs must be
+    // joinable against manifest entries — one naming convention).
+    val stranded = all.flatMap { f =>
+      (f.getName, f.isDirectory) match {
+        case (strandedName(origName, ts), true) =>
+          val orig = new File(f.getParentFile, origName)
+          if (refs0.contains(orig.toPath.toAbsolutePath.normalize())) {
+            if (!f.renameTo(orig) && !orig.isDirectory)
+              throw new IllegalStateException(
+                s"gcStaging: could not heal committed dir $orig from " +
+                  s"stranded $f — manual intervention required")
+            None
+          } else if (ts.toLong < cutoff) {
+            deleteRec(f); Some(orig.getAbsolutePath)
+          } else None
+        case _ => None
       }
+    }
     val swept = all
       .filter(f => f.isDirectory && stagingName.matches(f.getName))
       // age gate FIRST: a dir younger than the grace period may belong
@@ -197,18 +204,17 @@ object ExportCommit {
       // committed dirs are NEVER candidates (see the doc above)
       .filterNot(f => refs0.contains(f.toPath.toAbsolutePath.normalize()))
       .flatMap { f =>
-        val aside = new File(f.getParentFile, f.getName + ".gc")
+        // the sweep timestamp is part of the aside NAME — atomic with
+        // the rename, so a concurrent janitor's stranded-sweep always
+        // sees a fresh stamp (under its grace period) on an aside dir
+        // inside our rename→re-read→restore window
+        val aside = new File(f.getParentFile,
+          s"${f.getName}.gc-${System.currentTimeMillis()}")
         // rename aside, THEN re-read: any reference published before
         // the re-read is honored by restoring; any commit attempt
         // after the rename fails its own existence check
         if (!f.renameTo(aside)) None // concurrent janitor/writer won
         else {
-          // rename preserves the dir's OLD mtime, so without a touch a
-          // second janitor's stranded-sweep could reap this aside dir
-          // inside our rename→re-read→restore window; stamping it now
-          // keeps it under the grace period until we either delete it
-          // ourselves or restore it
-          aside.setLastModified(System.currentTimeMillis())
           if (referenced().contains(f.toPath.toAbsolutePath.normalize())) {
             // tolerate a concurrent janitor's heal pass having already
             // renamed the aside back (then aside is gone but f exists —

@@ -933,8 +933,12 @@ object EventStreams {
       graft.operators.EmbeddingOps.pqTrain(index.assigned, dim)
     }
     val codes = graft.api.Intermediates.memo(ss, s"pqcodes_base|$d|$m|$k") {
-      graft.operators.EmbeddingOps.pqEncode(index.assigned, pq, dim)
-        .localCheckpoint()
+      val encoded = graft.operators.EmbeddingOps
+        .pqEncode(index.assigned, pq, dim).localCheckpoint()
+      // write-time collision assert (r14 verdict item 6): once where
+      // the base codes are produced, not per serve-plan build
+      graft.operators.EmbeddingOps.assertNoQueryCodeCollisions(encoded, off)
+      encoded
     }
     val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s28")
     val dir = graft.api.IvfStore.versionedPqDir(

@@ -223,7 +223,7 @@ class ExportCommitSpec extends SparkSpec {
     // a stranded .gc of a COMMITTED dir (crashed janitor mid-rename in
     // a pre-fix deployment) is healed back to its canonical path, not
     // deleted
-    val aside = new java.io.File(ok + ".gc")
+    val aside = new java.io.File(ok + ".gc-12345")
     assert(new java.io.File(ok).renameTo(aside))
     assert(ExportCommit.gcStaging(root, minAgeMillis = -1L) === Seq.empty)
     assert(new java.io.File(ok).isDirectory, "committed dir not healed")
@@ -237,10 +237,13 @@ class ExportCommitSpec extends SparkSpec {
     // a stranded aside-dir (janitor crashed between rename and delete):
     // unreferenced by construction, collected by the next sweep
     val stranded = new java.io.File(new java.io.File(root, "data"),
-      "b7-0123abcd.gc")
+      "b7-0123abcd.gc-12345")
     stranded.mkdirs()
     val deleted = ExportCommit.gcStaging(root, minAgeMillis = -1L)
-    assert(deleted === Seq(stranded.getAbsolutePath))
+    // the audit record names the CANONICAL original path (joinable
+    // against manifest entries), not the aside name
+    assert(deleted === Seq(new java.io.File(stranded.getParentFile,
+      "b7-0123abcd").getAbsolutePath))
     assert(!stranded.exists)
     // janitor fence: a writer whose staged dir was reclaimed must fail
     // loudly at commit instead of publishing a dangling manifest entry

@@ -148,6 +148,32 @@ class IvfStoreSpec extends SparkSpec {
     assert(IvfStore.load(spark, s"$root/out2").assigned.count() === n)
   }
 
+  test("append replay skips re-staging entirely — the increment is never re-evaluated") {
+    val index = EmbeddingOps.ivfBuild(baseEmb, cells = 4)
+    val root = tmp("skip")
+    val inc = baseEmb.limit(3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    IvfStore.appendBatch(s"$root/a", inc, 0L, index.model)
+    // a poisoned replay batch: evaluating any row throws — the r14
+    // ADVICE fast path must return before the plan ever runs (the
+    // crash-replay loop must not rewrite the corpus increment per retry)
+    val boom = udf { x: Long =>
+      if (x != Long.MinValue) sys.error("replay must not stage"); x
+    }
+    val poisoned = inc.select(boom(col("vec_id")).as("vec_id"),
+      col("embedding"))
+    IvfStore.appendBatch(s"$root/a", poisoned, 0L, index.model) // no throw
+    assert(IvfStore.committedAppends(spark, s"$root/a").count() === 3L)
+    // same fast path on the PQ-coded append
+    val dim = index.model.clusterCenters.head.size
+    val pq = EmbeddingOps.pqTrain(index.assigned, dim)
+    IvfStore.appendPqBatch(s"$root/p", inc, 0L, index.model, pq)
+    IvfStore.appendPqBatch(s"$root/p", poisoned, 0L, index.model, pq)
+    assert(IvfStore.committedPqCodes(spark, s"$root/p",
+      EmbeddingOps.PqSubspaces).count() === 3L)
+  }
+
   test("loadPq fails loudly when one subspace codebook is dropped") {
     // a real PQ artifact via the operator path, copied then truncated
     EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
