@@ -256,6 +256,35 @@ object IvfStore {
     save(outDir, IvfIndex(folded, base.model))
   }
 
+  /** Fold a loaded IVF-PQ artifact + committed PQ-coded appends into
+    * ONE new versioned artifact at `outDir` — e20's compaction posture
+    * for the COMPRESSED corpus (r14 verdict: s28's append manifest
+    * otherwise grows one dir per micro-batch forever, and the ADC
+    * serve plans a manifest-length union over exactly the artifact a
+    * PQ fleet ships). The coarse quantizer AND the per-subspace
+    * codebooks are copied unchanged — compaction never retrains either
+    * stage (a retrain changes the corpus codes, the drift e17 exists
+    * to catch); `codes/` becomes loaded codes ∪ committed appended
+    * codes. `assigned/` carries the base rows only: PQ appends never
+    * committed raw embeddings (that is PQ's bandwidth point), so the
+    * compacted artifact's raw side is unchanged by construction — the
+    * serve path needs it solely for query features.
+    *
+    * 100 TB shape: one union-scan over M-small-int code rows + one
+    * parquet rewrite (at scale bucketed by cell), janitor cadence —
+    * never on the serve path. After adoption the append root's batch
+    * dirs are garbage (gcStaging's job, not the compactor's). */
+  def compactPqAppends(spark: SparkSession, baseDir: String,
+      appendRoot: String, outDir: String, subspaces: Int): Unit = {
+    val (index, pq, codes) = loadPq(spark, baseDir, subspaces)
+    val cols = Seq(col("vec_id"), col("cell")) ++
+      (0 until subspaces).map(i => col(s"code$i"))
+    val folded = codes.select(cols: _*)
+      .unionByName(committedPqCodes(spark, appendRoot, subspaces)
+        .select(cols: _*))
+    savePq(outDir, index, pq, folded)
+  }
+
   /** Load the full IVF-PQ artifact. Loud on any missing piece: a
     * serving job that silently dropped one subspace's codebook would
     * score every candidate on a truncated ADC sum and mis-rank

@@ -1042,6 +1042,78 @@ object EmbeddingOps {
     batchServeAgainst(graft.api.IvfStore.load(s, outDir), off)
   }
 
+  /** The BASE-corpus IVF-PQ stack (s28's deployment posture: quantizer
+    * + codebooks trained on the shipped corpus, not the planted union —
+    * the union side arrives later as appends): shared by e23's
+    * compaction row and usable by any batch-side consumer of the
+    * base-posture artifact. Codes are collision-asserted at production
+    * (write-time, r14 verdict item 6). */
+  private def pqBaseBuild(s: SparkSession, d: String)
+      : (IvfIndex, PqModel, DataFrame, Long) = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(base, cells)
+    }
+    val dim = index.model.clusterCenters.head.size
+    val pq = graft.api.Intermediates.memo(s, s"pq_base|$d|$PqSubspaces|$PqCodes") {
+      pqTrain(index.assigned, dim)
+    }
+    val codes = graft.api.Intermediates.memo(s,
+        s"pqcodes_base|$d|$PqSubspaces|$PqCodes") {
+      val encoded = pqEncode(index.assigned, pq, dim).localCheckpoint()
+      assertNoQueryCodeCollisions(encoded, off)
+      encoded
+    }
+    (index, pq, codes, off)
+  }
+
+  /** e23 — PQ-CODES COMPACTION (r14 verdict ask #2, e20's posture for
+    * the compressed corpus): the base IVF-PQ artifact is persisted
+    * ([[graft.api.IvfStore.savePq]]), TWO crawl increments are
+    * committed as separate PQ-CODED append batches through the SAME
+    * [[graft.api.IvfStore.appendPqBatch]] API s28's stream path uses
+    * (loaded quantizer + loaded codebooks, no refit of either stage;
+    * committed rows are M small ints, never raw embeddings), the store
+    * is folded by [[graft.api.IvfStore.compactPqAppends]] into ONE new
+    * versioned artifact (quantizer and codebooks copied unchanged —
+    * compaction never retrains), and e16's whole batch is ADC-served
+    * against the LOADED COMPACTED artifact through the same
+    * [[adcServe]] kernel. e16's closed-form oracle transfers verbatim
+    * (the s28 argument: identical vectors through identical
+    * deterministic assignments carry their originals' cell and full
+    * code, and the query's own code achieves the ADC global minimum) —
+    * a compaction that drops, duplicates, or re-encodes any code row
+    * breaks this hash instead of a PQ serving fleet's recall.
+    *
+    * 100 TB shape: the fold is one union-scan + rewrite over code rows
+    * (M small ints per vector), janitor cadence; the serve side plans
+    * ONE codes relation again instead of the manifest-length union. */
+  def annPqCompact(s: SparkSession, d: String): DataFrame = {
+    val (index, pq, codes, off) = pqBaseBuild(s, d)
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cells = index.model.getK
+    val root = indexTmpBase(s, d, "e23")
+    val baseDir = graft.api.IvfStore.versionedPqDir(
+      s"$root/base", cells, PqSubspaces, PqCodes, IndexDate)
+    graft.api.IvfStore.savePq(baseDir, index, pq, codes)
+    val (li, lp, _) = graft.api.IvfStore.loadPq(s, baseDir, PqSubspaces)
+    val inc = base.select((col("vec_id") + lit(off)).as("vec_id"),
+      col("embedding"))
+    val appendRoot = s"$root/append"
+    graft.api.IvfStore.appendPqBatch(appendRoot,
+      inc.filter(col("vec_id") % 2 === 0), 0L, li.model, lp)
+    graft.api.IvfStore.appendPqBatch(appendRoot,
+      inc.filter(col("vec_id") % 2 === 1), 1L, li.model, lp)
+    val outDir = graft.api.IvfStore.versionedPqDir(
+      s"$root/compacted", cells, PqSubspaces, PqCodes, IndexDate)
+    graft.api.IvfStore.compactPqAppends(s, baseDir, appendRoot, outDir,
+      PqSubspaces)
+    val (ci, cp, cc) = graft.api.IvfStore.loadPq(s, outDir, PqSubspaces)
+    adcServe(ci, cp, cc, off)
+  }
+
   /** Neighbors served per query by e18's top-k list (k = 10 — the RAG /
     * k-NN-backfill regime the r13 verdict named). */
   val ServeTopK = 10
@@ -1620,6 +1692,10 @@ object EmbeddingOps {
     // closed-form oracle transfers verbatim (see e20 doc)
     QueryDef("e20_index_compact", annIndexCompact,
       Some(annBatchServeSql)),
+    // e23 ADC-serves against the loaded compacted PQ artifact — e16's
+    // closed-form oracle transfers verbatim (see e23 doc)
+    QueryDef("e23_pq_compact", annPqCompact,
+      Some(annIvfPqServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

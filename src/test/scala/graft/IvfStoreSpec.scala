@@ -174,6 +174,54 @@ class IvfStoreSpec extends SparkSpec {
       EmbeddingOps.PqSubspaces).count() === 3L)
   }
 
+  test("compactPqAppends folds loaded + appended codes exactly once, models unchanged") {
+    val index = EmbeddingOps.ivfBuild(baseEmb, cells = 4)
+    val dim = index.model.clusterCenters.head.size
+    val pq = EmbeddingOps.pqTrain(index.assigned, dim)
+    val codes = EmbeddingOps.pqEncode(index.assigned, pq, dim)
+    val m = EmbeddingOps.PqSubspaces
+    val root = tmp("pqcompact")
+    val baseDir = s"$root/base"
+    IvfStore.savePq(baseDir, index, pq, codes)
+    val n = baseEmb.count()
+    val inc1 = baseEmb.limit(5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val inc2 = baseEmb.limit(8)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    IvfStore.appendPqBatch(s"$root/append", inc1, 0L, index.model, pq)
+    IvfStore.appendPqBatch(s"$root/append", inc1, 0L, index.model, pq) // replay
+    IvfStore.appendPqBatch(s"$root/append", inc2, 1L, index.model, pq)
+    IvfStore.compactPqAppends(spark, baseDir, s"$root/append",
+      s"$root/out", m)
+    val (ci, cp, cc) = IvfStore.loadPq(spark, s"$root/out", m)
+    assert(cc.count() === n + 5 + 8)
+    // delete-free fold: compaction never retrains either stage
+    assert(ci.model.clusterCenters.toSeq === index.model.clusterCenters.toSeq)
+    (cp.models zip pq.models).foreach { case (a, b) =>
+      assert(a.clusterCenters.toSeq === b.clusterCenters.toSeq)
+    }
+    // a second compaction of the same inputs is identical (exactly-once
+    // fold under replay — the manifest, not the call count, is truth)
+    IvfStore.compactPqAppends(spark, baseDir, s"$root/append",
+      s"$root/out2", m)
+    assert(IvfStore.loadPq(spark, s"$root/out2", m)._3.count() === n + 5 + 8)
+    // an EMPTY manifest compacts to exactly the base codes
+    IvfStore.compactPqAppends(spark, baseDir, s"$root/none",
+      s"$root/out3", m)
+    assert(IvfStore.loadPq(spark, s"$root/out3", m)._3.count() === n)
+  }
+
+  test("e23 compacted-PQ serve finds every appended twin (closed form)") {
+    val res = EmbeddingOps.annPqCompact(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.nonEmpty)
+    val off = res.head._2 - res.head._1
+    assert(res.forall { case (q, t) => t == q + off },
+      "a query's ADC top-1 against the compacted store is not its twin")
+  }
+
   test("loadPq fails loudly when one subspace codebook is dropped") {
     // a real PQ artifact via the operator path, copied then truncated
     EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
