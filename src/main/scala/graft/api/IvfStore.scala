@@ -241,19 +241,81 @@ object IvfStore {
     }
   }
 
+  // ----- Tombstone DELETE log (r14 verdict ask #1): takedown / GDPR
+  // erasure / recrawl removal is routine at 100 TB, and every store
+  // here is otherwise append-only. Deletion events arrive in batches
+  // like any other increment and publish through the SAME ExportCommit
+  // manifest (exactly-once under replay); a tombstone is honored
+  // LOGICALLY by the serve path the moment it commits (an anti-join on
+  // the id — ids-sized, broadcastable) and PHYSICALLY by the next
+  // compaction (the fold anti-joins the log before writing the new
+  // artifact; after adoption, the log's entries up to that version are
+  // janitor garbage). Ref tie: the reference's whole refiner exists to
+  // mutate a shipped model after the fact (ref
+  // 04_cluster_refiner.R:726-774) — the tombstone log is that posture
+  // for the index artifacts. -----
+
+  /** Stage + atomically commit one tombstone batch (a `vec_id` column;
+    * anything else is dropped). Replay-safe via the manifest CAS plus
+    * the pre-staging fast path. */
+  def appendTombstones(root: String, ids: org.apache.spark.sql.DataFrame,
+      batchId: Long): Unit = {
+    if (alreadyCommitted(root, batchId)) return
+    val staged = graft.sources.ExportCommit.stage(root, batchId)
+    ids.select(col("vec_id")).write.parquet(staged)
+    graft.sources.ExportCommit.commitBatch(root, batchId, staged)
+    ()
+  }
+
+  /** Every committed tombstoned id (distinct — the same takedown may
+    * arrive in more than one batch). An empty manifest reads as a
+    * typed empty relation: no log means nothing is deleted. */
+  def committedTombstones(spark: SparkSession, root: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dirs = graft.sources.ExportCommit.committedDirs(root)
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType))))
+    } else {
+      val read = spark.read.parquet(dirs: _*)
+      require(read.columns.contains("vec_id"),
+        s"tombstone store $root is missing the vec_id column")
+      read.select(col("vec_id")).distinct()
+    }
+  }
+
+  /** Serve-time tombstone honor: the index relation minus the committed
+    * delete log — ONE definition for every consumer (e21's serve, the
+    * compaction folds), so "deleted ids never served" cannot drift from
+    * "deleted ids never compacted". The anti-join is ids-sized on the
+    * right (broadcastable at any corpus scale). */
+  def minusTombstones(rel: org.apache.spark.sql.DataFrame,
+      spark: SparkSession, tombstoneRoot: String)
+      : org.apache.spark.sql.DataFrame =
+    rel.join(committedTombstones(spark, tombstoneRoot), Seq("vec_id"),
+      "left_anti")
+
   /** Fold base artifact + committed appends into ONE new versioned
     * artifact at `outDir` (the quantizer is copied unchanged — a
-    * compaction never refits; re-sharding is a rebuild). After the new
-    * artifact is adopted, the append root's batch dirs are garbage —
-    * ExportCommit.gcStaging-style retirement is the janitor's job, not
-    * the compactor's. */
+    * compaction never refits; re-sharding is a rebuild). When a
+    * `tombstoneRoot` is given, the committed delete log is folded
+    * PHYSICALLY: tombstoned rows are anti-joined out of the new
+    * artifact, whether they came from the base or an append. After the
+    * new artifact is adopted, the append root's batch dirs are garbage
+    * — ExportCommit.gcStaging-style retirement is the janitor's job,
+    * not the compactor's. */
   def compactAppends(spark: SparkSession, baseDir: String,
-      appendRoot: String, outDir: String): Unit = {
+      appendRoot: String, outDir: String,
+      tombstoneRoot: Option[String] = None): Unit = {
     val base = load(spark, baseDir)
     val folded = base.assigned
       .select(col("vec_id"), col("embedding"), col("features"), col("cell"))
       .unionByName(committedAppends(spark, appendRoot))
-    save(outDir, IvfIndex(folded, base.model))
+    val cleaned = tombstoneRoot.fold(folded)(
+      minusTombstones(folded, spark, _))
+    save(outDir, IvfIndex(cleaned, base.model))
   }
 
   /** Fold a loaded IVF-PQ artifact + committed PQ-coded appends into
@@ -275,14 +337,23 @@ object IvfStore {
     * never on the serve path. After adoption the append root's batch
     * dirs are garbage (gcStaging's job, not the compactor's). */
   def compactPqAppends(spark: SparkSession, baseDir: String,
-      appendRoot: String, outDir: String, subspaces: Int): Unit = {
+      appendRoot: String, outDir: String, subspaces: Int,
+      tombstoneRoot: Option[String] = None): Unit = {
     val (index, pq, codes) = loadPq(spark, baseDir, subspaces)
     val cols = Seq(col("vec_id"), col("cell")) ++
       (0 until subspaces).map(i => col(s"code$i"))
     val folded = codes.select(cols: _*)
       .unionByName(committedPqCodes(spark, appendRoot, subspaces)
         .select(cols: _*))
-    savePq(outDir, index, pq, folded)
+    // tombstones leave BOTH sides of the artifact: the code rows and
+    // the raw `assigned/` relation (a takedown that survives in either
+    // is not a delete)
+    val cleanedCodes = tombstoneRoot.fold(folded)(
+      minusTombstones(folded, spark, _))
+    val cleanedIndex = tombstoneRoot.fold(index)(t =>
+      graft.operators.EmbeddingOps.IvfIndex(
+        minusTombstones(index.assigned, spark, t), index.model))
+    savePq(outDir, cleanedIndex, pq, cleanedCodes)
   }
 
   /** Load the full IVF-PQ artifact. Loud on any missing piece: a

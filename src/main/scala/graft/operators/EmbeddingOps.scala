@@ -1114,6 +1114,129 @@ object EmbeddingOps {
     adcServe(ci, cp, cc, off)
   }
 
+  /** The e21/e22 takedown set: every other batch query's FIRST twin
+    * (base ids ≡ 0 mod 2·[[BatchQueryMod]], shifted by one offset) —
+    * SELECTIVE by construction, so a serve that honors the log
+    * wholesale (e.g. by dropping a whole append batch) still breaks
+    * the hash on the queries whose twin was NOT taken down. */
+  private def tombstoneIds(base: DataFrame, off: Long): DataFrame =
+    base.filter(col("vec_id") % (2 * BatchQueryMod) === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"))
+
+  /** base ∪ two id-shifted identical copies (first at +off, second at
+    * +2·off — disjoint ranges since base ids < off). The second copy is
+    * what makes the post-delete serve CLOSED FORM: both copies score
+    * cosine 1.0, the (cos desc, vec_id asc) tie-break picks the first
+    * copy, and a takedown of the first copy's row must surface the
+    * second at exactly +2·off — an ignored tombstone returns +off, an
+    * over-delete returns an organic id, both break the hash. */
+  private def doublePlantedUnion(base: DataFrame, off: Long): DataFrame =
+    base
+      .unionByName(base.select((col("vec_id") + lit(off)).as("vec_id"),
+        col("embedding")))
+      .unionByName(base.select((col("vec_id") + lit(2 * off)).as("vec_id"),
+        col("embedding")))
+
+  /** The e21/e22 oracle: top-1 = the surviving nearest twin, closed
+    * form per query (see [[doublePlantedUnion]]); shared verbatim by
+    * the serve-time row and the compaction row so the logical and
+    * physical delete paths cannot drift. */
+  private val tombstoneServeSql = {
+    val offSql = DedupOps.plantOffsetSql("vec_id", "embeddings")
+    s"""SELECT vec_id AS query_id,
+      |  CASE WHEN vec_id % ${2 * BatchQueryMod} = 0
+      |       THEN vec_id + 2 * ($offSql)
+      |       ELSE vec_id + ($offSql) END AS top1_id,
+      |  1.0 AS cos_sim
+      |FROM embeddings WHERE vec_id % $BatchQueryMod = 0
+      |ORDER BY query_id""".stripMargin
+  }
+
+  /** e21 — tombstone DELETE honored by the ANN SERVE (r14 verdict ask
+    * #1: every store was append-only, and a takedown / GDPR erasure /
+    * recrawl removal — routine at 100 TB — required a full rebuild):
+    * the index over [[doublePlantedUnion]] is persisted and loaded
+    * (e14's artifact posture), a SELECTIVE takedown set — every other
+    * query's first twin ([[tombstoneIds]]) — is committed to the
+    * tombstone log through ExportCommit's atomic manifest
+    * ([[graft.api.IvfStore.appendTombstones]], replayed batchId
+    * skipped), and e13's whole batch is served against loaded-index
+    * MINUS committed-tombstones ([[graft.api.IvfStore.minusTombstones]]
+    * — ids-sized anti-join) through the SAME [[batchServeAgainst]]
+    * kernel. Closed form per query: the surviving nearest twin — +2·off
+    * where the first twin was taken down, +off elsewhere, cosine 1.0
+    * both ways (see [[doublePlantedUnion]] for why each failure mode
+    * breaks the hash). Ref tie: post-hoc mutation of a shipped model is
+    * the reference's own concern (ref 04_cluster_refiner.R:726-774).
+    *
+    * 100 TB shape: the log is ids-sized (broadcast anti-join on the
+    * serve path — zero extra shuffle); the physical fold is e22's
+    * compaction job, never the serve path. */
+  def annTombstoneServe(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(3L * corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf_tomb|$d|$cells") {
+      ivfBuild(doublePlantedUnion(base, off), cells)
+    }
+    val root = indexTmpBase(s, d, "e21")
+    val dir = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
+    graft.api.IvfStore.save(dir, index)
+    val loaded = graft.api.IvfStore.load(s, dir)
+    val tombRoot = s"$root/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
+    // at-least-once delivery of the delete event — replay is skipped
+    graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
+    batchServeAgainst(IvfIndex(
+      graft.api.IvfStore.minusTombstones(loaded.assigned, s, tombRoot),
+      loaded.model), off)
+  }
+
+  /** e22 — tombstone DELETE folded PHYSICALLY by compaction (e21's log
+    * honored by e20's fold): base index stored, BOTH planted copies
+    * committed as separate append batches through the shared
+    * [[graft.api.IvfStore.appendBatch]] API, the same selective
+    * takedown set committed to the log, and
+    * [[graft.api.IvfStore.compactAppends]] folds base + appends MINUS
+    * tombstones into ONE new versioned artifact — the serve against the
+    * LOADED COMPACTED store runs with NO tombstone filter, so a
+    * compaction that leaves any tombstoned row in the artifact (or
+    * over-deletes a surviving one) breaks this hash instead of a
+    * takedown silently not taking. e21's closed-form oracle verbatim:
+    * the logical and physical delete paths must agree row-for-row.
+    *
+    * 100 TB shape: the fold is e20's one union-scan + rewrite with an
+    * ids-sized broadcast anti-join added — janitor cadence; after
+    * adoption the tombstone log's folded entries are garbage. */
+  def annTombstoneCompact(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(base, cells)
+    }
+    val root = indexTmpBase(s, d, "e22")
+    val baseDir = graft.api.IvfStore.versionedDir(s"$root/base", cells,
+      IndexDate)
+    graft.api.IvfStore.save(baseDir, index)
+    val loaded = graft.api.IvfStore.load(s, baseDir)
+    val appendRoot = s"$root/append"
+    graft.api.IvfStore.appendBatch(appendRoot,
+      base.select((col("vec_id") + lit(off)).as("vec_id"), col("embedding")),
+      0L, loaded.model)
+    graft.api.IvfStore.appendBatch(appendRoot,
+      base.select((col("vec_id") + lit(2 * off)).as("vec_id"),
+        col("embedding")),
+      1L, loaded.model)
+    val tombRoot = s"$root/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
+    val outDir = graft.api.IvfStore.versionedDir(s"$root/compacted", cells,
+      IndexDate)
+    graft.api.IvfStore.compactAppends(s, baseDir, appendRoot, outDir,
+      Some(tombRoot))
+    batchServeAgainst(graft.api.IvfStore.load(s, outDir), off)
+  }
+
   /** Neighbors served per query by e18's top-k list (k = 10 — the RAG /
     * k-NN-backfill regime the r13 verdict named). */
   val ServeTopK = 10
@@ -1696,6 +1819,12 @@ object EmbeddingOps {
     // closed-form oracle transfers verbatim (see e23 doc)
     QueryDef("e23_pq_compact", annPqCompact,
       Some(annIvfPqServeSql)),
+    // e21/e22 share the tombstone closed form: the logical (serve-time
+    // anti-join) and physical (compaction fold) delete paths must agree
+    QueryDef("e21_tombstone_serve", annTombstoneServe,
+      Some(tombstoneServeSql)),
+    QueryDef("e22_tombstone_compact", annTombstoneCompact,
+      Some(tombstoneServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

@@ -222,6 +222,52 @@ class IvfStoreSpec extends SparkSpec {
       "a query's ADC top-1 against the compacted store is not its twin")
   }
 
+  test("e21 serve honors the tombstone log selectively (closed form)") {
+    val res = EmbeddingOps.annTombstoneServe(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    // both halves of the selective contract are populated
+    assert(res.exists(_._1 % 40 == 0), "no tombstoned-twin query in batch")
+    assert(res.exists(_._1 % 40 != 0), "no surviving-twin query in batch")
+    // infer the offset from a surviving query, then check the closed form
+    val off = res.collectFirst { case (q, t, _) if q % 40 != 0 => t - q }.get
+    res.foreach { case (q, t, c) =>
+      assert(c === 1.0)
+      if (q % 40 == 0) assert(t === q + 2 * off,
+        s"query $q: tombstoned twin still served (got $t)")
+      else assert(t === q + off,
+        s"query $q: surviving twin lost (got $t)")
+    }
+  }
+
+  test("e22 compaction physically removes tombstoned rows; serve equals e21; replay idempotent") {
+    val a = EmbeddingOps.annTombstoneServe(spark, sfTiny).collect().toSeq
+    val b = EmbeddingOps.annTombstoneCompact(spark, sfTiny).collect().toSeq
+    assert(a.nonEmpty)
+    assert(b === a, "logical (serve-time) and physical (compacted) " +
+      "delete paths disagree")
+    // the compacted artifact physically lacks every tombstoned id
+    val n = baseEmb.count()
+    val nTombs = baseEmb.filter(col("vec_id") % 40 === 0).count()
+    val cells = EmbeddingOps.ivfCellsFor(n)
+    val outDir = IvfStore.versionedDir(
+      graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e22") + "/compacted",
+      cells, java.time.LocalDate.ofEpochDay(0))
+    val out = IvfStore.load(spark, outDir)
+    assert(out.assigned.count() === 3 * n - nTombs)
+    val tombRoot =
+      graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e22") + "/tombstones"
+    assert(out.assigned.join(
+      IvfStore.committedTombstones(spark, tombRoot), Seq("vec_id"),
+      "left_semi").count() === 0L,
+      "a tombstoned row survived compaction")
+    // delete-then-compact replays to the identical result (appends and
+    // tombstone batches skip on their committed batchIds; the fold is a
+    // pure function of manifest state)
+    val b2 = EmbeddingOps.annTombstoneCompact(spark, sfTiny).collect().toSeq
+    assert(b2 === b)
+  }
+
   test("loadPq fails loudly when one subspace codebook is dropped") {
     // a real PQ artifact via the operator path, copied then truncated
     EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
