@@ -1092,6 +1092,129 @@ object PackOps {
        |    AS n_new
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** p15 — tombstone DELETE reflected in the EXPORT artifact (the third
+    * surface of the r14 verdict's takedown lifecycle, after e21's serve
+    * and e22's index compaction): a takedown set (doc_id ≡ 0 mod 10 —
+    * the planted discipline) is committed to a tombstone log through
+    * ExportCommit's atomic manifest, and the shipped export honors it
+    * PHYSICALLY with shard-selective rewrites:
+    *
+    *  - the AFFECTED shard set comes straight off the log — shard
+    *    routing is a pure function of doc_id ([[shuffleKey]]), so no
+    *    payload scan decides what to rewrite;
+    *  - only affected shards are re-exported (read back, anti-join the
+    *    log, re-stage, commit) — unaffected shards keep their ORIGINAL
+    *    committed files, provably untouched;
+    *  - p12's doc-id INDEX loses the ids the same way (ids-sized
+    *    rewrite — the index is what incremental exports probe, so a
+    *    deleted doc must not suppress a future legitimate re-add as
+    *    "already exported");
+    *  - the emitted manifest aggregates the COMPOSED post-delete export
+    *    (original unaffected dirs ∪ rewritten affected dirs) with a
+    *    per-shard `n_deleted`, and its shard universe is the ORIGINAL
+    *    epoch's — a shard emptied by the takedown still reports, with
+    *    zero survivors.
+    *
+    * The oracle reproduces survivors and deletions closed-form from the
+    * table, so a tombstoned doc surviving in any shard file, a dropped
+    * survivor, or index drift each break the hash. All four roots
+    * commit through ExportCommit (replayed batch ids skip), so the
+    * whole delete-then-re-export lifecycle is exactly-once under
+    * at-least-once delivery.
+    *
+    * 100 TB shape: the log and the affected-shard probe are ids-sized
+    * (broadcast); rewrites touch only affected shards' payload bytes;
+    * the manifest roll-up is shard-count-sized. Nothing rescans
+    * unaffected payload. */
+  def tombstoneExport(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ExportCommit
+    val docs = Tables.documents(s, d)
+    val base = graft.sources.TmpDirs.registered(
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_p15_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)).getAbsolutePath)
+    val shardsRoot = s"$base/shards"
+    val indexRoot = s"$base/index"
+    val tombRoot = s"$base/tombstones"
+    val rewriteRoot = s"$base/rewrite"
+    val index2Root = s"$base/index_v2"
+    val assigned = exportAssigned(docs)
+    val idSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    def committed(root: String, b: Long) =
+      ExportCommit.latest(root).exists(_.batchIds.contains(b))
+    if (!committed(shardsRoot, 0L)) {
+      val st = ExportCommit.stage(shardsRoot, 0L)
+      assigned.write.partitionBy("shard").option("compression", "gzip").json(st)
+      ExportCommit.commitBatch(shardsRoot, 0L, st)
+    }
+    if (!committed(indexRoot, 0L)) {
+      val st = ExportCommit.stage(indexRoot, 0L)
+      assigned.select(col("doc_id")).write.parquet(st)
+      ExportCommit.commitBatch(indexRoot, 0L, st)
+    }
+    if (!committed(tombRoot, 0L)) {
+      val st = ExportCommit.stage(tombRoot, 0L)
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .write.parquet(st)
+      ExportCommit.commitBatch(tombRoot, 0L, st)
+    }
+    val tombs = ExportCommit.readCommitted(s, tombRoot, idSchema, "parquet")
+      .localCheckpoint() // ids-sized; consumed by four joins below
+    val shardOf = (shuffleKey(col("doc_id"), ShuffleSeed) % EpochShards)
+      .as("shard")
+    val affected = tombs.select(shardOf).distinct().localCheckpoint()
+    if (!committed(rewriteRoot, 0L)) {
+      val survivors = ExportCommit
+        .readCommitted(s, shardsRoot, assigned.schema)
+        .join(broadcast(affected), Seq("shard"), "left_semi")
+        .join(tombs, Seq("doc_id"), "left_anti")
+      val st = ExportCommit.stage(rewriteRoot, 0L)
+      survivors.write.partitionBy("shard").option("compression", "gzip")
+        .json(st)
+      ExportCommit.commitBatch(rewriteRoot, 0L, st)
+    }
+    if (!committed(index2Root, 0L)) {
+      val st = ExportCommit.stage(index2Root, 0L)
+      ExportCommit.readCommitted(s, indexRoot, idSchema, "parquet")
+        .join(tombs, Seq("doc_id"), "left_anti")
+        .write.parquet(st)
+      ExportCommit.commitBatch(index2Root, 0L, st)
+    }
+    val composed = ExportCommit.readCommitted(s, shardsRoot, assigned.schema)
+      .join(broadcast(affected), Seq("shard"), "left_anti")
+      .unionByName(ExportCommit.readCommitted(s, rewriteRoot, assigned.schema))
+    val nDel = tombs.select(shardOf)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_deleted"))
+    val universe = ExportCommit.readCommitted(s, shardsRoot, assigned.schema)
+      .select(col("shard")).distinct()
+    universe
+      .join(manifestFrom(composed), Seq("shard"), "left")
+      .join(nDel, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+      .orderBy(col("shard"))
+  }
+
+  private val tombstoneExportSql =
+    s"""WITH k AS (
+       |  SELECT doc_id, text,
+       |    ${shuffleKeySql("doc_id", ShuffleSeed)} % $EpochShards AS shard
+       |  FROM documents)
+       |SELECT shard,
+       |  CAST(count(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) FILTER (WHERE doc_id % 10 <> 0),
+       |    0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(length(text)) FILTER (WHERE doc_id % 10 <> 0), 0)
+       |    AS BIGINT) AS n_chars,
+       |  CAST(count(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS n_deleted
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
@@ -1114,5 +1237,7 @@ object PackOps {
     QueryDef("p11_export_manifest", exportManifest,
       Some(exportManifestSql)),
     QueryDef("p12_incremental_export", incrementalExport,
-      Some(incrementalExportSql)))
+      Some(incrementalExportSql)),
+    QueryDef("p15_tombstone_export", tombstoneExport,
+      Some(tombstoneExportSql)))
 }

@@ -454,4 +454,37 @@ class PackOpsSpec extends SparkSpec {
     assert(idx.toSet === docs.select(col("doc_id")).as[Long].collect().toSet,
       "index must cover exactly the exported corpus")
   }
+
+  test("p15 tombstone export: selective rewrite, index loses ids, replay idempotent") {
+    import org.apache.spark.sql.types._
+    import graft.sources.ExportCommit
+    val out = PackOps.tombstoneExport(spark, sfTiny).collect().map(_.toSeq).toSeq
+    assert(out.nonEmpty)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_p15_${spark.sparkContext.applicationId}_" +
+        Integer.toHexString(sfTiny.hashCode)).getAbsolutePath
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val n = docs.count()
+    val nT = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(nT > 0, "fixture has no tombstoned ids - the test is vacuous")
+    val idSchema = StructType(Seq(StructField("doc_id", LongType)))
+    // the rewritten id index loses exactly the tombstoned ids
+    val idx2 = ExportCommit.readCommitted(spark, s"$base/index_v2",
+      idSchema, "parquet")
+    assert(idx2.count() === n - nT)
+    assert(idx2.filter(col("doc_id") % 10 === 0).count() === 0L)
+    // the rewrite root carries no tombstoned doc (physical removal)
+    val expSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("shard", LongType)))
+    val rewritten = ExportCommit.readCommitted(spark, s"$base/rewrite",
+      expSchema)
+    assert(rewritten.filter(col("doc_id") % 10 === 0).count() === 0L)
+    // manifest totals: survivors and deletions both foot to the table
+    assert(out.map(_(1).asInstanceOf[Long]).sum === n - nT)
+    assert(out.map(_(4).asInstanceOf[Long]).sum === nT)
+    // delete-then-re-export replays to the identical manifest (all four
+    // roots skip their committed batch ids)
+    val out2 = PackOps.tombstoneExport(spark, sfTiny).collect().map(_.toSeq).toSeq
+    assert(out2 === out)
+  }
 }
