@@ -546,7 +546,7 @@ object EmbeddingOps {
       |FROM embeddings ORDER BY a_id""".stripMargin
 
   /** Every [[BatchQueryMod]]-th base vector is a query in e13's batch. */
-  private val BatchQueryMod = 20L
+  private[graft] val BatchQueryMod = 20L
 
   /** e13 — BATCH ANN serving: the production query path e05's
     * one-query probe cannot scale to. e05 assigns a query's probe
@@ -1294,8 +1294,9 @@ object EmbeddingOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** The shared e13-family union index, for the top-k bound rows. */
-  private def topkSharedIndex(s: SparkSession, d: String): (IvfIndex, Long) = {
+  /** The shared e13-family union index, for the top-k bound rows
+    * and s29's loaded serving artifact. */
+  private[graft] def topkSharedIndex(s: SparkSession, d: String): (IvfIndex, Long) = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val (union, off) = DedupOps.plantedUnion(base, "vec_id")
     val cells = ivfCellsFor(2L * corpusCount(s, d))
@@ -1509,6 +1510,28 @@ object EmbeddingOps {
       .filter(col("src") < col("dst"))
       .filter(fastCosine(col("a_emb"), col("b_emb")) >= threshold)
       .select(col("src"), col("dst"))
+  }
+
+  /** ROW-LOCAL probe-set function over broadcast quantizer centers:
+    * each query's `probes` nearest cells by (sqdist, cell) — the same
+    * ranking [[batchProbes]] computes relationally, reduced in-row so a
+    * STREAMING query plan stays stateless (s29: no window, no
+    * per-query shuffle before the candidate join). The closed-form
+    * serve contract needs only rank 1 — the query's own cell, the
+    * deterministic argmin both formulations share; deeper ranks agree
+    * up to floating-point ties on equidistant centers. Cells-sized
+    * broadcast, the [[probeAssignments]] shape generalized to any
+    * probe depth. */
+  private[graft] def probeCellsRowLocal(s: SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      probes: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val centers = s.sparkContext.broadcast(model.clusterCenters)
+    udf { f: Vector =>
+      centers.value.zipWithIndex
+        .map { case (c, i) => (Vectors.sqdist(c, f), i) }
+        .sortBy(identity).take(probes).map(_._2).toSeq
+    }
   }
 
   /** Per-vector two-nearest-cell PROBE relation (cell, vec_id,

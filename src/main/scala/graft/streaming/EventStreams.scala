@@ -966,6 +966,62 @@ object EventStreams {
     graft.operators.EmbeddingOps.adcServe(li, lp, codesAll, off)
   }
 
+  /** s29 — STREAMING QUERY-SIDE ANN serve (the serving fleet's live
+    * path, r14 verdict ask #3: ingest-side streaming was complete —
+    * s26/s28 — but the path a deployed retrieval fleet actually runs,
+    * a QUERY stream answered per micro-batch against the LOADED
+    * artifact, was unwitnessed): the e13-family union index is
+    * persisted and loaded (e14's artifact posture); queries arrive as
+    * a vector STREAM (every [[graft.operators.EmbeddingOps
+    * .BatchQueryMod]]-th base vector); each micro-batch runs
+    * stream-static and STATELESS until the final roll-up — probe cells
+    * are assigned ROW-LOCALLY over broadcast centers
+    * ([[graft.operators.EmbeddingOps.probeCellsRowLocal]] — the same
+    * (sqdist, cell) ranking as the batch plan, no window on the
+    * stream), candidates come from the stream-static equi-join on the
+    * cell key against the loaded index, scoring is the shared codegen'd
+    * cosine kernel, and the per-query argmax is ONE complete-mode
+    * aggregation (queries-sized state, s27's posture). e13's
+    * closed-form oracle transfers row-for-row: every streamed query's
+    * top-1 is its planted twin at cosine 1.0.
+    *
+    * 100 TB shape: per micro-batch, |batch| × IvfProbes cell probes
+    * against an index bucketed by cell (co-located join at
+    * deployment); nothing corpus-sized rides the stream, the state is
+    * the answer set itself. */
+  def streamAnnServe(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val (index, off) = graft.operators.EmbeddingOps.topkSharedIndex(ss, d)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s29")
+    val dir = graft.api.IvfStore.versionedDir(
+      root, index.model.getK, java.time.LocalDate.ofEpochDay(0))
+    graft.api.IvfStore.save(dir, index)
+    val loaded = graft.api.IvfStore.load(ss, dir)
+    val static = loaded.assigned
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val topP = graft.operators.EmbeddingOps.probeCellsRowLocal(
+      ss, loaded.model, graft.operators.EmbeddingOps.IvfProbes)
+    val qStream = readEmbeddings(ss, d)
+      .filter(col("vec_id") %
+        graft.operators.EmbeddingOps.BatchQueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+          .as("q_feat"))
+      .withColumn("cell", explode(topP(col("q_feat"))))
+    val cand = qStream.join(static, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.expressions.VectorExpressions.fastCosine(
+          col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val agg = cand.groupBy(col("query_id"))
+      .agg(max(struct(col("cos_sim"), (-col("vec_id")).as("neg_id")))
+        .as("m"))
+    runToMemory(agg, "complete", "s29_stream_ann_serve")
+      .select(col("query_id"), (-col("m.neg_id")).as("top1_id"),
+        col("m.cos_sim").as("cos_sim"))
+      .orderBy(col("query_id"))
+  }
+
   /** s27 — STREAMING near-dup probe against the STORED LSH band index
     * (d20 on the live path, r13 verdict ask #6 — the LSH side of s26):
     * the existing corpus's pruned band index is persisted through
@@ -1242,7 +1298,11 @@ object EventStreams {
     // s28 ADC-serves against loaded ∪ streamed-appended PQ codes —
     // e16's closed-form oracle transfers verbatim (see s28 doc)
     QueryDef("s28_stream_pq_append", streamPqAppend,
-      Some(graft.operators.EmbeddingOps.annIvfPqServeSql)))
+      Some(graft.operators.EmbeddingOps.annIvfPqServeSql)),
+    // s29 answers a QUERY stream against the loaded artifact — e13's
+    // closed-form serve oracle transfers row-for-row (see s29 doc)
+    QueryDef("s29_stream_ann_serve", streamAnnServe,
+      Some(graft.operators.EmbeddingOps.annBatchServeSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

@@ -186,4 +186,18 @@ class StoredIndexSpec extends SparkSpec {
     assert(card.filter(col("retrain_drift") < 0.5 ||
       col("retrain_drift") > 2.0).count() === 0)
   }
+
+  test("s29 streaming query-side serve answers every query with its twin (closed form)") {
+    val res = graft.streaming.EventStreams.streamAnnServe(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    val off = res.head._2 - res.head._1
+    assert(res.forall { case (q, t, c) => t == q + off && c == 1.0 },
+      "a streamed query's top-1 is not its planted twin at cosine 1.0")
+    // every query vector in the stream is answered exactly once
+    val nQ = graft.sources.Tables.embeddings(spark, sfTiny)
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(res.length.toLong === nQ)
+    assert(res.map(_._1).distinct.length === res.length)
+  }
 }
