@@ -41,6 +41,61 @@ object LshIndexStore {
       .filterNot(idx.columns.contains)
     require(missing.isEmpty,
       s"lsh index store $dir is missing columns: ${missing.mkString(", ")}")
-    idx
+    idx.select(col("doc_id"), col("band"), col("bucket"))
   }
+
+  // ----- Index MAINTENANCE (r14 verdict ask #4 — [[IvfStore]]'s
+  // append/compact lifecycle for the MinHash side): a crawl increment's
+  // band rows are staged and published through ExportCommit's atomic
+  // manifest (exactly-once under replayed batchIds), probes read base ∪
+  // committed appends, and compaction periodically folds the manifest
+  // union back into ONE versioned artifact with the bucket census
+  // RE-RUN over the union — the only stage that sees all rows, so
+  // buckets that grew degenerate ACROSS increments retire there
+  // (per-batch appends can only census themselves). -----
+
+  /** Stage + atomically commit one append batch: the incoming
+    * (doc_id, text) docs are banded by the SAME builder as every index
+    * build ([[graft.operators.DedupOps.prunedBandIndex]] — shared
+    * definition, the band math cannot drift between build and
+    * maintenance) and committed under `batchId`. */
+  def appendBatch(root: String, docs: DataFrame, batchId: Long): Unit = {
+    if (graft.sources.ExportCommit.latest(root)
+        .exists(_.batchIds.contains(batchId))) return
+    val staged = graft.sources.ExportCommit.stage(root, batchId)
+    graft.operators.DedupOps.prunedBandIndex(docs).write.parquet(staged)
+    graft.sources.ExportCommit.commitBatch(root, batchId, staged)
+    ()
+  }
+
+  /** Every committed appended band row. An empty manifest reads as a
+    * typed empty relation. */
+  def committedAppends(spark: SparkSession, root: String): DataFrame = {
+    val dirs = graft.sources.ExportCommit.committedDirs(root)
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("band", IntegerType),
+          StructField("bucket", LongType))))
+    } else {
+      val read = spark.read.parquet(dirs: _*)
+      val missing = Seq("doc_id", "band", "bucket")
+        .filterNot(read.columns.contains)
+      require(missing.isEmpty,
+        s"lsh append store $root is missing columns: ${missing.mkString(", ")}")
+      read.select(col("doc_id"), col("band"), col("bucket"))
+    }
+  }
+
+  /** Fold base artifact + committed appends into ONE new versioned
+    * artifact at `outDir`, re-running the global bucket census over the
+    * union ([[graft.operators.DedupOps.pruneBands]]). After adoption,
+    * the append root's batch dirs are janitor garbage. */
+  def compactAppends(spark: SparkSession, baseDir: String,
+      appendRoot: String, outDir: String): Unit =
+    save(outDir, graft.operators.DedupOps.pruneBands(
+      load(spark, baseDir).unionByName(committedAppends(spark, appendRoot))))
 }

@@ -784,8 +784,13 @@ object DedupOps {
     * build paths cannot drift). 1-entry buckets stay (they match
     * probes); only degenerate boilerplate buckets are excluded, as at
     * any index build. */
-  private[graft] def prunedBandIndex(existing: DataFrame): DataFrame = {
-    val index = minhashBands(existing)
+  /** Global bucket-size census over any (doc_id, band, bucket)
+    * relation: rows in buckets past [[MaxBucketSize]] are dropped.
+    * Shared by the index BUILD and the compaction FOLD (the re-census
+    * over base ∪ appends — the only stage that sees all rows again, so
+    * buckets that grew degenerate ACROSS increments are retired there;
+    * per-batch appends can only census themselves). */
+  private[graft] def pruneBands(index: DataFrame): DataFrame = {
     val okBuckets = index.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= MaxBucketSize)
@@ -794,22 +799,39 @@ object DedupOps {
       .select(col("doc_id"), col("band"), col("bucket"))
   }
 
-  def incrementalNeardup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val off = plantOffset(maxIdOf(docs, "doc_id"))
-    val existing = docs.filter(col("doc_id") % 2 === 0)
-    val refetched = existing.filter(col("doc_id") < 200)
+  private[graft] def prunedBandIndex(existing: DataFrame): DataFrame =
+    pruneBands(minhashBands(existing))
+
+  /** d11's probe scenario against an ARBITRARY (doc_id, band, bucket)
+    * index relation — ONE definition for the in-session index (d11),
+    * the loaded store (d20), the base ∪ appended store (d21), and the
+    * compacted store (d22), so the four maintenance states run the
+    * identical probe plan and share one planted oracle: the incoming
+    * batch (odd docs plus evens < 200 re-fetched at +off) bands itself
+    * and equi-joins the index on (band, bucket), projected to the
+    * planted pairs. */
+  private def probePlantedAgainst(docs: DataFrame, off: Long,
+      index: DataFrame): DataFrame = {
+    val refetched = docs
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") < 200)
       .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
-    val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(refetched)
-    val prunedIndex = prunedBandIndex(existing)
-      .select(col("doc_id").as("src_id"), col("band"), col("bucket"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(refetched)
     minhashBands(incoming)
       .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
-      .join(prunedIndex, Seq("band", "bucket"))
+      .join(index.select(col("doc_id").as("src_id"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
       .select(col("in_id"), col("src_id"))
       .distinct()
       .filter(col("in_id") === col("src_id") + lit(off))
       .orderBy(col("in_id"))
+  }
+
+  def incrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    probePlantedAgainst(docs, off, prunedBandIndex(existing))
   }
 
   /** d20 — incremental near-dup against a STORED band index (the
@@ -834,23 +856,78 @@ object DedupOps {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val off = plantOffset(maxIdOf(docs, "doc_id"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
-    val refetched = existing.filter(col("doc_id") < 200)
-      .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
-    val incoming = docs.filter(col("doc_id") % 2 === 1).unionByName(refetched)
     val pruned = prunedBandIndex(existing)
     val dir = graft.api.LshIndexStore.versionedDir(
       graft.sources.TmpDirs.artifactRoot(s, d, "d20"),
       Bands, java.time.LocalDate.ofEpochDay(0))
     graft.api.LshIndexStore.save(dir, pruned)
-    val loaded = graft.api.LshIndexStore.load(s, dir)
-      .select(col("doc_id").as("src_id"), col("band"), col("bucket"))
-    minhashBands(incoming)
-      .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
-      .join(loaded, Seq("band", "bucket"))
-      .select(col("in_id"), col("src_id"))
-      .distinct()
-      .filter(col("in_id") === col("src_id") + lit(off))
-      .orderBy(col("in_id"))
+    probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, dir))
+  }
+
+  /** d21 — LSH band-index APPEND (r14 verdict ask #4, closing the
+    * "maintained by the indexing job" promise s27's doc makes: the
+    * embedding side had appendBatch/compaction — e15/s26/e20 — but the
+    * LSH store had no maintenance API at all): the base artifact
+    * indexes only the OLDER half of the existing corpus (even ids ≥
+    * 400); the younger half (even ids < 400 — which contains EVERY
+    * planted re-fetch source, so the append is load-bearing in the
+    * oracle) arrives as an append batch through
+    * [[graft.api.LshIndexStore.appendBatch]] (same ExportCommit atomic
+    * manifest as s26 — replayed batchIds skip), and d11's incoming
+    * batch probes base ∪ committedAppends through the SHARED
+    * [[probePlantedAgainst]] plan. d11's planted oracle transfers
+    * verbatim: a lost append batch, a drifted band hash in the append
+    * path, or a manifest mis-read surfaces as missing planted pairs.
+    *
+    * 100 TB shape: per append, the batch bands itself (map-only after
+    * the signature kernel) and writes one staged parquet dir; the
+    * probe side plans a union of base + committed batch dirs on the
+    * uniform (band, bucket) key — d22's compaction folds that union
+    * away on the janitor cadence. */
+  def incrementalNeardupAppended(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d21")
+    val dir = graft.api.LshIndexStore.versionedDir(
+      root, Bands, java.time.LocalDate.ofEpochDay(0))
+    graft.api.LshIndexStore.save(dir,
+      prunedBandIndex(existing.filter(col("doc_id") >= 400)))
+    val appendRoot = s"$root/append"
+    graft.api.LshIndexStore.appendBatch(appendRoot,
+      existing.filter(col("doc_id") < 400), 0L)
+    probePlantedAgainst(docs, off,
+      graft.api.LshIndexStore.load(s, dir).unionByName(
+        graft.api.LshIndexStore.committedAppends(s, appendRoot)))
+  }
+
+  /** d22 — LSH band-index COMPACTION (e20's posture for the MinHash
+    * side): d21's base + committed appends are folded by
+    * [[graft.api.LshIndexStore.compactAppends]] into ONE new versioned
+    * artifact — with the bucket census RE-RUN over the union (the only
+    * stage that sees all rows, so buckets that grew degenerate across
+    * increments retire here; see [[pruneBands]]) — and d11's incoming
+    * batch probes the LOADED COMPACTED store through the same shared
+    * plan. d11's planted oracle transfers verbatim (the re-census can
+    * only drop buckets the full-build census would also drop — survivor
+    * counts are ≤ the full build's — so planted recall is preserved
+    * structurally while degenerate growth is retired). */
+  def incrementalNeardupCompacted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d22")
+    val baseDir = graft.api.LshIndexStore.versionedDir(
+      s"$root/base", Bands, java.time.LocalDate.ofEpochDay(0))
+    graft.api.LshIndexStore.save(baseDir,
+      prunedBandIndex(existing.filter(col("doc_id") >= 400)))
+    val appendRoot = s"$root/append"
+    graft.api.LshIndexStore.appendBatch(appendRoot,
+      existing.filter(col("doc_id") < 400), 0L)
+    val outDir = graft.api.LshIndexStore.versionedDir(
+      s"$root/compacted", Bands, java.time.LocalDate.ofEpochDay(0))
+    graft.api.LshIndexStore.compactAppends(s, baseDir, appendRoot, outDir)
+    probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, outDir))
   }
 
   private[graft] val incrementalNeardupSql =
@@ -1396,6 +1473,12 @@ object DedupOps {
     // d20 probes the LOADED store with d11's scenario — the planted
     // oracle transfers verbatim (see d20 doc)
     QueryDef("d20_stored_neardup", incrementalNeardupStored,
+      Some(incrementalNeardupSql)),
+    // d21/d22 probe base ∪ appended and the compacted store with d11's
+    // scenario — the planted oracle transfers verbatim (see docs)
+    QueryDef("d21_lsh_append", incrementalNeardupAppended,
+      Some(incrementalNeardupSql)),
+    QueryDef("d22_lsh_compact", incrementalNeardupCompacted,
       Some(incrementalNeardupSql)),
     QueryDef("d13_passage_dedup", passageDedup, Some(passageDedupSql)),
     QueryDef("d15_passage_dup_fraction", passageDupFraction,

@@ -200,4 +200,41 @@ class StoredIndexSpec extends SparkSpec {
     assert(res.length.toLong === nQ)
     assert(res.map(_._1).distinct.length === res.length)
   }
+
+  test("d21 base+appended probe and d22 compacted probe equal the d11 in-session probe") {
+    val want = graft.operators.DedupOps.incrementalNeardup(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    val a = graft.operators.DedupOps.incrementalNeardupAppended(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(a === want, "append path lost or invented planted pairs")
+    val b = graft.operators.DedupOps.incrementalNeardupCompacted(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(b === want, "compacted path lost or invented planted pairs")
+  }
+
+  test("LshIndexStore append is exactly-once under replay; compaction is idempotent") {
+    import graft.api.LshIndexStore
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("lsh_append").toString
+    val baseDir = s"$root/base"
+    LshIndexStore.save(baseDir,
+      graft.operators.DedupOps.prunedBandIndex(
+        docs.filter(col("doc_id") % 2 === 0)))
+    val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 100)
+    LshIndexStore.appendBatch(s"$root/a", batch, 0L)
+    val n1 = LshIndexStore.committedAppends(spark, s"$root/a").count()
+    assert(n1 > 0)
+    LshIndexStore.appendBatch(s"$root/a", batch, 0L) // replay: skipped
+    assert(LshIndexStore.committedAppends(spark, s"$root/a").count() === n1)
+    LshIndexStore.compactAppends(spark, baseDir, s"$root/a", s"$root/out")
+    val c1 = LshIndexStore.load(spark, s"$root/out").count()
+    LshIndexStore.compactAppends(spark, baseDir, s"$root/a", s"$root/out2")
+    assert(LshIndexStore.load(spark, s"$root/out2").count() === c1)
+    // empty manifest folds to exactly the (re-censused) base
+    LshIndexStore.compactAppends(spark, baseDir, s"$root/none", s"$root/out3")
+    assert(LshIndexStore.load(spark, s"$root/out3").count() ===
+      LshIndexStore.load(spark, baseDir).count())
+  }
 }
