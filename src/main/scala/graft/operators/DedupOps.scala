@@ -1384,7 +1384,14 @@ object DedupOps {
     * candidate-docs semi-join in effect — then on (doc_b, h), both
     * uniform keys); the island window partitions per (pair, diagonal).
     * Nothing global ever self-joins at gram grain. */
-  def winnowRunDedup(s: SparkSession, d: String): DataFrame = {
+  def winnowRunDedup(s: SparkSession, d: String): DataFrame =
+    winnowRunDedupFrom(Tables.documents(s, d)
+      .select(col("doc_id"), col("text")))
+
+  /** d19's full MOSS pipeline over ANY (doc_id, text) relation — shared
+    * verbatim by d19 (the corpus) and d23 (the corpus ∪ planted
+    * quotation docs), so the planted row runs the identical plan. */
+  private def winnowRunDedupFrom(documents: DataFrame): DataFrame = {
     // The fingerprint INDEX is materialized once (localCheckpoint) —
     // the deployment posture: t08's output is a stored index table
     // (d11's discipline), and this plan reads it twice (fanout census
@@ -1392,7 +1399,7 @@ object DedupOps {
     // 80-regex clean chain + winnow kernel once per branch — measured
     // 4x the corpus clean cost and ~10s/query at sf0.1 for a plan
     // whose joins are kilobytes.
-    val fps = TextOps.winnowFrom(Tables.documents(s, d)).localCheckpoint()
+    val fps = TextOps.winnowFrom(documents).localCheckpoint()
     val ok = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd").between(2L, MaxRunFanoutDocs))
@@ -1415,7 +1422,7 @@ object DedupOps {
       .unionByName(cand.select(col("doc_b").as("doc_id")))
       .distinct()
     val candGrams = TextOps.gramHashes(
-        Tables.documents(s, d).join(candDocs, Seq("doc_id"), "left_semi"))
+        documents.join(candDocs, Seq("doc_id"), "left_semi"))
       .localCheckpoint()
     val matches = cand
       .join(candGrams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
@@ -1430,9 +1437,12 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"))
   }
 
-  private val winnowRunDedupSql =
-    s"""WITH ${TextOps.winnowCtesSql},
-       |wok AS (SELECT fp FROM fps GROUP BY fp
+  /** The d19/d23 oracle TAIL over the winnow CTEs' `fps`/`h` names —
+    * candidate census, pair join, exact verification, island roll-up.
+    * One definition; d19 anchors it on `documents`, d23 on the planted
+    * union relation. */
+  private val winnowRunTailSql =
+    s"""wok AS (SELECT fp FROM fps GROUP BY fp
        |        HAVING count(DISTINCT doc_id) BETWEEN 2 AND $MaxRunFanoutDocs),
        |wsh AS (SELECT f.doc_id, f.fp FROM fps f JOIN wok USING (fp)),
        |wcand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1455,6 +1465,183 @@ object DedupOps {
        |FROM wg GROUP BY doc_a, doc_b, diag, grp
        |HAVING count(*) >= $MinRunGrams
        |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+
+  private val winnowRunDedupSql =
+    s"""WITH ${TextOps.winnowCtesSql},
+       |$winnowRunTailSql""".stripMargin
+
+  // ----- Planted verbatim quotations (r14 verdict items 5/7 — t23's
+  // planted discipline for the winnow family): the shipped corpus's
+  // shared substrings are almost all furniture under the 32-doc fanout
+  // guard, so d19 honestly reported ~0 rows at sf0.1 and the
+  // interesting regime lived only in spec fixtures. These three
+  // deterministic docs carry two long nonsense-word quotations —
+  // grams unique to the planted docs, so the fanout guard passes them
+  // at every SF — with doc 0 quoting BOTH (the archive side for d24)
+  // and docs 1/2 each re-using one at a different offset (non-zero
+  // diagonals). Lowercase [a-z ]-only text: the clean chain is the
+  // identity on it, so the planted runs' offsets are stable. ONE
+  // definition feeds the Scala relations and the oracles' literals. -----
+
+  private val WinnowQuote1 =
+    "zorvik blenqua xuvtrip mordexi kwalzen frobnir yelquat spandrix " +
+      "uvolmer tragvix bolquen drizmat"
+  private val WinnowQuote2 =
+    "plimvor daxuche wrenzik boldgra quvenix marplod zynthra kelvout " +
+      "isprang nuvekta ozmirel vashtog"
+
+  private[graft] val PlantedQuoteDocs: Seq[(Long, String)] = Seq(
+    (0L, s"archive prologue begins $WinnowQuote1 archive interlude " +
+      s"continues $WinnowQuote2 archive epilogue ends"),
+    (1L, s"second document opens $WinnowQuote1 second document closes"),
+    (2L, s"third document starts $WinnowQuote2 third document stops"))
+
+  /** The planted docs as a SQL literal union arm at plantOffset ids. */
+  private def plantedQuoteDocsSql: String =
+    PlantedQuoteDocs.map { case (i, t) =>
+      s"SELECT $i + ${plantOffsetSql("doc_id", "documents")} AS doc_id, " +
+        s"'$t' AS text"
+    }.mkString("\n  UNION ALL ")
+
+  /** d23 — d19's winnow-run dedup over the corpus ∪ the planted
+    * quotation docs (r14 verdict item 7: make the winnow family's
+    * interesting regime OBSERVABLE on shipped runs, not just in spec
+    * fixtures): the SAME [[winnowRunDedupFrom]] plan, with the three
+    * [[PlantedQuoteDocs]] unioned in-query at plantOffset ids. The
+    * emitted relation now provably contains ≥ 2 verified cross-doc
+    * runs at every SF — doc 0's two quotations re-appear in docs 1 and
+    * 2 at different offsets (non-zero diagonals) — alongside whatever
+    * organic runs the corpus yields; the oracle reproduces the whole
+    * pipeline relationally over the identical union. */
+  def winnowPlantedDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val planted = PlantedQuoteDocs.map { case (i, t) => (off + i, t) }
+      .toDF("doc_id", "text")
+    winnowRunDedupFrom(docs.unionByName(planted))
+  }
+
+  private val winnowPlantedDedupSql =
+    s"""WITH d23 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL ${plantedQuoteDocsSql}),
+       |${TextOps.winnowCtesSqlFor("d23", "")},
+       |$winnowRunTailSql""".stripMargin
+
+  /** The archive's PRUNED fingerprint index over any (doc_id, text)
+    * relation — t08's winnow relation under d18's fanout guard, applied
+    * ONCE at build time (a stored index caps its degenerate keys once,
+    * not per probe — d11's discipline; singleton fingerprints STAY,
+    * they match future probes). The store shape d24 persists. */
+  private[graft] def prunedFingerprintIndex(docs: DataFrame): DataFrame = {
+    val fps = TextOps.winnowFrom(docs)
+    val ok = fps.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") <= MaxRunFanoutDocs)
+      .select(col("fp"))
+    fps.join(ok, "fp").select(col("doc_id"), col("fp"))
+  }
+
+  /** d24 — incremental SUBSTRING-grain dedup against a STORED winnowing
+    * fingerprint index (r14 verdict item 5 — the MOSS "check new
+    * submissions against the archive" shape, completing the incremental
+    * grain set: exact d08, near-dup d11/d20/d21/d22/s27, passage d17,
+    * embedding e15/s26/s28): the archive (corpus ∪ the two-quotation
+    * doc 0) persists its pruned fingerprint index through
+    * [[graft.api.WinnowIndexStore]]; the incoming batch (docs 1/2, each
+    * quoting the archived doc) fingerprints itself, probes the LOADED
+    * index on the fingerprint key, pairs at ≥
+    * [[MinSharedFingerprints]] shared fingerprints, and candidates are
+    * verified EXACTLY — archive-side grams scoped to candidate docs
+    * only (the corpus-scale gram stream is never materialized),
+    * incoming grams batch-sized, runs ≥ [[MinRunGrams]] through the
+    * shared [[diagonalRuns]] island kernel. Winnowing's guarantee makes
+    * the probe a superset of every verifiable pair; the oracle
+    * reproduces the full two-relation pipeline.
+    *
+    * 100 TB shape: the index probe is batch ⋈ stored-index on the
+    * uniform fingerprint key (never corpus ⋈ corpus); verification
+    * joins gram streams scoped per candidate pair; the archive is
+    * re-fingerprinted never, probed always — d11's asymmetry at
+    * substring grain. */
+  def winnowStoredProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val archive = docs.unionByName(
+      PlantedQuoteDocs.take(1).map { case (i, t) => (off + i, t) }
+        .toDF("doc_id", "text"))
+    val incoming = PlantedQuoteDocs.drop(1)
+      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text")
+    val dir = graft.api.WinnowIndexStore.versionedDir(
+      graft.sources.TmpDirs.artifactRoot(s, d, "d24"),
+      TextOps.WinnowK, TextOps.WinnowW, java.time.LocalDate.ofEpochDay(0))
+    graft.api.WinnowIndexStore.save(dir, prunedFingerprintIndex(archive))
+    val loaded = graft.api.WinnowIndexStore.load(s, dir)
+    val inFps = TextOps.winnowFrom(incoming)
+    val cand = loaded.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(inFps.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("nsh"))
+      .filter(col("nsh") >= MinSharedFingerprints)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val candArchiveDocs = cand.select(col("doc_a").as("doc_id")).distinct()
+    val aGrams = TextOps.gramHashes(
+        archive.join(candArchiveDocs, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    val bGrams = TextOps.gramHashes(incoming)
+    val matches = cand
+      .join(aGrams.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("h")), Seq("doc_a"))
+      .join(bGrams.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("h")), Seq("doc_b", "h"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    diagonalRuns(matches, MinRunGrams)
+      .select(col("doc_a"), col("doc_b"), col("a_start").as("a_pos"),
+        col("b_start").as("b_pos"), col("run_len"),
+        (col("run_len") + lit(TextOps.WinnowK - 1)).as("match_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"))
+  }
+
+  private val winnowStoredProbeSql = {
+    val archSql =
+      s"""SELECT doc_id, text FROM documents
+         |  UNION ALL ${PlantedQuoteDocs.take(1).map { case (i, t) =>
+            s"SELECT $i + ${plantOffsetSql("doc_id", "documents")} " +
+              s"AS doc_id, '$t' AS text" }.mkString}""".stripMargin
+    val incSql = PlantedQuoteDocs.drop(1).map { case (i, t) =>
+      s"SELECT $i + ${plantOffsetSql("doc_id", "documents")} AS doc_id, " +
+        s"'$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH arch AS ($archSql),
+       |inc AS ($incSql),
+       |${TextOps.winnowCtesSqlFor("arch", "_ar")},
+       |${TextOps.winnowCtesSqlFor("inc", "_in")},
+       |wok AS (SELECT fp FROM fps_ar GROUP BY fp
+       |        HAVING count(DISTINCT doc_id) <= $MaxRunFanoutDocs),
+       |widx AS (SELECT f.doc_id, f.fp FROM fps_ar f JOIN wok USING (fp)),
+       |wcand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM widx x JOIN fps_in y ON x.fp = y.fp
+       |          GROUP BY 1, 2
+       |          HAVING count(*) >= $MinSharedFingerprints),
+       |wma AS (SELECT cd.doc_a, cd.doc_b, x.pos AS pa, y.pos AS pb
+       |        FROM wcand cd
+       |        JOIN h_ar x ON x.doc_id = cd.doc_a
+       |        JOIN h_in y ON y.doc_id = cd.doc_b AND y.h = x.h),
+       |wg AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |                                 ORDER BY pa) AS grp
+       |       FROM wma)
+       |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_pos,
+       |  CAST(min(pb) AS BIGINT) AS b_pos,
+       |  CAST(count(*) AS BIGINT) AS run_len,
+       |  CAST(count(*) + ${TextOps.WinnowK - 1} AS BIGINT) AS match_len
+       |FROM wg GROUP BY doc_a, doc_b, diag, grp
+       |HAVING count(*) >= $MinRunGrams
+       |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
@@ -1492,5 +1679,9 @@ object DedupOps {
     QueryDef("d17_incremental_passages", incrementalPassageDedup,
       Some(incrementalPassageDedupSql)),
     QueryDef("d18_passage_runs", passageRuns, Some(passageRunsSql)),
-    QueryDef("d19_winnow_run_dedup", winnowRunDedup, Some(winnowRunDedupSql)))
+    QueryDef("d19_winnow_run_dedup", winnowRunDedup, Some(winnowRunDedupSql)),
+    QueryDef("d23_winnow_planted", winnowPlantedDedup,
+      Some(winnowPlantedDedupSql)),
+    QueryDef("d24_winnow_stored", winnowStoredProbe,
+      Some(winnowStoredProbeSql)))
 }

@@ -467,27 +467,31 @@ object TextOps {
           TextFunctions.cleanText(col("text")), WinnowK, WinnowW)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
 
-  /** Shared CTE prefix c/p/h/m/fps ≙ [[gramHashes]] (h) and
-    * [[winnowFrom]] (fps) — ONE definition of the gram hash and the
-    * window-min selection, composed by both the t08 oracle and d19's
-    * candidate + verification stages (a slicing/hash change breaks
-    * them together). */
-  private[operators] val winnowCtesSql = {
+  /** Shared CTE prefix c/p/h/m/fps ≙ [[gramHashes]] (h{sfx}) and
+    * [[winnowFrom]] (fps{sfx}) — ONE definition of the gram hash and
+    * the window-min selection, composed by the t08 oracle, d19's
+    * candidate + verification stages, and (rel/suffix-parametric, the
+    * passage-CTE discipline) d23's planted union and d24's two-relation
+    * incremental probe — a slicing/hash change breaks them together. */
+  private[operators] def winnowCtesSqlFor(rel: String,
+      sfx: String): String = {
     val k = WinnowK
     val poly = (1 until k).foldLeft("(ascii(substr(c, pos, 1)) % 32)::BIGINT") {
       (acc, i) => s"($acc) * 32 + (ascii(substr(c, pos + $i, 1)) % 32)::BIGINT"
     }
     val gramHash = s"(($poly) * 2654435761) % 4294967296"
-    s"""c AS (SELECT doc_id, $cleanSql AS c FROM documents),
-       |p AS (SELECT doc_id, c, unnest(generate_series(1, length(c) - ${k - 1})) AS pos
-       |      FROM c WHERE length(c) >= $k),
-       |h AS (SELECT doc_id, pos, $gramHash AS h FROM p),
-       |m AS (SELECT doc_id, pos, h,
+    s"""c$sfx AS (SELECT doc_id, $cleanSql AS c FROM $rel),
+       |p$sfx AS (SELECT doc_id, c, unnest(generate_series(1, length(c) - ${k - 1})) AS pos
+       |      FROM c$sfx WHERE length(c) >= $k),
+       |h$sfx AS (SELECT doc_id, pos, $gramHash AS h FROM p$sfx),
+       |m$sfx AS (SELECT doc_id, pos, h,
        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |                     ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS mh
-       |      FROM h),
-       |fps AS (SELECT DISTINCT doc_id, h AS fp FROM m WHERE h = mh)""".stripMargin
+       |      FROM h$sfx),
+       |fps$sfx AS (SELECT DISTINCT doc_id, h AS fp FROM m$sfx WHERE h = mh)""".stripMargin
   }
+
+  private[operators] val winnowCtesSql = winnowCtesSqlFor("documents", "")
 
   private val winnowFingerprintsSql =
     s"""WITH $winnowCtesSql

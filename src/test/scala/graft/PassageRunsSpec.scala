@@ -225,4 +225,34 @@ class PassageRunsSpec extends SparkSpec {
     val got = engineRuns(docsDir(small))
     assert(got === refRuns(small) && got.nonEmpty)
   }
+
+  test("d23 planted quotations yield verified cross-doc runs on shipped data") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+    val off = 1000000L // plantOffset floor; corpus max id is far below it
+    val rows = graft.operators.DedupOps.winnowPlantedDedup(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val planted = rows.filter(_._1 >= off)
+    // doc 0 quotes re-appear in docs 1 and 2 — both pairs verified
+    assert(planted.exists { case (a, b, len) =>
+      a == off && b == off + 1 && len >= 16 },
+      "quotation 1 run (doc 0 <-> doc 1) missing")
+    assert(planted.exists { case (a, b, len) =>
+      a == off && b == off + 2 && len >= 16 },
+      "quotation 2 run (doc 0 <-> doc 2) missing")
+    // no spurious planted-planted pair: docs 1 and 2 share no quotation
+    assert(!planted.exists { case (a, b, _) => a == off + 1 && b == off + 2 })
+  }
+
+  test("d24 stored-index probe recalls both planted quotations asymmetrically") {
+    val off = 1000000L
+    val rows = graft.operators.DedupOps.winnowStoredProbe(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(rows.exists { case (a, b, len) =>
+      a == off && b == off + 1 && len >= 16 })
+    assert(rows.exists { case (a, b, len) =>
+      a == off && b == off + 2 && len >= 16 })
+    // the probe answers from the ARCHIVE side only: every reported
+    // doc_a is an archive doc, every doc_b an incoming one
+    assert(rows.forall { case (a, b, _) => b >= off + 1 && (a < off || a == off) })
+  }
 }
