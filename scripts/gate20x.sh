@@ -13,7 +13,9 @@
 # datasheet, batch ANN; r13 adds the index round-trip/append, winnow
 # dedup, unit-drift audit, and streaming as-of; r14 adds the PQ
 # artifact round-trip, top-k serving bound, streaming index append /
-# LSH probe, and the planted multi-script card) — their oracles
+# LSH probe, and the planted multi-script card; r15 adds the tombstone
+# family, PQ compaction, query-side streaming serve, LSH maintenance,
+# and the planted/stored winnow rows) — their oracles
 # recompute on the synthetic corpus, so they are checkable at any
 # scale; they are here because they are cheap enough to afford.
 #
@@ -48,7 +50,10 @@ c06_unit_drift,s24_stream_asof_enrich,d20_stored_neardup,\
 t22_retrain_drift,s25_stream_decontaminate,s23_stream_token_stats,\
 e16_ivfpq_serve,e17_pq_roundtrip,e18_topk_serve,\
 s26_stream_index_append,s27_stream_lsh_probe,t23_script_card,\
-e19_ivfpq_rerank,e20_index_compact,s28_stream_pq_append"
+e19_ivfpq_rerank,e20_index_compact,s28_stream_pq_append,\
+e21_tombstone_serve,e22_tombstone_compact,e23_pq_compact,\
+s29_stream_ann_serve,d21_lsh_append,d22_lsh_compact,\
+d23_winnow_planted,d24_winnow_stored,p15_tombstone_export"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \
