@@ -131,15 +131,8 @@ object IvfStore {
       .select(col("vec_id"), col("embedding"), col("features"),
         col(model.getPredictionCol).as("cell"))
 
-  /** True when `batchId` is already committed under `root` — the
-    * at-least-once replay's common path. Both append entry points check
-    * it BEFORE staging (r14 ADVICE): a crash-replay loop would
-    * otherwise rewrite the whole corpus increment per retry only for
-    * commitBatch to discard it. commitBatch's CAS still guards the
-    * race — this is a fast path, not the correctness gate. */
   private def alreadyCommitted(root: String, batchId: Long): Boolean =
-    graft.sources.ExportCommit.latest(root)
-      .exists(_.batchIds.contains(batchId))
+    graft.sources.ExportCommit.isCommitted(root, batchId)
 
   def appendBatch(root: String, batch: org.apache.spark.sql.DataFrame,
       batchId: Long, model: KMeansModel): Unit = {

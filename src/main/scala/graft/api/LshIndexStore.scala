@@ -60,8 +60,7 @@ object LshIndexStore {
     * definition, the band math cannot drift between build and
     * maintenance) and committed under `batchId`. */
   def appendBatch(root: String, docs: DataFrame, batchId: Long): Unit = {
-    if (graft.sources.ExportCommit.latest(root)
-        .exists(_.batchIds.contains(batchId))) return
+    if (graft.sources.ExportCommit.isCommitted(root, batchId)) return
     val staged = graft.sources.ExportCommit.stage(root, batchId)
     graft.operators.DedupOps.prunedBandIndex(docs).write.parquet(staged)
     graft.sources.ExportCommit.commitBatch(root, batchId, staged)

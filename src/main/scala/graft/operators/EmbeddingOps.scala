@@ -1048,7 +1048,7 @@ object EmbeddingOps {
     * compaction row and usable by any batch-side consumer of the
     * base-posture artifact. Codes are collision-asserted at production
     * (write-time, r14 verdict item 6). */
-  private def pqBaseBuild(s: SparkSession, d: String)
+  private[graft] def pqBaseBuild(s: SparkSession, d: String)
       : (IvfIndex, PqModel, DataFrame, Long) = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
@@ -1100,7 +1100,7 @@ object EmbeddingOps {
     // the base artifact is the COMPACTOR'S INPUT, not its work — in a
     // deployment it already exists (e17's job); creating it is billed
     // once per session, like the memoized build it ships
-    if (!new java.io.File(s"$baseDir/codes").isDirectory)
+    if (!new java.io.File(s"$baseDir/codes/_SUCCESS").isFile)
       graft.api.IvfStore.savePq(baseDir, index, pq, codes)
     val (li, lp, _) = graft.api.IvfStore.loadPq(s, baseDir, PqSubspaces)
     val inc = base.select((col("vec_id") + lit(off)).as("vec_id"),
@@ -1185,7 +1185,9 @@ object EmbeddingOps {
     }
     val root = indexTmpBase(s, d, "e21")
     val dir = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
-    graft.api.IvfStore.save(dir, index)
+    // the artifact is the serve's INPUT, not its work (e23's billing)
+    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(dir, index)
     val loaded = graft.api.IvfStore.load(s, dir)
     val tombRoot = s"$root/tombstones"
     graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
@@ -1222,7 +1224,9 @@ object EmbeddingOps {
     val root = indexTmpBase(s, d, "e22")
     val baseDir = graft.api.IvfStore.versionedDir(s"$root/base", cells,
       IndexDate)
-    graft.api.IvfStore.save(baseDir, index)
+    // the base artifact is the compactor's INPUT (e23's billing)
+    if (!new java.io.File(s"$baseDir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(baseDir, index)
     val loaded = graft.api.IvfStore.load(s, baseDir)
     val appendRoot = s"$root/append"
     graft.api.IvfStore.appendBatch(appendRoot,

@@ -978,8 +978,7 @@ object PackOps {
       new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_p11_${s.sparkContext.applicationId}_" +
           Integer.toHexString(d.hashCode)).getAbsolutePath)
-    if (!graft.sources.ExportCommit.latest(root)
-        .exists(_.batchIds.contains(0L))) {
+    if (!graft.sources.ExportCommit.isCommitted(root, 0L)) {
       val staged = graft.sources.ExportCommit.stage(root, 0L)
       assigned.write.partitionBy("shard")
         .option("compression", "gzip").json(staged)
@@ -1046,8 +1045,7 @@ object PackOps {
     val idSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType)))
-    def committed(root: String, b: Long) =
-      ExportCommit.latest(root).exists(_.batchIds.contains(b))
+    def committed(root: String, b: Long) = ExportCommit.isCommitted(root, b)
     if (!committed(shardsRoot, 0L)) {
       val st = ExportCommit.stage(shardsRoot, 0L)
       epoch0.write.partitionBy("shard").option("compression", "gzip").json(st)
@@ -1142,8 +1140,7 @@ object PackOps {
     val idSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType)))
-    def committed(root: String, b: Long) =
-      ExportCommit.latest(root).exists(_.batchIds.contains(b))
+    def committed(root: String, b: Long) = ExportCommit.isCommitted(root, b)
     if (!committed(shardsRoot, 0L)) {
       val st = ExportCommit.stage(shardsRoot, 0L)
       assigned.write.partitionBy("shard").option("compression", "gzip").json(st)
@@ -1187,10 +1184,15 @@ object PackOps {
       .unionByName(ExportCommit.readCommitted(s, rewriteRoot, assigned.schema))
     val nDel = tombs.select(shardOf)
       .groupBy(col("shard")).agg(count(lit(1)).as("n_deleted"))
-    val universe = ExportCommit.readCommitted(s, shardsRoot, assigned.schema)
-      .select(col("shard")).distinct()
+    val mf = manifestFrom(composed)
+    // shard universe without a third payload scan (r15 review): every
+    // original-epoch shard either still has a survivor (→ in the
+    // manifest) or lost ALL its docs to the takedown (→ in the
+    // affected set) — their union IS the original universe
+    val universe = mf.select(col("shard"))
+      .unionByName(affected).distinct()
     universe
-      .join(manifestFrom(composed), Seq("shard"), "left")
+      .join(mf, Seq("shard"), "left")
       .join(nDel, Seq("shard"), "left")
       .select(col("shard"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),

@@ -71,6 +71,15 @@ object ExportCommit {
     dir.getAbsolutePath
   }
 
+  /** True when `batchId` is already committed under `root` — the
+    * at-least-once replay's common path. Every append entry point
+    * checks it BEFORE staging (r14 ADVICE): a crash-replay loop would
+    * otherwise rewrite its whole increment per retry only for
+    * commitBatch to discard it. [[commitBatch]]'s CAS remains the
+    * correctness gate — this is the one shared fast path. */
+  def isCommitted(root: String, batchId: Long): Boolean =
+    latest(root).exists(_.batchIds.contains(batchId))
+
   /** Commit a staged directory under `batchId`. Returns true if this
     * call published a new manifest version; false if the batchId was
     * already committed (replay) — in which case the staged attempt is
@@ -176,20 +185,29 @@ object ExportCommit {
     // sweep timestamp parsed from its own name. Both branches report
     // the CANONICAL original path (r14 ADVICE: janitor logs must be
     // joinable against manifest entries — one naming convention).
+    val legacyStranded = "(b\\d+-[0-9a-f]{8})\\.gc".r
     val stranded = all.flatMap { f =>
-      (f.getName, f.isDirectory) match {
+      // legacy (pre-timestamp) asides carry no stamp — age-gate them on
+      // mtime as the old protocol did, so a dir stranded by an OLD
+      // janitor build still heals/retires instead of leaking forever
+      val parsed = (f.getName, f.isDirectory) match {
         case (strandedName(origName, ts), true) =>
-          val orig = new File(f.getParentFile, origName)
-          if (refs0.contains(orig.toPath.toAbsolutePath.normalize())) {
-            if (!f.renameTo(orig) && !orig.isDirectory)
-              throw new IllegalStateException(
-                s"gcStaging: could not heal committed dir $orig from " +
-                  s"stranded $f — manual intervention required")
-            None
-          } else if (ts.toLong < cutoff) {
-            deleteRec(f); Some(orig.getAbsolutePath)
-          } else None
+          Some((origName, ts.toLong < cutoff))
+        case (legacyStranded(origName), true) =>
+          Some((origName, newestMtime(f) < cutoff))
         case _ => None
+      }
+      parsed.flatMap { case (origName, oldEnough) =>
+        val orig = new File(f.getParentFile, origName)
+        if (refs0.contains(orig.toPath.toAbsolutePath.normalize())) {
+          if (!f.renameTo(orig) && !orig.isDirectory)
+            throw new IllegalStateException(
+              s"gcStaging: could not heal committed dir $orig from " +
+                s"stranded $f — manual intervention required")
+          None
+        } else if (oldEnough) {
+          deleteRec(f); Some(orig.getAbsolutePath)
+        } else None
       }
     }
     val swept = all

@@ -914,32 +914,15 @@ object EventStreams {
     * the serve side is e16's codes-only scoring join. */
   def streamPqAppend(s: SparkSession, d: String): DataFrame = {
     val ss = streamSession(s)
-    val base = graft.sources.Tables.embeddings(ss, d)
-      .select(col("vec_id"), col("embedding"))
-    val off = graft.operators.DedupOps.plantOffset(
-      graft.operators.DedupOps.maxIdOf(base, "vec_id"))
-    val cells = graft.operators.EmbeddingOps.ivfCellsFor(
-      graft.operators.EmbeddingOps.corpusCount(ss, d))
-    val index = graft.api.Intermediates.memo(ss, s"ivf|$d|$cells") {
-      graft.operators.EmbeddingOps.ivfBuild(base, cells)
-    }
-    val dim = index.model.clusterCenters.head.size
+    // the SAME base-posture build e23's compaction row runs (one
+    // definition, shared memo keys — r15 review): quantizer +
+    // codebooks trained on the shipped corpus, codes collision-
+    // asserted at production
+    val (index, pq, codes, off) =
+      graft.operators.EmbeddingOps.pqBaseBuild(ss, d)
+    val cells = index.model.getK
     val m = graft.operators.EmbeddingOps.PqSubspaces
     val k = graft.operators.EmbeddingOps.PqCodes
-    // base-corpus PQ stage — its OWN memo keys (e16's codebooks are
-    // trained on the union-built recall index; this is the
-    // base-index deployment posture)
-    val pq = graft.api.Intermediates.memo(ss, s"pq_base|$d|$m|$k") {
-      graft.operators.EmbeddingOps.pqTrain(index.assigned, dim)
-    }
-    val codes = graft.api.Intermediates.memo(ss, s"pqcodes_base|$d|$m|$k") {
-      val encoded = graft.operators.EmbeddingOps
-        .pqEncode(index.assigned, pq, dim).localCheckpoint()
-      // write-time collision assert (r14 verdict item 6): once where
-      // the base codes are produced, not per serve-plan build
-      graft.operators.EmbeddingOps.assertNoQueryCodeCollisions(encoded, off)
-      encoded
-    }
     val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s28")
     val dir = graft.api.IvfStore.versionedPqDir(
       root, cells, m, k, java.time.LocalDate.ofEpochDay(0))
@@ -995,7 +978,10 @@ object EventStreams {
     val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s29")
     val dir = graft.api.IvfStore.versionedDir(
       root, index.model.getK, java.time.LocalDate.ofEpochDay(0))
-    graft.api.IvfStore.save(dir, index)
+    // the artifact is the SERVE'S INPUT, not its work (e23's billing):
+    // created once per session, loaded per invocation
+    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(dir, index)
     val loaded = graft.api.IvfStore.load(ss, dir)
     val static = loaded.assigned
       .select(col("vec_id"), col("embedding"), col("cell"))

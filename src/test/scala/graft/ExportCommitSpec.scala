@@ -230,6 +230,14 @@ class ExportCommitSpec extends SparkSpec {
     assert(!aside.exists)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(ok, "part.json")))
+    // LEGACY (pre-timestamp) aside name — a dir stranded by an OLD
+    // janitor build must still heal (r15 review: dropping the legacy
+    // pattern would leak it forever)
+    val legacy = new java.io.File(ok + ".gc")
+    assert(new java.io.File(ok).renameTo(legacy))
+    assert(ExportCommit.gcStaging(root, minAgeMillis = -1L) === Seq.empty)
+    assert(new java.io.File(ok).isDirectory, "legacy aside not healed")
+    assert(!legacy.exists)
   }
 
   test("gcStaging sweeps a crashed janitor's stranded .gc dir; commit refuses a reclaimed dir") {
@@ -239,12 +247,18 @@ class ExportCommitSpec extends SparkSpec {
     val stranded = new java.io.File(new java.io.File(root, "data"),
       "b7-0123abcd.gc-12345")
     stranded.mkdirs()
+    // a LEGACY (pre-timestamp) stranded aside sweeps too, age-gated on
+    // mtime as the old protocol did
+    val legacyStranded = new java.io.File(new java.io.File(root, "data"),
+      "b8-0123abcd.gc")
+    legacyStranded.mkdirs()
     val deleted = ExportCommit.gcStaging(root, minAgeMillis = -1L)
     // the audit record names the CANONICAL original path (joinable
     // against manifest entries), not the aside name
-    assert(deleted === Seq(new java.io.File(stranded.getParentFile,
-      "b7-0123abcd").getAbsolutePath))
-    assert(!stranded.exists)
+    assert(deleted.toSet === Set(
+      new java.io.File(stranded.getParentFile, "b7-0123abcd").getAbsolutePath,
+      new java.io.File(stranded.getParentFile, "b8-0123abcd").getAbsolutePath))
+    assert(!stranded.exists && !legacyStranded.exists)
     // janitor fence: a writer whose staged dir was reclaimed must fail
     // loudly at commit instead of publishing a dangling manifest entry
     val staged = ExportCommit.stage(root, 9L)
