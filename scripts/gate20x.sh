@@ -53,7 +53,8 @@ s26_stream_index_append,s27_stream_lsh_probe,t23_script_card,\
 e19_ivfpq_rerank,e20_index_compact,s28_stream_pq_append,\
 e21_tombstone_serve,e22_tombstone_compact,e23_pq_compact,\
 s29_stream_ann_serve,d21_lsh_append,d22_lsh_compact,\
-d23_winnow_planted,d24_winnow_stored,p15_tombstone_export"
+d23_winnow_planted,d24_winnow_stored,p15_tombstone_export,\
+d25_lsh_tombstone,s30_stream_tombstones"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -89,12 +89,52 @@ object LshIndexStore {
     }
   }
 
+  /** Stage + atomically commit one tombstone batch (a `doc_id` column)
+    * — [[IvfStore.appendTombstones]]'s posture for the LSH artifact: a
+    * taken-down document's band rows must leave the index (its content
+    * would otherwise keep matching future probes and resurface the
+    * deleted text through dedup REVIEW queues). Replay-safe. */
+  def appendTombstones(root: String, ids: DataFrame, batchId: Long): Unit = {
+    if (graft.sources.ExportCommit.isCommitted(root, batchId)) return
+    val staged = graft.sources.ExportCommit.stage(root, batchId)
+    ids.select(col("doc_id")).write.parquet(staged)
+    graft.sources.ExportCommit.commitBatch(root, batchId, staged)
+    ()
+  }
+
+  /** Every committed tombstoned doc id (distinct). Empty manifest ⇒
+    * nothing deleted. */
+  def committedTombstones(spark: SparkSession, root: String): DataFrame = {
+    val dirs = graft.sources.ExportCommit.committedDirs(root)
+    if (dirs.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType))))
+    } else {
+      val read = spark.read.parquet(dirs: _*)
+      require(read.columns.contains("doc_id"),
+        s"lsh tombstone store $root is missing the doc_id column")
+      read.select(col("doc_id")).distinct()
+    }
+  }
+
   /** Fold base artifact + committed appends into ONE new versioned
     * artifact at `outDir`, re-running the global bucket census over the
-    * union ([[graft.operators.DedupOps.pruneBands]]). After adoption,
-    * the append root's batch dirs are janitor garbage. */
+    * union ([[graft.operators.DedupOps.pruneBands]]). When a
+    * `tombstoneRoot` is given, the committed delete log is folded
+    * PHYSICALLY first: a tombstoned doc's band rows leave the artifact
+    * (ids-sized anti-join) BEFORE the census, so retiring a
+    * duplicate-heavy document can legitimately resurrect a bucket its
+    * mass had pushed past the cap. After adoption, the append root's
+    * batch dirs and the folded tombstone entries are janitor garbage. */
   def compactAppends(spark: SparkSession, baseDir: String,
-      appendRoot: String, outDir: String): Unit =
-    save(outDir, graft.operators.DedupOps.pruneBands(
-      load(spark, baseDir).unionByName(committedAppends(spark, appendRoot))))
+      appendRoot: String, outDir: String,
+      tombstoneRoot: Option[String] = None): Unit = {
+    val folded = load(spark, baseDir)
+      .unionByName(committedAppends(spark, appendRoot))
+    val cleaned = tombstoneRoot.fold(folded)(t =>
+      folded.join(committedTombstones(spark, t), Seq("doc_id"), "left_anti"))
+    save(outDir, graft.operators.DedupOps.pruneBands(cleaned))
+  }
 }

@@ -930,14 +930,61 @@ object DedupOps {
     probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, outDir))
   }
 
-  private[graft] val incrementalNeardupSql =
+  /** d11's planted oracle with an optional extra survivor predicate —
+    * shared by d11/d20/d21/d22 (none) and d25 (tombstoned sources
+    * excluded: a deleted source must stop matching its re-fetch). */
+  private def incrementalNeardupSqlWhere(extra: String): String =
     s"""SELECT doc_id + ${plantOffsetSql("doc_id", "documents")} AS in_id,
       |  doc_id AS src_id
       |FROM documents
-      |WHERE doc_id % 2 = 0 AND doc_id < 200
+      |WHERE doc_id % 2 = 0 AND doc_id < 200 $extra
       |  AND len(list_filter(${graft.oracle.DuckFragments.tokListSql},
       |                      x -> x <> '')) >= 3
       |ORDER BY in_id""".stripMargin
+
+  private[graft] val incrementalNeardupSql = incrementalNeardupSqlWhere("")
+
+  /** d25 — tombstone DELETE through the LSH band index (the takedown
+    * lifecycle's dedup surface, completing e21/e22/p15's r15 family: a
+    * taken-down document's band rows must leave the index, or its
+    * content keeps matching future probes and the deleted text
+    * resurfaces through dedup review queues): d21's base + append
+    * store, a takedown of HALF the planted re-fetch sources (even ids
+    * < 100) committed to the LSH tombstone log (replay-safe), and
+    * [[graft.api.LshIndexStore.compactAppends]] folding base ∪ appends
+    * MINUS tombstones into the new versioned artifact — the probe of
+    * the LOADED COMPACTED store runs with NO tombstone filter, so a
+    * fold that leaves any tombstoned row breaks the hash. The oracle
+    * is d11's planted relation restricted to surviving sources
+    * (closed form — the SELECTIVE-delete discipline of e21: sources in
+    * [100, 200) must STILL match, so a wholesale drop also fails). */
+  def incrementalNeardupTombstoned(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d25")
+    val baseDir = graft.api.LshIndexStore.versionedDir(
+      s"$root/base", Bands, java.time.LocalDate.ofEpochDay(0))
+    if (!new java.io.File(s"$baseDir/_SUCCESS").isFile)
+      graft.api.LshIndexStore.save(baseDir,
+        prunedBandIndex(existing.filter(col("doc_id") >= 400)))
+    val appendRoot = s"$root/append"
+    graft.api.LshIndexStore.appendBatch(appendRoot,
+      existing.filter(col("doc_id") < 400), 0L)
+    val tombRoot = s"$root/tombstones"
+    val takedown = existing.filter(col("doc_id") < 100).select(col("doc_id"))
+    graft.api.LshIndexStore.appendTombstones(tombRoot, takedown, 0L)
+    // at-least-once delivery of the delete event — replay is skipped
+    graft.api.LshIndexStore.appendTombstones(tombRoot, takedown, 0L)
+    val outDir = graft.api.LshIndexStore.versionedDir(
+      s"$root/compacted", Bands, java.time.LocalDate.ofEpochDay(0))
+    graft.api.LshIndexStore.compactAppends(s, baseDir, appendRoot, outDir,
+      Some(tombRoot))
+    probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, outDir))
+  }
+
+  private val incrementalNeardupTombstonedSql =
+    incrementalNeardupSqlWhere("AND doc_id >= 100")
 
   /** d09 — eval-benchmark decontamination: corpus documents sharing any
     * 5-token shingle with the held-out eval set (doc_id ≡ 0 mod 97 —
@@ -1667,6 +1714,10 @@ object DedupOps {
       Some(incrementalNeardupSql)),
     QueryDef("d22_lsh_compact", incrementalNeardupCompacted,
       Some(incrementalNeardupSql)),
+    // d25 probes the compacted store AFTER a takedown of half the
+    // planted sources — d11's oracle restricted to survivors
+    QueryDef("d25_lsh_tombstone", incrementalNeardupTombstoned,
+      Some(incrementalNeardupTombstonedSql)),
     QueryDef("d13_passage_dedup", passageDedup, Some(passageDedupSql)),
     QueryDef("d15_passage_dup_fraction", passageDupFraction,
       Some(passageDupFractionSql)),

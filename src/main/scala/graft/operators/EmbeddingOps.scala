@@ -1123,7 +1123,7 @@ object EmbeddingOps {
     * SELECTIVE by construction, so a serve that honors the log
     * wholesale (e.g. by dropping a whole append batch) still breaks
     * the hash on the queries whose twin was NOT taken down. */
-  private def tombstoneIds(base: DataFrame, off: Long): DataFrame =
+  private[graft] def tombstoneIds(base: DataFrame, off: Long): DataFrame =
     base.filter(col("vec_id") % (2 * BatchQueryMod) === 0)
       .select((col("vec_id") + lit(off)).as("vec_id"))
 
@@ -1134,7 +1134,7 @@ object EmbeddingOps {
     * copy, and a takedown of the first copy's row must surface the
     * second at exactly +2·off — an ignored tombstone returns +off, an
     * over-delete returns an organic id, both break the hash. */
-  private def doublePlantedUnion(base: DataFrame, off: Long): DataFrame =
+  private[graft] def doublePlantedUnion(base: DataFrame, off: Long): DataFrame =
     base
       .unionByName(base.select((col("vec_id") + lit(off)).as("vec_id"),
         col("embedding")))
@@ -1145,7 +1145,7 @@ object EmbeddingOps {
     * form per query (see [[doublePlantedUnion]]); shared verbatim by
     * the serve-time row and the compaction row so the logical and
     * physical delete paths cannot drift. */
-  private val tombstoneServeSql = {
+  private[graft] val tombstoneServeSql = {
     val offSql = DedupOps.plantOffsetSql("vec_id", "embeddings")
     s"""SELECT vec_id AS query_id,
       |  CASE WHEN vec_id % ${2 * BatchQueryMod} = 0

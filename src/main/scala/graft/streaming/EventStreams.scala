@@ -1008,6 +1008,61 @@ object EventStreams {
       .orderBy(col("query_id"))
   }
 
+  /** s30 — STREAMING tombstone ingestion (e21 on the live path,
+    * completing the r15 takedown lifecycle: deletion events — DMCA
+    * notices, GDPR requests, recrawl removals — arrive as a STREAM in
+    * a deployment, not as a batch job): the e21 double-planted index
+    * is persisted and loaded; the takedown set (every other query's
+    * first twin) arrives as a vector stream whose micro-batches commit
+    * to the tombstone log through the SAME
+    * [[graft.api.IvfStore.appendTombstones]] manifest protocol
+    * (replayed batchIds skip — a redelivered delete event can never
+    * corrupt the log); after the drain, e13's whole batch is served
+    * against loaded-index MINUS committed-tombstones. e21's
+    * closed-form selective oracle transfers verbatim: the batch and
+    * streaming delete paths must agree row-for-row.
+    *
+    * 100 TB shape: per micro-batch, one ids-sized staged write + one
+    * manifest CAS — the takedown stream never touches the corpus; the
+    * serve-side honor is the same broadcast anti-join as e21. */
+  def streamTombstoneServe(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(base, "vec_id"))
+    val cells = graft.operators.EmbeddingOps.ivfCellsFor(
+      3L * graft.operators.EmbeddingOps.corpusCount(ss, d))
+    val index = graft.api.Intermediates.memo(ss, s"ivf_tomb|$d|$cells") {
+      graft.operators.EmbeddingOps.ivfBuild(
+        graft.operators.EmbeddingOps.doublePlantedUnion(base, off), cells)
+    }
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s30")
+    val dir = graft.api.IvfStore.versionedDir(
+      root, cells, java.time.LocalDate.ofEpochDay(0))
+    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(dir, index)
+    val loaded = graft.api.IvfStore.load(ss, dir)
+    val tombRoot = s"$root/tombstones"
+    val takedown = readEmbeddings(ss, d)
+      .filter(col("vec_id") %
+        (2 * graft.operators.EmbeddingOps.BatchQueryMod) === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"))
+    val q = takedown.writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.api.IvfStore.appendTombstones(tombRoot, batch.toDF(), batchId))
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadProvidersOf(q.runId)
+    graft.operators.EmbeddingOps.batchServeAgainst(
+      graft.operators.EmbeddingOps.IvfIndex(
+        graft.api.IvfStore.minusTombstones(loaded.assigned, ss, tombRoot),
+        loaded.model), off)
+  }
+
   /** s27 — STREAMING near-dup probe against the STORED LSH band index
     * (d20 on the live path, r13 verdict ask #6 — the LSH side of s26):
     * the existing corpus's pruned band index is persisted through
@@ -1288,7 +1343,11 @@ object EventStreams {
     // s29 answers a QUERY stream against the loaded artifact — e13's
     // closed-form serve oracle transfers row-for-row (see s29 doc)
     QueryDef("s29_stream_ann_serve", streamAnnServe,
-      Some(graft.operators.EmbeddingOps.annBatchServeSql)))
+      Some(graft.operators.EmbeddingOps.annBatchServeSql)),
+    // s30 streams the TAKEDOWN events into the tombstone log — e21's
+    // selective closed-form oracle transfers verbatim (see s30 doc)
+    QueryDef("s30_stream_tombstones", streamTombstoneServe,
+      Some(graft.operators.EmbeddingOps.tombstoneServeSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

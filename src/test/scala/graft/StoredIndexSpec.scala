@@ -237,4 +237,30 @@ class StoredIndexSpec extends SparkSpec {
     assert(LshIndexStore.load(spark, s"$root/out3").count() ===
       LshIndexStore.load(spark, baseDir).count())
   }
+
+  test("d25 compacted probe drops exactly the tombstoned sources (selective delete)") {
+    val want = graft.operators.DedupOps.incrementalNeardup(spark, sfTiny)
+      .filter(col("src_id") >= 100).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "no surviving planted pairs - vacuous")
+    val got = graft.operators.DedupOps
+      .incrementalNeardupTombstoned(spark, sfTiny).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "takedown through LSH compaction lost survivors or kept deleted sources")
+    // the compacted artifact physically lacks every tombstoned doc row
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "d25")
+    val out = graft.api.LshIndexStore.load(spark,
+      graft.api.LshIndexStore.versionedDir(s"$root/compacted",
+        graft.operators.DedupOps.Bands, java.time.LocalDate.ofEpochDay(0)))
+    assert(out.filter(col("doc_id") < 100).count() === 0L)
+  }
+
+  test("s30 streamed takedown serve equals the batch e21 serve row-for-row") {
+    val want = graft.operators.EmbeddingOps.annTombstoneServe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.streaming.EventStreams.streamTombstoneServe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got === want,
+      "streamed and batch tombstone delete paths disagree")
+  }
 }
