@@ -440,4 +440,35 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
     }
   }
+
+  test("e21: the tombstone honor is a BROADCAST anti-join — never a shuffle") {
+    val p = plan("e21_tombstone_serve")
+    // the committed delete log is ids-sized; honoring it must add zero
+    // data-scale shuffles to the serve plan (the X140 claim)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      "tombstone anti-join is not a broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "serve plan regressed to a shuffle join")
+  }
+
+  test("s29: the stream-side serve plan carries no window and no sort-merge join") {
+    // audit the BATCH twin of the stream plan (same operators; streams
+    // cannot be .explain'd post-hoc through the memory sink): probe
+    // cells row-local (UDF+explode), candidates via cell equi-join
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val (index, _) = graft.operators.EmbeddingOps.topkSharedIndex(spark, sfTiny)
+    val topP = graft.operators.EmbeddingOps.probeCellsRowLocal(
+      spark, index.model, graft.operators.EmbeddingOps.IvfProbes)
+    val q = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"),
+        graft.operators.EmbeddingOps.toFeatures(col("embedding")).as("qf"))
+      .withColumn("cell", explode(topP(col("qf"))))
+      .join(index.assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "row-local probe plan grew a window")
+    assert(!p.contains("SortMergeJoin"),
+      "cell probe regressed to a sort-merge join at verification scale")
+  }
 }
