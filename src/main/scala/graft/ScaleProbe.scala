@@ -48,7 +48,12 @@ object ScaleProbe {
     // test at scale) and the streaming index append (per-batch
     // quantizer assignment + manifest commit + union-serve — the live
     // maintenance path's full write/read cycle)
-    "e19_ivfpq_rerank", "s26_stream_index_append")
+    "e19_ivfpq_rerank", "s26_stream_index_append",
+    // r15 additions: the tombstone-compaction fold (anti-join + full
+    // artifact rewrite — the physical-delete cost claim under test)
+    // and the query-side streaming serve (stream-static cell probe +
+    // complete-mode argmax — the live retrieval path)
+    "e22_tombstone_compact", "s29_stream_ann_serve")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
