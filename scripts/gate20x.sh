@@ -54,7 +54,7 @@ e19_ivfpq_rerank,e20_index_compact,s28_stream_pq_append,\
 e21_tombstone_serve,e22_tombstone_compact,e23_pq_compact,\
 s29_stream_ann_serve,d21_lsh_append,d22_lsh_compact,\
 d23_winnow_planted,d24_winnow_stored,p15_tombstone_export,\
-d25_lsh_tombstone,s30_stream_tombstones"
+d25_lsh_tombstone,s30_stream_tombstones,e24_pq_tombstone_serve"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -1198,6 +1198,61 @@ object EmbeddingOps {
       loaded.model), off)
   }
 
+  /** e24 — tombstone DELETE honored by the PQ/ADC SERVE (the
+    * compressed-corpus half of the r14 verdict's "honored by the
+    * IVF/PQ serve": e21 witnessed the raw-IVF path; a PQ fleet serves
+    * CODES, and a takedown must stop the deleted code rows from being
+    * scored at all): the e21 double-planted index gains its PQ stage
+    * (codebooks + codes, collision-asserted at production), the same
+    * selective takedown set commits to the tombstone log, and e16's
+    * whole batch is ADC-served against codes MINUS committed
+    * tombstones through the SAME [[adcServe]] kernel. The closed form
+    * carries through the quantization: both twins hold the query's
+    * FULL code (identical features through identical per-subspace
+    * assignments), so their ADC ties at the global minimum and the
+    * (adc, vec_id) tie-break picks the first — unless tombstoned, in
+    * which case the second twin at +2·off must surface. e21's
+    * selective oracle minus the cosine column.
+    *
+    * 100 TB shape: the honor is one ids-sized broadcast anti-join on
+    * the code relation — the scoring join still moves M-int rows and
+    * nothing else changes. */
+  def annPqTombstoneServe(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(3L * corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf_tomb|$d|$cells") {
+      ivfBuild(doublePlantedUnion(base, off), cells)
+    }
+    val dim = index.model.clusterCenters.head.size
+    val pq = graft.api.Intermediates.memo(s,
+        s"pq_tomb|$d|$PqSubspaces|$PqCodes") {
+      pqTrain(index.assigned, dim)
+    }
+    val codes = graft.api.Intermediates.memo(s,
+        s"pqcodes_tomb|$d|$PqSubspaces|$PqCodes") {
+      val encoded = pqEncode(index.assigned, pq, dim).localCheckpoint()
+      assertNoQueryCodeCollisions(encoded, off)
+      encoded
+    }
+    val tombRoot = indexTmpBase(s, d, "e24") + "/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
+    adcServe(index, pq,
+      graft.api.IvfStore.minusTombstones(codes, s, tombRoot), off)
+  }
+
+  /** e24's oracle: e21's selective closed form minus the cosine column
+    * (the ADC serve emits ids only). */
+  private val tombstonePqServeSql = {
+    val offSql = DedupOps.plantOffsetSql("vec_id", "embeddings")
+    s"""SELECT vec_id AS query_id,
+      |  CASE WHEN vec_id % ${2 * BatchQueryMod} = 0
+      |       THEN vec_id + 2 * ($offSql)
+      |       ELSE vec_id + ($offSql) END AS top1_id
+      |FROM embeddings WHERE vec_id % $BatchQueryMod = 0
+      |ORDER BY query_id""".stripMargin
+  }
+
   /** e22 — tombstone DELETE folded PHYSICALLY by compaction (e21's log
     * honored by e20's fold): base index stored, BOTH planted copies
     * committed as separate append batches through the shared
@@ -1856,6 +1911,10 @@ object EmbeddingOps {
       Some(tombstoneServeSql)),
     QueryDef("e22_tombstone_compact", annTombstoneCompact,
       Some(tombstoneServeSql)),
+    // e24 honors the log on the ADC (compressed-corpus) serve — e21's
+    // selective closed form carries through the quantization
+    QueryDef("e24_pq_tombstone_serve", annPqTombstoneServe,
+      Some(tombstonePqServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

@@ -268,6 +268,56 @@ class IvfStoreSpec extends SparkSpec {
     assert(b2 === b)
   }
 
+  test("e24 PQ serve honors the tombstone log selectively (closed form)") {
+    val res = EmbeddingOps.annPqTombstoneServe(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.nonEmpty)
+    assert(res.exists(_._1 % 40 == 0) && res.exists(_._1 % 40 != 0))
+    val off = res.collectFirst { case (q, t) if q % 40 != 0 => t - q }.get
+    res.foreach { case (q, t) =>
+      if (q % 40 == 0) assert(t === q + 2 * off,
+        s"query $q: tombstoned code row still ADC-served (got $t)")
+      else assert(t === q + off)
+    }
+  }
+
+  test("randomized takedown: deleted ids are never served, surviving twins always are") {
+    // property over RANDOM takedown sets (the closed-form rows pin two
+    // fixed sets; this pins the quantifier): tombstone an arbitrary
+    // subset of the planted copies — every query whose twin survives
+    // still gets it at cosine 1.0, every query whose twin is deleted
+    // gets a NON-tombstoned id at cosine < 1.0
+    import graft.api.IvfStore
+    val base = baseEmb.localCheckpoint()
+    val off = 1000000L
+    val union = base.unionByName(
+      base.select((col("vec_id") + off).as("vec_id"), col("embedding")))
+    val index = EmbeddingOps.ivfBuild(union, cells = 4)
+    val rng = new scala.util.Random(20260815L)
+    val queryIds = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val deadTwins = queryIds.filter(_ => rng.nextBoolean()).map(_ + off).toSet
+    assert(deadTwins.nonEmpty && deadTwins.size < queryIds.size)
+    import spark.implicits._
+    val root = tmp("randtomb")
+    IvfStore.appendTombstones(root, deadTwins.toSeq.toDF("vec_id"), 0L)
+    val served = EmbeddingOps.batchServeAgainst(
+      EmbeddingOps.IvfIndex(
+        IvfStore.minusTombstones(index.assigned, spark, root), index.model),
+      off)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served.map(_._1).toSet === queryIds.toSet)
+    served.foreach { case (q, t, c) =>
+      assert(!deadTwins.contains(t), s"query $q served tombstoned id $t")
+      if (deadTwins.contains(q + off))
+        assert(t != q + off && c < 1.0,
+          s"query $q: deleted twin resurfaced or impossible cosine")
+      else
+        assert(t == q + off && c == 1.0,
+          s"query $q: surviving twin lost")
+    }
+  }
+
   test("loadPq fails loudly when one subspace codebook is dropped") {
     // a real PQ artifact via the operator path, copied then truncated
     EmbeddingOps.annPqRoundtrip(spark, sfTiny).collect()
