@@ -58,7 +58,16 @@ object LshIndexStore {
     * (doc_id, text) docs are banded by the SAME builder as every index
     * build ([[graft.operators.DedupOps.prunedBandIndex]] — shared
     * definition, the band math cannot drift between build and
-    * maintenance) and committed under `batchId`. */
+    * maintenance) and committed under `batchId`.
+    *
+    * Compaction-cadence bound (r15 ADVICE): the per-batch census can
+    * only see its own batch, so a bucket that grows degenerate ONLY
+    * across increments keeps matching probes until the next
+    * [[compactAppends]] re-census — between compactions, serve-side
+    * bucket growth is bounded by (committed batches × per-batch cap).
+    * Deployments must not defer compaction indefinitely:
+    * [[CompactionPolicy.due]] is the janitor predicate that bounds the
+    * manifest length (and with it the worst-case probe fanout). */
   def appendBatch(root: String, docs: DataFrame, batchId: Long): Unit = {
     if (graft.sources.ExportCommit.isCommitted(root, batchId)) return
     val staged = graft.sources.ExportCommit.stage(root, batchId)

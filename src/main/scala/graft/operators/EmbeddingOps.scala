@@ -1585,11 +1585,25 @@ object EmbeddingOps {
     * up to floating-point ties on equidistant centers. Cells-sized
     * broadcast, the [[probeAssignments]] shape generalized to any
     * probe depth. */
+  /** Per-(app, model) broadcast cache for [[probeCellsRowLocal]] (r15
+    * ADVICE): a long-lived session invoking the streaming serve rows
+    * repeatedly would otherwise accumulate one undestroyed centers
+    * broadcast per invocation. KMeansModel uids are unique per fit, so
+    * the key cannot alias two center sets; entries die with the JVM
+    * (broadcasts are invalidated when their SparkContext stops, which
+    * is also when the app id stops being reachable). */
+  private val centerBroadcasts = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    org.apache.spark.broadcast.Broadcast[
+      Array[org.apache.spark.ml.linalg.Vector]]]()
+
   private[graft] def probeCellsRowLocal(s: SparkSession,
       model: org.apache.spark.ml.clustering.KMeansModel,
       probes: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     import org.apache.spark.ml.linalg.{Vector, Vectors}
-    val centers = s.sparkContext.broadcast(model.clusterCenters)
+    val centers = centerBroadcasts.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|${model.uid}",
+      _ => s.sparkContext.broadcast(model.clusterCenters))
     udf { f: Vector =>
       centers.value.zipWithIndex
         .map { case (c, i) => (Vectors.sqdist(c, f), i) }

@@ -190,9 +190,19 @@ object ExportCommit {
       // legacy (pre-timestamp) asides carry no stamp — age-gate them on
       // mtime as the old protocol did, so a dir stranded by an OLD
       // janitor build still heals/retires instead of leaking forever
+      // the stamp parse is defensive (r15 ADVICE): \d+ admits >19-digit
+      // names a corrupt or adversarial dir could carry, and Long.parse
+      // throwing there would abort the ENTIRE sweep — an unparseable
+      // stamp falls back to the legacy mtime gate instead. The parsed
+      // stamp also assumes janitors share a clock (single-filesystem
+      // deployments do); cross-janitor skew larger than the grace
+      // period would mis-age an aside, which the heal pass tolerates
+      // (a committed dir is always renamed back regardless of age).
       val parsed = (f.getName, f.isDirectory) match {
         case (strandedName(origName, ts), true) =>
-          Some((origName, ts.toLong < cutoff))
+          val stamp = scala.util.Try(ts.toLong).toOption
+            .getOrElse(newestMtime(f))
+          Some((origName, stamp < cutoff))
         case (legacyStranded(origName), true) =>
           Some((origName, newestMtime(f) < cutoff))
         case _ => None

@@ -254,6 +254,87 @@ class StoredIndexSpec extends SparkSpec {
     assert(out.filter(col("doc_id") < 100).count() === 0L)
   }
 
+  test("PassageIndexStore round-trip + append exactly-once + idempotent compaction") {
+    import graft.api.PassageIndexStore
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("pass_store").toString
+    val baseDir = s"$root/base"
+    val baseIdx = graft.operators.DedupOps.passageHashIndex(
+      docs.filter(col("doc_id") % 2 === 0))
+    PassageIndexStore.save(baseDir, baseIdx)
+    // lossless round-trip of the (doc_id, h) relation
+    val want = baseIdx.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(identity).toSeq
+    val got = PassageIndexStore.load(spark, baseDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    assert(got === want)
+    // append is exactly-once under batchId replay
+    val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 100)
+    PassageIndexStore.appendBatch(s"$root/a", batch, 0L)
+    val n1 = PassageIndexStore.committedAppends(spark, s"$root/a").count()
+    assert(n1 > 0)
+    PassageIndexStore.appendBatch(s"$root/a", batch, 0L) // replay: skipped
+    assert(PassageIndexStore.committedAppends(spark, s"$root/a").count() === n1)
+    // compaction is idempotent; empty manifest folds to exactly the base
+    PassageIndexStore.compactAppends(spark, baseDir, s"$root/a", s"$root/out")
+    val c1 = PassageIndexStore.load(spark, s"$root/out").count()
+    assert(c1 === want.size + n1)
+    PassageIndexStore.compactAppends(spark, baseDir, s"$root/a", s"$root/out2")
+    assert(PassageIndexStore.load(spark, s"$root/out2").count() === c1)
+    PassageIndexStore.compactAppends(spark, baseDir, s"$root/none", s"$root/out3")
+    assert(PassageIndexStore.load(spark, s"$root/out3").count() === want.size)
+  }
+
+  test("d17 stored probe and d26 base+appended probe equal the in-session probe") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(docs, "doc_id"))
+    val want = graft.operators.DedupOps.probePassagesAgainst(
+        graft.operators.DedupOps.passageIncomingBatch(docs, off),
+        graft.operators.DedupOps.passageHashIndex(
+          docs.filter(col("doc_id") % 2 === 0)))
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    val a = graft.operators.DedupOps.incrementalPassageDedup(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(a === want, "stored-index probe drifted from the in-session index")
+    val b = graft.operators.DedupOps.incrementalPassagesAppended(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(b === want, "base+append probe lost or invented known passages")
+    // every re-fetched doc is provably fully known (d17's closed pin)
+    assert(a.filter(r => r.head.asInstanceOf[Long] >= off)
+      .forall(r => r(3).asInstanceOf[Double] == 1.0))
+  }
+
+  test("d27 tombstone-folded probe equals the survivors recompute; store physically clean") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(docs, "doc_id"))
+    // in-session recompute over SURVIVING index docs (evens >= 50)
+    val want = graft.operators.DedupOps.probePassagesAgainst(
+        graft.operators.DedupOps.passageIncomingBatch(docs, off),
+        graft.operators.DedupOps.passageHashIndex(
+          docs.filter(col("doc_id") % 2 === 0 && col("doc_id") >= 50)))
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    val got = graft.operators.DedupOps
+      .incrementalPassagesTombstoned(spark, sfTiny).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "takedown through passage compaction lost survivors or kept deleted docs")
+    // the compacted artifact physically lacks every tombstoned doc row
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "d27")
+    val out = graft.api.PassageIndexStore.load(spark,
+      graft.api.PassageIndexStore.versionedDir(s"$root/compacted",
+        graft.operators.DedupOps.PassageTokens,
+        java.time.LocalDate.ofEpochDay(0)))
+    assert(out.filter(col("doc_id") < 50).count() === 0L)
+    assert(out.filter(col("doc_id") >= 50 && col("doc_id") < 400).count() > 0L,
+      "fold dropped surviving append rows (over-delete)")
+  }
+
   test("s30 streamed takedown serve equals the batch e21 serve row-for-row") {
     val want = graft.operators.EmbeddingOps.annTombstoneServe(spark, sfTiny)
       .collect().map(_.toSeq).toSeq
