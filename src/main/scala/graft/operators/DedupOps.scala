@@ -1727,14 +1727,23 @@ object DedupOps {
     * ONCE at build time (a stored index caps its degenerate keys once,
     * not per probe — d11's discipline; singleton fingerprints STAY,
     * they match future probes). The store shape d24 persists. */
-  private[graft] def prunedFingerprintIndex(docs: DataFrame): DataFrame = {
-    val fps = TextOps.winnowFrom(docs)
+  /** Global fanout census over any (doc_id, fp) relation: fps held by
+    * more than [[MaxRunFanoutDocs]] distinct docs are dropped. Shared
+    * by the index BUILD and the compaction FOLD (the re-census over
+    * base ∪ appends — the only stage that sees all rows again, so fps
+    * that grew degenerate ACROSS increments retire there; per-batch
+    * appends can only census themselves — [[pruneBands]]'s discipline
+    * at fingerprint grain). */
+  private[graft] def pruneFingerprints(fps: DataFrame): DataFrame = {
     val ok = fps.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") <= MaxRunFanoutDocs)
       .select(col("fp"))
     fps.join(ok, "fp").select(col("doc_id"), col("fp"))
   }
+
+  private[graft] def prunedFingerprintIndex(docs: DataFrame): DataFrame =
+    pruneFingerprints(TextOps.winnowFrom(docs))
 
   /** d24 — incremental SUBSTRING-grain dedup against a STORED winnowing
     * fingerprint index (r14 verdict item 5 — the MOSS "check new
@@ -1758,22 +1767,18 @@ object DedupOps {
     * joins gram streams scoped per candidate pair; the archive is
     * re-fingerprinted never, probed always — d11's asymmetry at
     * substring grain. */
-  def winnowStoredProbe(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val off = plantOffset(maxIdOf(docs, "doc_id"))
-    val archive = docs.unionByName(
-      PlantedQuoteDocs.take(1).map { case (i, t) => (off + i, t) }
-        .toDF("doc_id", "text"))
-    val incoming = PlantedQuoteDocs.drop(1)
-      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text")
-    val dir = graft.api.WinnowIndexStore.versionedDir(
-      graft.sources.TmpDirs.artifactRoot(s, d, "d24"),
-      TextOps.WinnowK, TextOps.WinnowW, java.time.LocalDate.ofEpochDay(0))
-    graft.api.WinnowIndexStore.save(dir, prunedFingerprintIndex(archive))
-    val loaded = graft.api.WinnowIndexStore.load(s, dir)
+  /** d24's probe + exact-verification tail against an ARBITRARY
+    * (doc_id, fp) index relation — ONE plan for the loaded store (d24),
+    * base ∪ committed appends (d28), and the tombstone-folded compacted
+    * store (d29), d21's shared-probe discipline at substring grain.
+    * `archive` is the (doc_id, text) relation the verification pass
+    * reads candidate-doc grams from (semi-join scoped — candidates can
+    * only name docs the index holds, so passing the survivors-only
+    * relation in d29 is complete). */
+  private[graft] def winnowProbeAgainst(archive: DataFrame,
+      incoming: DataFrame, index: DataFrame): DataFrame = {
     val inFps = TextOps.winnowFrom(incoming)
-    val cand = loaded.select(col("fp"), col("doc_id").as("doc_a"))
+    val cand = index.select(col("fp"), col("doc_id").as("doc_a"))
       .join(inFps.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("nsh"))
@@ -1798,12 +1803,42 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"))
   }
 
-  private val winnowStoredProbeSql = {
+  /** The winnow maintenance rows' shared relations: (incoming batch at
+    * plantOffset ids, the offset). Incoming is always docs 1/2 — each
+    * quoting one archived planted doc. */
+  private def winnowIncoming(s: SparkSession, docs: DataFrame, off: Long)
+      : DataFrame = {
+    import s.implicits._
+    PlantedQuoteDocs.drop(1).map { case (i, t) => (off + i, t) }
+      .toDF("doc_id", "text")
+  }
+
+  def winnowStoredProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val archive = docs.unionByName(
+      PlantedQuoteDocs.take(1).map { case (i, t) => (off + i, t) }
+        .toDF("doc_id", "text"))
+    val dir = graft.api.WinnowIndexStore.versionedDir(
+      graft.sources.TmpDirs.artifactRoot(s, d, "d24"),
+      TextOps.WinnowK, TextOps.WinnowW, java.time.LocalDate.ofEpochDay(0))
+    graft.api.WinnowIndexStore.save(dir, prunedFingerprintIndex(archive))
+    winnowProbeAgainst(archive, winnowIncoming(s, docs, off),
+      graft.api.WinnowIndexStore.load(s, dir))
+  }
+
+  /** The d24-family oracle over an ARBITRARY planted-archive-doc set —
+    * the full two-relation pipeline (census → fp probe → exact gram
+    * verification), shared by d24/d28 (doc 0 archived) and d29 (the
+    * post-takedown survivors: doc 3 only), so the stored, appended,
+    * and tombstone-folded serve states answer to ONE SQL body. */
+  private def winnowStoredSqlFor(archPlanted: Seq[(Long, String)]): String = {
     val archSql =
       s"""SELECT doc_id, text FROM documents
-         |  UNION ALL ${PlantedQuoteDocs.take(1).map { case (i, t) =>
+         |  UNION ALL ${archPlanted.map { case (i, t) =>
             s"SELECT $i + ${plantOffsetSql("doc_id", "documents")} " +
-              s"AS doc_id, '$t' AS text" }.mkString}""".stripMargin
+              s"AS doc_id, '$t' AS text" }.mkString("\n  UNION ALL ")}""".stripMargin
     val incSql = PlantedQuoteDocs.drop(1).map { case (i, t) =>
       s"SELECT $i + ${plantOffsetSql("doc_id", "documents")} AS doc_id, " +
         s"'$t' AS text"
@@ -1835,6 +1870,115 @@ object DedupOps {
        |HAVING count(*) >= $MinRunGrams
        |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin
   }
+
+  private val winnowStoredProbeSql =
+    winnowStoredSqlFor(PlantedQuoteDocs.take(1))
+
+  /** The d29 takedown scenario's SECOND archive-side quotation source
+    * (planted at off + 3): it re-uses [[WinnowQuote2]] in its own frame,
+    * so after doc 0's takedown the quote still has a surviving archive
+    * holder — the survivor whose continued verification makes the d29
+    * oracle SELECTIVE (a wholesale drop loses this doc's runs too). */
+  private val PlantedQuoteArchiveDoc: Seq[(Long, String)] =
+    Seq((3L, s"fourth fragment keeps $WinnowQuote2 fourth fragment rests"))
+
+  /** d28 — winnow-index APPEND (d21's discipline at substring grain,
+    * r15 verdict ask #2: the one store that missed the r15 maintenance
+    * sweep could not GROW — an archive that forces a full corpus
+    * refingerprint per crawl): the base artifact indexes the corpus
+    * ONLY; the two-quotation archive doc 0 arrives as an append batch
+    * through [[graft.api.WinnowIndexStore.appendBatch]] (ExportCommit
+    * atomic manifest — replayed batchIds skip), and d24's incoming
+    * batch (docs 1/2, each quoting doc 0) probes base ∪
+    * committedAppends through the SHARED [[winnowProbeAgainst]] plan.
+    * The append is 100% load-bearing: every emitted row names doc 0 as
+    * its archive side (the quotes are nonsense grams — corpus docs
+    * cannot verify a ≥ [[MinRunGrams]]-gram run against them, d23's
+    * established regime), so a lost append batch, a drifted winnow
+    * selection in the append path, or a manifest mis-read empties the
+    * result. d24's oracle transfers verbatim: per-batch vs global
+    * census can differ only on corpus-furniture fps near the fanout
+    * cap, which cannot mint a VERIFIED run (the emitted relation is
+    * the exact-verification output, not the candidate set).
+    *
+    * 100 TB shape: per append, the batch fingerprints ITSELF only
+    * (~1/w of its gram stream) and writes one staged parquet dir; the
+    * probe plans base + committed batch dirs unioned on the uniform fp
+    * key — d29's compaction folds that union away on the janitor
+    * cadence with the census RE-RUN over the union. */
+  def winnowAppendedProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val doc0 = PlantedQuoteDocs.take(1)
+      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text")
+    val archive = docs.unionByName(doc0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d28")
+    val dir = graft.api.WinnowIndexStore.versionedDir(
+      s"$root/base", TextOps.WinnowK, TextOps.WinnowW,
+      java.time.LocalDate.ofEpochDay(0))
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile)
+      graft.api.WinnowIndexStore.save(dir, prunedFingerprintIndex(docs))
+    val appendRoot = s"$root/append"
+    graft.api.WinnowIndexStore.appendBatch(appendRoot, doc0, 0L)
+    winnowProbeAgainst(archive, winnowIncoming(s, docs, off),
+      graft.api.WinnowIndexStore.load(s, dir).unionByName(
+        graft.api.WinnowIndexStore.committedAppends(s, appendRoot)))
+  }
+
+  /** d29 — tombstone DELETE through the winnow-fingerprint index
+    * (d25's posture at substring grain: a taken-down document's
+    * fingerprints must leave the archive, or its content keeps
+    * matching future submissions and the deleted text resurfaces
+    * through plagiarism-review queues — while a quotation ALSO held by
+    * a surviving archive doc must keep verifying): the corpus base +
+    * an append batch carrying BOTH archive-side quotation sources
+    * (doc 0 with both quotes, doc 3 re-using quote 2), a takedown of
+    * HALF the sources (doc 0) committed to the tombstone log
+    * (replay-safe), and [[graft.api.WinnowIndexStore.compactAppends]]
+    * folding base ∪ appends MINUS tombstones into the new versioned
+    * artifact with the fanout census RE-RUN over the union — the probe
+    * of the LOADED COMPACTED store runs with NO tombstone filter.
+    * Expected relation (closed form through the planted geometry):
+    * doc 1's quote-1 runs vanish with doc 0 (its only archive holder);
+    * doc 2's quote-2 runs survive through doc 3 — so an ignored
+    * tombstone resurfaces doc 0 rows, an over-delete/wholesale drop
+    * loses the doc 3 rows, and each breaks the hash. The oracle is the
+    * SAME d24 pipeline with the archive's planted set = the survivors
+    * (doc 3 only). */
+  def winnowTombstonedProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val planted = (PlantedQuoteDocs.take(1) ++ PlantedQuoteArchiveDoc)
+      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text")
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d29")
+    val baseDir = graft.api.WinnowIndexStore.versionedDir(
+      s"$root/base", TextOps.WinnowK, TextOps.WinnowW,
+      java.time.LocalDate.ofEpochDay(0))
+    if (!new java.io.File(s"$baseDir/_SUCCESS").isFile)
+      graft.api.WinnowIndexStore.save(baseDir, prunedFingerprintIndex(docs))
+    val appendRoot = s"$root/append"
+    graft.api.WinnowIndexStore.appendBatch(appendRoot, planted, 0L)
+    val tombRoot = s"$root/tombstones"
+    val takedown = Seq(off + 0L).toDF("doc_id")
+    graft.api.WinnowIndexStore.appendTombstones(tombRoot, takedown, 0L)
+    // at-least-once delivery of the delete event — replay is skipped
+    graft.api.WinnowIndexStore.appendTombstones(tombRoot, takedown, 0L)
+    val outDir = graft.api.WinnowIndexStore.versionedDir(
+      s"$root/compacted", TextOps.WinnowK, TextOps.WinnowW,
+      java.time.LocalDate.ofEpochDay(0))
+    graft.api.WinnowIndexStore.compactAppends(s, baseDir, appendRoot,
+      outDir, Some(tombRoot))
+    // survivors-only archive: candidates can only name index docs
+    val survivors = docs.unionByName(PlantedQuoteArchiveDoc
+      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text"))
+    winnowProbeAgainst(survivors, winnowIncoming(s, docs, off),
+      graft.api.WinnowIndexStore.load(s, outDir))
+  }
+
+  private val winnowTombstonedProbeSql =
+    winnowStoredSqlFor(PlantedQuoteArchiveDoc)
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),
@@ -1888,5 +2032,14 @@ object DedupOps {
     QueryDef("d23_winnow_planted", winnowPlantedDedup,
       Some(winnowPlantedDedupSql)),
     QueryDef("d24_winnow_stored", winnowStoredProbe,
-      Some(winnowStoredProbeSql)))
+      Some(winnowStoredProbeSql)),
+    // d28 probes base ∪ appended with d24's scenario — the oracle
+    // transfers verbatim (the append carries the only archive doc a
+    // verified run can name; see d28 doc)
+    QueryDef("d28_winnow_append", winnowAppendedProbe,
+      Some(winnowStoredProbeSql)),
+    // d29 probes the compacted store AFTER a takedown of half the
+    // archive quotation sources — d24's oracle over the survivors
+    QueryDef("d29_winnow_tombstone", winnowTombstonedProbe,
+      Some(winnowTombstonedProbeSql)))
 }

@@ -419,8 +419,8 @@ object TextOps {
   /** Winnowing parameters shared by t08 and d19's verification grain:
     * k-char grams, window w ⇒ any shared substring of ≥ w + k − 1 = 12
     * chars yields a shared fingerprint (Schleimer et al. 2003, Thm 1). */
-  private[operators] val WinnowK = 5
-  private[operators] val WinnowW = 8
+  private[graft] val WinnowK = 5
+  private[graft] val WinnowW = 8
 
   /** The per-position k-gram hash relation (doc_id, pos, h) — d19's
     * VERIFICATION grain: the exact same gram hash the winnow kernel

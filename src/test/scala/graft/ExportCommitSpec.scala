@@ -277,4 +277,40 @@ class ExportCommitSpec extends SparkSpec {
     assert(m1.toSeq === m2.toSeq)
     assert(m1.map(_.getLong(4)).sum > 0) // the planted increment is visible
   }
+
+  test("CompactionPolicy fires exactly at the threshold and is a no-op below it") {
+    import graft.api.CompactionPolicy
+    val root = java.nio.file.Files.createTempDirectory("policy").toString
+    val a = s"$root/append"
+    val t = s"$root/tomb"
+    def commitOne(r: String, id: Long): Unit = {
+      val staged = ExportCommit.stage(r, id)
+      new java.io.File(staged).mkdirs()
+      ExportCommit.commitBatch(r, id, staged)
+      ()
+    }
+    // empty store: no debt, never due
+    assert(CompactionPolicy.due(a, Some(t), 3, 2) ===
+      CompactionPolicy.Decision(false, 0, 0))
+    // one below the append threshold: not due
+    commitOne(a, 0L); commitOne(a, 1L)
+    assert(CompactionPolicy.due(a, Some(t), 3, 2) ===
+      CompactionPolicy.Decision(false, 2, 0))
+    // AT the append threshold: due (inclusive bound)
+    commitOne(a, 2L)
+    assert(CompactionPolicy.due(a, Some(t), 3, 2) ===
+      CompactionPolicy.Decision(true, 3, 0))
+    // tombstone debt fires independently of append debt
+    commitOne(t, 0L)
+    assert(!CompactionPolicy.due(a, Some(t), 10, 2).due)
+    commitOne(t, 1L)
+    assert(CompactionPolicy.due(a, Some(t), 10, 2) ===
+      CompactionPolicy.Decision(true, 3, 2))
+    // a store without a delete log accrues only append debt
+    assert(!CompactionPolicy.due(a, None, 10, 1).due)
+    // zero thresholds are a misconfiguration, loudly
+    intercept[IllegalArgumentException] {
+      CompactionPolicy.due(a, Some(t), 0, 2)
+    }
+  }
 }

@@ -335,6 +335,71 @@ class StoredIndexSpec extends SparkSpec {
       "fold dropped surviving append rows (over-delete)")
   }
 
+  test("WinnowIndexStore append exactly-once; tombstone fold precedes the re-census") {
+    import graft.api.WinnowIndexStore
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("win_store").toString
+    val baseDir = s"$root/base"
+    WinnowIndexStore.save(baseDir,
+      DedupOps.prunedFingerprintIndex(docs.filter(col("doc_id") % 2 === 0)))
+    val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 100)
+    WinnowIndexStore.appendBatch(s"$root/a", batch, 0L)
+    val n1 = WinnowIndexStore.committedAppends(spark, s"$root/a").count()
+    assert(n1 > 0)
+    WinnowIndexStore.appendBatch(s"$root/a", batch, 0L) // replay: skipped
+    assert(WinnowIndexStore.committedAppends(spark, s"$root/a").count() === n1)
+    // compaction is idempotent; empty manifest folds to the re-censused base
+    WinnowIndexStore.compactAppends(spark, baseDir, s"$root/a", s"$root/out")
+    val c1 = WinnowIndexStore.load(spark, s"$root/out").count()
+    WinnowIndexStore.compactAppends(spark, baseDir, s"$root/a", s"$root/out2")
+    assert(WinnowIndexStore.load(spark, s"$root/out2").count() === c1)
+    WinnowIndexStore.compactAppends(spark, baseDir, s"$root/none", s"$root/out3")
+    assert(WinnowIndexStore.load(spark, s"$root/out3").count() ===
+      WinnowIndexStore.load(spark, baseDir).count())
+    // tombstones leave the folded artifact physically
+    val ids = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 50)
+      .select(col("doc_id"))
+    WinnowIndexStore.appendTombstones(s"$root/t", ids, 0L)
+    WinnowIndexStore.appendTombstones(s"$root/t", ids, 0L) // replay
+    WinnowIndexStore.compactAppends(spark, baseDir, s"$root/a",
+      s"$root/out4", Some(s"$root/t"))
+    val out4 = WinnowIndexStore.load(spark, s"$root/out4")
+    assert(out4.filter(col("doc_id") % 2 === 0 && col("doc_id") < 50)
+      .count() === 0L)
+    assert(out4.filter(col("doc_id") % 2 === 1).count() > 0L,
+      "fold dropped surviving append rows (over-delete)")
+  }
+
+  test("d28 base+appended winnow probe equals the d24 stored probe row-for-row") {
+    val want = DedupOps.winnowStoredProbe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    val got = DedupOps.winnowAppendedProbe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, "append path lost or invented verified runs")
+  }
+
+  test("d29 winnow takedown: quote-1 runs die with doc 0, quote-2 survives via doc 3") {
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val got = DedupOps.winnowTombstonedProbe(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty, "no surviving verified runs - vacuous")
+    // every emitted run names the surviving archive doc 3 and the
+    // incoming quote-2 doc 2; the tombstoned doc 0 never appears
+    assert(got.forall { case (a, b) => a == off + 3 && b == off + 2 })
+    // the compacted artifact physically lacks the tombstoned doc's fps
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "d29")
+    val out = graft.api.WinnowIndexStore.load(spark,
+      graft.api.WinnowIndexStore.versionedDir(s"$root/compacted",
+        graft.operators.TextOps.WinnowK, graft.operators.TextOps.WinnowW,
+        java.time.LocalDate.ofEpochDay(0)))
+    assert(out.filter(col("doc_id") === off + 0L).count() === 0L)
+    assert(out.filter(col("doc_id") === off + 3L).count() > 0L)
+  }
+
   test("s30 streamed takedown serve equals the batch e21 serve row-for-row") {
     val want = graft.operators.EmbeddingOps.annTombstoneServe(spark, sfTiny)
       .collect().map(_.toSeq).toSeq
