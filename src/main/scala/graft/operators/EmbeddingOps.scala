@@ -1217,7 +1217,13 @@ object EmbeddingOps {
     * 100 TB shape: the honor is one ids-sized broadcast anti-join on
     * the code relation — the scoring join still moves M-int rows and
     * nothing else changes. */
-  def annPqTombstoneServe(s: SparkSession, d: String): DataFrame = {
+  /** The double-planted IVF-PQ stack (e21's takedown geometry with
+    * e16's PQ stage: quantizer over [[doublePlantedUnion]], codebooks +
+    * collision-asserted codes) — ONE build shared by e24's batch serve
+    * and s31's streaming query-side serve, so the two takedown serve
+    * paths read identical artifacts (memoized per session). */
+  private[graft] def pqTombBuild(s: SparkSession, d: String)
+      : (IvfIndex, PqModel, DataFrame, Long) = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
     val cells = ivfCellsFor(3L * corpusCount(s, d))
@@ -1235,6 +1241,12 @@ object EmbeddingOps {
       assertNoQueryCodeCollisions(encoded, off)
       encoded
     }
+    (index, pq, codes, off)
+  }
+
+  def annPqTombstoneServe(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (index, pq, codes, off) = pqTombBuild(s, d)
     val tombRoot = indexTmpBase(s, d, "e24") + "/tombstones"
     graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
     adcServe(index, pq,
@@ -1242,8 +1254,9 @@ object EmbeddingOps {
   }
 
   /** e24's oracle: e21's selective closed form minus the cosine column
-    * (the ADC serve emits ids only). */
-  private val tombstonePqServeSql = {
+    * (the ADC serve emits ids only). Shared verbatim by s31's streaming
+    * query-side PQ serve — the batch and live ADC paths cannot drift. */
+  private[graft] val tombstonePqServeSql = {
     val offSql = DedupOps.plantOffsetSql("vec_id", "embeddings")
     s"""SELECT vec_id AS query_id,
       |  CASE WHEN vec_id % ${2 * BatchQueryMod} = 0
@@ -1608,6 +1621,61 @@ object EmbeddingOps {
       centers.value.zipWithIndex
         .map { case (c, i) => (Vectors.sqdist(c, f), i) }
         .sortBy(identity).take(probes).map(_._2).toSeq
+    }
+  }
+
+  /** Per-(app, codebooks) broadcast cache for [[adcLutRowLocal]] —
+    * the [[centerBroadcasts]] discipline for the PQ side. */
+  private val codebookBroadcasts = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    org.apache.spark.broadcast.Broadcast[
+      Array[Array[(Array[Double], Double)]]]]()
+
+  /** ROW-LOCAL ADC lookup-table function over broadcast PQ codebooks:
+    * each query row carries its flattened M×K table of
+    * d2[m][k] = ‖c_mk‖² − 2·q_m·c_mk — the same per-query LUT
+    * [[adcRank]] builds relationally (queries × broadcast centroid
+    * rows), reduced in-row so a STREAMING ADC plan stays stateless:
+    * no per-query LUT join before the candidate join, no window (s29's
+    * posture carried through the quantization). The per-query ‖q_m‖²
+    * terms are constant across candidates and cancel in the argmin,
+    * exactly as in the batch kernel. Kilobytes broadcast (M×K
+    * centroids); the carried column is M×K doubles per query row —
+    * 128 values at the shipped geometry. */
+  private[graft] def adcLutRowLocal(s: SparkSession, pq: PqModel)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.spark.ml.linalg.Vector
+    val key = s"${s.sparkContext.applicationId}|" +
+      pq.models.map(_.uid).mkString(",")
+    val cents = codebookBroadcasts.computeIfAbsent(key, _ =>
+      s.sparkContext.broadcast(
+        pq.models.map(_.clusterCenters.map { c =>
+          val a = c.toArray
+          (a, a.map(v => v * v).sum)
+        }).toArray))
+    udf { f: Vector =>
+      val cs = cents.value
+      val m = cs.length
+      val k = cs(0).length
+      val sub = f.size / m
+      val out = new Array[Double](m * k)
+      var mi = 0
+      while (mi < m) {
+        var ki = 0
+        while (ki < k) {
+          val (c, n2) = cs(mi)(ki)
+          var dot = 0.0
+          var j = 0
+          while (j < sub) {
+            dot += f(mi * sub + j) * c(j)
+            j += 1
+          }
+          out(mi * k + ki) = n2 - 2.0 * dot
+          ki += 1
+        }
+        mi += 1
+      }
+      out.toSeq
     }
   }
 

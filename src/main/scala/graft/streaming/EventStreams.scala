@@ -1008,6 +1008,86 @@ object EventStreams {
       .orderBy(col("query_id"))
   }
 
+  /** s31 — STREAMING QUERY-SIDE PQ/ADC serve (the compressed-corpus
+    * serving fleet's live path, r15 verdict ask #3: s29 witnessed the
+    * raw-IVF query stream — exact cosine on probed cells — but a PQ
+    * fleet serves CODES through the ADC kernel, and that query path
+    * was unwitnessed): the e24 double-planted IVF-PQ artifact is
+    * persisted and LOADED (e17's artifact posture); the selective
+    * takedown set is committed to the tombstone log and honored on the
+    * static side ([[graft.api.IvfStore.minusTombstones]] — the live
+    * path serves the post-takedown corpus); queries arrive as a vector
+    * STREAM and each micro-batch runs stream-static and STATELESS
+    * until the final roll-up:
+    *
+    *  - probe cells assigned ROW-LOCALLY over broadcast centers
+    *    ([[graft.operators.EmbeddingOps.probeCellsRowLocal]] — s29's
+    *    window-free discipline);
+    *  - each query row CARRIES its flattened M×K ADC lookup table
+    *    ([[graft.operators.EmbeddingOps.adcLutRowLocal]] — the same
+    *    per-query LUT the batch kernel builds relationally, reduced
+    *    in-row so no LUT join precedes the candidate join);
+    *  - candidates come from the stream-static cell equi-join against
+    *    the loaded, tombstone-filtered CODES (M small ints per row —
+    *    raw embeddings never ride the scoring join, PQ's point);
+    *  - the ADC sum is M carried-array lookups per candidate, and the
+    *    per-query argmin is ONE complete-mode min(struct(adc, vec_id))
+    *    (queries-sized state, s27/s29's posture).
+    *
+    * The closed form carries through both quantized stages: both twins
+    * hold the query's full code, their ADC ties at the global minimum,
+    * the (adc, vec_id) tie-break picks the first — unless tombstoned,
+    * in which case the +2·off twin must surface. e24's oracle
+    * transfers verbatim: the batch and live ADC paths cannot drift.
+    *
+    * 100 TB shape: per micro-batch, |batch| × IvfProbes cell probes
+    * against codes bucketed by cell (co-located at deployment); the
+    * tombstone honor is one ids-sized broadcast anti-join on the
+    * static side, planned once; state is the answer set itself. */
+  def streamPqServe(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val (index, pq, codes, off) =
+      graft.operators.EmbeddingOps.pqTombBuild(ss, d)
+    val m = graft.operators.EmbeddingOps.PqSubspaces
+    val k = graft.operators.EmbeddingOps.PqCodes
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s31")
+    val dir = graft.api.IvfStore.versionedPqDir(
+      root, index.model.getK, m, k, java.time.LocalDate.ofEpochDay(0))
+    // the artifact is the SERVE'S INPUT, not its work (e23's billing)
+    if (!new java.io.File(s"$dir/codes/_SUCCESS").isFile)
+      graft.api.IvfStore.savePq(dir, index, pq, codes)
+    val (li, lp, lc) = graft.api.IvfStore.loadPq(ss, dir, m)
+    val tombRoot = s"$root/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot,
+      graft.operators.EmbeddingOps.tombstoneIds(base, off), 0L)
+    val servedCodes = graft.api.IvfStore.minusTombstones(lc, ss, tombRoot)
+    val topP = graft.operators.EmbeddingOps.probeCellsRowLocal(
+      ss, li.model, graft.operators.EmbeddingOps.IvfProbes)
+    val lut = graft.operators.EmbeddingOps.adcLutRowLocal(ss, lp)
+    val qStream = readEmbeddings(ss, d)
+      .filter(col("vec_id") %
+        graft.operators.EmbeddingOps.BatchQueryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+          .as("q_feat"))
+      .withColumn("lut", lut(col("q_feat")))
+      .withColumn("cell", explode(topP(col("q_feat"))))
+      .select(col("query_id"), col("lut"), col("cell"))
+    val adcExpr = (0 until m)
+      .map(mi => element_at(col("lut"), col(s"code$mi") + lit(mi * k + 1)))
+      .reduce(_ + _)
+    val cand = qStream.join(servedCodes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc"))
+    val agg = cand.groupBy(col("query_id"))
+      .agg(min(struct(col("adc"), col("vec_id"))).as("m"))
+    runToMemory(agg, "complete", "s31_stream_pq_serve")
+      .select(col("query_id"), col("m.vec_id").as("top1_id"))
+      .orderBy(col("query_id"))
+  }
+
   /** s30 — STREAMING tombstone ingestion (e21 on the live path,
     * completing the r15 takedown lifecycle: deletion events — DMCA
     * notices, GDPR requests, recrawl removals — arrive as a STREAM in
@@ -1344,6 +1424,10 @@ object EventStreams {
     // closed-form serve oracle transfers row-for-row (see s29 doc)
     QueryDef("s29_stream_ann_serve", streamAnnServe,
       Some(graft.operators.EmbeddingOps.annBatchServeSql)),
+    // s31 answers a QUERY stream through the ADC kernel against loaded
+    // tombstone-filtered codes — e24's oracle verbatim (see s31 doc)
+    QueryDef("s31_stream_pq_serve", streamPqServe,
+      Some(graft.operators.EmbeddingOps.tombstonePqServeSql)),
     // s30 streams the TAKEDOWN events into the tombstone log — e21's
     // selective closed-form oracle transfers verbatim (see s30 doc)
     QueryDef("s30_stream_tombstones", streamTombstoneServe,

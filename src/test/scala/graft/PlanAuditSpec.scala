@@ -471,4 +471,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "cell probe regressed to a sort-merge join at verification scale")
   }
+
+  test("s31: the streaming ADC serve plan is window-free and honors tombstones by broadcast") {
+    // audit the BATCH twin of the stream plan (s29's technique): probe
+    // cells + carried LUT row-local, candidates via cell equi-join
+    // against tombstone-filtered codes, ADC as carried-array lookups
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val (index, pq, codes, off) =
+      graft.operators.EmbeddingOps.pqTombBuild(spark, sfTiny)
+    val tombRoot = java.nio.file.Files.createTempDirectory("s31pin").toString
+    graft.api.IvfStore.appendTombstones(tombRoot,
+      graft.operators.EmbeddingOps.tombstoneIds(base, off), 0L)
+    val served = graft.api.IvfStore.minusTombstones(codes, spark, tombRoot)
+    val topP = graft.operators.EmbeddingOps.probeCellsRowLocal(
+      spark, index.model, graft.operators.EmbeddingOps.IvfProbes)
+    val lutU = graft.operators.EmbeddingOps.adcLutRowLocal(spark, pq)
+    val m = graft.operators.EmbeddingOps.PqSubspaces
+    val k = graft.operators.EmbeddingOps.PqCodes
+    val adcExpr = (0 until m)
+      .map(mi => element_at(col("lut"), col(s"code$mi") + lit(mi * k + 1)))
+      .reduce(_ + _)
+    val q = base.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"),
+        graft.operators.EmbeddingOps.toFeatures(col("embedding")).as("qf"))
+      .withColumn("lut", lutU(col("qf")))
+      .withColumn("cell", explode(topP(col("qf"))))
+      .join(served, Seq("cell"))
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "row-local ADC plan grew a window")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      "tombstone anti-join is not a broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "ADC candidate join regressed to a sort-merge join at verification scale")
+  }
 }

@@ -400,6 +400,32 @@ class StoredIndexSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === off + 3L).count() > 0L)
   }
 
+  test("s31 streamed PQ/ADC serve equals the batch e24 serve row-for-row") {
+    val want = graft.operators.EmbeddingOps.annPqTombstoneServe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.streaming.EventStreams.streamPqServe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got === want,
+      "streamed and batch ADC takedown serve paths disagree")
+    // selectivity: every other query's top-1 flipped to the second twin
+    val off = {
+      val r = got.collect {
+        case Seq(q: Long, t: Long) if t != q => (q, t)
+      }
+      r.collectFirst { case (q, t)
+        if q % (2 * graft.operators.EmbeddingOps.BatchQueryMod) != 0 =>
+          t - q }.get
+    }
+    got.foreach { case Seq(q: Long, t: Long) =>
+      val expected =
+        if (q % (2 * graft.operators.EmbeddingOps.BatchQueryMod) == 0)
+          q + 2 * off
+        else q + off
+      assert(t === expected, s"query $q served $t, expected $expected")
+    }
+  }
+
   test("s30 streamed takedown serve equals the batch e21 serve row-for-row") {
     val want = graft.operators.EmbeddingOps.annTombstoneServe(spark, sfTiny)
       .collect().map(_.toSeq).toSeq
