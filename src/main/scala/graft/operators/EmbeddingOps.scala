@@ -1266,6 +1266,57 @@ object EmbeddingOps {
       |ORDER BY query_id""".stripMargin
   }
 
+  /** e25 — tombstone DELETE folded PHYSICALLY by PQ compaction (e22's
+    * posture for the COMPRESSED corpus, r15 ADVICE: compactPqAppends'
+    * tombstoneRoot branch — including the assigned-side anti-join —
+    * had no caller, so drift in exactly the path a PQ fleet's janitor
+    * runs would go unnoticed): the base IVF-PQ artifact is persisted,
+    * BOTH planted copies arrive as PQ-CODED append batches through
+    * [[graft.api.IvfStore.appendPqBatch]] (loaded quantizer + loaded
+    * codebooks, no refit — committed rows are M small ints), the
+    * selective takedown set commits to the log, and
+    * [[graft.api.IvfStore.compactPqAppends]] folds codes ∪ appends
+    * MINUS tombstones into ONE new versioned artifact — tombstoned
+    * rows leave BOTH sides (codes/ and assigned/; a takedown surviving
+    * in either is not a delete). The ADC serve against the LOADED
+    * COMPACTED artifact runs with NO tombstone filter, so a fold that
+    * leaves any tombstoned code row resurfaces the first twin and
+    * breaks the hash; e24's selective closed form otherwise transfers
+    * verbatim (the logical and physical PQ delete paths must agree
+    * row-for-row).
+    *
+    * 100 TB shape: e23's fold (union-scan + rewrite over M-small-int
+    * code rows, janitor cadence) plus one ids-sized broadcast
+    * anti-join per side; the serve plans ONE codes relation again. */
+  def annPqTombstoneCompact(s: SparkSession, d: String): DataFrame = {
+    val (index, pq, codes, off) = pqBaseBuild(s, d)
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cells = index.model.getK
+    val root = indexTmpBase(s, d, "e25")
+    val baseDir = graft.api.IvfStore.versionedPqDir(
+      s"$root/base", cells, PqSubspaces, PqCodes, IndexDate)
+    // the base artifact is the compactor's INPUT (e23's billing)
+    if (!new java.io.File(s"$baseDir/codes/_SUCCESS").isFile)
+      graft.api.IvfStore.savePq(baseDir, index, pq, codes)
+    val (li, lp, _) = graft.api.IvfStore.loadPq(s, baseDir, PqSubspaces)
+    val appendRoot = s"$root/append"
+    graft.api.IvfStore.appendPqBatch(appendRoot,
+      base.select((col("vec_id") + lit(off)).as("vec_id"), col("embedding")),
+      0L, li.model, lp)
+    graft.api.IvfStore.appendPqBatch(appendRoot,
+      base.select((col("vec_id") + lit(2 * off)).as("vec_id"),
+        col("embedding")),
+      1L, li.model, lp)
+    val tombRoot = s"$root/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
+    val outDir = graft.api.IvfStore.versionedPqDir(
+      s"$root/compacted", cells, PqSubspaces, PqCodes, IndexDate)
+    graft.api.IvfStore.compactPqAppends(s, baseDir, appendRoot, outDir,
+      PqSubspaces, Some(tombRoot))
+    val (ci, cp, cc) = graft.api.IvfStore.loadPq(s, outDir, PqSubspaces)
+    adcServe(ci, cp, cc, off)
+  }
+
   /** e22 — tombstone DELETE folded PHYSICALLY by compaction (e21's log
     * honored by e20's fold): base index stored, BOTH planted copies
     * committed as separate append batches through the shared
@@ -1996,6 +2047,10 @@ object EmbeddingOps {
     // e24 honors the log on the ADC (compressed-corpus) serve — e21's
     // selective closed form carries through the quantization
     QueryDef("e24_pq_tombstone_serve", annPqTombstoneServe,
+      Some(tombstonePqServeSql)),
+    // e25 folds the log PHYSICALLY through PQ compaction and serves the
+    // loaded artifact with NO tombstone filter — e24's oracle verbatim
+    QueryDef("e25_pq_tombstone_compact", annPqTombstoneCompact,
       Some(tombstonePqServeSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),

@@ -50,6 +50,83 @@ class IvfStoreSpec extends SparkSpec {
     assert(b === a)
   }
 
+  test("e25 PQ tombstone compaction: deleted ids leave codes/ AND assigned/; serve agrees with e24") {
+    // the row itself (also builds the compacted artifact for inspection)
+    val got = EmbeddingOps.annPqTombstoneCompact(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    // the logical (e24 serve-time anti-join) and physical (fold) PQ
+    // delete paths must agree row-for-row
+    val want = EmbeddingOps.annPqTombstoneServe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, "PQ fold and PQ serve-time delete paths disagree")
+    // physical absence on BOTH sides of the compacted artifact
+    val emb = baseEmb
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(emb, "vec_id"))
+    val tombs = EmbeddingOps.tombstoneIds(emb, off).localCheckpoint()
+    val nTombs = tombs.count()
+    assert(nTombs > 0)
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e25")
+    val cells = graft.operators.EmbeddingOps.ivfCellsFor(emb.count())
+    val outDir = IvfStore.versionedPqDir(s"$root/compacted", cells,
+      EmbeddingOps.PqSubspaces, EmbeddingOps.PqCodes,
+      java.time.LocalDate.ofEpochDay(0))
+    val (ci, _, cc) = IvfStore.loadPq(spark, outDir, EmbeddingOps.PqSubspaces)
+    assert(cc.join(tombs, Seq("vec_id")).count() === 0L,
+      "tombstoned code rows survived the PQ fold")
+    assert(ci.assigned.join(tombs, Seq("vec_id")).count() === 0L,
+      "tombstoned assigned rows survived the PQ fold")
+    // no over-delete: every surviving second twin is present in codes/
+    assert(cc.filter(col("vec_id") >= 2 * off).count() > 0L)
+    assert(cc.join(tombs.select((col("vec_id") + off).as("vec_id")),
+      Seq("vec_id")).count() === nTombs,
+      "the +2*off twins of tombstoned rows must survive the fold")
+  }
+
+  test("snapshot isolation: a serve pinned to version N is identical before and after N+1 lands") {
+    // versioned dirs are IMMUTABLE is asserted throughout the store
+    // docs — this witnesses it (r15 verdict ask #5): a reader pinned to
+    // version N (the loaded handle of a serving job) must see
+    // byte-identical results before and after the janitor's compaction
+    // writes version N+1, and a RE-LOAD of N must agree too — the
+    // reader-isolation guarantee every lakehouse table format makes.
+    val base = baseEmb
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(base, "vec_id"))
+    val union = base.unionByName(
+      base.select((col("vec_id") + off).as("vec_id"), col("embedding")))
+    val index = EmbeddingOps.ivfBuild(union, cells = 4)
+    val root = tmp("snap")
+    val v0 = IvfStore.versionedDir(root, 4, java.time.LocalDate.ofEpochDay(0))
+    IvfStore.save(v0, index)
+    val pinned = IvfStore.load(spark, v0)
+    val r1 = EmbeddingOps.batchServeAgainst(pinned, off)
+      .collect().map(_.toSeq).toSeq
+    assert(r1.nonEmpty)
+    // version N+1: an append + a takedown folded into a NEW versioned
+    // dir while the pinned reader is live
+    val appendRoot = s"$root/append"
+    IvfStore.appendBatch(appendRoot,
+      base.select((col("vec_id") + 3 * off).as("vec_id"), col("embedding")),
+      0L, pinned.model)
+    val tombRoot = s"$root/tombstones"
+    IvfStore.appendTombstones(tombRoot,
+      base.limit(5).select(col("vec_id")).localCheckpoint(), 0L)
+    val v1 = IvfStore.versionedDir(root, 4, java.time.LocalDate.ofEpochDay(1))
+    IvfStore.compactAppends(spark, v0, appendRoot, v1, Some(tombRoot))
+    // the compaction DID change state at N+1...
+    assert(IvfStore.load(spark, v1).assigned.count() !==
+      pinned.assigned.count())
+    // ...and the pinned handle AND a re-load of N are unchanged
+    val r2 = EmbeddingOps.batchServeAgainst(pinned, off)
+      .collect().map(_.toSeq).toSeq
+    assert(r2 === r1, "a serve pinned to version N drifted after N+1 landed")
+    val r3 = EmbeddingOps.batchServeAgainst(IvfStore.load(spark, v0), off)
+      .collect().map(_.toSeq).toSeq
+    assert(r3 === r1, "a re-load of version N drifted after N+1 landed")
+  }
+
   test("e15 append assigns every increment twin to its original's cell (no refit)") {
     val res = EmbeddingOps.annIndexAppend(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
