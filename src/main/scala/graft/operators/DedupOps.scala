@@ -1093,7 +1093,7 @@ object DedupOps {
     * `documents`) and twice by d17 (stored corpus + incoming batch, via
     * the rel/sfx parameters) so a slicing change breaks every passage
     * hash together. */
-  private def passageCtesSqlFor(rel: String, sfx: String): String =
+  private[operators] def passageCtesSqlFor(rel: String, sfx: String): String =
     s"""toks$sfx AS (SELECT doc_id, string_split(text, ' ') AS ts
        |              FROM $rel),
        |u$sfx AS (SELECT doc_id, ts,
@@ -1443,7 +1443,7 @@ object DedupOps {
     * (d16's boilerplate business — its strip removes it anyway), not a
     * quotation, and would pair-join quadratically. The same
     * degenerate-key discipline as the LSH banded joins. */
-  private val MaxRunFanoutDocs = 32L
+  private[operators] val MaxRunFanoutDocs = 32L
 
   /** d18 — passage-RUN grain dedup (r11 verdict ask #6): maximal runs
     * of ≥ 2 CONSECUTIVE shared passages between document pairs — the

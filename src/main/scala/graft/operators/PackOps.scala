@@ -1217,6 +1217,254 @@ object PackOps {
        |  CAST(count(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS n_deleted
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** The c07 single-surface audit row: ONE takedown log joined against
+    * the surface's PRE (artifact before the fold) and POST (loaded
+    * folded artifact) relations, reduced to the flags the composed
+    * oracle states closed-form. The log is ids-sized and broadcast;
+    * each audit is two scans + one 1-row × 1-row join (the
+    * constant-sized cross the engine's 1-row-aggregate rows already
+    * use). `reportN = false` for the LSH surface: band rows are
+    * engine-hash values no SQL oracle can recount, so it reports the
+    * flags only (its planted serve-path witness is d25's row) and
+    * n_after = -1 by convention. */
+  private def forgottenSurfaceRow(surface: String, pre: DataFrame,
+      post: DataFrame, key: String, tombs: DataFrame,
+      reportN: Boolean): DataFrame = {
+    val t = broadcast(tombs.select(col(key)).withColumn("__t", lit(1L)))
+    val preAgg = pre.join(t, Seq(key), "left")
+      .agg(coalesce(max(col("__t")), lit(0L)).as("hb"))
+    val postAgg = post.join(t, Seq(key), "left")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("nfa"),
+        count(lit(1)).as("na"))
+    preAgg.crossJoin(postAgg).select(
+      lit(surface).as("surface"),
+      (col("hb") === 1L).as("had_forgotten_before"),
+      col("nfa").cast("long").as("n_forgotten_after"),
+      (col("na") > 0L).as("survivors_present"),
+      (if (reportN) col("na").cast("long") else lit(-1L)).as("n_after"))
+  }
+
+  /** c07 — composed RIGHT-TO-BE-FORGOTTEN audit (r15 verdict ask #4:
+    * the takedown lifecycle was witnessed per-store — e21/e22/e24/e25,
+    * d25/d27/d29, p15, s30/s31 — but no single row propagated ONE
+    * takedown set through EVERY store and proved absence everywhere at
+    * once, which is the audit a data-protection officer actually
+    * requests): the forgotten principals are ids ≡ 0 mod 10 — the SAME
+    * set in both key spaces (doc_id for the document-keyed stores,
+    * vec_id for the vector-keyed ones) — committed ONCE per key space
+    * through the shared manifest protocol, folded PHYSICALLY through
+    * each store's own compaction path, and audited per surface with NO
+    * tombstone filter on the read:
+    *
+    *   - export_shards — p15's shard-selective rewrite (affected
+    *     shards from the log alone; unaffected shards keep their
+    *     original committed files), audited over the COMPOSED payload;
+    *   - ivf_assigned / pq_codes — [[graft.api.IvfStore]]'s
+    *     compactAppends / compactPqAppends tombstone folds (e22/e25's
+    *     machinery, empty append manifests);
+    *   - lsh_bands / winnow_index / passage_index — the three
+    *     document-grain index stores' folds (d25/d29/d27's machinery).
+    *
+    * One row per surface: `had_forgotten_before` (the set was really
+    * IN the store — absence is not vacuous), `n_forgotten_after` (MUST
+    * be 0: the flag the oracle states closed-form), `survivors_present`
+    * (a wholesale drop is not a delete), and `n_after` — the exact
+    * surviving row count, stated closed-form by the oracle for every
+    * surface whose artifact is SQL-reproducible (deletes only SHRINK
+    * census counts, so the post-fold re-census prunes nothing new and
+    * the survivor filter commutes with the build); the LSH band count
+    * is engine-hash territory and reports -1 (flags still audited).
+    * `had_forgotten_before` = TRUE is closed-form for the exact-count
+    * surfaces and corpus-measured for lsh/winnow (a tenth of the
+    * corpus with ≥ 3 tokens never loses ALL its band rows to the
+    * bucket cap at any shipped SF — d25's planted receipts pin the
+    * mechanism).
+    *
+    * c04's composition discipline applied to deletion: every leg is
+    * the REGISTERED store's own API — drift in any fold breaks this
+    * row's hash together with the per-store row.
+    *
+    * 100 TB shape: the logs are ids-sized (broadcast everywhere); the
+    * folds are the compactions the janitor was already paying for
+    * (here session-billed as the audit's INPUT artifacts, e23's
+    * billing); the audit itself is one scan per surface with an
+    * ids-sized broadcast join — nothing corpus-sized moves twice. */
+  def rightToBeForgotten(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ExportCommit
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "c07")
+    val docTombs = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    val vecTombs = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+    // ONE takedown set, committed once per key space (replay-safe)
+    val docTombRoot = s"$root/tomb_docs"
+    val vecTombRoot = s"$root/tomb_vecs"
+    graft.api.LshIndexStore.appendTombstones(docTombRoot, docTombs, 0L)
+    graft.api.IvfStore.appendTombstones(vecTombRoot, vecTombs, 0L)
+    def guarded(marker: String)(build: => Unit): Unit =
+      if (!new java.io.File(marker).isFile) build
+    val date = java.time.LocalDate.ofEpochDay(0)
+
+    // ---- lsh_bands (d25's fold; flags only — see forgottenSurfaceRow)
+    val lshBase = s"$root/lsh_base"
+    val lshOut = s"$root/lsh_out"
+    guarded(s"$lshBase/_SUCCESS") {
+      graft.api.LshIndexStore.save(lshBase, DedupOps.prunedBandIndex(docs))
+    }
+    guarded(s"$lshOut/_SUCCESS") {
+      graft.api.LshIndexStore.compactAppends(s, lshBase, s"$root/lsh_none",
+        lshOut, Some(docTombRoot))
+    }
+
+    // ---- winnow_index (d29's fold)
+    val winBase = s"$root/win_base"
+    val winOut = s"$root/win_out"
+    guarded(s"$winBase/_SUCCESS") {
+      graft.api.WinnowIndexStore.save(winBase,
+        DedupOps.prunedFingerprintIndex(docs))
+    }
+    guarded(s"$winOut/_SUCCESS") {
+      graft.api.WinnowIndexStore.compactAppends(s, winBase, s"$root/win_none",
+        winOut, Some(docTombRoot))
+    }
+
+    // ---- passage_index (d27's fold)
+    val pasBase = s"$root/pas_base"
+    val pasOut = s"$root/pas_out"
+    guarded(s"$pasBase/_SUCCESS") {
+      graft.api.PassageIndexStore.save(pasBase, DedupOps.passageHashIndex(docs))
+    }
+    guarded(s"$pasOut/_SUCCESS") {
+      graft.api.PassageIndexStore.compactAppends(s, pasBase, s"$root/pas_none",
+        pasOut, Some(docTombRoot))
+    }
+
+    // ---- ivf_assigned (e22's fold; the shared base-corpus quantizer)
+    val cells = EmbeddingOps.ivfCellsFor(EmbeddingOps.corpusCount(s, d))
+    val ivfIndex = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      EmbeddingOps.ivfBuild(emb, cells)
+    }
+    val ivfBase = graft.api.IvfStore.versionedDir(s"$root/ivf_base", cells, date)
+    val ivfOut = graft.api.IvfStore.versionedDir(s"$root/ivf_out", cells, date)
+    guarded(s"$ivfBase/assigned/_SUCCESS") {
+      graft.api.IvfStore.save(ivfBase, ivfIndex)
+    }
+    guarded(s"$ivfOut/assigned/_SUCCESS") {
+      graft.api.IvfStore.compactAppends(s, ivfBase, s"$root/ivf_none",
+        ivfOut, Some(vecTombRoot))
+    }
+
+    // ---- pq_codes (e25's fold; the shared base-posture PQ stack)
+    val (pqIndex, pqModel, pqCodes, _) = EmbeddingOps.pqBaseBuild(s, d)
+    val m = EmbeddingOps.PqSubspaces
+    val pqBase = graft.api.IvfStore.versionedPqDir(s"$root/pq_base",
+      cells, m, EmbeddingOps.PqCodes, date)
+    val pqOut = graft.api.IvfStore.versionedPqDir(s"$root/pq_out",
+      cells, m, EmbeddingOps.PqCodes, date)
+    guarded(s"$pqBase/codes/_SUCCESS") {
+      graft.api.IvfStore.savePq(pqBase, pqIndex, pqModel, pqCodes)
+    }
+    guarded(s"$pqOut/codes/_SUCCESS") {
+      graft.api.IvfStore.compactPqAppends(s, pqBase, s"$root/pq_none",
+        pqOut, m, Some(vecTombRoot))
+    }
+
+    // ---- export_shards (p15's shard-selective rewrite, composed view)
+    val shardsRoot = s"$root/shards"
+    val rewriteRoot = s"$root/rewrite"
+    val assigned = exportAssigned(docs)
+    if (!ExportCommit.isCommitted(shardsRoot, 0L)) {
+      val st = ExportCommit.stage(shardsRoot, 0L)
+      assigned.write.partitionBy("shard").option("compression", "gzip").json(st)
+      ExportCommit.commitBatch(shardsRoot, 0L, st)
+    }
+    val tombsRead = graft.api.LshIndexStore.committedTombstones(s, docTombRoot)
+      .localCheckpoint() // ids-sized; consumed by the audits below
+    val shardOf = (shuffleKey(col("doc_id"), ShuffleSeed) % EpochShards)
+      .as("shard")
+    val affected = tombsRead.select(shardOf).distinct().localCheckpoint()
+    if (!ExportCommit.isCommitted(rewriteRoot, 0L)) {
+      val survivors = ExportCommit.readCommitted(s, shardsRoot, assigned.schema)
+        .join(broadcast(affected), Seq("shard"), "left_semi")
+        .join(tombsRead, Seq("doc_id"), "left_anti")
+      val st = ExportCommit.stage(rewriteRoot, 0L)
+      survivors.write.partitionBy("shard").option("compression", "gzip")
+        .json(st)
+      ExportCommit.commitBatch(rewriteRoot, 0L, st)
+    }
+    val exportPre = ExportCommit.readCommitted(s, shardsRoot, assigned.schema)
+    val exportPost = exportPre
+      .join(broadcast(affected), Seq("shard"), "left_anti")
+      .unionByName(ExportCommit.readCommitted(s, rewriteRoot, assigned.schema))
+
+    // ---- the composed audit: one row per surface
+    forgottenSurfaceRow("export_shards", exportPre, exportPost,
+        "doc_id", tombsRead, reportN = true)
+      .unionByName(forgottenSurfaceRow("ivf_assigned",
+        graft.api.IvfStore.load(s, ivfBase).assigned,
+        graft.api.IvfStore.load(s, ivfOut).assigned,
+        "vec_id", vecTombs, reportN = true))
+      .unionByName(forgottenSurfaceRow("pq_codes",
+        graft.api.IvfStore.loadPq(s, pqBase, m)._3,
+        graft.api.IvfStore.loadPq(s, pqOut, m)._3,
+        "vec_id", vecTombs, reportN = true))
+      .unionByName(forgottenSurfaceRow("lsh_bands",
+        graft.api.LshIndexStore.load(s, lshBase),
+        graft.api.LshIndexStore.load(s, lshOut),
+        "doc_id", tombsRead, reportN = false))
+      .unionByName(forgottenSurfaceRow("winnow_index",
+        graft.api.WinnowIndexStore.load(s, winBase),
+        graft.api.WinnowIndexStore.load(s, winOut),
+        "doc_id", tombsRead, reportN = true))
+      .unionByName(forgottenSurfaceRow("passage_index",
+        graft.api.PassageIndexStore.load(s, pasBase),
+        graft.api.PassageIndexStore.load(s, pasOut),
+        "doc_id", tombsRead, reportN = true))
+      .orderBy(col("surface"))
+  }
+
+  /** c07's oracle: the six surfaces' closed forms. Deletes only SHRINK
+    * the census doc-counts, so the engine's post-fold re-census prunes
+    * nothing beyond the build-time census and the survivor filter
+    * commutes with the build — the winnow/passage counts are therefore
+    * (full-census artifact) restricted to surviving docs. */
+  private val rightToBeForgottenSql = {
+    val passCtes = DedupOps.passageCtesSqlFor("documents", "_pg")
+    val winCtes = graft.operators.TextOps.winnowCtesSqlFor("documents", "_wn")
+    s"""WITH $passCtes,
+       |$winCtes,
+       |pidx AS (SELECT DISTINCT doc_id, md5(passage) AS h FROM ch_pg),
+       |wok AS (SELECT fp FROM fps_wn GROUP BY fp
+       |        HAVING count(DISTINCT doc_id) <= ${DedupOps.MaxRunFanoutDocs}),
+       |widx AS (SELECT f.doc_id FROM fps_wn f JOIN wok USING (fp)),
+       |surfaces AS (
+       |  SELECT 'export_shards' AS surface, TRUE AS had_forgotten_before,
+       |    CAST(0 AS BIGINT) AS n_forgotten_after,
+       |    TRUE AS survivors_present,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+       |     WHERE doc_id % 10 <> 0) AS n_after
+       |  UNION ALL
+       |  SELECT 'ivf_assigned', TRUE, CAST(0 AS BIGINT), TRUE,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+       |     WHERE vec_id % 10 <> 0)
+       |  UNION ALL
+       |  SELECT 'pq_codes', TRUE, CAST(0 AS BIGINT), TRUE,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+       |     WHERE vec_id % 10 <> 0)
+       |  UNION ALL
+       |  SELECT 'lsh_bands', TRUE, CAST(0 AS BIGINT), TRUE,
+       |    CAST(-1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'winnow_index', TRUE, CAST(0 AS BIGINT), TRUE,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM widx WHERE doc_id % 10 <> 0)
+       |  UNION ALL
+       |  SELECT 'passage_index', TRUE, CAST(0 AS BIGINT), TRUE,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM pidx WHERE doc_id % 10 <> 0))
+       |SELECT surface, had_forgotten_before, n_forgotten_after,
+       |  survivors_present, n_after
+       |FROM surfaces ORDER BY surface""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
@@ -1240,6 +1488,10 @@ object PackOps {
       Some(exportManifestSql)),
     QueryDef("p12_incremental_export", incrementalExport,
       Some(incrementalExportSql)),
+    // c07 propagates ONE takedown set through all six artifact
+    // surfaces and proves absence everywhere at once (see doc)
+    QueryDef("c07_right_to_be_forgotten", rightToBeForgotten,
+      Some(rightToBeForgottenSql)),
     QueryDef("p15_tombstone_export", tombstoneExport,
       Some(tombstoneExportSql)))
 }

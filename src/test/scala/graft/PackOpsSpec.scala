@@ -487,4 +487,27 @@ class PackOpsSpec extends SparkSpec {
     val out2 = PackOps.tombstoneExport(spark, sfTiny).collect().map(_.toSeq).toSeq
     assert(out2 === out)
   }
+
+  test("c07 right-to-be-forgotten: every surface forgets the same ids, audibly, idempotently") {
+    val out = PackOps.rightToBeForgotten(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSeq
+    assert(out.map(_._1) === Seq("export_shards", "ivf_assigned",
+      "lsh_bands", "passage_index", "pq_codes", "winnow_index"))
+    out.foreach { case (surface, hadBefore, nForgotten, survivors, nAfter) =>
+      assert(hadBefore, s"$surface: takedown set absent pre-delete (vacuous)")
+      assert(nForgotten === 0L, s"$surface: forgot nothing")
+      assert(survivors, s"$surface: wholesale drop is not a delete")
+      if (surface == "lsh_bands") assert(nAfter === -1L)
+      else assert(nAfter > 0L, s"$surface: no surviving rows reported")
+    }
+    // the two vector surfaces audit the SAME survivor universe
+    val byName = out.map(r => r._1 -> r._5).toMap
+    assert(byName("ivf_assigned") === byName("pq_codes"))
+    // re-run reads the session-billed artifacts: identical audit
+    val out2 = PackOps.rightToBeForgotten(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSeq
+    assert(out2 === out)
+  }
 }
