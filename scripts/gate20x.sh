@@ -15,7 +15,9 @@
 # artifact round-trip, top-k serving bound, streaming index append /
 # LSH probe, and the planted multi-script card; r15 adds the tombstone
 # family, PQ compaction, query-side streaming serve, LSH maintenance,
-# and the planted/stored winnow rows) — their oracles
+# and the planted/stored winnow rows; r16 adds the passage/winnow store
+# maintenance rows, the PQ tombstone fold, the streaming ADC serve, and
+# the composed right-to-be-forgotten audit) — their oracles
 # recompute on the synthetic corpus, so they are checkable at any
 # scale; they are here because they are cheap enough to afford.
 #
@@ -54,7 +56,10 @@ e19_ivfpq_rerank,e20_index_compact,s28_stream_pq_append,\
 e21_tombstone_serve,e22_tombstone_compact,e23_pq_compact,\
 s29_stream_ann_serve,d21_lsh_append,d22_lsh_compact,\
 d23_winnow_planted,d24_winnow_stored,p15_tombstone_export,\
-d25_lsh_tombstone,s30_stream_tombstones,e24_pq_tombstone_serve"
+d25_lsh_tombstone,s30_stream_tombstones,e24_pq_tombstone_serve,\
+d26_passage_append,d27_passage_tombstone,d28_winnow_append,\
+d29_winnow_tombstone,e25_pq_tombstone_compact,s31_stream_pq_serve,\
+c07_right_to_be_forgotten"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -53,7 +53,14 @@ object ScaleProbe {
     // artifact rewrite — the physical-delete cost claim under test)
     // and the query-side streaming serve (stream-static cell probe +
     // complete-mode argmax — the live retrieval path)
-    "e22_tombstone_compact", "s29_stream_ann_serve")
+    "e22_tombstone_compact", "s29_stream_ann_serve",
+    // r16 additions: the streaming query-side PQ/ADC serve (carried
+    // row-local LUT + stream-static codes join + tombstone anti-join —
+    // the compressed live-retrieval path's full cost) and the
+    // passage-index tombstone fold (set-maintenance compaction + the
+    // stored-membership probe — the "index survives 100x without a
+    // corpus re-tokenize" claim under test)
+    "s31_stream_pq_serve", "d27_passage_tombstone")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

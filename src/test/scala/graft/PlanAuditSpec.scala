@@ -472,6 +472,30 @@ class PlanAuditSpec extends SparkSpec {
       "cell probe regressed to a sort-merge join at verification scale")
   }
 
+  test("d17: the probe's index side is a scan of the LOADED passage store") {
+    // r15 verdict ask #7: d17 must plan batch ⋈ LOADED artifact — the
+    // index side is a parquet scan of the PassageIndexStore dir, never
+    // a second full-corpus tokenize. Build once (session-billed), then
+    // pin the steady-state plan.
+    graft.operators.DedupOps.incrementalPassageDedup(spark, sfTiny).collect()
+    val dir = graft.api.PassageIndexStore.versionedDir(
+      graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "d17"),
+      graft.operators.DedupOps.PassageTokens,
+      java.time.LocalDate.ofEpochDay(0))
+    assert(new java.io.File(s"$dir/_SUCCESS").isFile,
+      "d17 did not persist its passage index")
+    val p = graft.operators.DedupOps.incrementalPassageDedup(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    // (the plan string truncates long paths — match the artifact-root
+    // tag, which survives truncation)
+    assert(p.contains("graft_d17"),
+      s"d17's index side does not scan the passage store:\n$p")
+    // column pruning reaches the store scan: the membership probe needs
+    // the hash only, so doc_id must not ride the probe-side read
+    assert(p.contains("struct<h:string>"),
+      s"d17's store scan does not prune to the hash column:\n$p")
+  }
+
   test("s31: the streaming ADC serve plan is window-free and honors tombstones by broadcast") {
     // audit the BATCH twin of the stream plan (s29's technique): probe
     // cells + carried LUT row-local, candidates via cell equi-join
