@@ -1075,7 +1075,7 @@ object DedupOps {
 
   /** Frame-parametric form of [[passageInstances]] — d17 slices BOTH the
     * stored corpus and an incoming batch with the same definition. */
-  private def passageInstancesFrom(documents: DataFrame): DataFrame =
+  private[graft] def passageInstancesFrom(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"),
@@ -1350,7 +1350,7 @@ object DedupOps {
        |        / count(*), 6) AS known_frac
        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  private val incrementalPassageDedupSql = incrementalPassageSqlWhere("")
+  private[graft] val incrementalPassageDedupSql = incrementalPassageSqlWhere("")
 
   /** d26 — passage-index APPEND (d21's discipline at passage grain,
     * r15 verdict ask #1: the store must GROW without a full-corpus
@@ -1531,7 +1531,7 @@ object DedupOps {
     * a shared span of L chars yields ~(L−k+1)/w selections — ≥ 4
     * distinct shared fingerprints corresponds to a span on the order
     * of MinRunGrams, modulo distinct-hash collapse. */
-  private val MinSharedFingerprints = 4L
+  private[graft] val MinSharedFingerprints = 4L
 
   /** d19 verification threshold: a reported run must cover ≥ this many
     * consecutive matched gram positions ⇒ a verbatim shared substring
@@ -1979,6 +1979,36 @@ object DedupOps {
 
   private val winnowTombstonedProbeSql =
     winnowStoredSqlFor(PlantedQuoteArchiveDoc)
+
+  /** The s33 oracle: d24's CANDIDATE GATE relation — the (archive doc,
+    * incoming doc, shared-fingerprint count) queue the screening stage
+    * hands the exact verifier, over the same arch/inc/census CTEs as
+    * the stored-probe oracle (one slicing definition; a census or
+    * selection drift breaks both rows together). */
+  private[graft] val winnowStreamGateSql = {
+    val archSql =
+      s"""SELECT doc_id, text FROM documents
+         |  UNION ALL ${PlantedQuoteDocs.take(1).map { case (i, t) =>
+            s"SELECT $i + ${plantOffsetSql("doc_id", "documents")} " +
+              s"AS doc_id, '$t' AS text" }.mkString}""".stripMargin
+    val incSql = PlantedQuoteDocs.drop(1).map { case (i, t) =>
+      s"SELECT $i + ${plantOffsetSql("doc_id", "documents")} AS doc_id, " +
+        s"'$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH arch AS ($archSql),
+       |inc AS ($incSql),
+       |${TextOps.winnowCtesSqlFor("arch", "_ar")},
+       |${TextOps.winnowCtesSqlFor("inc", "_in")},
+       |wok AS (SELECT fp FROM fps_ar GROUP BY fp
+       |        HAVING count(DISTINCT doc_id) <= $MaxRunFanoutDocs),
+       |widx AS (SELECT f.doc_id, f.fp FROM fps_ar f JOIN wok USING (fp))
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS nsh
+       |FROM widx x JOIN fps_in y ON x.fp = y.fp
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $MinSharedFingerprints
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_exact_dedup", exactDedup, Some(exactDedupSql)),

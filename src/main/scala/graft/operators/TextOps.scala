@@ -452,6 +452,12 @@ object TextOps {
   }
 
   private[graft] def winnowFrom(documents: DataFrame): DataFrame =
+    winnowFromUnordered(documents).orderBy(col("doc_id"), col("fp"))
+
+  /** [[winnowFrom]] without the final sort — the STREAM-side variant
+    * (a sort is illegal on an unaggregated stream; the selection is a
+    * set, so ordering is presentation only). */
+  private[graft] def winnowFromUnordered(documents: DataFrame): DataFrame =
     // Whole-doc codegen'd kernel ([[graft.expressions.WinnowFingerprints]]):
     // clean → per-doc fingerprint SET in one map-only pass — no
     // per-position row explosion, no window sort, no distinct exchange
@@ -465,7 +471,6 @@ object TextOps {
       .select(col("doc_id"),
         explode(graft.expressions.WinnowFingerprints.winnowFingerprints(
           TextFunctions.cleanText(col("text")), WinnowK, WinnowW)).as("fp"))
-      .orderBy(col("doc_id"), col("fp"))
 
   /** Shared CTE prefix c/p/h/m/fps ≙ [[gramHashes]] (h{sfx}) and
     * [[winnowFrom]] (fps{sfx}) — ONE definition of the gram hash and

@@ -47,6 +47,10 @@ object Scans {
     * widening (the fanout multiplies data volume AFTER this exchange,
     * which AQE cannot see). */
   def widenForFanout(df: DataFrame, key: Column): DataFrame = {
+    // a STREAMING relation cannot be widened here (inspecting its
+    // optimized plan is illegal pre-start, and micro-batch sources
+    // parallelize at the source); the batch-only widening is a no-op
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val plan = df.queryExecution.optimizedPlan
     if (!scanOnly(plan)) return df

@@ -1088,6 +1088,119 @@ object EventStreams {
       .orderBy(col("query_id"))
   }
 
+  /** s32 — STREAMING passage-index probe (d17 on the live path,
+    * completing the streaming-probe symmetry across all five
+    * incremental grains: exact s14, near-dup s27, embedding s29/s31,
+    * passage HERE, winnow s33's gate): the stored corpus's passage-hash
+    * index is persisted through [[graft.api.PassageIndexStore]]
+    * (session-billed — the probe's INPUT) and loaded back; the
+    * incoming document stream — d17's exact scenario, odd docs plus
+    * re-fetched evens under fresh crawl ids — slices and hashes its
+    * passages ROW-LOCALLY (the shared slicing definition; explode +
+    * slice are stateless projections, no window on the stream),
+    * left-joins the loaded DISTINCT hash set stream-static per
+    * micro-batch, and the per-doc (n_passages, n_known) roll-up is ONE
+    * complete-mode aggregation (incoming-batch-sized state). d17's
+    * full-pipeline oracle transfers verbatim: the batch and live
+    * "how much of this is already in my corpus" paths cannot drift.
+    *
+    * 100 TB shape: per micro-batch, batch passages ⋈ index on the
+    * uniform 128-bit hash (at deployment the store is bucketed by `h`
+    * — co-located); nothing corpus-sized rides the stream; state is
+    * the per-doc answer set itself. */
+  def streamPassageProbe(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s32")
+    val dir = graft.api.PassageIndexStore.versionedDir(
+      root, graft.operators.DedupOps.PassageTokens,
+      java.time.LocalDate.ofEpochDay(0))
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile)
+      graft.api.PassageIndexStore.save(dir,
+        graft.operators.DedupOps.passageHashIndex(existing))
+    val known = graft.api.PassageIndexStore.load(ss, dir)
+      .select(col("h")).distinct().withColumn("__known", lit(1L))
+    val stream = readDocuments(ss, d).select(col("doc_id"), col("text"))
+    val incoming = stream.filter(col("doc_id") % 2 === 1)
+      .unionByName(stream
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+    val agg = graft.operators.DedupOps.passageInstancesFrom(incoming)
+      .select(col("doc_id"), md5(col("passage").cast("binary")).as("h"))
+      .join(known, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(coalesce(col("__known"), lit(0L))).as("n_known"))
+    runToMemory(agg, "complete", "s32_stream_passage_probe")
+      .select(col("doc_id"), col("n_passages"), col("n_known"),
+        round(col("n_known") / col("n_passages"), 6).as("known_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** s33 — STREAMING winnow SCREENING GATE (the MOSS deployment's
+    * at-submission stage: incoming documents are fingerprinted and
+    * matched against the stored archive the moment they arrive; the
+    * candidate queue this emits is exactly what d24's exact verifier
+    * consumes — verification itself needs the per-pair island window,
+    * which is batch work by design): the archive's pruned fingerprint
+    * index is persisted and loaded; the submission stream (the planted
+    * quotation docs, staged once as a parquet source) fingerprints
+    * itself ROW-LOCALLY through the codegen'd winnow kernel (map-only —
+    * the sort-free stream variant), equi-joins the LOADED index on the
+    * fp key per micro-batch, and the per-(archive doc, submission)
+    * shared-fingerprint count is ONE complete-mode aggregation, gated
+    * at [[graft.operators.DedupOps.MinSharedFingerprints]] after the
+    * sink. The oracle reproduces the full census + gate pipeline (the
+    * d24 oracle's wcand relation with its count) — a lost fingerprint,
+    * census drift, or a gate off-by-one breaks the hash.
+    *
+    * 100 TB shape: submissions meet only the fp-keyed index
+    * (co-located at deployment); the gate state is candidate-set
+    * sized; the corpus-scale gram stream never materializes. */
+  def streamWinnowGate(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    import ss.implicits._
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(docs, "doc_id"))
+    val archive = docs.unionByName(
+      graft.operators.DedupOps.PlantedQuoteDocs.take(1)
+        .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text"))
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s33")
+    val dir = graft.api.WinnowIndexStore.versionedDir(
+      root, graft.operators.TextOps.WinnowK,
+      graft.operators.TextOps.WinnowW, java.time.LocalDate.ofEpochDay(0))
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile)
+      graft.api.WinnowIndexStore.save(dir,
+        graft.operators.DedupOps.prunedFingerprintIndex(archive))
+    val loaded = graft.api.WinnowIndexStore.load(ss, dir)
+      .select(col("fp"), col("doc_id").as("doc_a"))
+    // the submission stream: the planted docs staged once as a parquet
+    // source dir (the harness's stand-in for the arrival topic)
+    val incDir = s"$root/incoming"
+    if (!new java.io.File(s"$incDir/_SUCCESS").isFile)
+      graft.operators.DedupOps.PlantedQuoteDocs.drop(1)
+        .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(incDir)
+    val schema = ss.read.parquet(incDir).schema
+    val stream = ss.readStream.schema(schema).parquet(incDir)
+    val gate = graft.operators.TextOps.winnowFromUnordered(stream)
+      .select(col("fp"), col("doc_id").as("doc_b"))
+      .join(loaded, Seq("fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("nsh"))
+    runToMemory(gate, "complete", "s33_stream_winnow_gate")
+      .filter(col("nsh") >=
+        graft.operators.DedupOps.MinSharedFingerprints)
+      .select(col("doc_a"), col("doc_b"), col("nsh"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** s30 — STREAMING tombstone ingestion (e21 on the live path,
     * completing the r15 takedown lifecycle: deletion events — DMCA
     * notices, GDPR requests, recrawl removals — arrive as a STREAM in
@@ -1428,6 +1541,14 @@ object EventStreams {
     // tombstone-filtered codes — e24's oracle verbatim (see s31 doc)
     QueryDef("s31_stream_pq_serve", streamPqServe,
       Some(graft.operators.EmbeddingOps.tombstonePqServeSql)),
+    // s32 answers the "already in my corpus?" question per micro-batch
+    // against the loaded passage store — d17's oracle verbatim
+    QueryDef("s32_stream_passage_probe", streamPassageProbe,
+      Some(graft.operators.DedupOps.incrementalPassageDedupSql)),
+    // s33 emits the winnow screening queue (candidate gate) against the
+    // loaded fingerprint archive — the d24 oracle's gate relation
+    QueryDef("s33_stream_winnow_gate", streamWinnowGate,
+      Some(graft.operators.DedupOps.winnowStreamGateSql)),
     // s30 streams the TAKEDOWN events into the tombstone log — e21's
     // selective closed-form oracle transfers verbatim (see s30 doc)
     QueryDef("s30_stream_tombstones", streamTombstoneServe,

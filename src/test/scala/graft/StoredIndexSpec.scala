@@ -426,6 +426,28 @@ class StoredIndexSpec extends SparkSpec {
     }
   }
 
+  test("s32 streamed passage probe equals the batch d17 stored probe row-for-row") {
+    val want = DedupOps.incrementalPassageDedup(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.streaming.EventStreams.streamPassageProbe(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got === want, "streamed and batch passage probe paths disagree")
+  }
+
+  test("s33 streamed winnow gate admits every pair the d24 verifier emits") {
+    val gate = graft.streaming.EventStreams.streamWinnowGate(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gate.nonEmpty)
+    // winnowing's guarantee, witnessed on the live path: the screening
+    // queue is a superset of every pair exact verification confirms
+    val verified = DedupOps.winnowStoredProbe(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty)
+    assert(verified.subsetOf(gate),
+      s"verified pairs ${verified -- gate} missing from the streamed gate")
+  }
+
   test("s30 streamed takedown serve equals the batch e21 serve row-for-row") {
     val want = graft.operators.EmbeddingOps.annTombstoneServe(spark, sfTiny)
       .collect().map(_.toSeq).toSeq
