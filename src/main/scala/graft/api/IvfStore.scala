@@ -296,9 +296,9 @@ object IvfStore {
     * `tombstoneRoot` is given, the committed delete log is folded
     * PHYSICALLY: tombstoned rows are anti-joined out of the new
     * artifact, whether they came from the base or an append. After the
-    * new artifact is adopted, the append root's batch dirs are garbage
-    * — ExportCommit.gcStaging-style retirement is the janitor's job,
-    * not the compactor's. */
+    * new artifact is adopted, the janitor retires the folded roots
+    * ([[graft.sources.ExportCommit.retireRoot]] — gcStaging alone
+    * cannot reclaim manifest-referenced dirs), never the compactor. */
   def compactAppends(spark: SparkSession, baseDir: String,
       appendRoot: String, outDir: String,
       tombstoneRoot: Option[String] = None): Unit = {

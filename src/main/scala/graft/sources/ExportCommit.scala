@@ -259,6 +259,33 @@ object ExportCommit {
     stranded ++ swept
   }
 
+  /** Retire an append/tombstone root whose every committed batch has
+    * been FOLDED into an adopted artifact (the missing half of "after
+    * adoption, the batch dirs are janitor garbage": [[gcStaging]] only
+    * reclaims UNREFERENCED dirs, and a committed dir stays referenced
+    * by its root's own manifest forever — without retirement, every
+    * compaction leaks its inputs). Deletes the entire root tree:
+    * manifests, committed data dirs, staging leftovers.
+    *
+    * Ordering contract (the one every log-compaction system has): call
+    * ONLY after (a) the compacted artifact is adopted — serves read
+    * the new versioned dir — and (b) the upstream producer's
+    * checkpoint has advanced past every folded batch. A retire
+    * violates (b) at its peril: the manifest's batchId replay
+    * protection dies with the manifest, so a redelivered OLD batch
+    * would re-commit into the fresh root as new data and the NEXT fold
+    * would double it. In the streaming paths here, (b) is Structured
+    * Streaming's checkpoint guarantee (a batchId is never redelivered
+    * once its foreachBatch completed and the checkpoint committed);
+    * batch deployments key batchIds to their own ledger. Returns true
+    * when something was deleted; idempotent. */
+  def retireRoot(root: String): Boolean = {
+    val f = new File(root)
+    val existed = f.exists()
+    deleteRec(f)
+    existed
+  }
+
   /** Most recent mtime in a tree — a writer still producing files
     * keeps refreshing it, so the age gate sees activity anywhere in
     * the staged dir, not just at its root. */

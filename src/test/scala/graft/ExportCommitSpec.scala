@@ -278,6 +278,45 @@ class ExportCommitSpec extends SparkSpec {
     assert(m1.map(_.getLong(4)).sum > 0) // the planted increment is visible
   }
 
+  test("janitor loop end-to-end: policy fires, fold, retire — debt zero, serve unchanged, no leak") {
+    import graft.api.{CompactionPolicy, LshIndexStore}
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val root = java.nio.file.Files.createTempDirectory("janitor").toString
+    val baseDir = s"$root/base"
+    LshIndexStore.save(baseDir, graft.operators.DedupOps.prunedBandIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)))
+    val a = s"$root/append"
+    val odd = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    LshIndexStore.appendBatch(a,
+      odd.filter(org.apache.spark.sql.functions.col("doc_id") < 100), 0L)
+    LshIndexStore.appendBatch(a,
+      odd.filter(org.apache.spark.sql.functions.col("doc_id") >= 100), 1L)
+    // debt reaches the threshold → the janitor folds
+    assert(CompactionPolicy.due(a, None, 2, 1).due)
+    val out = s"$root/v1"
+    LshIndexStore.compactAppends(spark, baseDir, a, out)
+    val served = LshIndexStore.load(spark, out).count()
+    assert(served > 0)
+    // adoption done → the folded inputs retire; the root tree is GONE
+    // (gcStaging alone could never reclaim these manifest-referenced
+    // dirs — retireRoot is the missing half of the maintenance story)
+    assert(ExportCommit.retireRoot(a))
+    assert(!new java.io.File(a).exists())
+    assert(!ExportCommit.retireRoot(a)) // idempotent
+    // debt is zero again and the adopted artifact serves unchanged
+    assert(CompactionPolicy.due(a, None, 2, 1) ===
+      CompactionPolicy.Decision(false, 0, 0))
+    assert(LshIndexStore.load(spark, out).count() === served)
+    // the next increment era starts clean: a NEW batch commits into a
+    // fresh manifest at version 1
+    LshIndexStore.appendBatch(a,
+      odd.filter(org.apache.spark.sql.functions.col("doc_id") < 50), 7L)
+    assert(ExportCommit.latest(a).map(_.version) === Some(1))
+    assert(ExportCommit.latest(a).map(_.batchIds) === Some(Set(7L)))
+  }
+
   test("CompactionPolicy fires exactly at the threshold and is a no-op below it") {
     import graft.api.CompactionPolicy
     val root = java.nio.file.Files.createTempDirectory("policy").toString
