@@ -59,7 +59,8 @@ d23_winnow_planted,d24_winnow_stored,p15_tombstone_export,\
 d25_lsh_tombstone,s30_stream_tombstones,e24_pq_tombstone_serve,\
 d26_passage_append,d27_passage_tombstone,d28_winnow_append,\
 d29_winnow_tombstone,e25_pq_tombstone_compact,s31_stream_pq_serve,\
-c07_right_to_be_forgotten,s32_stream_passage_probe,s33_stream_winnow_gate"
+c07_right_to_be_forgotten,s32_stream_passage_probe,s33_stream_winnow_gate,\
+e26_index_rebuild"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

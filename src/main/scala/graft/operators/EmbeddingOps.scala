@@ -998,6 +998,74 @@ object EmbeddingOps {
     adcServe(li, lp, lc, off)
   }
 
+  /** e26 — index REBUILD / re-shard FROM THE STORED ARTIFACT (the one
+    * lifecycle stage every store doc defers to — "appends do not
+    * resize the quantizer; re-sharding is a rebuild" — witnessed
+    * nowhere until now: when the corpus outgrows the cell sizing,
+    * per-cell populations grow past [[IvfTargetCellSize]] and probe
+    * cost creeps linear, so the indexing job refits a LARGER quantizer
+    * and re-assigns — reading the STORED artifact, never the corpus
+    * table): the e13-family artifact is persisted (session-billed —
+    * the rebuild's INPUT), loaded, a quantizer at double the cell
+    * count is refit over the loaded vectors (seeded — deterministic),
+    * the re-assigned corpus is written as the NEXT versioned artifact
+    * (re-sharding mints a version like any maintenance op — the
+    * snapshot-isolation witness applies), and e13's whole batch is
+    * served against the RELOADED rebuilt artifact through the shared
+    * serve kernel. e13's closed-form oracle transfers verbatim — the
+    * twin shares the query's cell under ANY quantizer (identical
+    * features through the identical assignment), so top-1 = twin at
+    * cosine 1.0 regardless of cell count: a rebuild that drops rows,
+    * de-normalizes features, or mis-assigns breaks the hash.
+    *
+    * WHEN to rebuild is [[rebuildDue]]'s call (cell-saturation
+    * arithmetic over counts the store already has).
+    *
+    * 100 TB shape: the refit is one k-means over the stored features
+    * (the same job that built the index, on artifact bytes — cheaper
+    * than a corpus re-read and re-embed by orders of magnitude); the
+    * re-assignment is one map over the artifact against broadcast
+    * centers; the write is the bucketed rewrite a version mint always
+    * costs. Janitor cadence, never the serve path. */
+  def annIndexRebuild(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (union, off) = DedupOps.plantedUnion(base, "vec_id")
+    val cells = ivfCellsFor(2L * corpusCount(s, d))
+    val index = graft.api.Intermediates.memo(s, s"ivf_recall|$d|$cells") {
+      ivfBuild(union, cells)
+    }
+    val root = indexTmpBase(s, d, "e26")
+    val v1 = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
+    // the v1 artifact is the rebuild's INPUT, not its work (e23's billing)
+    if (!new java.io.File(s"$v1/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(v1, index)
+    val loaded = graft.api.IvfStore.load(s, v1)
+    // the rebuild itself: refit at 2x the cells over the STORED vectors
+    val newCells = math.min(IvfMaxCells, 2 * cells)
+    val rebuilt = ivfBuild(
+      loaded.assigned.select(col("vec_id"), col("embedding")), newCells)
+    val v2 = graft.api.IvfStore.versionedDir(root, newCells,
+      java.time.LocalDate.ofEpochDay(1))
+    graft.api.IvfStore.save(v2, rebuilt)
+    batchServeAgainst(graft.api.IvfStore.load(s, v2), off)
+  }
+
+  /** Rebuild TRIGGER predicate — [[graft.api.CompactionPolicy]]'s
+    * posture for the re-shard decision: a fold keeps the artifact ONE
+    * relation, but only a rebuild keeps cells at their target load
+    * (probe cost is O(probes × cell size), so mean occupancy past the
+    * target by `slack`× means the quantizer has outgrown its sizing).
+    * Pure arithmetic over counts the store already tracks; the janitor
+    * calls it with `assigned.count()` on its own cadence. */
+  def rebuildDue(nVectors: Long, cells: Int, slack: Double = 2.0): Boolean = {
+    require(cells > 0 && slack > 0,
+      "rebuildDue needs positive cells and slack")
+    // saturated-at-max quantizers cannot grow — a rebuild would mint
+    // the same geometry (the two-level-quantizer regime starts there)
+    cells < IvfMaxCells &&
+      nVectors.toDouble / cells > IvfTargetCellSize * slack
+  }
+
   /** e20 — index COMPACTION (s17's posture applied to the index
     * artifact, closing the maintenance loop s26 opens): a deployment's
     * append manifest grows one batch dir per micro-batch, and the
@@ -2033,6 +2101,10 @@ object EmbeddingOps {
     // e20 serves against the loaded COMPACTED artifact — the e13
     // closed-form oracle transfers verbatim (see e20 doc)
     QueryDef("e20_index_compact", annIndexCompact,
+      Some(annBatchServeSql)),
+    // e26 serves against the loaded REBUILT (re-sharded) artifact —
+    // e13's closed form holds under ANY quantizer (see e26 doc)
+    QueryDef("e26_index_rebuild", annIndexRebuild,
       Some(annBatchServeSql)),
     // e23 ADC-serves against the loaded compacted PQ artifact — e16's
     // closed-form oracle transfers verbatim (see e23 doc)

@@ -127,6 +127,36 @@ class IvfStoreSpec extends SparkSpec {
     assert(r3 === r1, "a re-load of version N drifted after N+1 landed")
   }
 
+  test("e26 rebuilt-artifact serve equals the e13/e14 serve; the quantizer actually grew") {
+    val want = EmbeddingOps.annBatchServe(spark, sfTiny).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    val got = EmbeddingOps.annIndexRebuild(spark, sfTiny).collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "re-sharding changed the serve contract (closed form must hold under any quantizer)")
+    // the rebuild really re-sharded: v2 carries double v1's cells and
+    // every stored row
+    val cells = EmbeddingOps.ivfCellsFor(2L * baseEmb.count())
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e26")
+    val v2 = IvfStore.load(spark, IvfStore.versionedDir(root,
+      math.min(EmbeddingOps.IvfMaxCells, 2 * cells),
+      java.time.LocalDate.ofEpochDay(1)))
+    assert(v2.model.getK === math.min(EmbeddingOps.IvfMaxCells, 2 * cells))
+    assert(v2.assigned.count() === 2L * baseEmb.count())
+  }
+
+  test("rebuildDue fires on cell saturation, never at the max-cells ceiling") {
+    import EmbeddingOps.{rebuildDue, IvfTargetCellSize, IvfMaxCells}
+    // at target load: not due; past 2x target: due
+    assert(!rebuildDue(IvfTargetCellSize * 16, 16))
+    assert(!rebuildDue(IvfTargetCellSize * 16 * 2, 16)) // exactly 2x: not past
+    assert(rebuildDue(IvfTargetCellSize * 16 * 2 + 16, 16))
+    // custom slack
+    assert(rebuildDue(IvfTargetCellSize * 16 + 16, 16, slack = 1.0))
+    // a maxed-out quantizer cannot grow — never due, however saturated
+    assert(!rebuildDue(Long.MaxValue / 2, IvfMaxCells))
+    intercept[IllegalArgumentException] { rebuildDue(1L, 0) }
+  }
+
   test("e15 append assigns every increment twin to its original's cell (no refit)") {
     val res = EmbeddingOps.annIndexAppend(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
