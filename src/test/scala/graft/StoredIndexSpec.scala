@@ -286,6 +286,43 @@ class StoredIndexSpec extends SparkSpec {
     assert(PassageIndexStore.load(spark, s"$root/out3").count() === want.size)
   }
 
+  test("passage/winnow stores are loud on absent and mis-shaped artifacts") {
+    import graft.api.{PassageIndexStore, WinnowIndexStore}
+    val tmp = java.nio.file.Files.createTempDirectory("loud").toString
+    // absent store: refuse, never serve an empty membership set
+    intercept[Exception] { PassageIndexStore.load(spark, s"$tmp/none") }
+    intercept[Exception] { WinnowIndexStore.load(spark, s"$tmp/none2") }
+    // mis-shaped store (missing the probe key): the require names it
+    spark.range(3).selectExpr("id AS doc_id", "id AS wrong")
+      .write.parquet(s"$tmp/bad")
+    val e1 = intercept[IllegalArgumentException] {
+      PassageIndexStore.load(spark, s"$tmp/bad")
+    }
+    assert(e1.getMessage.contains("missing columns") &&
+      e1.getMessage.contains("h"))
+    val e2 = intercept[IllegalArgumentException] {
+      WinnowIndexStore.load(spark, s"$tmp/bad")
+    }
+    assert(e2.getMessage.contains("missing columns") &&
+      e2.getMessage.contains("fp"))
+    // mis-shaped APPEND store: committedAppends carries the same loud
+    // contract (a batch dir from an older writer fails HERE, not as an
+    // AnalysisException at the consumer)
+    val root = s"$tmp/aroot"
+    val staged = graft.sources.ExportCommit.stage(root, 0L)
+    spark.range(3).selectExpr("id AS doc_id", "id AS wrong")
+      .write.parquet(staged)
+    graft.sources.ExportCommit.commitBatch(root, 0L, staged)
+    val e3 = intercept[IllegalArgumentException] {
+      PassageIndexStore.committedAppends(spark, root).collect()
+    }
+    assert(e3.getMessage.contains("missing columns"))
+    val e4 = intercept[IllegalArgumentException] {
+      WinnowIndexStore.committedAppends(spark, root).collect()
+    }
+    assert(e4.getMessage.contains("missing columns"))
+  }
+
   test("d17 stored probe and d26 base+appended probe equal the in-session probe") {
     val docs = graft.sources.Tables.documents(spark, sfTiny)
       .select(col("doc_id"), col("text"))
