@@ -1465,6 +1465,420 @@ object PackOps {
        |FROM surfaces ORDER BY surface""".stripMargin
   }
 
+  // ===== c08 — composed crawl-ADMISSION waterfall (the ingest twin of
+  // c07's composed delete) =====
+
+  /** Cleaned-salt marker for the planted quotation docs: pure alpha so
+    * [[graft.functions.TextFunctions.cleanText]] keeps it (digits ride
+    * along raw for per-doc uniqueness but clean away). */
+  private val AdmitSalt = "qzgraftsalt"
+
+  /** A batch doc sharing at least this many DISTINCT cleaned 5-grams
+    * with the held-out eval set is quarantined (gate 5). */
+  private val DecontamMinHits = 5
+
+  /** Quotation-doc text: the source's first 2 passage widths of RAW
+    * tokens (so its leading passage windows are EXACTLY the source's)
+    * plus a salted tail token that fails gates 1-3's equality checks.
+    * One definition for the planted batch docs AND the round-2 probe
+    * (the slicing cannot drift between the two uses). */
+  private def admitQuoteText: Column = concat(
+    array_join(slice(split(col("text"), " "), 1,
+      2 * DedupOps.PassageTokens), " "),
+    lit(s" $AdmitSalt"), col("doc_id").cast("string"))
+
+  /** Per-doc gate attribution of the admission batch — the waterfall's
+    * core, factored out so the spec can pin every PLANTED class to its
+    * gate by id. Returns (doc_id, text, gate) with gate ∈
+    * {1_exact_store, 2_exact_intra, 3_neardup, 4_passage, 5_decontam,
+    * admitted}; attribution is the FIRST gate that fires (the gates
+    * are per-doc predicates against the store, so order only resolves
+    * attribution, never membership). Also builds (once per session)
+    * the two LOADED serving artifacts the batch probes — the
+    * waterfall's INPUT indexes, e21's billing discipline. */
+  private[graft] def admissionAttributed(s: SparkSession,
+      d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "c08")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    def guarded(marker: String)(build: => Unit): Unit =
+      if (!new java.io.File(marker).isFile) build
+    val lshDir = graft.api.LshIndexStore.versionedDir(
+      s"$root/lsh", DedupOps.Bands, date)
+    guarded(s"$lshDir/_SUCCESS") {
+      graft.api.LshIndexStore.save(lshDir, DedupOps.prunedBandIndex(existing))
+    }
+    val pasDir = graft.api.PassageIndexStore.versionedDir(
+      s"$root/passage", DedupOps.PassageTokens, date)
+    guarded(s"$pasDir/_SUCCESS") {
+      graft.api.PassageIndexStore.save(pasDir,
+        DedupOps.passageHashIndex(existing))
+    }
+
+    // the incoming crawl increment: organic odds plus four planted
+    // reject classes at disjoint plantOffset multiples
+    val wide = graft.sources.Scans.widenForFanout(docs, col("doc_id"))
+    val wideEx = wide.filter(col("doc_id") % 2 === 0)
+    val batch = wide.filter(col("doc_id") % 2 === 1)
+      .unionByName(wideEx.filter(col("doc_id") < 100)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+      .unionByName(wideEx
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select((col("doc_id") + lit(2 * off)).as("doc_id"),
+          upper(col("text")).as("text")))
+      .unionByName(wideEx
+        .filter(col("doc_id") >= 200 && col("doc_id") < 250)
+        .select((col("doc_id") + lit(3 * off)).as("doc_id"),
+          admitQuoteText.as("text")))
+      .unionByName(wide.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(4 * off)).as("doc_id"),
+          concat(lit("leak "), col("text")).as("text")))
+      .localCheckpoint()
+
+    // gate 1: exact digest vs the stored-corpus ledger (d08's shape)
+    val seen = existing
+      .select(md5(col("text").cast("binary")).as("th")).distinct()
+    val withDigest = batch
+      .withColumn("th", md5(col("text").cast("binary")))
+    // gate 2 (intra): keep-first per digest WITHIN the batch
+    val keepFirst = withDigest.groupBy(col("th"))
+      .agg(min(col("doc_id")).as("__keep"))
+    // gate 3: LSH candidates vs the LOADED band index, VERIFIED by
+    // cleaned-text identity (candidate → verify, the production shape;
+    // identical cleaned tokens ⇒ identical signature ⇒ the pair shares
+    // every band bucket, so the candidate join surfaces each verified
+    // pair — the same stored-side census margin d11/d21 witness)
+    def cleanKey: Column =
+      md5(TextFunctions.cleanText(col("text")).cast("binary"))
+    val cands = DedupOps.minhashBands(batch)
+      .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
+      .join(graft.api.LshIndexStore.load(s, lshDir)
+        .select(col("doc_id").as("src_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("in_id"), col("src_id")).distinct()
+    val nearHit = cands
+      .join(batch.select(col("doc_id").as("in_id"), cleanKey.as("ick")),
+        Seq("in_id"))
+      .join(existing.select(col("doc_id").as("src_id"), cleanKey.as("sck")),
+        Seq("src_id"))
+      .filter(col("ick") === col("sck"))
+      .select(col("in_id").as("doc_id")).distinct()
+      .withColumn("__near", lit(1))
+    // gate 4: passage membership vs the LOADED passage index — a doc
+    // at least half of whose passages are already held is quarantined
+    val pasHit = DedupOps.probePassagesAgainst(batch,
+        graft.api.PassageIndexStore.load(s, pasDir))
+      .filter(col("n_known") * 2 >= col("n_passages"))
+      .select(col("doc_id")).withColumn("__pas", lit(1))
+    // gate 5: held-out benchmark 5-gram overlap (d09's shape)
+    def grams(df: DataFrame): DataFrame =
+      TextFunctions.withNgrams(
+          df.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("toks")),
+          "toks", "shs", 5)
+        .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val evalGrams = grams(wide.filter(col("doc_id") % 97 === 0))
+      .select(col("sh")).distinct()
+    val contHit = grams(batch).join(broadcast(evalGrams), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("nh"))
+      .filter(col("nh") >= DecontamMinHits)
+      .select(col("doc_id")).withColumn("__cont", lit(1))
+
+    withDigest
+      .join(seen.withColumn("__seen", lit(1)), Seq("th"), "left")
+      .join(keepFirst, Seq("th"))
+      .join(nearHit, Seq("doc_id"), "left")
+      .join(pasHit, Seq("doc_id"), "left")
+      .join(contHit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        when(col("__seen") === 1, "1_exact_store")
+          .when(col("doc_id") =!= col("__keep"), "2_exact_intra")
+          .when(col("__near") === 1, "3_neardup")
+          .when(col("__pas") === 1, "4_passage")
+          .when(col("__cont") === 1, "5_decontam")
+          .otherwise("admitted").as("gate"))
+      .localCheckpoint()
+  }
+
+  /** c08 — composed crawl-ADMISSION audit: the ingest twin of c07's
+    * composed delete, and the composition every training-data
+    * deployment actually runs per crawl increment. ONE incoming batch
+    * (organic odd-id docs plus four planted reject classes) flows
+    * through the full admission waterfall against the STORED corpus
+    * (even ids) and its LOADED serving indexes:
+    *
+    *   1_exact_store — content digest already in the corpus ledger
+    *     (planted: evens < 100 re-fetched verbatim at +off);
+    *   2_exact_intra — duplicate digest WITHIN the batch, keep-first
+    *     (organic odd-id twins);
+    *   3_neardup — LSH candidates against the loaded
+    *     [[graft.api.LshIndexStore]] artifact, verified by cleaned-text
+    *     identity (planted: evens in [100,200) re-fetched UPPERCASED at
+    *     +2·off — new digest, identical cleaned tokens);
+    *   4_passage — ≥ half the doc's passages already in the loaded
+    *     [[graft.api.PassageIndexStore]] membership set (planted:
+    *     quotation docs built from evens in [200,250) at +3·off — the
+    *     source's first two passage windows plus a salted tail);
+    *   5_decontam — ≥ [[DecontamMinHits]] distinct cleaned 5-grams
+    *     shared with the held-out eval set, doc_id ≡ 0 mod 97
+    *     (planted: eval docs re-entering at +4·off behind a "leak "
+    *     prefix — new digest, new cleaned text, SHIFTED passage
+    *     windows, but n-gram overlap is position-independent).
+    *
+    * Survivors are then COMMITTED to the serving indexes through the
+    * stores' own append paths (atomic manifests, replay-safe), and
+    * phase 2 proves the appends are load-bearing: a verbatim
+    * re-submission dies at the ledger (all |A|), an UPPERCASED variant
+    * of every admitted doc with ≥ 1 shingle dies at the near-dup gate
+    * only via the APPENDED band rows (nothing clean-equal exists in the
+    * base index — gate 3 already removed those), and a quotation of
+    * every admitted doc with ≥ 1 full passage dies at the passage gate
+    * only via the APPENDED hashes. One row per (phase, stage) with
+    * n_in / n_rejected / n_admitted, every count stated closed-form by
+    * the oracle (the probabilistic LSH stage is pinned by the verified
+    * equality, d11's discipline).
+    *
+    * 100 TB shape: every gate is batch ⋈ store on a uniform key
+    * (128-bit digest / (band,bucket) / 128-bit passage hash /
+    * broadcast eval grams) — never corpus ⋈ corpus; the appends write
+    * batch-sized artifacts through the manifest CAS; the attribution
+    * is ONE checkpointed pass whose counts aggregate a batch-sized
+    * relation. Winnow-grain admission is d28's row; the vec-keyed
+    * embedding side is e15/s26's (separate key space). */
+  def crawlAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "c08")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val attributed = admissionAttributed(s, d)
+    val admitted = attributed.filter(col("gate") === "admitted")
+      .select(col("doc_id"), col("text"))
+
+    // ---- phase 1 rows: the waterfall histogram with running totals
+    val stages = Seq("1_exact_store", "2_exact_intra", "3_neardup",
+      "4_passage", "5_decontam")
+    import s.implicits._
+    val hist = attributed.groupBy(col("gate"))
+      .agg(count(lit(1)).as("n_rej"))
+    val total = attributed.agg(count(lit(1)).as("n_total"))
+    // running totals over the 5-stage literal via a triangular
+    // self-join (an unkeyed window would single-partition — harmless
+    // on 5 rows, but the engine keeps exactly one unkeyed window: the
+    // prefix scan's per-partition partials)
+    val h0 = stages.toDF("stage")
+      .join(hist.withColumnRenamed("gate", "stage"), Seq("stage"), "left")
+      .na.fill(0L, Seq("n_rej"))
+      .localCheckpoint()
+    val phase1 = h0.as("a")
+      .join(h0.as("b"), col("b.stage") < col("a.stage"), "left")
+      .groupBy(col("a.stage"), col("a.n_rej"))
+      .agg(coalesce(sum(col("b.n_rej")), lit(0L)).as("rej_before"))
+      .withColumnRenamed("n_rej", "n_rej0")
+      .crossJoin(broadcast(total))
+      .withColumn("n_rej", col("n_rej0"))
+      .select(lit(1L).as("phase"), col("stage"),
+        (col("n_total") - col("rej_before")).as("n_in"),
+        col("n_rej").as("n_rejected"),
+        (col("n_total") - col("rej_before") - col("n_rej"))
+          .as("n_admitted"))
+
+    // ---- the admission COMMIT: survivors appended to the serving
+    // indexes through the stores' own atomic manifest paths
+    graft.api.LshIndexStore.appendBatch(s"$root/lsh_app", admitted, 0L)
+    graft.api.PassageIndexStore.appendBatch(s"$root/pas_app", admitted, 0L)
+
+    def cleanKey: Column =
+      md5(TextFunctions.cleanText(col("text")).cast("binary"))
+    val admTotal = admitted.agg(count(lit(1)).as("n_adm"))
+    def phase2Row(stage: String, rejected: DataFrame): DataFrame =
+      rejected.agg(count(lit(1)).as("n_rejected"))
+        .crossJoin(broadcast(admTotal))
+        .select(lit(2L).as("phase"), lit(stage).as("stage"),
+          col("n_adm").as("n_in"), col("n_rejected"),
+          (col("n_adm") - col("n_rejected")).as("n_admitted"))
+
+    // (a) verbatim re-submission → the digest ledger now includes the
+    // admitted batch; everything dies at the exact gate
+    val ledger = existing
+      .select(md5(col("text").cast("binary")).as("th"))
+      .unionByName(admitted
+        .select(md5(col("text").cast("binary")).as("th")))
+      .distinct()
+    val r2a = admitted.withColumn("th", md5(col("text").cast("binary")))
+      .join(ledger, Seq("th"), "left_semi")
+    // (b) uppercased variants → base ∪ APPENDED band rows + verify
+    val variants = admitted.select(
+      (col("doc_id") + lit(5 * off)).as("doc_id"),
+      upper(col("text")).as("text"))
+    val lshDir = graft.api.LshIndexStore.versionedDir(
+      s"$root/lsh", DedupOps.Bands, date)
+    val lshServe = graft.api.LshIndexStore.load(s, lshDir).unionByName(
+      graft.api.LshIndexStore.committedAppends(s, s"$root/lsh_app"))
+    val storeClean = existing
+      .select(col("doc_id").as("src_id"), cleanKey.as("sck"))
+      .unionByName(admitted
+        .select(col("doc_id").as("src_id"), cleanKey.as("sck")))
+    val r2b = DedupOps.minhashBands(variants)
+      .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
+      .join(lshServe
+        .select(col("doc_id").as("src_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("in_id"), col("src_id")).distinct()
+      .join(variants.select(col("doc_id").as("in_id"), cleanKey.as("ick")),
+        Seq("in_id"))
+      .join(storeClean, Seq("src_id"))
+      .filter(col("ick") === col("sck"))
+      .select(col("in_id")).distinct()
+    // (c) quotations of admitted docs → base ∪ APPENDED passage hashes
+    val quotes = admitted.select(
+      (col("doc_id") + lit(6 * off)).as("doc_id"),
+      admitQuoteText.as("text"))
+    val pasDir = graft.api.PassageIndexStore.versionedDir(
+      s"$root/passage", DedupOps.PassageTokens, date)
+    val pasServe = graft.api.PassageIndexStore.load(s, pasDir).unionByName(
+      graft.api.PassageIndexStore.committedAppends(s, s"$root/pas_app"))
+    val r2c = DedupOps.probePassagesAgainst(quotes, pasServe)
+      .filter(col("n_known") * 2 >= col("n_passages"))
+      .select(col("doc_id"))
+
+    phase1
+      .unionByName(phase2Row("1_resubmit_exact", r2a))
+      .unionByName(phase2Row("2_variant_neardup", r2b))
+      .unionByName(phase2Row("3_quote_passage", r2c))
+      .orderBy(col("phase"), col("stage"))
+  }
+
+  /** c08's oracle: the full waterfall recomputed in SQL. The only
+    * non-SQL stage (LSH banding) is pinned by its verification
+    * predicate — a candidate REJECTS only when cleaned texts are
+    * identical, and identical cleaned tokens guarantee the bucket
+    * collision (d11's receipts cover the stored-side census margin) —
+    * so gate 3 is exactly "≥ 3 cleaned tokens AND cleaned text already
+    * stored". Phase 2's near-dup count is the same predicate against
+    * store ∪ admitted, which every admitted doc satisfies through
+    * ITSELF: closed form = |admitted with ≥ 3 cleaned tokens|. */
+  private val crawlAdmissionSql = {
+    val off = s"(SELECT o FROM off)"
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    val clean = graft.oracle.DuckFragments.cleanSql
+    val pasW = 2 * DedupOps.PassageTokens
+    def gramCtes(rel: String, sfx: String): String =
+      s"""tk$sfx AS (SELECT doc_id, list_filter(
+         |    $tokList, x -> x <> '') AS tl FROM $rel),
+         |w$sfx AS (SELECT doc_id, generate_subscripts(tl, 1) AS pos,
+         |        unnest(tl) AS word FROM tk$sfx),
+         |g$sfx AS (SELECT doc_id,
+         |        word || ' ' || lead(word, 1) OVER win || ' ' ||
+         |        lead(word, 2) OVER win || ' ' || lead(word, 3) OVER win ||
+         |        ' ' || lead(word, 4) OVER win AS sh
+         |      FROM w$sfx WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |gs$sfx AS (SELECT doc_id, sh FROM g$sfx WHERE sh IS NOT NULL)"""
+        .stripMargin
+    s"""WITH off AS (SELECT ${DedupOps.plantOffsetSql("doc_id",
+          "documents")} AS o),
+       |ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |inc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $off, text FROM ex WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 2 * $off, upper(text)
+       |  FROM ex WHERE doc_id >= 100 AND doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 3 * $off,
+       |    array_to_string((string_split(text, ' '))[1:$pasW], ' ')
+       |      || ' $AdmitSalt' || CAST(doc_id AS VARCHAR)
+       |  FROM ex WHERE doc_id >= 200 AND doc_id < 250
+       |  UNION ALL
+       |  SELECT doc_id + 4 * $off, 'leak ' || text
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |seen AS (SELECT DISTINCT md5(text) AS th FROM ex),
+       |dig AS (SELECT doc_id, text, md5(text) AS th FROM inc),
+       |keepf AS (SELECT th, min(doc_id) AS keep FROM dig GROUP BY th),
+       |cx AS (SELECT DISTINCT md5($clean) AS ck FROM ex),
+       |ti AS (SELECT doc_id, len(list_filter($tokList, x -> x <> ''))
+       |         AS ntok, md5($clean) AS ck FROM inc),
+       |${DedupOps.passageCtesSqlFor("ex", "_ex")},
+       |${DedupOps.passageCtesSqlFor("inc", "_in")},
+       |pidx AS (SELECT DISTINCT md5(passage) AS h FROM ch_ex),
+       |pmem AS (SELECT doc_id, count(*) AS np,
+       |      sum(CASE WHEN md5(passage) IN (SELECT h FROM pidx)
+       |          THEN 1 ELSE 0 END) AS nk
+       |    FROM ch_in GROUP BY doc_id),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |${gramCtes("ev", "_ev")},
+       |evg AS (SELECT DISTINCT sh FROM gs_ev),
+       |${gramCtes("inc", "_ic")},
+       |cont AS (SELECT doc_id, count(DISTINCT sh) AS nh
+       |       FROM gs_ic JOIN evg USING (sh) GROUP BY doc_id),
+       |attr AS (SELECT d.doc_id, d.text,
+       |    CASE WHEN d.th IN (SELECT th FROM seen) THEN '1_exact_store'
+       |      WHEN d.doc_id <> k.keep THEN '2_exact_intra'
+       |      WHEN t.ntok >= 3 AND t.ck IN (SELECT ck FROM cx)
+       |        THEN '3_neardup'
+       |      WHEN p.nk IS NOT NULL AND p.nk * 2 >= p.np THEN '4_passage'
+       |      WHEN c.nh >= $DecontamMinHits THEN '5_decontam'
+       |      ELSE 'admitted' END AS gate
+       |  FROM dig d JOIN keepf k USING (th)
+       |  LEFT JOIN ti t USING (doc_id)
+       |  LEFT JOIN pmem p USING (doc_id)
+       |  LEFT JOIN cont c USING (doc_id)),
+       |hist AS (SELECT gate, CAST(count(*) AS BIGINT) AS n
+       |       FROM attr GROUP BY gate),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM attr),
+       |st AS (SELECT unnest(['1_exact_store', '2_exact_intra',
+       |        '3_neardup', '4_passage', '5_decontam']) AS stage),
+       |p1a AS (SELECT st.stage, CAST(coalesce(h.n, 0) AS BIGINT) AS n0
+       |      FROM st LEFT JOIN hist h ON h.gate = st.stage),
+       |p1b AS (SELECT stage, n0,
+       |      CAST(coalesce(sum(n0) OVER (ORDER BY stage
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS BIGINT) AS rb
+       |    FROM p1a),
+       |adm AS (SELECT doc_id, text FROM attr WHERE gate = 'admitted'),
+       |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM adm),
+       |r2b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM adm
+       |      WHERE len(list_filter($tokList, x -> x <> '')) >= 3),
+       |q2 AS (SELECT doc_id + 6 * $off AS doc_id,
+       |      array_to_string((string_split(text, ' '))[1:$pasW], ' ')
+       |        || ' $AdmitSalt' || CAST(doc_id AS VARCHAR) AS text
+       |    FROM adm),
+       |${DedupOps.passageCtesSqlFor("adm", "_ad")},
+       |${DedupOps.passageCtesSqlFor("q2", "_q2")},
+       |pidx2 AS (SELECT h FROM pidx
+       |      UNION SELECT DISTINCT md5(passage) FROM ch_ad),
+       |pm2 AS (SELECT doc_id, count(*) AS np,
+       |      sum(CASE WHEN md5(passage) IN (SELECT h FROM pidx2)
+       |          THEN 1 ELSE 0 END) AS nk
+       |    FROM ch_q2 GROUP BY doc_id),
+       |r2c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pm2
+       |      WHERE nk * 2 >= np),
+       |rows_all AS (
+       |  SELECT CAST(1 AS BIGINT) AS phase, stage,
+       |    (SELECT t FROM tot) - rb AS n_in, n0 AS n_rejected,
+       |    (SELECT t FROM tot) - rb - n0 AS n_admitted
+       |  FROM p1b
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '1_resubmit_exact',
+       |    (SELECT n FROM na), (SELECT n FROM na), CAST(0 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '2_variant_neardup',
+       |    (SELECT n FROM na), (SELECT n FROM r2b),
+       |    (SELECT n FROM na) - (SELECT n FROM r2b)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '3_quote_passage',
+       |    (SELECT n FROM na), (SELECT n FROM r2c),
+       |    (SELECT n FROM na) - (SELECT n FROM r2c))
+       |SELECT phase, stage, n_in, n_rejected, n_admitted
+       |FROM rows_all ORDER BY phase, stage""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("c01_corpus_prep", corpusPrep, Some(corpusPrepSql)),
     QueryDef("c02_corpus_stats", corpusStats, Some(corpusStatsSql)),
@@ -1492,6 +1906,10 @@ object PackOps {
     // surfaces and proves absence everywhere at once (see doc)
     QueryDef("c07_right_to_be_forgotten", rightToBeForgotten,
       Some(rightToBeForgottenSql)),
+    // c08 runs ONE batch through the full admission waterfall, commits
+    // the survivors, and proves the appends are load-bearing (see doc)
+    QueryDef("c08_crawl_admission", crawlAdmission,
+      Some(crawlAdmissionSql)),
     QueryDef("p15_tombstone_export", tombstoneExport,
       Some(tombstoneExportSql)))
 }

@@ -510,4 +510,85 @@ class PackOpsSpec extends SparkSpec {
         r.getBoolean(3), r.getLong(4))).toSeq
     assert(out2 === out)
   }
+
+  test("c08 admission: planted classes land on their gates; the appends are load-bearing; replay-stable") {
+    import graft.operators.DedupOps
+    import graft.functions.TextFunctions
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val attributed = PackOps.admissionAttributed(spark, sfTiny)
+    val gates = attributed.select(col("doc_id"), col("gate"))
+      .as[(Long, String)].collect().toMap
+    val srcs = docs.select(col("doc_id"), col("text"),
+        size(TextFunctions.tokens(col("text"))).as("ntok"),
+        size(split(col("text"), " ")).as("nraw"),
+        (upper(col("text")) === col("text")).as("upperSame"))
+      .as[(Long, String, Int, Int, Boolean)].collect()
+    val evens = srcs.filter(_._1 % 2 == 0)
+    // verbatim re-fetches die at the ledger
+    evens.filter(_._1 < 100).foreach { s =>
+      assert(gates(s._1 + off) === "1_exact_store", s"refetch of ${s._1}") }
+    // uppercased re-fetches die at the VERIFIED near-dup gate (unless
+    // the text has no letters, in which case they are exact dups)
+    evens.filter(s => s._1 >= 100 && s._1 < 200).foreach { s =>
+      val g = gates(s._1 + 2 * off)
+      if (s._5) assert(g === "1_exact_store", s"letterless ${s._1}: $g")
+      else if (s._3 >= 3) assert(g === "3_neardup", s"variant of ${s._1}: $g")
+    }
+    // quotations of sources with ≥ 1 full passage die at the passage gate
+    evens.filter(s => s._1 >= 200 && s._1 < 250 &&
+        s._4 >= DedupOps.PassageTokens).foreach { s =>
+      assert(gates(s._1 + 3 * off) === "4_passage", s"quote of ${s._1}") }
+    // leaked eval docs with ≥ 5 distinct 5-grams are quarantined (the
+    // n-gram overlap rides the id shift; a passage-level catch would
+    // also be a correct quarantine but must not reach 'admitted')
+    val evalGramCounts = TextFunctions.withNgrams(
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"),
+          TextFunctions.tokens(col("text")).as("toks")),
+        "toks", "shs", 5)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("ng"))
+      .as[(Long, Long)].collect()
+    evalGramCounts.filter(_._2 >= 5).foreach { case (id, _) =>
+      val g = gates(id + 4 * off)
+      assert(g == "5_decontam" || g == "4_passage", s"leak of $id: $g") }
+    assert(evalGramCounts.exists(e =>
+      e._2 >= 5 && gates(e._1 + 4 * off) == "5_decontam"))
+
+    // the composed row: conservation plus the round-2 closed forms
+    val out = PackOps.crawlAdmission(spark, sfTiny).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val p1 = out.filter(_._1 == 1L)
+    assert(p1.map(_._2) === Seq("1_exact_store", "2_exact_intra",
+      "3_neardup", "4_passage", "5_decontam"))
+    p1.sliding(2).foreach { w =>
+      assert(w(1)._3 === w(0)._5, "stage n_in must chain from n_admitted") }
+    assert(p1.head._3 === attributed.count())
+    val admitted = attributed.filter(col("gate") === "admitted")
+    val nAdm = p1.last._5
+    assert(nAdm === admitted.count())
+    val p2 = out.filter(_._1 == 2L)
+    assert(p2.forall(_._3 == nAdm))
+    // verbatim re-submission: the ledger now holds every admitted doc
+    assert(p2.find(_._2 == "1_resubmit_exact").get._4 === nAdm)
+    // case-variant re-submission: every admitted doc with ≥ 1 shingle is
+    // caught — nothing clean-equal exists in the BASE index (gate 3
+    // removed those), so the catch rides the APPENDED band rows alone
+    val admShingled = admitted
+      .filter(size(TextFunctions.tokens(col("text"))) >= 3).count()
+    assert(p2.find(_._2 == "2_variant_neardup").get._4 === admShingled)
+    // quotation re-use: every admitted doc with ≥ 1 full raw passage is
+    // caught through the APPENDED passage hashes alone
+    val admQuotable = admitted
+      .filter(size(split(col("text"), " ")) >= DedupOps.PassageTokens)
+      .count()
+    assert(p2.find(_._2 == "3_quote_passage").get._4 === admQuotable)
+    // replay: the appends' manifests skip their committed batch ids
+    val out2 = PackOps.crawlAdmission(spark, sfTiny).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out2 === out)
+  }
 }
