@@ -1432,6 +1432,94 @@ object EmbeddingOps {
     batchServeAgainst(graft.api.IvfStore.load(s, outDir), off)
   }
 
+  /** e27 — versioned ADOPTION and ROLLBACK through an atomic CURRENT
+    * pointer ([[graft.api.ServePointer]] — the operational switch the
+    * versioned stores implied but nothing provided: compactions and
+    * rebuilds write NEW immutable dirs, e25 proved a pinned reader is
+    * isolated from a concurrent fold, and this row witnesses the
+    * missing stage — WHICH version the fleet serves, how a rollout
+    * lands, and how a bad artifact is reverted without a rebuild):
+    *
+    *   phase 1 — v1 (the e21 double-planted index) is ADOPTED and
+    *     served via the pointer: top-1 = the first twin (+off)
+    *     everywhere, cosine 1.0;
+    *   phase 2 — the tombstone log is folded physically into v2
+    *     (e22's compaction, a DIFFERENT versioned dir), v2 is adopted
+    *     (staged rollout), and the pointer-resolved serve flips to the
+    *     surviving twin (+2·off) exactly on the taken-down queries;
+    *   phase 3 — ROLLBACK: v1 is re-adopted (a NEW pointer version —
+    *     the audit trail records the revert) and the serve is
+    *     byte-identical to phase 1, proving v1 was untouched by the
+    *     fold and the revert needs no data movement at all.
+    *
+    * Every phase serves the PHYSICAL artifact the pointer names with
+    * NO serve-time tombstone filter: a fold that mutates v1 in place,
+    * a pointer that resolves stale, or a non-atomic adoption each
+    * breaks a phase's rows. Closed form per (phase, query).
+    *
+    * 100 TB shape: adoption/rollback move one kilobyte-scale pointer
+    * file — never data; the serves are e13's plan against whichever
+    * dir the pointer names. */
+  def annVersionRollback(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(3L * corpusCount(s, d))
+    // e21's shared double-planted index build (same memo key)
+    val index = graft.api.Intermediates.memo(s, s"ivf_tomb|$d|$cells") {
+      ivfBuild(doublePlantedUnion(base, off), cells)
+    }
+    val root = indexTmpBase(s, d, "e27")
+    val v1 = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
+    if (!new java.io.File(s"$v1/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(v1, index)
+    val tombRoot = s"$root/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot, tombstoneIds(base, off), 0L)
+    val v2 = graft.api.IvfStore.versionedDir(root, cells,
+      IndexDate.plusDays(1))
+    if (!new java.io.File(s"$v2/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.compactAppends(s, v1, s"$root/no_appends", v2,
+        Some(tombRoot))
+    val ptr = s"$root/pointer"
+    def serveCurrent(phase: Long): DataFrame = {
+      val dir = graft.api.ServePointer.current(ptr).getOrElse(
+        sys.error(s"no adopted version under $ptr"))
+      batchServeAgainst(graft.api.IvfStore.load(s, dir), off)
+        .select(lit(phase).as("phase"), col("query_id"), col("top1_id"),
+          col("cos_sim"))
+    }
+    graft.api.ServePointer.adopt(ptr, v1)
+    val p1 = serveCurrent(1L)
+    graft.api.ServePointer.adopt(ptr, v2) // staged rollout of the fold
+    val p2 = serveCurrent(2L)
+    graft.api.ServePointer.adopt(ptr, v1) // emergency ROLLBACK
+    val p3 = serveCurrent(3L)
+    p1.unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("query_id"))
+  }
+
+  /** e27's oracle: phase 1 and 3 are e13's doubled-union closed form
+    * (first twin wins the tie-break), phase 2 is e21's post-takedown
+    * form — phases 1 and 3 IDENTICAL by construction (the rollback
+    * guarantee stated row-for-row). */
+  private val versionRollbackSql = {
+    val offSql = DedupOps.plantOffsetSql("vec_id", "embeddings")
+    s"""WITH q AS (SELECT vec_id FROM embeddings
+       |           WHERE vec_id % $BatchQueryMod = 0),
+       |phases AS (
+       |  SELECT CAST(1 AS BIGINT) AS phase, vec_id AS query_id,
+       |    vec_id + ($offSql) AS top1_id, 1.0 AS cos_sim FROM q
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), vec_id,
+       |    CASE WHEN vec_id % ${2 * BatchQueryMod} = 0
+       |         THEN vec_id + 2 * ($offSql)
+       |         ELSE vec_id + ($offSql) END, 1.0 FROM q
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), vec_id,
+       |    vec_id + ($offSql), 1.0 FROM q)
+       |SELECT phase, query_id, top1_id, cos_sim
+       |FROM phases ORDER BY phase, query_id""".stripMargin
+  }
+
   /** Neighbors served per query by e18's top-k list (k = 10 — the RAG /
     * k-NN-backfill regime the r13 verdict named). */
   val ServeTopK = 10
@@ -2124,6 +2212,10 @@ object EmbeddingOps {
     // loaded artifact with NO tombstone filter — e24's oracle verbatim
     QueryDef("e25_pq_tombstone_compact", annPqTombstoneCompact,
       Some(tombstonePqServeSql)),
+    // e27 adopts, rolls out, and ROLLS BACK versioned artifacts through
+    // the atomic CURRENT pointer — phases 1 and 3 identical (see doc)
+    QueryDef("e27_version_rollback", annVersionRollback,
+      Some(versionRollbackSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

@@ -451,4 +451,59 @@ class IvfStoreSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("missing subspace codebook pq/m3"))
   }
+
+  test("ServePointer: atomic adoption, replay no-op, append-only history, concurrent adopters serialize") {
+    import graft.api.ServePointer
+    val root = tmp("ptr")
+    assert(ServePointer.current(root).isEmpty)
+    assert(ServePointer.adopt(root, "/a/v1") === 1)
+    assert(ServePointer.current(root) === Some("/a/v1"))
+    // replay: re-adopting the current dir must NOT churn the pointer
+    assert(ServePointer.adopt(root, "/a/v1") === 1)
+    assert(ServePointer.history(root).size === 1)
+    // rollout then rollback: history records the revert, never erases
+    assert(ServePointer.adopt(root, "/a/v2") === 2)
+    assert(ServePointer.adopt(root, "/a/v1") === 3)
+    assert(ServePointer.current(root) === Some("/a/v1"))
+    assert(ServePointer.history(root) ===
+      Seq((1, "/a/v1"), (2, "/a/v2"), (3, "/a/v1")))
+    // concurrent adopters: every adoption lands exactly once, versions
+    // stay dense, and the final current is one of the contenders
+    val root2 = tmp("ptr_race")
+    val dirs = (1 to 16).map(i => s"/race/v$i")
+    val threads = dirs.map(dd => new Thread(() => {
+      ServePointer.adopt(root2, dd); ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val h = ServePointer.history(root2)
+    assert(h.size === dirs.size, "an adoption was lost under contention")
+    assert(h.map(_._1) === (1 to dirs.size), "pointer versions not dense")
+    assert(h.map(_._2).sorted === dirs.sorted,
+      "every contender must land exactly once")
+    assert(dirs.contains(ServePointer.current(root2).get))
+  }
+
+  test("e27 rollback row: phase 3 is byte-identical to phase 1; phase 2 flips exactly the taken-down queries") {
+    val rows = EmbeddingOps.annVersionRollback(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val p1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3)).toSeq
+    val p2 = rows.filter(_._1 == 2L).map(r => (r._2, r._3)).toMap
+    val p3 = rows.filter(_._1 == 3L).map(r => (r._2, r._3)).toSeq
+    assert(p1.nonEmpty)
+    assert(p3 === p1, "rollback serve drifted from the pre-rollout serve")
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(baseEmb, "vec_id"))
+    p1.foreach { case (q, top1) =>
+      assert(top1 === q + off)
+      val expect2 =
+        if (q % (2 * EmbeddingOps.BatchQueryMod) == 0) q + 2 * off
+        else q + off
+      assert(p2(q) === expect2, s"phase-2 serve wrong for query $q")
+    }
+    // replay: the pointer no-ops on the already-current dir, the
+    // artifacts are session-billed — identical rows
+    val again = EmbeddingOps.annVersionRollback(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
