@@ -464,4 +464,43 @@ class EventStreamsSpec extends SparkSpec {
     val batch = graft.sources.Tables.events(spark, sfTiny).count()
     assert(streamed === batch)
   }
+
+  test("checkpoint restart recovery: source offsets AND dedup state survive a stop/restart, sink exactly-once") {
+    // the operational fault-tolerance witness behind every streaming
+    // row here: a long-lived ingest job is stopped (deploy, crash,
+    // preemption) and restarted against the SAME checkpoint. Structured
+    // Streaming must (a) not re-read committed input, (b) restore the
+    // dedup state store (a re-fetched id must stay suppressed ACROSS
+    // the restart — lost state would re-emit it), and (c) keep the file
+    // sink exactly-once. dropDuplicates makes both failure modes
+    // visible: lost offsets re-emit 1-3, lost state re-emits 2-3.
+    val root = java.nio.file.Files.createTempDirectory("graft_restart")
+      .toString
+    val src = s"$root/src"
+    def writeBatch(ids: Seq[Long]): Unit =
+      ids.toDF("id").coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id LONG").parquet(src)
+        .dropDuplicates("id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sink(): Seq[Long] = spark.read.schema("id LONG")
+      .parquet(s"$root/out").as[Long].collect().sorted.toSeq
+    writeBatch(Seq(1L, 2L, 3L))
+    runOnce()
+    assert(sink() === Seq(1L, 2L, 3L))
+    // stop → new input arrives (2 and 3 are re-fetches) → RESTART
+    writeBatch(Seq(2L, 3L, 4L, 5L))
+    runOnce()
+    assert(sink() === Seq(1L, 2L, 3L, 4L, 5L),
+      "restart must process only new files and keep re-fetches suppressed")
+    // restart with nothing pending: a no-op, not a replay
+    runOnce()
+    assert(sink() === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
