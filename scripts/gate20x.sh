@@ -17,7 +17,9 @@
 # family, PQ compaction, query-side streaming serve, LSH maintenance,
 # and the planted/stored winnow rows; r16 adds the passage/winnow store
 # maintenance rows, the PQ tombstone fold, the streaming ADC serve, and
-# the composed right-to-be-forgotten audit) — their oracles
+# the composed right-to-be-forgotten audit; the r16 continuation adds
+# the composed admission waterfall batch + streaming and the pointer
+# rollback row) — their oracles
 # recompute on the synthetic corpus, so they are checkable at any
 # scale; they are here because they are cheap enough to afford.
 #
@@ -60,7 +62,8 @@ d25_lsh_tombstone,s30_stream_tombstones,e24_pq_tombstone_serve,\
 d26_passage_append,d27_passage_tombstone,d28_winnow_append,\
 d29_winnow_tombstone,e25_pq_tombstone_compact,s31_stream_pq_serve,\
 c07_right_to_be_forgotten,s32_stream_passage_probe,s33_stream_winnow_gate,\
-e26_index_rebuild"
+e26_index_rebuild,c08_crawl_admission,e27_version_rollback,\
+s34_stream_admission"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -1470,19 +1470,20 @@ object PackOps {
 
   /** Cleaned-salt marker for the planted quotation docs: pure alpha so
     * [[graft.functions.TextFunctions.cleanText]] keeps it (digits ride
-    * along raw for per-doc uniqueness but clean away). */
-  private val AdmitSalt = "qzgraftsalt"
+    * along raw for per-doc uniqueness but clean away). Shared with
+    * s34's streaming waterfall. */
+  private[graft] val AdmitSalt = "qzgraftsalt"
 
   /** A batch doc sharing at least this many DISTINCT cleaned 5-grams
     * with the held-out eval set is quarantined (gate 5). */
-  private val DecontamMinHits = 5
+  private[graft] val DecontamMinHits = 5
 
   /** Quotation-doc text: the source's first 2 passage widths of RAW
     * tokens (so its leading passage windows are EXACTLY the source's)
     * plus a salted tail token that fails gates 1-3's equality checks.
     * One definition for the planted batch docs AND the round-2 probe
     * (the slicing cannot drift between the two uses). */
-  private def admitQuoteText: Column = concat(
+  private[graft] def admitQuoteText: Column = concat(
     array_join(slice(split(col("text"), " "), 1,
       2 * DedupOps.PassageTokens), " "),
     lit(s" $AdmitSalt"), col("doc_id").cast("string"))
@@ -1604,6 +1605,37 @@ object PackOps {
       .localCheckpoint()
   }
 
+  /** Stage histogram with running totals over an attributed
+    * (…, gate) relation — the waterfall's report shape, shared by
+    * c08's phase 1 and s34's streaming waterfall. Running totals come
+    * from a triangular self-join over the stage literal (an unkeyed
+    * window would single-partition — harmless on ≤ 5 rows, but the
+    * engine keeps exactly one unkeyed window: the prefix scan's
+    * per-partition partials). */
+  private[graft] def admissionHistogram(s: SparkSession,
+      attributed: DataFrame, stages: Seq[String]): DataFrame = {
+    import s.implicits._
+    val hist = attributed.groupBy(col("gate"))
+      .agg(count(lit(1)).as("n_rej"))
+    val total = attributed.agg(count(lit(1)).as("n_total"))
+    val h0 = stages.toDF("stage")
+      .join(hist.withColumnRenamed("gate", "stage"), Seq("stage"), "left")
+      .na.fill(0L, Seq("n_rej"))
+      .localCheckpoint()
+    h0.as("a")
+      .join(h0.as("b"), col("b.stage") < col("a.stage"), "left")
+      .groupBy(col("a.stage"), col("a.n_rej"))
+      .agg(coalesce(sum(col("b.n_rej")), lit(0L)).as("rej_before"))
+      .withColumnRenamed("n_rej", "n_rej0")
+      .crossJoin(broadcast(total))
+      .withColumn("n_rej", col("n_rej0"))
+      .select(col("stage"),
+        (col("n_total") - col("rej_before")).as("n_in"),
+        col("n_rej").as("n_rejected"),
+        (col("n_total") - col("rej_before") - col("n_rej"))
+          .as("n_admitted"))
+  }
+
   /** c08 — composed crawl-ADMISSION audit: the ingest twin of c07's
     * composed delete, and the composition every training-data
     * deployment actually runs per crawl increment. ONE incoming batch
@@ -1661,32 +1693,11 @@ object PackOps {
       .select(col("doc_id"), col("text"))
 
     // ---- phase 1 rows: the waterfall histogram with running totals
-    val stages = Seq("1_exact_store", "2_exact_intra", "3_neardup",
-      "4_passage", "5_decontam")
-    import s.implicits._
-    val hist = attributed.groupBy(col("gate"))
-      .agg(count(lit(1)).as("n_rej"))
-    val total = attributed.agg(count(lit(1)).as("n_total"))
-    // running totals over the 5-stage literal via a triangular
-    // self-join (an unkeyed window would single-partition — harmless
-    // on 5 rows, but the engine keeps exactly one unkeyed window: the
-    // prefix scan's per-partition partials)
-    val h0 = stages.toDF("stage")
-      .join(hist.withColumnRenamed("gate", "stage"), Seq("stage"), "left")
-      .na.fill(0L, Seq("n_rej"))
-      .localCheckpoint()
-    val phase1 = h0.as("a")
-      .join(h0.as("b"), col("b.stage") < col("a.stage"), "left")
-      .groupBy(col("a.stage"), col("a.n_rej"))
-      .agg(coalesce(sum(col("b.n_rej")), lit(0L)).as("rej_before"))
-      .withColumnRenamed("n_rej", "n_rej0")
-      .crossJoin(broadcast(total))
-      .withColumn("n_rej", col("n_rej0"))
-      .select(lit(1L).as("phase"), col("stage"),
-        (col("n_total") - col("rej_before")).as("n_in"),
-        col("n_rej").as("n_rejected"),
-        (col("n_total") - col("rej_before") - col("n_rej"))
-          .as("n_admitted"))
+    val phase1 = admissionHistogram(s, attributed,
+      Seq("1_exact_store", "2_exact_intra", "3_neardup",
+        "4_passage", "5_decontam"))
+      .select(lit(1L).as("phase"), col("stage"), col("n_in"),
+        col("n_rejected"), col("n_admitted"))
 
     // ---- the admission COMMIT: survivors appended to the serving
     // indexes through the stores' own atomic manifest paths
@@ -1763,7 +1774,13 @@ object PackOps {
     * stored". Phase 2's near-dup count is the same predicate against
     * store ∪ admitted, which every admitted doc satisfies through
     * ITSELF: closed form = |admitted with ≥ 3 cleaned tokens|. */
-  private val crawlAdmissionSql = {
+  /** Shared oracle prefix — batch construction through the per-doc
+    * `attr` attribution CTE, plus the stage histogram with running
+    * totals (`p1b`). `intraGate` toggles the batch-internal keep-first
+    * stage: batch c08 runs it; the streaming s34 waterfall omits it
+    * (cross-batch arrival-order dedup is s05/s14's state story) and
+    * renumbers the later gates accordingly. */
+  private def admissionAttrCtes(intraGate: Boolean): String = {
     val off = s"(SELECT o FROM off)"
     val tokList = graft.oracle.DuckFragments.tokListSql
     val clean = graft.oracle.DuckFragments.cleanSql
@@ -1780,7 +1797,21 @@ object PackOps {
          |      FROM w$sfx WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
          |gs$sfx AS (SELECT doc_id, sh FROM g$sfx WHERE sh IS NOT NULL)"""
         .stripMargin
-    s"""WITH off AS (SELECT ${DedupOps.plantOffsetSql("doc_id",
+    val stages =
+      if (intraGate) Seq("1_exact_store", "2_exact_intra", "3_neardup",
+        "4_passage", "5_decontam")
+      else Seq("1_exact_store", "2_neardup", "3_passage", "4_decontam")
+    val stageList = stages.map(st => s"'$st'").mkString(", ")
+    val nearStage = if (intraGate) "3_neardup" else "2_neardup"
+    val pasStage = if (intraGate) "4_passage" else "3_passage"
+    val contStage = if (intraGate) "5_decontam" else "4_decontam"
+    val keepfCte = if (intraGate)
+      "keepf AS (SELECT th, min(doc_id) AS keep FROM dig GROUP BY th),\n"
+    else ""
+    val intraCase = if (intraGate)
+      "      WHEN d.doc_id <> k.keep THEN '2_exact_intra'\n" else ""
+    val keepfJoin = if (intraGate) " JOIN keepf k USING (th)" else ""
+    s"""off AS (SELECT ${DedupOps.plantOffsetSql("doc_id",
           "documents")} AS o),
        |ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
        |inc AS (
@@ -1792,16 +1823,15 @@ object PackOps {
        |  FROM ex WHERE doc_id >= 100 AND doc_id < 200
        |  UNION ALL
        |  SELECT doc_id + 3 * $off,
-       |    array_to_string((string_split(text, ' '))[1:$pasW], ' ')
-       |      || ' $AdmitSalt' || CAST(doc_id AS VARCHAR)
+       |    array_to_string((string_split(text, ' '))[1:$pasW], ' ') ||
+       |      ' $AdmitSalt' || CAST(doc_id AS VARCHAR)
        |  FROM ex WHERE doc_id >= 200 AND doc_id < 250
        |  UNION ALL
        |  SELECT doc_id + 4 * $off, 'leak ' || text
        |  FROM documents WHERE doc_id % 97 = 0),
        |seen AS (SELECT DISTINCT md5(text) AS th FROM ex),
        |dig AS (SELECT doc_id, text, md5(text) AS th FROM inc),
-       |keepf AS (SELECT th, min(doc_id) AS keep FROM dig GROUP BY th),
-       |cx AS (SELECT DISTINCT md5($clean) AS ck FROM ex),
+       |${keepfCte}cx AS (SELECT DISTINCT md5($clean) AS ck FROM ex),
        |ti AS (SELECT doc_id, len(list_filter($tokList, x -> x <> ''))
        |         AS ntok, md5($clean) AS ck FROM inc),
        |${DedupOps.passageCtesSqlFor("ex", "_ex")},
@@ -1819,28 +1849,42 @@ object PackOps {
        |       FROM gs_ic JOIN evg USING (sh) GROUP BY doc_id),
        |attr AS (SELECT d.doc_id, d.text,
        |    CASE WHEN d.th IN (SELECT th FROM seen) THEN '1_exact_store'
-       |      WHEN d.doc_id <> k.keep THEN '2_exact_intra'
-       |      WHEN t.ntok >= 3 AND t.ck IN (SELECT ck FROM cx)
-       |        THEN '3_neardup'
-       |      WHEN p.nk IS NOT NULL AND p.nk * 2 >= p.np THEN '4_passage'
-       |      WHEN c.nh >= $DecontamMinHits THEN '5_decontam'
+       |$intraCase      WHEN t.ntok >= 3 AND t.ck IN (SELECT ck FROM cx)
+       |        THEN '$nearStage'
+       |      WHEN p.nk IS NOT NULL AND p.nk * 2 >= p.np THEN '$pasStage'
+       |      WHEN c.nh >= $DecontamMinHits THEN '$contStage'
        |      ELSE 'admitted' END AS gate
-       |  FROM dig d JOIN keepf k USING (th)
+       |  FROM dig d$keepfJoin
        |  LEFT JOIN ti t USING (doc_id)
        |  LEFT JOIN pmem p USING (doc_id)
        |  LEFT JOIN cont c USING (doc_id)),
        |hist AS (SELECT gate, CAST(count(*) AS BIGINT) AS n
        |       FROM attr GROUP BY gate),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM attr),
-       |st AS (SELECT unnest(['1_exact_store', '2_exact_intra',
-       |        '3_neardup', '4_passage', '5_decontam']) AS stage),
+       |st AS (SELECT unnest([$stageList]) AS stage),
        |p1a AS (SELECT st.stage, CAST(coalesce(h.n, 0) AS BIGINT) AS n0
        |      FROM st LEFT JOIN hist h ON h.gate = st.stage),
        |p1b AS (SELECT stage, n0,
        |      CAST(coalesce(sum(n0) OVER (ORDER BY stage
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |        AS BIGINT) AS rb
-       |    FROM p1a),
+       |    FROM p1a)""".stripMargin
+  }
+
+  /** s34's oracle: the intra-free waterfall histogram (see
+    * [[admissionAttrCtes]]) — referenced by the streaming row in
+    * [[graft.streaming.EventStreams]]. */
+  private[graft] val streamAdmissionSql =
+    s"""WITH ${admissionAttrCtes(intraGate = false)}
+       |SELECT stage, (SELECT t FROM tot) - rb AS n_in, n0 AS n_rejected,
+       |  (SELECT t FROM tot) - rb - n0 AS n_admitted
+       |FROM p1b ORDER BY stage""".stripMargin
+
+  private val crawlAdmissionSql = {
+    val off = s"(SELECT o FROM off)"
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    val pasW = 2 * DedupOps.PassageTokens
+    s"""WITH ${admissionAttrCtes(intraGate = true)},
        |adm AS (SELECT doc_id, text FROM attr WHERE gate = 'admitted'),
        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM adm),
        |r2b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM adm

@@ -1201,6 +1201,164 @@ object EventStreams {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** s34 — STREAMING crawl admission (c08's composed waterfall on the
+    * live path — the streaming symmetry s32/s33 completed per grain,
+    * now at the COMPOSED level: a deployment's admission pipeline IS a
+    * stream consumer): the same incoming increment (organic odds plus
+    * c08's four planted reject classes) arrives as a document stream,
+    * and every gate probes the SAME loaded session artifacts batch c08
+    * probes, as stream-static joins:
+    *
+    *   - exact — digest left-join against the stored ledger (s14's
+    *     stateless shape; also emits the per-doc universe relation);
+    *   - near-dup — row-local bands ⋈ loaded band index, VERIFIED by
+    *     cleaned-key equality against static dimensions (stateless
+    *     append of candidate pairs; the distinct is batch work after
+    *     the drain);
+    *   - passage — batch passages ⋈ loaded membership set, per-doc
+    *     complete-mode roll-up (s32's shape);
+    *   - decontam — in-row-distinct 5-grams ⋈ broadcast eval set,
+    *     per-doc complete-mode count (s25's shape).
+    *
+    * The intra-batch keep-first gate is deliberately ABSENT here:
+    * arrival order inside micro-batches is not a contract, and
+    * cross-batch duplicate suppression is s05/s14's witnessed state
+    * story — so the streaming waterfall has four gates and its oracle
+    * recomputes the intra-free attribution (a batch-internal twin
+    * falls through to later gates or double-admits, exactly as the
+    * closed form states). Composition + histogram are batch work over
+    * the drained sinks.
+    *
+    * 100 TB shape: every probe is stream ⋈ static store on a uniform
+    * key; the stateful stages hold per-doc counters for the increment
+    * only (batch-sized, never corpus-sized); nothing shuffles the
+    * corpus. */
+  def streamAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{DedupOps, PackOps}
+    import graft.functions.TextFunctions
+    val ss = streamSession(s)
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    // c08's session artifacts — one build, two consumers (the batch
+    // and streaming waterfalls probe the identical stores)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "c08")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val lshDir = graft.api.LshIndexStore.versionedDir(
+      s"$root/lsh", DedupOps.Bands, date)
+    if (!new java.io.File(s"$lshDir/_SUCCESS").isFile)
+      graft.api.LshIndexStore.save(lshDir,
+        DedupOps.prunedBandIndex(existing))
+    val pasDir = graft.api.PassageIndexStore.versionedDir(
+      s"$root/passage", DedupOps.PassageTokens, date)
+    if (!new java.io.File(s"$pasDir/_SUCCESS").isFile)
+      graft.api.PassageIndexStore.save(pasDir,
+        DedupOps.passageHashIndex(existing))
+
+    // c08's increment construction, applied to EITHER the batch table
+    // (static dims) or the stream (the probes)
+    def plantedBatch(f: DataFrame): DataFrame =
+      f.filter(col("doc_id") % 2 === 1)
+        .unionByName(f
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+          .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+        .unionByName(f
+          .filter(col("doc_id") % 2 === 0 &&
+            col("doc_id") >= 100 && col("doc_id") < 200)
+          .select((col("doc_id") + lit(2 * off)).as("doc_id"),
+            upper(col("text")).as("text")))
+        .unionByName(f
+          .filter(col("doc_id") % 2 === 0 &&
+            col("doc_id") >= 200 && col("doc_id") < 250)
+          .select((col("doc_id") + lit(3 * off)).as("doc_id"),
+            PackOps.admitQuoteText.as("text")))
+        .unionByName(f.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + lit(4 * off)).as("doc_id"),
+            concat(lit("leak "), col("text")).as("text")))
+
+    def cleanKey =
+      md5(TextFunctions.cleanText(col("text")).cast("binary"))
+    val seen = existing
+      .select(md5(col("text").cast("binary")).as("th"))
+      .distinct().withColumn("__seen", lit(1))
+    // the increment's own clean keys: a static dimension — the stream
+    // is the delivery vehicle, the verifier's side tables are data
+    val inClean = plantedBatch(docs)
+      .select(col("doc_id").as("in_id"), cleanKey.as("ick"))
+    val srcClean = existing
+      .select(col("doc_id").as("src_id"), cleanKey.as("sck"))
+
+    val incoming = plantedBatch(
+      readDocuments(ss, d).select(col("doc_id"), col("text")))
+
+    // gate 1 (stateless): exact flag + the universe
+    val universe = runToMemory(
+      incoming.withColumn("th", md5(col("text").cast("binary")))
+        .join(seen, Seq("th"), "left")
+        .select(col("doc_id"), coalesce(col("__seen"), lit(0)).as("seen")),
+      "append", "s34_universe")
+    // gate 2 (stateless): verified near-dup candidates
+    val nearPairs = runToMemory(
+      DedupOps.minhashBandsRowLocal(incoming)
+        .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
+        .join(graft.api.LshIndexStore.load(ss, lshDir)
+          .select(col("doc_id").as("src_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .join(inClean, Seq("in_id"))
+        .join(srcClean, Seq("src_id"))
+        .filter(col("ick") === col("sck"))
+        .select(col("in_id")),
+      "append", "s34_near")
+    // gate 3 (complete): passage membership roll-up
+    val known = graft.api.PassageIndexStore.load(ss, pasDir)
+      .select(col("h")).distinct().withColumn("__known", lit(1L))
+    val pasAgg = runToMemory(
+      DedupOps.passageInstancesFrom(incoming)
+        .select(col("doc_id"), md5(col("passage").cast("binary")).as("h"))
+        .join(known, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("np"),
+          sum(coalesce(col("__known"), lit(0L))).as("nk")),
+      "complete", "s34_passage")
+    // gate 4 (complete): benchmark 5-gram overlap
+    val evalGrams = TextFunctions.withNgrams(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks")),
+        "toks", "shs", 5)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val contAgg = runToMemory(
+      TextFunctions.withNgrams(
+          incoming.select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("toks")),
+          "toks", "shs", 5)
+        .select(col("doc_id"), explode(array_distinct(col("shs"))).as("sh"))
+        .join(broadcast(evalGrams), "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nh")),
+      "complete", "s34_decontam")
+
+    // composition + histogram: batch work over the drained sinks
+    val attributed = universe
+      .join(nearPairs.select(col("in_id").as("doc_id")).distinct()
+        .withColumn("__near", lit(1)), Seq("doc_id"), "left")
+      .join(pasAgg.filter(col("nk") * 2 >= col("np"))
+        .select(col("doc_id")).withColumn("__pas", lit(1)),
+        Seq("doc_id"), "left")
+      .join(contAgg.filter(col("nh") >= PackOps.DecontamMinHits)
+        .select(col("doc_id")).withColumn("__cont", lit(1)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("seen") === 1, "1_exact_store")
+          .when(col("__near") === 1, "2_neardup")
+          .when(col("__pas") === 1, "3_passage")
+          .when(col("__cont") === 1, "4_decontam")
+          .otherwise("admitted").as("gate"))
+    PackOps.admissionHistogram(ss, attributed,
+      Seq("1_exact_store", "2_neardup", "3_passage", "4_decontam"))
+      .orderBy(col("stage"))
+  }
+
   /** s30 — STREAMING tombstone ingestion (e21 on the live path,
     * completing the r15 takedown lifecycle: deletion events — DMCA
     * notices, GDPR requests, recrawl removals — arrive as a STREAM in
@@ -1552,7 +1710,11 @@ object EventStreams {
     // s30 streams the TAKEDOWN events into the tombstone log — e21's
     // selective closed-form oracle transfers verbatim (see s30 doc)
     QueryDef("s30_stream_tombstones", streamTombstoneServe,
-      Some(graft.operators.EmbeddingOps.tombstoneServeSql)))
+      Some(graft.operators.EmbeddingOps.tombstoneServeSql)),
+    // s34 runs c08's admission waterfall on the live path — the
+    // intra-free closed-form histogram (see s34 doc)
+    QueryDef("s34_stream_admission", streamAdmission,
+      Some(graft.operators.PackOps.streamAdmissionSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

@@ -465,6 +465,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("s34 streaming admission equals batch c08's waterfall stage-for-stage") {
+    // the streaming waterfall omits only the intra-batch keep-first
+    // gate; at this fixture c08 attributes ZERO docs to it, so the two
+    // histograms must agree exactly under the stage renumbering. The
+    // guard names the fixture change that would invalidate the parity.
+    val c08 = graft.operators.PackOps.crawlAdmission(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(_._1 == 1L)
+    val intra = c08.find(_._2 == "2_exact_intra").get
+    assert(intra._4 === 0L,
+      "fixture grew intra-batch dups — rebuild this parity against them")
+    val rename = Map("1_exact_store" -> "1_exact_store",
+      "3_neardup" -> "2_neardup", "4_passage" -> "3_passage",
+      "5_decontam" -> "4_decontam")
+    val expect = c08.filter(_._2 != "2_exact_intra")
+      .map(r => (rename(r._2), r._3, r._4, r._5)).toSeq
+    val got = EventStreams.streamAdmission(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expect)
+    // something was actually gated on the live path
+    assert(got.map(_._3).sum > 0L)
+  }
+
   test("checkpoint restart recovery: source offsets AND dedup state survive a stop/restart, sink exactly-once") {
     // the operational fault-tolerance witness behind every streaming
     // row here: a long-lived ingest job is stopped (deploy, crash,

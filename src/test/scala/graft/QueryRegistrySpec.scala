@@ -19,6 +19,19 @@ class QueryRegistrySpec extends SparkSpec {
     assert(names.size >= 43)
   }
 
+  test("no oracle carries a stripMargin artifact") {
+    // a '|' surviving at line start means a pre-stripped SQL fragment
+    // was embedded in another margined literal and the OUTER stripMargin
+    // ate the first char of a '||' concat (the s34 refactor's near-miss)
+    // — DuckDB would fail with an opaque binder error
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      sql.linesIterator.zipWithIndex.foreach { case (line, i) =>
+        assert(!line.matches("""\s*\|(?!\|).*"""),
+          s"$name line ${i + 1}: stray margin '|' — double stripMargin")
+      }
+    }
+  }
+
   test("registry growth stays under the codegen class-cache capacity") {
     // The r12 regression postmortem (SCALE.md): once the session's
     // distinct-plan working set outgrows spark.sql.codegen.cache.maxEntries,
