@@ -33,7 +33,8 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths}
   * an atomic pointer is the reader-isolation recipe (e25's witness):
   * a serve pinned to its loaded version is unaffected by a concurrent
   * adoption, and the janitor retires a dir only when no pointer
-  * version still names it. */
+  * version inside the rollback retention window still names it
+  * ([[retirable]]). */
 object ServePointer {
 
   private val PointerName = "current-v(\\d+)\\.json".r
@@ -54,6 +55,24 @@ object ServePointer {
   /** The currently adopted dir, if any pointer version exists. */
   def current(root: String): Option[String] =
     history(root).lastOption.map(_._2)
+
+  /** The janitor's retirement predicate: of `candidates`, the dirs
+    * named by NO pointer version in the retention window (the last
+    * `keepLast` adoptions). The history is append-only, so without a
+    * window nothing would ever retire; the window is the rollback
+    * horizon — a dir inside it may be re-adopted by a revert and must
+    * survive, one outside it has no pointer that can reach it short of
+    * a fresh adoption (which would re-protect it). Deployments size
+    * `keepLast` to their rollback policy and feed the survivors to the
+    * artifact janitor ([[graft.sources.ExportCommit.retireRoot]]'s
+    * ordering contract applies: retire only after the upstream
+    * checkpoint passed the folded batches). */
+  def retirable(root: String, candidates: Seq[String],
+      keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "keepLast must retain at least the current dir")
+    val protected_ = history(root).takeRight(keepLast).map(_._2).toSet
+    candidates.filterNot(protected_.contains)
+  }
 
   /** Atomically adopt `dir` as the serving version. Returns the
     * pointer version that names `dir` (the existing one when `dir` is

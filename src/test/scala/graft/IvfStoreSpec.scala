@@ -483,6 +483,32 @@ class IvfStoreSpec extends SparkSpec {
     assert(dirs.contains(ServePointer.current(root2).get))
   }
 
+  test("ServePointer.retirable protects the rollback window, retires outside it") {
+    import graft.api.ServePointer
+    val root = tmp("ptr_retire")
+    // nothing adopted: nothing is protected (a candidate no pointer
+    // ever named is plain garbage)
+    assert(ServePointer.retirable(root, Seq("/x/v0")) === Seq("/x/v0"))
+    ServePointer.adopt(root, "/x/v1")
+    ServePointer.adopt(root, "/x/v2")
+    ServePointer.adopt(root, "/x/v3")
+    val cands = Seq("/x/v1", "/x/v2", "/x/v3", "/x/crashed")
+    // keepLast=2 protects v2/v3 (the rollback horizon); v1 and the
+    // never-adopted dir retire
+    assert(ServePointer.retirable(root, cands, keepLast = 2) ===
+      Seq("/x/v1", "/x/crashed"))
+    // a ROLLBACK to v1 re-protects it (fresh adoption in the window)
+    ServePointer.adopt(root, "/x/v1")
+    assert(ServePointer.retirable(root, cands, keepLast = 2) ===
+      Seq("/x/v2", "/x/crashed"))
+    // the current dir can never retire
+    assert(!ServePointer.retirable(root, cands, keepLast = 1)
+      .contains(ServePointer.current(root).get))
+    intercept[IllegalArgumentException] {
+      ServePointer.retirable(root, cands, keepLast = 0)
+    }
+  }
+
   test("e27 rollback row: phase 3 is byte-identical to phase 1; phase 2 flips exactly the taken-down queries") {
     val rows = EmbeddingOps.annVersionRollback(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
