@@ -60,7 +60,13 @@ object ScaleProbe {
     // passage-index tombstone fold (set-maintenance compaction + the
     // stored-membership probe — the "index survives 100x without a
     // corpus re-tokenize" claim under test)
-    "s31_stream_pq_serve", "d27_passage_tombstone")
+    "s31_stream_pq_serve", "d27_passage_tombstone",
+    // r16-continuation additions: the composed admission waterfall —
+    // four store-probe gates + two manifest appends in one row, the
+    // "a crawl increment admits in one pass over the batch" claim —
+    // and its streaming twin (four stream-static probes + two bounded
+    // complete-mode roll-ups on the live path)
+    "c08_crawl_admission", "s34_stream_admission")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1520,6 +1520,163 @@ object EmbeddingOps {
        |FROM phases ORDER BY phase, query_id""".stripMargin
   }
 
+  /** c09's semantic-admission threshold — e10's SemDeDup operating
+    * point (a pair ≥ this cosine is the same content re-embedded). */
+  private val AdmitTau = 0.95
+
+  /** The multi-probe semantic gate shared by c09's two phases: each
+    * query row assigns its [[IvfProbes]] nearest cells ROW-LOCALLY over
+    * the broadcast quantizer ([[probeCellsRowLocal]] — s29's kernel),
+    * equi-joins the index relation on the cell id, and flags the query
+    * when any probed candidate scores ≥ [[AdmitTau]] exact cosine.
+    * Returns the flagged query ids. */
+  private def semanticGateHits(s: SparkSession, queries: DataFrame,
+      indexRel: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    val probeUdf = probeCellsRowLocal(s, model, IvfProbes)
+    queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        toFeatures(col("embedding")).as("q_feat"))
+      .withColumn("cell", explode(probeUdf(col("q_feat"))))
+      .join(indexRel.select(col("cell"), col("vec_id").as("s_id"),
+        col("embedding").as("s_emb")), Seq("cell"))
+      .filter(round(fastCosine(col("q_emb"), col("s_emb")), 6)
+        >= AdmitTau)
+      .select(col("q_id")).distinct()
+  }
+
+  /** c09 — embedding-side crawl ADMISSION (c08's composed waterfall on
+    * the vec-keyed half, completing the admission story across BOTH
+    * key spaces: a multimodal crawl increment ships documents AND
+    * their embeddings, and the vector store runs its own gates):
+    *
+    *   phase 1 — the incoming vector batch is three planted classes:
+    *     byte-identical re-embeds of vec_id < 200 at +off (the exact
+    *     re-fetch — gate 1: hash-join on xxhash64(embedding) against
+    *     the stored corpus, VERIFIED by exact array equality), 0.999-
+    *     scaled re-embeds of [200,400) at +2·off (new bytes, cosine
+    *     1.0 — gate 2: [[semanticGateHits]] against the LOADED
+    *     artifact), and dimension-ROLLED copies of the whole corpus at
+    *     +3·off (a coordinate permutation of isotropic noise is
+    *     isotropic noise again — genuinely novel, admitted; the same
+    *     construction the 20x scale corpus relies on);
+    *   commit — survivors appended through
+    *     [[graft.api.IvfStore.appendBatch]] (loaded quantizer's own
+    *     assignment, atomic manifest, replay-safe);
+    *   phase 2 — a 0.999-scaled re-embed of EVERY admitted vector
+    *     probes base ∪ committedAppends: all rejected, and only the
+    *     APPENDED rows can reject them (nothing in the base index is
+    *     within τ of a rolled vector) — the commit is load-bearing.
+    *
+    * Closed form throughout (e10's planted discipline: identical
+    * features share the source's cell deterministically, the source's
+    * own cell is always probed, cosine 1.0 ≥ τ; no native pair reaches
+    * τ — ≤ 0.61 measured at every shipped SF — and a rolled isotropic
+    * vector is just another native vector to the index).
+    *
+    * 100 TB shape: gate 1 is a uniform 64-bit hash equi-join with an
+    * equality verify; gate 2 probes IvfProbes/cells of the corpus per
+    * query (the serving fleet's own read path); the commit writes one
+    * batch-sized artifact through the manifest CAS. */
+  def embeddingAdmission(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(corpusCount(s, d))
+    // e22's shared base-corpus index build (same memo key)
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(base, cells)
+    }
+    val root = indexTmpBase(s, d, "c09")
+    val dir = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
+    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(dir, index)
+    val loaded = graft.api.IvfStore.load(s, dir)
+
+    val scaledEmb = transform(col("embedding"), v => v * lit(0.999f))
+    val rolledEmb = concat(
+      slice(col("embedding"), lit(8), size(col("embedding")) - lit(7)),
+      slice(col("embedding"), lit(1), lit(7)))
+    val batch = base.filter(col("vec_id") < 200)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+      .unionByName(base
+        .filter(col("vec_id") >= 200 && col("vec_id") < 400)
+        .select((col("vec_id") + lit(2 * off)).as("vec_id"),
+          scaledEmb.as("embedding")))
+      .unionByName(base
+        .select((col("vec_id") + lit(3 * off)).as("vec_id"),
+          rolledEmb.as("embedding")))
+      .localCheckpoint()
+
+    // gate 1: exact-bytes ledger (hash candidates, equality verify)
+    val exactHits = batch.withColumn("eh", xxhash64(col("embedding")))
+      .join(base.select(col("embedding").as("s_emb"))
+        .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"))
+      .filter(col("embedding") === col("s_emb"))
+      .select(col("vec_id")).distinct().withColumn("__exact", lit(1))
+    // gate 2: semantic near-dup vs the LOADED artifact
+    val semHits = semanticGateHits(s, batch, loaded.assigned, loaded.model)
+      .select(col("q_id").as("vec_id")).withColumn("__sem", lit(1))
+    val attributed = batch
+      .join(exactHits, Seq("vec_id"), "left")
+      .join(semHits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        when(col("__exact") === 1, "1_exact")
+          .when(col("__sem") === 1, "2_semantic")
+          .otherwise("admitted").as("gate"))
+      .localCheckpoint()
+    val admitted = attributed.filter(col("gate") === "admitted")
+      .select(col("vec_id"), col("embedding"))
+    val phase1 = PackOps.admissionHistogram(s, attributed,
+      Seq("1_exact", "2_semantic"))
+      .select(lit(1L).as("phase"), col("stage"), col("n_in"),
+        col("n_rejected"), col("n_admitted"))
+
+    // the COMMIT: survivors enter the serving index
+    graft.api.IvfStore.appendBatch(s"$root/append", admitted, 0L,
+      loaded.model)
+    val serveRel = loaded.assigned
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .unionByName(graft.api.IvfStore
+        .committedAppends(s, s"$root/append")
+        .select(col("vec_id"), col("embedding"), col("cell")))
+    val resub = admitted.select(
+      (col("vec_id") + lit(4 * off)).as("vec_id"),
+      scaledEmb.as("embedding"))
+    val r2 = semanticGateHits(s, resub, serveRel, loaded.model)
+    val phase2 = r2.agg(count(lit(1)).as("n_rejected"))
+      .crossJoin(broadcast(admitted.agg(count(lit(1)).as("n_adm"))))
+      .select(lit(2L).as("phase"),
+        lit("1_resubmit_semantic").as("stage"),
+        col("n_adm").as("n_in"), col("n_rejected"),
+        (col("n_adm") - col("n_rejected")).as("n_admitted"))
+    phase1.unionByName(phase2).orderBy(col("phase"), col("stage"))
+  }
+
+  /** c09's oracle: pure planted arithmetic — the gates' outcomes are
+    * fixed by construction (see [[embeddingAdmission]]), so every
+    * count derives from the corpus size and the planted ranges. */
+  private val embeddingAdmissionSql =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM embeddings),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM embeddings
+       |      WHERE vec_id < 200),
+       |b AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM embeddings
+       |      WHERE vec_id >= 200 AND vec_id < 400),
+       |rows_all AS (
+       |  SELECT CAST(1 AS BIGINT) AS phase, '1_exact' AS stage,
+       |    (SELECT n1 FROM a) + (SELECT n2 FROM b) + (SELECT nb FROM n)
+       |      AS n_in,
+       |    (SELECT n1 FROM a) AS n_rejected,
+       |    (SELECT n2 FROM b) + (SELECT nb FROM n) AS n_admitted
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), '2_semantic',
+       |    (SELECT n2 FROM b) + (SELECT nb FROM n),
+       |    (SELECT n2 FROM b), (SELECT nb FROM n)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '1_resubmit_semantic',
+       |    (SELECT nb FROM n), (SELECT nb FROM n), CAST(0 AS BIGINT))
+       |SELECT phase, stage, n_in, n_rejected, n_admitted
+       |FROM rows_all ORDER BY phase, stage""".stripMargin
+
   /** Neighbors served per query by e18's top-k list (k = 10 — the RAG /
     * k-NN-backfill regime the r13 verdict named). */
   val ServeTopK = 10
@@ -2216,6 +2373,10 @@ object EmbeddingOps {
     // the atomic CURRENT pointer — phases 1 and 3 identical (see doc)
     QueryDef("e27_version_rollback", annVersionRollback,
       Some(versionRollbackSql)),
+    // c09 admits a vector increment through exact + semantic gates and
+    // proves the commit load-bearing — planted closed form (see doc)
+    QueryDef("c09_embedding_admission", embeddingAdmission,
+      Some(embeddingAdmissionSql)),
     QueryDef("e08_neardup_embeddings", neardupEmbeddings,
       Some(neardupEmbeddingsSql)),
     QueryDef("e10_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

@@ -483,6 +483,29 @@ class IvfStoreSpec extends SparkSpec {
     assert(dirs.contains(ServePointer.current(root2).get))
   }
 
+  test("c09 embedding admission: gate chain conserves, the commit is load-bearing, replay-stable") {
+    val rows = EmbeddingOps.embeddingAdmission(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val p1 = rows.filter(_._1 == 1L)
+    assert(p1.map(_._2) === Seq("1_exact", "2_semantic"))
+    // the chain conserves and each planted class is exactly its range
+    val nb = baseEmb.count()
+    assert(p1.head._3 === 200L + 200L + nb)
+    assert(p1.head._4 === 200L) // every byte-identical re-embed dies
+    assert(p1(1)._3 === p1.head._5)
+    assert(p1(1)._4 === 200L) // every scaled re-embed dies at τ
+    assert(p1(1)._5 === nb) // every rolled vector is admitted
+    val p2 = rows.filter(_._1 == 2L)
+    assert(p2 === Seq((2L, "1_resubmit_semantic", nb, nb, 0L)),
+      "post-commit resubmission must die entirely via the appended rows")
+    // replay: the append manifest skips its committed batch id
+    val again = EmbeddingOps.embeddingAdmission(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(again === rows)
+  }
+
   test("ServePointer.retirable protects the rollback window, retires outside it") {
     import graft.api.ServePointer
     val root = tmp("ptr_retire")
