@@ -317,6 +317,51 @@ class ExportCommitSpec extends SparkSpec {
     assert(ExportCommit.latest(a).map(_.batchIds) === Some(Set(7L)))
   }
 
+  test("maintenance day end-to-end: fold → adopt → retire inputs → window-expired artifact retires, pointer serve unbroken") {
+    import org.apache.spark.sql.functions.col
+    import graft.api.{CompactionPolicy, LshIndexStore, ServePointer}
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("maint").toString
+    val ptr = s"$root/pointer"
+    val v1 = s"$root/v1"
+    LshIndexStore.save(v1, graft.operators.DedupOps.prunedBandIndex(
+      docs.filter(col("doc_id") % 2 === 0)))
+    ServePointer.adopt(ptr, v1)
+    // era 1: appends accrue until the policy fires, fold into v2
+    val a = s"$root/append"
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    LshIndexStore.appendBatch(a, odd.filter(col("doc_id") < 100), 0L)
+    assert(CompactionPolicy.due(a, None, 1, 1).due)
+    val v2 = s"$root/v2"
+    LshIndexStore.compactAppends(spark,
+      ServePointer.current(ptr).get, a, v2)
+    ServePointer.adopt(ptr, v2)
+    assert(ExportCommit.retireRoot(a))
+    // v1 is still inside the rollback window (keepLast=2): protected
+    assert(ServePointer.retirable(ptr, Seq(v1, v2)) === Nil)
+    // era 2: another fold pushes v1 past the window — NOW it retires
+    LshIndexStore.appendBatch(a, odd.filter(col("doc_id") >= 100), 0L)
+    val v3 = s"$root/v3"
+    LshIndexStore.compactAppends(spark,
+      ServePointer.current(ptr).get, a, v3)
+    ServePointer.adopt(ptr, v3)
+    assert(ExportCommit.retireRoot(a))
+    assert(ServePointer.retirable(ptr, Seq(v1, v2, v3)) === Seq(v1))
+    assert(ExportCommit.retireRoot(v1))
+    // the pointer-resolved serve is whole after every retirement: both
+    // eras' content serves from the surviving artifact alone (iterated
+    // folds may legally retire more rows per bucket than a one-shot
+    // census — doc-level presence is the stable contract here)
+    assert(ServePointer.current(ptr) === Some(v3))
+    val served = LshIndexStore.load(spark, ServePointer.current(ptr).get)
+    assert(served.filter(col("doc_id") % 2 === 0).count() > 0)
+    assert(served.filter(col("doc_id") % 2 === 1 &&
+      col("doc_id") < 100).count() > 0)
+    assert(served.filter(col("doc_id") % 2 === 1 &&
+      col("doc_id") >= 100).count() > 0)
+  }
+
   test("CompactionPolicy fires exactly at the threshold and is a no-op below it") {
     import graft.api.CompactionPolicy
     val root = java.nio.file.Files.createTempDirectory("policy").toString
