@@ -1520,18 +1520,21 @@ object EmbeddingOps {
        |FROM phases ORDER BY phase, query_id""".stripMargin
   }
 
-  /** c09's semantic-admission threshold — e10's SemDeDup operating
+  /** c09/s35's semantic-admission threshold — e10's SemDeDup operating
     * point (a pair ≥ this cosine is the same content re-embedded). */
-  private val AdmitTau = 0.95
+  private[graft] val AdmitTau = 0.95
 
-  /** The multi-probe semantic gate shared by c09's two phases: each
-    * query row assigns its [[IvfProbes]] nearest cells ROW-LOCALLY over
-    * the broadcast quantizer ([[probeCellsRowLocal]] — s29's kernel),
-    * equi-joins the index relation on the cell id, and flags the query
-    * when any probed candidate scores ≥ [[AdmitTau]] exact cosine.
-    * Returns the flagged query ids. */
-  private def semanticGateHits(s: SparkSession, queries: DataFrame,
-      indexRel: DataFrame,
+  /** The multi-probe semantic gate shared by c09's two phases and
+    * s35's live path: each query row assigns its [[IvfProbes]] nearest
+    * cells ROW-LOCALLY over the broadcast quantizer
+    * ([[probeCellsRowLocal]] — s29's kernel), equi-joins the index
+    * relation on the cell id, and flags the query when any probed
+    * candidate scores ≥ [[AdmitTau]] exact cosine. Emits one row per
+    * qualifying (query, candidate) — NO distinct, so the plan stays
+    * STATELESS on a streaming input (callers dedup: batch callers with
+    * `.distinct()`, streaming callers after the drain). */
+  private[graft] def semanticGateCandidates(s: SparkSession,
+      queries: DataFrame, indexRel: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     val probeUdf = probeCellsRowLocal(s, model, IvfProbes)
     queries
@@ -1542,7 +1545,34 @@ object EmbeddingOps {
         col("embedding").as("s_emb")), Seq("cell"))
       .filter(round(fastCosine(col("q_emb"), col("s_emb")), 6)
         >= AdmitTau)
-      .select(col("q_id")).distinct()
+      .select(col("q_id"))
+  }
+
+  private def semanticGateHits(s: SparkSession, queries: DataFrame,
+      indexRel: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame =
+    semanticGateCandidates(s, queries, indexRel, model).distinct()
+
+  /** c09/s35's incoming vector increment over any (vec_id, embedding)
+    * relation — byte-identical re-embeds of vec_id < 200 at +off,
+    * 0.999-scaled re-embeds of [200,400) at +2·off, dimension-rolled
+    * copies of everything at +3·off. ONE construction for the batch
+    * row (which checkpoints it) and the stream (which cannot). */
+  private[graft] def admissionVecBatch(base: DataFrame,
+      off: Long): DataFrame = {
+    val scaledEmb = transform(col("embedding"), v => v * lit(0.999f))
+    val rolledEmb = concat(
+      slice(col("embedding"), lit(8), size(col("embedding")) - lit(7)),
+      slice(col("embedding"), lit(1), lit(7)))
+    base.filter(col("vec_id") < 200)
+      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+      .unionByName(base
+        .filter(col("vec_id") >= 200 && col("vec_id") < 400)
+        .select((col("vec_id") + lit(2 * off)).as("vec_id"),
+          scaledEmb.as("embedding")))
+      .unionByName(base
+        .select((col("vec_id") + lit(3 * off)).as("vec_id"),
+          rolledEmb.as("embedding")))
   }
 
   /** c09 — embedding-side crawl ADMISSION (c08's composed waterfall on
@@ -1593,19 +1623,7 @@ object EmbeddingOps {
     val loaded = graft.api.IvfStore.load(s, dir)
 
     val scaledEmb = transform(col("embedding"), v => v * lit(0.999f))
-    val rolledEmb = concat(
-      slice(col("embedding"), lit(8), size(col("embedding")) - lit(7)),
-      slice(col("embedding"), lit(1), lit(7)))
-    val batch = base.filter(col("vec_id") < 200)
-      .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
-      .unionByName(base
-        .filter(col("vec_id") >= 200 && col("vec_id") < 400)
-        .select((col("vec_id") + lit(2 * off)).as("vec_id"),
-          scaledEmb.as("embedding")))
-      .unionByName(base
-        .select((col("vec_id") + lit(3 * off)).as("vec_id"),
-          rolledEmb.as("embedding")))
-      .localCheckpoint()
+    val batch = admissionVecBatch(base, off).localCheckpoint()
 
     // gate 1: exact-bytes ledger (hash candidates, equality verify)
     val exactHits = batch.withColumn("eh", xxhash64(col("embedding")))
@@ -1676,6 +1694,28 @@ object EmbeddingOps {
        |    (SELECT nb FROM n), (SELECT nb FROM n), CAST(0 AS BIGINT))
        |SELECT phase, stage, n_in, n_rejected, n_admitted
        |FROM rows_all ORDER BY phase, stage""".stripMargin
+
+  /** s35's oracle: c09's phase-1 closed form without the phase column
+    * — referenced by the streaming row in
+    * [[graft.streaming.EventStreams]]. */
+  private[graft] val streamEmbeddingAdmissionSql =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM embeddings),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM embeddings
+       |      WHERE vec_id < 200),
+       |b AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM embeddings
+       |      WHERE vec_id >= 200 AND vec_id < 400),
+       |rows_all AS (
+       |  SELECT '1_exact' AS stage,
+       |    (SELECT n1 FROM a) + (SELECT n2 FROM b) + (SELECT nb FROM n)
+       |      AS n_in,
+       |    (SELECT n1 FROM a) AS n_rejected,
+       |    (SELECT n2 FROM b) + (SELECT nb FROM n) AS n_admitted
+       |  UNION ALL
+       |  SELECT '2_semantic',
+       |    (SELECT n2 FROM b) + (SELECT nb FROM n),
+       |    (SELECT n2 FROM b), (SELECT nb FROM n))
+       |SELECT stage, n_in, n_rejected, n_admitted
+       |FROM rows_all ORDER BY stage""".stripMargin
 
   /** Neighbors served per query by e18's top-k list (k = 10 — the RAG /
     * k-NN-backfill regime the r13 verdict named). */

@@ -1359,6 +1359,77 @@ object EventStreams {
       .orderBy(col("stage"))
   }
 
+  /** s35 — STREAMING embedding admission (c09's gates on the live
+    * path, completing the composed-admission symmetry across BOTH key
+    * spaces and BOTH execution modes: c08/s34 for documents, c09/s35
+    * for vectors): the incoming vector increment (c09's three planted
+    * classes, ONE shared construction —
+    * [[graft.operators.EmbeddingOps.admissionVecBatch]]) arrives as a
+    * vector stream, and both gates run STATELESS stream-static plans
+    * against c09's loaded session artifact:
+    *
+    *   - exact — 64-bit-hash left-join against the stored corpus with
+    *     the array-equality verify carried per row (multi-row on hash
+    *     collisions; the per-id max is batch work after the drain);
+    *   - semantic — s29's row-local probe cells over the broadcast
+    *     quantizer, cell equi-join, exact cosine ≥ τ
+    *     ([[graft.operators.EmbeddingOps.semanticGateCandidates]] —
+    *     the distinct-free emission exists for exactly this plan).
+    *
+    * Composition + histogram are batch work over the drained sinks;
+    * c09's planted closed form transfers (phase 1, reshaped). The
+    * COMMIT half of the live path is s26's witnessed row.
+    *
+    * 100 TB shape: both gates are stream ⋈ static on uniform keys
+    * (64-bit hash / cell id); nothing stateful rides the stream. */
+  def streamEmbeddingAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{DedupOps, EmbeddingOps, PackOps}
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = EmbeddingOps.ivfCellsFor(EmbeddingOps.corpusCount(ss, d))
+    val index = graft.api.Intermediates.memo(ss, s"ivf|$d|$cells") {
+      EmbeddingOps.ivfBuild(base, cells)
+    }
+    // c09's session artifact — one build, two consumers
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "c09")
+    val dir = graft.api.IvfStore.versionedDir(
+      root, cells, java.time.LocalDate.ofEpochDay(0))
+    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(dir, index)
+    val loaded = graft.api.IvfStore.load(ss, dir)
+
+    val incoming = EmbeddingOps.admissionVecBatch(
+      readEmbeddings(ss, d).select(col("vec_id"), col("embedding")), off)
+    // gate 1 (stateless): hash candidates + per-row equality verify
+    val universe = runToMemory(
+      incoming.withColumn("eh", xxhash64(col("embedding")))
+        .join(base.select(col("embedding").as("s_emb"))
+          .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"), "left")
+        .select(col("vec_id"),
+          when(col("embedding") === col("s_emb"), 1).otherwise(0)
+            .as("ex")),
+      "append", "s35_universe")
+    // gate 2 (stateless): semantic candidates vs the LOADED artifact
+    val semHits = runToMemory(
+      EmbeddingOps.semanticGateCandidates(ss, incoming,
+        loaded.assigned, loaded.model),
+      "append", "s35_sem")
+
+    val attributed = universe.groupBy(col("vec_id"))
+      .agg(max(col("ex")).as("ex"))
+      .join(semHits.select(col("q_id").as("vec_id")).distinct()
+        .withColumn("__sem", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("ex") === 1, "1_exact")
+          .when(col("__sem") === 1, "2_semantic")
+          .otherwise("admitted").as("gate"))
+    PackOps.admissionHistogram(ss, attributed,
+      Seq("1_exact", "2_semantic"))
+      .orderBy(col("stage"))
+  }
+
   /** s30 — STREAMING tombstone ingestion (e21 on the live path,
     * completing the r15 takedown lifecycle: deletion events — DMCA
     * notices, GDPR requests, recrawl removals — arrive as a STREAM in
@@ -1714,7 +1785,11 @@ object EventStreams {
     // s34 runs c08's admission waterfall on the live path — the
     // intra-free closed-form histogram (see s34 doc)
     QueryDef("s34_stream_admission", streamAdmission,
-      Some(graft.operators.PackOps.streamAdmissionSql)))
+      Some(graft.operators.PackOps.streamAdmissionSql)),
+    // s35 runs c09's vector gates on the live path — c09's phase-1
+    // closed form, reshaped (see s35 doc)
+    QueryDef("s35_stream_embedding_admission", streamEmbeddingAdmission,
+      Some(graft.operators.EmbeddingOps.streamEmbeddingAdmissionSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

@@ -490,6 +490,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0L)
   }
 
+  test("s35 streaming embedding admission equals batch c09's phase 1 stage-for-stage") {
+    val c09 = graft.operators.EmbeddingOps.embeddingAdmission(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(_._1 == 1L)
+      .map(r => (r._2, r._3, r._4, r._5)).toSeq
+    val got = EventStreams.streamEmbeddingAdmission(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === c09)
+    assert(got.map(_._3).sum > 0L) // the gates actually fire live
+  }
+
   test("checkpoint restart recovery: source offsets AND dedup state survive a stop/restart, sink exactly-once") {
     // the operational fault-tolerance witness behind every streaming
     // row here: a long-lived ingest job is stopped (deploy, crash,
