@@ -1555,15 +1555,18 @@ object EmbeddingOps {
 
   /** c09/s35's incoming vector increment over any (vec_id, embedding)
     * relation — byte-identical re-embeds of vec_id < 200 at +off,
-    * 0.999-scaled re-embeds of [200,400) at +2·off, dimension-rolled
-    * copies of everything at +3·off. ONE construction for the batch
-    * row (which checkpoints it) and the stream (which cannot). */
+    * 0.999-scaled re-embeds of [200,400) at +2·off, dimension-REVERSED
+    * copies of everything at +3·off (the novel class). ONE construction
+    * for the batch row (which checkpoints it) and the stream (which
+    * cannot). Reversal, not a roll: a coordinate REFLECTION of
+    * isotropic noise is isotropic noise again, but unlike a cyclic
+    * roll it lies OUTSIDE the 20x scale corpus's own transform group
+    * (ScaleProbe's blow-up copies are dimension rolls — a rolled
+    * "novel" vector would alias byte-for-byte into another corpus copy
+    * there, which is exactly what the 20x receipt caught). */
   private[graft] def admissionVecBatch(base: DataFrame,
       off: Long): DataFrame = {
     val scaledEmb = transform(col("embedding"), v => v * lit(0.999f))
-    val rolledEmb = concat(
-      slice(col("embedding"), lit(8), size(col("embedding")) - lit(7)),
-      slice(col("embedding"), lit(1), lit(7)))
     base.filter(col("vec_id") < 200)
       .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
       .unionByName(base
@@ -1572,7 +1575,7 @@ object EmbeddingOps {
           scaledEmb.as("embedding")))
       .unionByName(base
         .select((col("vec_id") + lit(3 * off)).as("vec_id"),
-          rolledEmb.as("embedding")))
+          reverse(col("embedding")).as("embedding")))
   }
 
   /** c09 — embedding-side crawl ADMISSION (c08's composed waterfall on
@@ -1586,22 +1589,23 @@ object EmbeddingOps {
     *     the stored corpus, VERIFIED by exact array equality), 0.999-
     *     scaled re-embeds of [200,400) at +2·off (new bytes, cosine
     *     1.0 — gate 2: [[semanticGateHits]] against the LOADED
-    *     artifact), and dimension-ROLLED copies of the whole corpus at
-    *     +3·off (a coordinate permutation of isotropic noise is
-    *     isotropic noise again — genuinely novel, admitted; the same
-    *     construction the 20x scale corpus relies on);
+    *     artifact), and dimension-REVERSED copies of the whole corpus at
+    *     +3·off (a coordinate reflection of isotropic noise is
+    *     isotropic noise again — genuinely novel, admitted; a
+    *     reflection, unlike a roll, is outside the 20x scale corpus's
+    *     own transform group, so the novelty survives that receipt);
     *   commit — survivors appended through
     *     [[graft.api.IvfStore.appendBatch]] (loaded quantizer's own
     *     assignment, atomic manifest, replay-safe);
     *   phase 2 — a 0.999-scaled re-embed of EVERY admitted vector
     *     probes base ∪ committedAppends: all rejected, and only the
     *     APPENDED rows can reject them (nothing in the base index is
-    *     within τ of a rolled vector) — the commit is load-bearing.
+    *     within τ of a reversed vector) — the commit is load-bearing.
     *
     * Closed form throughout (e10's planted discipline: identical
     * features share the source's cell deterministically, the source's
     * own cell is always probed, cosine 1.0 ≥ τ; no native pair reaches
-    * τ — ≤ 0.61 measured at every shipped SF — and a rolled isotropic
+    * τ — ≤ 0.61 measured at every shipped SF — and a reversed isotropic
     * vector is just another native vector to the index).
     *
     * 100 TB shape: gate 1 is a uniform 64-bit hash equi-join with an
