@@ -531,4 +531,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "ADC candidate join regressed to a sort-merge join at verification scale")
   }
+
+  test("c08/c09: the composed admission plans stay window-free") {
+    // every gate is a uniform-key equi-join + aggregate; the histogram
+    // is a triangular join over a ≤5-row literal — a Window anywhere in
+    // these plans would mean a per-doc/per-query ranking crept into the
+    // waterfall (their streaming twins s34/s35 run the SAME gate
+    // shapes, which a window would make stateful or illegal)
+    assert(!plan("c08_crawl_admission").contains("Window"),
+      "c08 grew a window")
+    assert(!plan("c09_embedding_admission").contains("Window"),
+      "c09 grew a window")
+  }
+
+  test("e27: each phase's serve physically reads the dir its pointer adoption named") {
+    // pointer resolution must land in the SCAN nodes: v1 (epoch day 0)
+    // serves phases 1 and 3, the compacted v2 (day 1) serves phase 2 —
+    // a pointer resolving stale would collapse the plan onto one dir.
+    // The rendered plan string truncates locations, so collect the
+    // scan relations' root paths from the optimized plan instead.
+    val df = SparkEntry.queries("e27_version_rollback")(spark, sfTiny)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(paths.exists(_.contains("ivf_index_1970-01-01")),
+      s"v1 scan missing from the rollback serve plan: $paths")
+    assert(paths.exists(_.contains("ivf_index_1970-01-02")),
+      s"v2 scan missing from the rollout serve plan: $paths")
+  }
 }
