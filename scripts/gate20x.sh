@@ -64,7 +64,7 @@ d29_winnow_tombstone,e25_pq_tombstone_compact,s31_stream_pq_serve,\
 c07_right_to_be_forgotten,s32_stream_passage_probe,s33_stream_winnow_gate,\
 e26_index_rebuild,c08_crawl_admission,e27_version_rollback,\
 s34_stream_admission,c09_embedding_admission,\
-s35_stream_embedding_admission"
+s35_stream_embedding_admission,c10_admission_export"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

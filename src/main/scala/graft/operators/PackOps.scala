@@ -1498,6 +1498,12 @@ object PackOps {
     * the two LOADED serving artifacts the batch probes — the
     * waterfall's INPUT indexes, e21's billing discipline. */
   private[graft] def admissionAttributed(s: SparkSession,
+      d: String): DataFrame =
+    graft.api.Intermediates.memo(s, s"c08attr|$d") {
+      admissionAttributedBuild(s, d)
+    }
+
+  private def admissionAttributedBuild(s: SparkSession,
       d: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -1871,6 +1877,53 @@ object PackOps {
        |    FROM p1a)""".stripMargin
   }
 
+  /** c10 — ADMITTED-increment export (the handoff the admission story
+    * exists FOR: the shards a trainer consumes next epoch are EXACTLY
+    * what the waterfall admitted — no rejected re-fetch, no
+    * quarantined leak, and nothing admitted is dropped): c08's
+    * attributed relation (ONE memoized computation per session — the
+    * two c-family rows share it) filtered to the admitted docs, routed
+    * by p11's SHARED shard rule ([[exportAssigned]] — the two export
+    * paths cannot drift), staged + atomically committed through
+    * [[graft.sources.ExportCommit]] (replay-safe), and the manifest
+    * aggregated from the READ-BACK shards with p11's
+    * corruption-detecting re-tokenized counts ([[manifestFrom]]). The
+    * oracle recomputes the admitted set closed-form (the full
+    * waterfall CTE) and the manifest arithmetic over it — an admission
+    * drift, a shard mis-route, a dropped or doubled doc in the export,
+    * and read-back text corruption each break this hash.
+    *
+    * 100 TB shape: the waterfall is shared, not re-run; the export is
+    * one batch-sized gzip shard write + read per increment (p12's
+    * incremental posture with admission as the upstream filter). */
+  def admissionExport(s: SparkSession, d: String): DataFrame = {
+    val admitted = admissionAttributed(s, d)
+      .filter(col("gate") === "admitted")
+      .select(col("doc_id"), col("text"))
+    val assigned = exportAssigned(admitted)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "c10")
+    if (!graft.sources.ExportCommit.isCommitted(root, 0L)) {
+      val staged = graft.sources.ExportCommit.stage(root, 0L)
+      assigned.write.partitionBy("shard")
+        .option("compression", "gzip").json(staged)
+      graft.sources.ExportCommit.commitBatch(root, 0L, staged)
+    }
+    manifestFrom(
+      graft.sources.ExportCommit.readCommitted(s, root, assigned.schema))
+  }
+
+  private val admissionExportSql =
+    s"""WITH ${admissionAttrCtes(intraGate = true)},
+       |adm AS (SELECT doc_id, text FROM attr WHERE gate = 'admitted'),
+       |k AS (SELECT doc_id, text,
+       |    ${shuffleKeySql("doc_id", ShuffleSeed)} % $EpochShards AS shard
+       |  FROM adm)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+
   /** s34's oracle: the intra-free waterfall histogram (see
     * [[admissionAttrCtes]]) — referenced by the streaming row in
     * [[graft.streaming.EventStreams]]. */
@@ -1954,6 +2007,10 @@ object PackOps {
     // the survivors, and proves the appends are load-bearing (see doc)
     QueryDef("c08_crawl_admission", crawlAdmission,
       Some(crawlAdmissionSql)),
+    // c10 exports EXACTLY the admitted increment through the atomic
+    // shard protocol — the trainer handoff of the waterfall (see doc)
+    QueryDef("c10_admission_export", admissionExport,
+      Some(admissionExportSql)),
     QueryDef("p15_tombstone_export", tombstoneExport,
       Some(tombstoneExportSql)))
 }
