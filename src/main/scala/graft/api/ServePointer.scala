@@ -40,15 +40,26 @@ object ServePointer {
   private val PointerName = "current-v(\\d+)\\.json".r
   private val DirRe = """\{"version":(\d+),"dir":"([^"]+)"\}""".r
 
-  /** All adoptions, version order — the audit trail. */
+  /** All adoptions, version order — the audit trail. LOUD on a
+    * pointer file that exists but does not parse (the loud-load
+    * discipline every store here follows): silently skipping a corrupt
+    * `current-v{N}.json` would serve the PREVIOUS version — an
+    * invisible rollback. The commit protocol cannot produce a torn
+    * file (content is durable before the name appears), so a parse
+    * failure is disk corruption or foreign writes and must stop the
+    * serve, not redirect it. */
   def history(root: String): Seq[(Int, String)] = {
     val f = new java.io.File(root)
     Option(f.list()).toSeq.flatten
       .collect { case PointerName(v) => v.toInt }
       .sorted
-      .flatMap { v =>
+      .map { v =>
         val s = Files.readString(Paths.get(root, s"current-v$v.json"), UTF_8)
         DirRe.findFirstMatchIn(s).map(m => (v, m.group(2)))
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt serve pointer current-v$v.json under $root — " +
+              "refusing to resolve a version (a skip would silently " +
+              "serve the previous artifact)"))
       }
   }
 

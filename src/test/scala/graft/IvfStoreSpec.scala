@@ -506,6 +506,20 @@ class IvfStoreSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("ServePointer refuses a corrupt pointer file loudly — never a silent rollback") {
+    import graft.api.ServePointer
+    val root = tmp("ptr_corrupt")
+    ServePointer.adopt(root, "/x/v1")
+    ServePointer.adopt(root, "/x/v2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "current-v2.json"),
+      "garbage not a pointer")
+    val ex = intercept[IllegalStateException] {
+      ServePointer.current(root)
+    }
+    assert(ex.getMessage.contains("current-v2.json"))
+  }
+
   test("ServePointer.retirable protects the rollback window, retires outside it") {
     import graft.api.ServePointer
     val root = tmp("ptr_retire")
