@@ -20,52 +20,79 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths}
   * link creation is atomic and fails if version N exists, so two
   * racing adopters serialize (the loser re-reads and retries at N+1;
   * adoption order IS the CAS order). Readers resolve the highest
-  * version — never a torn file, never a half-adopted pointer. An
-  * object-store deployment swaps createLink for a conditional put.
+  * version — never a torn file, never a half-adopted pointer. The
+  * pointer content is fsynced BEFORE the link and the directory entry
+  * after it ([[graft.sources.Durable]] — r16 ADVICE: without the
+  * content force, a power failure between journal and data flush
+  * could surface a visible-but-empty pointer file, which the loud
+  * load would then misdiagnose as corruption). An object-store
+  * deployment swaps createLink for a conditional put.
   *
   * Re-adopting the dir that is already current is a no-op (returns the
   * current version) — replayed rollout steps must not churn the
-  * pointer. The pointer stores the dir string verbatim; deployments
-  * pass stable paths.
+  * pointer. Adopted dirs are NORMALIZED (absolute, `..`/`.`-free,
+  * no trailing slash) and must not contain `"` or `\` (r16 ADVICE:
+  * a verbatim quote would produce a pointer file the parser rejects —
+  * a self-inflicted loud-load; a non-normalized path would dodge
+  * [[retirable]]'s protection by string inequality and let the
+  * janitor delete a dir still inside the rollback window).
   *
   * 100 TB shape: the pointer is one kilobyte-scale file per adoption;
-  * serves read it once per plan build. Immutable versioned dirs plus
-  * an atomic pointer is the reader-isolation recipe (e25's witness):
-  * a serve pinned to its loaded version is unaffected by a concurrent
-  * adoption, and the janitor retires a dir only when no pointer
-  * version inside the rollback retention window still names it
-  * ([[retirable]]). */
+  * serves resolve [[current]] from the HIGHEST-numbered filename with
+  * ONE file read (r16 ADVICE: the history is append-only and e27-style
+  * replays append per session, so an every-call full-history read
+  * would grow O(N) per resolve, O(N²) over the pointer's lifetime —
+  * [[history]] stays the full-scan audit API, the serving path does
+  * not pay for it). Immutable versioned dirs plus an atomic pointer
+  * is the reader-isolation recipe (e25's witness): a serve pinned to
+  * its loaded version is unaffected by a concurrent adoption, and the
+  * janitor retires a dir only when no pointer version inside the
+  * rollback retention window still names it ([[retirable]]). */
 object ServePointer {
 
   private val PointerName = "current-v(\\d+)\\.json".r
   private val DirRe = """\{"version":(\d+),"dir":"([^"]+)"\}""".r
 
-  /** All adoptions, version order — the audit trail. LOUD on a
-    * pointer file that exists but does not parse (the loud-load
-    * discipline every store here follows): silently skipping a corrupt
-    * `current-v{N}.json` would serve the PREVIOUS version — an
-    * invisible rollback. The commit protocol cannot produce a torn
-    * file (content is durable before the name appears), so a parse
-    * failure is disk corruption or foreign writes and must stop the
-    * serve, not redirect it. */
-  def history(root: String): Seq[(Int, String)] = {
-    val f = new java.io.File(root)
-    Option(f.list()).toSeq.flatten
+  /** Committed pointer versions in ascending order — filename-only
+    * (no content reads), the shared index every resolve path starts
+    * from. */
+  private def versions(root: String): Seq[Int] =
+    Option(new java.io.File(root).list()).toSeq.flatten
       .collect { case PointerName(v) => v.toInt }
       .sorted
-      .map { v =>
-        val s = Files.readString(Paths.get(root, s"current-v$v.json"), UTF_8)
-        DirRe.findFirstMatchIn(s).map(m => (v, m.group(2)))
-          .getOrElse(throw new IllegalStateException(
-            s"corrupt serve pointer current-v$v.json under $root — " +
-              "refusing to resolve a version (a skip would silently " +
-              "serve the previous artifact)"))
-      }
+
+  /** Read ONE pointer version's dir. LOUD on a pointer file that
+    * exists but does not parse (the loud-load discipline every store
+    * here follows): silently skipping a corrupt `current-v{N}.json`
+    * would serve the PREVIOUS version — an invisible rollback. The
+    * commit protocol fsyncs content before the name appears, so a
+    * parse failure is disk corruption or foreign writes and must stop
+    * the serve, not redirect it. */
+  private def readVersion(root: String, v: Int): String = {
+    val s = Files.readString(Paths.get(root, s"current-v$v.json"), UTF_8)
+    DirRe.findFirstMatchIn(s).map(_.group(2))
+      .getOrElse(throw new IllegalStateException(
+        s"corrupt serve pointer current-v$v.json under $root — " +
+          "refusing to resolve a version (a skip would silently " +
+          "serve the previous artifact)"))
   }
 
-  /** The currently adopted dir, if any pointer version exists. */
+  /** Normalized form every adopted dir is stored in, and every
+    * [[retirable]] candidate is compared in — absolute, `..`-free, no
+    * trailing slash, so protection is path identity, not string
+    * identity. */
+  private def normalize(dir: String): String =
+    Paths.get(dir).toAbsolutePath.normalize().toString
+
+  /** All adoptions, version order — the audit trail (reads every
+    * pointer file; serving paths use [[current]], which reads one). */
+  def history(root: String): Seq[(Int, String)] =
+    versions(root).map(v => (v, readVersion(root, v)))
+
+  /** The currently adopted dir, if any pointer version exists — ONE
+    * directory listing + ONE file read, regardless of history length. */
   def current(root: String): Option[String] =
-    history(root).lastOption.map(_._2)
+    versions(root).lastOption.map(readVersion(root, _))
 
   /** The janitor's retirement predicate: of `candidates`, the dirs
     * named by NO pointer version in the retention window (the last
@@ -73,7 +100,10 @@ object ServePointer {
     * window nothing would ever retire; the window is the rollback
     * horizon — a dir inside it may be re-adopted by a revert and must
     * survive, one outside it has no pointer that can reach it short of
-    * a fresh adoption (which would re-protect it). Deployments size
+    * a fresh adoption (which would re-protect it). Candidates are
+    * path-normalized before the membership test (adopt() stores
+    * normalized dirs), so a trailing slash or `./` spelling cannot
+    * smuggle a protected dir past the window. Deployments size
     * `keepLast` to their rollback policy and feed the survivors to the
     * artifact janitor ([[graft.sources.ExportCommit.retireRoot]]'s
     * ordering contract applies: retire only after the upstream
@@ -81,26 +111,44 @@ object ServePointer {
   def retirable(root: String, candidates: Seq[String],
       keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the current dir")
-    val protected_ = history(root).takeRight(keepLast).map(_._2).toSet
-    candidates.filterNot(protected_.contains)
+    val protected_ = versions(root).takeRight(keepLast)
+      .map(v => normalize(readVersion(root, v))).toSet
+    candidates.filterNot(c => protected_.contains(normalize(c)))
   }
 
   /** Atomically adopt `dir` as the serving version. Returns the
     * pointer version that names `dir` (the existing one when `dir` is
-    * already current — replay no-op). Safe under concurrent adopters:
-    * the createLink CAS serializes them; the last adoption wins. */
+    * already current — replay no-op). The stored dir is the
+    * NORMALIZED path; `"` and `\` are rejected at the door (they
+    * cannot round-trip through the pointer codec — failing here beats
+    * writing a file the loud load will refuse). Safe under concurrent
+    * adopters: the createLink CAS serializes them; the last adoption
+    * wins. Content is fsynced before the link, the directory entry
+    * after it — the published pointer survives power loss. */
   def adopt(root: String, dir: String): Int = {
+    val normalized = normalize(dir)
+    require(!normalized.exists(c => c == '"' || c == '\\'),
+      s"""adopted dir must not contain '"' or '\\' (got: $normalized) — """ +
+        "the pointer codec cannot represent it and the eventual load " +
+        "would fail loudly as corruption")
     val rootPath = Paths.get(root).toAbsolutePath.normalize()
     Files.createDirectories(rootPath)
     while (true) {
-      val h = history(root)
-      if (h.lastOption.exists(_._2 == dir)) return h.last._1
-      val next = h.lastOption.map(_._1).getOrElse(0) + 1
+      val vs = versions(root)
+      // replay no-op: ONE read of the head version, never the history
+      vs.lastOption match {
+        case Some(last) if readVersion(root, last) == normalized =>
+          return last
+        case _ => ()
+      }
+      val next = vs.lastOption.getOrElse(0) + 1
       val tmp = Files.createTempFile(rootPath, ".current", ".tmp")
       try {
-        Files.writeString(tmp, s"""{"version":$next,"dir":"$dir"}""", UTF_8)
+        graft.sources.Durable.writeString(tmp,
+          s"""{"version":$next,"dir":"$normalized"}""")
         try {
           Files.createLink(rootPath.resolve(s"current-v$next.json"), tmp)
+          graft.sources.Durable.fsyncDir(rootPath)
           return next
         } catch {
           case _: FileAlreadyExistsException => () // lost the race; retry

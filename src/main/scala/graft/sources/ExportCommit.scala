@@ -107,7 +107,9 @@ object ExportCommit {
         cur.map(_.entries).getOrElse(Seq.empty) :+ Entry(batchId, rel))
       val tmp = Files.createTempFile(rootPath, ".manifest", ".tmp")
       try {
-        Files.writeString(tmp, render(m), UTF_8)
+        // fsync before the link (r16 ADVICE, see [[Durable]]): the
+        // manifest name must never become visible over unflushed bytes
+        Durable.writeString(tmp, render(m))
         // Janitor fence (r13 ADVICE): gcStaging renames a GC candidate
         // ASIDE before deleting it, so a writer whose stage-to-commit
         // gap exceeded the grace period observes its dir GONE here and
@@ -123,6 +125,7 @@ object ExportCommit {
               "exceeded the GC grace period); re-stage and re-commit")
         try {
           Files.createLink(rootPath.resolve(s"manifest-v$next.json"), tmp)
+          Durable.fsyncDir(rootPath)
           return true
         } catch {
           case _: FileAlreadyExistsException => () // lost the race; retry

@@ -520,6 +520,32 @@ class IvfStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("current-v2.json"))
   }
 
+  test("ServePointer normalizes adopted dirs and rejects codec-breaking characters at the door") {
+    import graft.api.ServePointer
+    val root = tmp("ptr_norm")
+    // a dir the pointer codec cannot represent fails at adopt(), not
+    // as a later loud-load "corruption" the library inflicted on itself
+    intercept[IllegalArgumentException] {
+      ServePointer.adopt(root, "/x/has\"quote")
+    }
+    intercept[IllegalArgumentException] {
+      ServePointer.adopt(root, "/x/has\\backslash")
+    }
+    assert(ServePointer.history(root).isEmpty,
+      "a rejected adoption must not publish a pointer version")
+    // adoption stores the NORMALIZED path; a differently-spelled
+    // re-adoption of the same dir is the replay no-op
+    assert(ServePointer.adopt(root, "/x/a/../v1/") === 1)
+    assert(ServePointer.current(root) === Some("/x/v1"))
+    assert(ServePointer.adopt(root, "/x/v1") === 1)
+    assert(ServePointer.history(root).size === 1)
+    // retirable compares path identity, not string identity: a
+    // trailing-slash candidate inside the window stays protected
+    ServePointer.adopt(root, "/x/v2")
+    assert(ServePointer.retirable(root,
+      Seq("/x/v1/", "/x/./v2", "/x/v0"), keepLast = 2) === Seq("/x/v0"))
+  }
+
   test("ServePointer.retirable protects the rollback window, retires outside it") {
     import graft.api.ServePointer
     val root = tmp("ptr_retire")
