@@ -857,11 +857,17 @@ object DedupOps {
     val off = plantOffset(maxIdOf(docs, "doc_id"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val pruned = prunedBandIndex(existing)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d20")
     val dir = graft.api.LshIndexStore.versionedDir(
-      graft.sources.TmpDirs.artifactRoot(s, d, "d20"),
-      Bands, java.time.LocalDate.ofEpochDay(0))
+      root, Bands, java.time.LocalDate.ofEpochDay(0))
     graft.api.LshIndexStore.save(dir, pruned)
-    probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, dir))
+    // r16 verdict ask #1: the serve resolves WHICH version through the
+    // atomic CURRENT pointer (e27's switch, LSH family) — a stale or
+    // torn pointer now breaks this row's hash, not a 3am rollout
+    graft.api.ServePointer.adopt(s"$root/pointer", dir)
+    val served = graft.api.ServePointer.current(s"$root/pointer")
+      .getOrElse(sys.error(s"no adopted LSH index under $root/pointer"))
+    probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, served))
   }
 
   /** d21 — LSH band-index APPEND (r14 verdict ask #4, closing the
@@ -1316,13 +1322,17 @@ object DedupOps {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val off = plantOffset(maxIdOf(docs, "doc_id"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d17")
     val dir = graft.api.PassageIndexStore.versionedDir(
-      graft.sources.TmpDirs.artifactRoot(s, d, "d17"),
-      PassageTokens, java.time.LocalDate.ofEpochDay(0))
+      root, PassageTokens, java.time.LocalDate.ofEpochDay(0))
     if (!new java.io.File(s"$dir/_SUCCESS").isFile)
       graft.api.PassageIndexStore.save(dir, passageHashIndex(existing))
+    // pointer-resolved serve (r16 ask #1, passage family — see d20)
+    graft.api.ServePointer.adopt(s"$root/pointer", dir)
+    val served = graft.api.ServePointer.current(s"$root/pointer")
+      .getOrElse(sys.error(s"no adopted passage index under $root/pointer"))
     probePassagesAgainst(passageIncomingBatch(docs, off),
-      graft.api.PassageIndexStore.load(s, dir))
+      graft.api.PassageIndexStore.load(s, served))
   }
 
   /** d17's oracle with an optional extra predicate on the EXISTING
@@ -1820,12 +1830,16 @@ object DedupOps {
     val archive = docs.unionByName(
       PlantedQuoteDocs.take(1).map { case (i, t) => (off + i, t) }
         .toDF("doc_id", "text"))
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d24")
     val dir = graft.api.WinnowIndexStore.versionedDir(
-      graft.sources.TmpDirs.artifactRoot(s, d, "d24"),
-      TextOps.WinnowK, TextOps.WinnowW, java.time.LocalDate.ofEpochDay(0))
+      root, TextOps.WinnowK, TextOps.WinnowW, java.time.LocalDate.ofEpochDay(0))
     graft.api.WinnowIndexStore.save(dir, prunedFingerprintIndex(archive))
+    // pointer-resolved serve (r16 ask #1, winnow family — see d20)
+    graft.api.ServePointer.adopt(s"$root/pointer", dir)
+    val served = graft.api.ServePointer.current(s"$root/pointer")
+      .getOrElse(sys.error(s"no adopted winnow index under $root/pointer"))
     winnowProbeAgainst(archive, winnowIncoming(s, docs, off),
-      graft.api.WinnowIndexStore.load(s, dir))
+      graft.api.WinnowIndexStore.load(s, served))
   }
 
   /** The d24-family oracle over an ARBITRARY planted-archive-doc set —

@@ -978,14 +978,23 @@ object PackOps {
       new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_p11_${s.sparkContext.applicationId}_" +
           Integer.toHexString(d.hashCode)).getAbsolutePath)
-    if (!graft.sources.ExportCommit.isCommitted(root, 0L)) {
-      val staged = graft.sources.ExportCommit.stage(root, 0L)
+    // the export GENERATION is itself a versioned artifact: the commit
+    // root the trainer reads is resolved through the atomic CURRENT
+    // pointer (r16 ask #1, export family — a re-export or p15-style
+    // rewrite lands as a NEW generation root + one pointer flip, and
+    // this row's hash now rides on the pointer resolving correctly)
+    val gen = s"$root/gen0"
+    if (!graft.sources.ExportCommit.isCommitted(gen, 0L)) {
+      val staged = graft.sources.ExportCommit.stage(gen, 0L)
       assigned.write.partitionBy("shard")
         .option("compression", "gzip").json(staged)
-      graft.sources.ExportCommit.commitBatch(root, 0L, staged)
+      graft.sources.ExportCommit.commitBatch(gen, 0L, staged)
     }
+    graft.api.ServePointer.adopt(s"$root/pointer", gen)
+    val served = graft.api.ServePointer.current(s"$root/pointer")
+      .getOrElse(sys.error(s"no adopted export generation under $root"))
     manifestFrom(
-      graft.sources.ExportCommit.readCommitted(s, root, assigned.schema))
+      graft.sources.ExportCommit.readCommitted(s, served, assigned.schema))
   }
 
   private[graft] val exportManifestSql =
@@ -1393,32 +1402,46 @@ object PackOps {
       ExportCommit.commitBatch(rewriteRoot, 0L, st)
     }
     val exportPre = ExportCommit.readCommitted(s, shardsRoot, assigned.schema)
+
+    // r16 ask #1: the audit resolves every POST artifact through its
+    // family's atomic CURRENT pointer — "what does the fleet serve
+    // AFTER the takedown folded" is answered by the pointer, so a
+    // stale or skipped adoption on ANY surface breaks the audit hash,
+    // not just a raw-dir convention. adopt() is a replay no-op, so
+    // re-invocations never churn the pointers.
+    def adopted(fam: String, dir: String): String = {
+      val ptr = s"$root/${fam}_ptr"
+      graft.api.ServePointer.adopt(ptr, dir)
+      graft.api.ServePointer.current(ptr)
+        .getOrElse(sys.error(s"no adopted $fam artifact under $ptr"))
+    }
     val exportPost = exportPre
       .join(broadcast(affected), Seq("shard"), "left_anti")
-      .unionByName(ExportCommit.readCommitted(s, rewriteRoot, assigned.schema))
+      .unionByName(ExportCommit.readCommitted(s,
+        adopted("export", rewriteRoot), assigned.schema))
 
     // ---- the composed audit: one row per surface
     forgottenSurfaceRow("export_shards", exportPre, exportPost,
         "doc_id", tombsRead, reportN = true)
       .unionByName(forgottenSurfaceRow("ivf_assigned",
         graft.api.IvfStore.load(s, ivfBase).assigned,
-        graft.api.IvfStore.load(s, ivfOut).assigned,
+        graft.api.IvfStore.load(s, adopted("ivf", ivfOut)).assigned,
         "vec_id", vecTombs, reportN = true))
       .unionByName(forgottenSurfaceRow("pq_codes",
         graft.api.IvfStore.loadPq(s, pqBase, m)._3,
-        graft.api.IvfStore.loadPq(s, pqOut, m)._3,
+        graft.api.IvfStore.loadPq(s, adopted("pq", pqOut), m)._3,
         "vec_id", vecTombs, reportN = true))
       .unionByName(forgottenSurfaceRow("lsh_bands",
         graft.api.LshIndexStore.load(s, lshBase),
-        graft.api.LshIndexStore.load(s, lshOut),
+        graft.api.LshIndexStore.load(s, adopted("lsh", lshOut)),
         "doc_id", tombsRead, reportN = false))
       .unionByName(forgottenSurfaceRow("winnow_index",
         graft.api.WinnowIndexStore.load(s, winBase),
-        graft.api.WinnowIndexStore.load(s, winOut),
+        graft.api.WinnowIndexStore.load(s, adopted("win", winOut)),
         "doc_id", tombsRead, reportN = true))
       .unionByName(forgottenSurfaceRow("passage_index",
         graft.api.PassageIndexStore.load(s, pasBase),
-        graft.api.PassageIndexStore.load(s, pasOut),
+        graft.api.PassageIndexStore.load(s, adopted("pas", pasOut)),
         "doc_id", tombsRead, reportN = true))
       .orderBy(col("surface"))
   }
