@@ -1520,6 +1520,93 @@ object EmbeddingOps {
        |FROM phases ORDER BY phase, query_id""".stripMargin
   }
 
+  /** e28 — the JANITOR'S MAINTENANCE DAY as one oracled row (r16
+    * verdict ask #4: every lifecycle stage had its own witness —
+    * trigger (CompactionPolicy spec), fold (e22), adoption (e27),
+    * retirement (ExportCommitSpec's end-to-end) — but only a spec ran
+    * them as ONE loop; this row puts the loop under the hash gate):
+    *
+    *   day 0 — the base artifact is adopted through the pointer
+    *     (what the fleet serves before any debt accrues);
+    *   debt — two twin append batches and one takedown batch commit
+    *     through the stores' atomic manifests (e22's geometry);
+    *   trigger — [[graft.api.CompactionPolicy.due]] evaluates the REAL
+    *     manifests (2 appends ≥ max 2, 1 tombstone ≥ max 1) and the
+    *     fold runs ONLY if it fires — a policy that under-counts debt
+    *     leaves the serve on the twin-less base artifact and breaks
+    *     every query's hash;
+    *   fold — [[graft.api.IvfStore.compactAppends]] folds base ∪
+    *     appends MINUS tombstones into a NEW versioned dir;
+    *   adopt — [[graft.api.ServePointer.adopt]] flips the fleet to the
+    *     fold (day 0's dir stays inside the rollback window —
+    *     [[graft.api.ServePointer.retirable]] must protect it);
+    *   retire — [[graft.sources.ExportCommit.retireRoot]] deletes the
+    *     folded append + tombstone roots (their manifests' replay
+    *     protection died WITH the fold — the upstream checkpoint
+    *     passed batch 0/1, the ordering contract's (b));
+    *   serve — e13's batch against whatever the pointer names, NO
+    *     serve-time tombstone filter.
+    *
+    * e21/e22's closed form transfers across the WHOLE loop: a janitor
+    * that breaks the artifact at any stage breaks the hash. The loop
+    * runs once per session (guarded on the pointer — a deployment's
+    * janitor does not re-run a finished maintenance day); replays
+    * serve the adopted fold directly.
+    *
+    * 100 TB shape: the trigger reads two kilobyte manifests; the fold
+    * is the one union-scan + rewrite the janitor was already paying
+    * for; adoption moves a pointer file; retirement deletes dirs whose
+    * bytes the fold already re-homed. Nothing corpus-sized moves
+    * outside the fold. */
+  def annJanitorCycle(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(corpusCount(s, d))
+    val root = indexTmpBase(s, d, "e28")
+    val ptr = s"$root/pointer"
+    val v1 = graft.api.IvfStore.versionedDir(s"$root/base", cells, IndexDate)
+    val v2 = graft.api.IvfStore.versionedDir(s"$root/fold", cells,
+      IndexDate.plusDays(1))
+    // one maintenance day per session: a pointer naming the fold means
+    // the janitor already ran — serve it (replay posture)
+    if (!graft.api.ServePointer.current(ptr).contains(
+        java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString)) {
+      val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+        ivfBuild(base, cells)
+      }
+      if (!new java.io.File(s"$v1/assigned/_SUCCESS").isFile)
+        graft.api.IvfStore.save(v1, index)
+      graft.api.ServePointer.adopt(ptr, v1) // day 0: the fleet serves base
+      val loaded = graft.api.IvfStore.load(s, v1)
+      val appendRoot = s"$root/append"
+      val tombRoot = s"$root/tombstones"
+      graft.api.IvfStore.appendBatch(appendRoot,
+        base.select((col("vec_id") + lit(off)).as("vec_id"),
+          col("embedding")), 0L, loaded.model)
+      graft.api.IvfStore.appendBatch(appendRoot,
+        base.select((col("vec_id") + lit(2 * off)).as("vec_id"),
+          col("embedding")), 1L, loaded.model)
+      graft.api.IvfStore.appendTombstones(tombRoot,
+        tombstoneIds(base, off), 0L)
+      val decision = graft.api.CompactionPolicy.due(appendRoot,
+        Some(tombRoot), maxAppendBatches = 2, maxTombstoneBatches = 1)
+      if (decision.due) { // load-bearing: no fold ⇒ twin-less serve
+        graft.api.IvfStore.compactAppends(s, v1, appendRoot, v2,
+          Some(tombRoot))
+        graft.api.ServePointer.adopt(ptr, v2)
+        graft.sources.ExportCommit.retireRoot(appendRoot)
+        graft.sources.ExportCommit.retireRoot(tombRoot)
+        // day 0's artifact sits INSIDE the rollback window — the
+        // janitor must not touch it (a revert may still need it)
+        require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
+          "rollback-window artifact offered for retirement")
+      }
+    }
+    val dir = graft.api.ServePointer.current(ptr).getOrElse(
+      sys.error(s"no adopted version under $ptr"))
+    batchServeAgainst(graft.api.IvfStore.load(s, dir), off)
+  }
+
   /** c09/s35's semantic-admission threshold — e10's SemDeDup operating
     * point (a pair ≥ this cosine is the same content re-embedded). */
   private[graft] val AdmitTau = 0.95
@@ -2417,6 +2504,10 @@ object EmbeddingOps {
     // the atomic CURRENT pointer — phases 1 and 3 identical (see doc)
     QueryDef("e27_version_rollback", annVersionRollback,
       Some(versionRollbackSql)),
+    // e28 runs the WHOLE maintenance day in-row (trigger → fold →
+    // adopt → retire → pointer serve) — e21/e22's closed form transfers
+    QueryDef("e28_janitor_cycle", annJanitorCycle,
+      Some(tombstoneServeSql)),
     // c09 admits a vector increment through exact + semantic gates and
     // proves the commit load-bearing — planted closed form (see doc)
     QueryDef("c09_embedding_admission", embeddingAdmission,

@@ -520,6 +520,36 @@ class IvfStoreSpec extends SparkSpec {
     assert(ex.getMessage.contains("current-v2.json"))
   }
 
+  test("e28 janitor cycle: debt roots retired, day-0 artifact protected, replay serves the adopted fold") {
+    val rows = EmbeddingOps.annJanitorCycle(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.nonEmpty)
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(baseEmb, "vec_id"))
+    // e21/e22's selective closed form across the whole loop
+    rows.foreach { case (q, top1) =>
+      assert(top1 === (if (q % 40 == 0) q + 2 * off else q + off))
+    }
+    // the maintenance day actually retired its inputs and kept both
+    // versioned artifacts (day 0 is inside the rollback window)
+    val root = new java.io.File(
+      graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e28"))
+    assert(!new java.io.File(root, "append").exists(),
+      "folded append root must be retired")
+    assert(!new java.io.File(root, "tombstones").exists(),
+      "folded tombstone root must be retired")
+    assert(new java.io.File(root, "base").exists(),
+      "day-0 artifact is inside the rollback window — must survive")
+    assert(graft.api.ServePointer.history(s"$root/pointer").size === 2,
+      "one adoption for day 0, one for the fold — no churn")
+    // replay: the second invocation must serve the adopted fold as-is
+    val again = EmbeddingOps.annJanitorCycle(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again === rows)
+    assert(graft.api.ServePointer.history(s"$root/pointer").size === 2,
+      "a replayed maintenance day must not churn the pointer")
+  }
+
   test("ServePointer normalizes adopted dirs and rejects codec-breaking characters at the door") {
     import graft.api.ServePointer
     val root = tmp("ptr_norm")
