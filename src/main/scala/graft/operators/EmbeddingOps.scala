@@ -1520,6 +1520,52 @@ object EmbeddingOps {
        |FROM phases ORDER BY phase, query_id""".stripMargin
   }
 
+  /** e13's serve for an ARBITRARY (vec_id, embedding) query relation
+    * against a loaded index — probe cells assigned ROW-LOCALLY over
+    * broadcast centers ([[probeCellsRowLocal]], s29's window-free
+    * kernel) so the plan is safe on a streaming micro-batch; the
+    * per-query argmax is one max(struct) with the (cos desc, vec_id
+    * asc) tie-break. Shared by s36's per-micro-batch pointer serve. */
+  private[graft] def serveQueriesAgainst(s: SparkSession, index: IvfIndex,
+      queries: DataFrame): DataFrame = {
+    val topP = probeCellsRowLocal(s, index.model, IvfProbes)
+    queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        toFeatures(col("embedding")).as("q_feat"))
+      .withColumn("cell", explode(topP(col("q_feat"))))
+      .join(index.assigned.select(col("vec_id"), col("embedding"),
+        col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(fastCosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cos_sim"), (-col("vec_id")).as("neg_id")))
+        .as("m"))
+      .select(col("query_id"), (-col("m.neg_id")).as("top1_id"),
+        col("m.cos_sim").as("cos_sim"))
+  }
+
+  /** s36's oracle — e27's closed form restricted to its first two
+    * phases (the stream drains once; rollback is e27's business):
+    * pre-flip batches answer from v1's twins (+off everywhere),
+    * post-flip from v2's (the takedown flip on queries ≡ 0 mod
+    * 2·[[BatchQueryMod]]). */
+  private[graft] val pointerFlipSql = {
+    val offSql = DedupOps.plantOffsetSql("vec_id", "embeddings")
+    s"""WITH q AS (SELECT vec_id FROM embeddings
+       |           WHERE vec_id % $BatchQueryMod = 0),
+       |phases AS (
+       |  SELECT CAST(1 AS BIGINT) AS phase, vec_id AS query_id,
+       |    vec_id + ($offSql) AS top1_id, 1.0 AS cos_sim FROM q
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), vec_id,
+       |    CASE WHEN vec_id % ${2 * BatchQueryMod} = 0
+       |         THEN vec_id + 2 * ($offSql)
+       |         ELSE vec_id + ($offSql) END, 1.0 FROM q)
+       |SELECT phase, query_id, top1_id, cos_sim
+       |FROM phases ORDER BY phase, query_id""".stripMargin
+  }
+
   /** e28 — the JANITOR'S MAINTENANCE DAY as one oracled row (r16
     * verdict ask #4: every lifecycle stage had its own witness —
     * trigger (CompactionPolicy spec), fold (e22), adoption (e27),

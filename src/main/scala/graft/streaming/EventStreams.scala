@@ -1088,6 +1088,120 @@ object EventStreams {
       .orderBy(col("query_id"))
   }
 
+  /** s36 — MID-STREAM POINTER FLIP (live reload, r16 verdict ask #2:
+    * e27 witnessed adoption/rollback between BATCH serves and e25 that
+    * a pinned reader is isolated from a concurrent fold, but a serving
+    * fleet is a QUERY STREAM, and the missing witness is an adoption
+    * landing BETWEEN micro-batches of one continuous drain): the e27
+    * artifact pair — v1 the double-planted index, v2 its
+    * tombstone-folded compaction — sits behind one
+    * [[graft.api.ServePointer]]; the query set arrives as a file
+    * stream forced to (at least) two micro-batches
+    * (`maxFilesPerTrigger=1` over two identical query files — the
+    * batches carry the SAME queries, so the output pins WHEN each
+    * answer changed, not which rows landed where); each foreachBatch
+    * re-resolves the pointer (one kilobyte read — versioned dirs are
+    * immutable, so every batch is internally consistent against
+    * whichever version it resolved), serves its batch through
+    * [[graft.operators.EmbeddingOps.serveQueriesAgainst]] (s29's
+    * row-local probe kernel), and commits the result exactly-once
+    * through ExportCommit; the v1→v2 adoption lands at the batch-1
+    * boundary — BETWEEN micro-batches, never inside one.
+    *
+    * e27's closed form reshaped to the stream: batch-0 rows must
+    * answer from v1 (+off everywhere), batch-1 rows from v2 (the
+    * takedown flip exactly on queries ≡ 0 mod 2·BatchQueryMod). A
+    * foreachBatch that caches the resolved dir across batches, an
+    * adoption that tears mid-batch, or a replay that re-serves under
+    * the wrong version each break a phase's rows.
+    *
+    * 100 TB shape: the flip moves one pointer file while the drain is
+    * live — zero data movement, no stream restart; per batch the serve
+    * is |batch| × IvfProbes cell probes against an immutable versioned
+    * artifact, and the per-batch result commit is the manifest CAS. */
+  def streamPointerFlip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{DedupOps, EmbeddingOps}
+    import graft.sources.ExportCommit
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = EmbeddingOps.ivfCellsFor(
+      3L * EmbeddingOps.corpusCount(ss, d))
+    // e27's exact artifact pair (shared memo key with e21/e22/s30)
+    val index = graft.api.Intermediates.memo(ss, s"ivf_tomb|$d|$cells") {
+      EmbeddingOps.ivfBuild(
+        EmbeddingOps.doublePlantedUnion(base, off), cells)
+    }
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s36")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.IvfStore.versionedDir(root, cells, date)
+    if (!new java.io.File(s"$v1/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(v1, index)
+    val tombRoot = s"$root/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot,
+      EmbeddingOps.tombstoneIds(base, off), 0L)
+    val v2 = graft.api.IvfStore.versionedDir(root, cells, date.plusDays(1))
+    if (!new java.io.File(s"$v2/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.compactAppends(ss, v1, s"$root/no_appends", v2,
+        Some(tombRoot))
+    // the query set, staged as TWO IDENTICAL files so the rate limit
+    // yields two deterministic micro-batches whatever the file order
+    val qdir = s"$root/qsrc"
+    if (!new java.io.File(s"$qdir/_ready").isFile) {
+      base.filter(col("vec_id") % EmbeddingOps.BatchQueryMod === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/qstage")
+      val part = new java.io.File(s"$root/qstage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(qdir).mkdirs()
+      for (n <- Seq("q1.parquet", "q2.parquet"))
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(qdir, n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(s"$qdir/_ready").createNewFile()
+      ()
+    }
+    val ptr = s"$root/pointer"
+    if (graft.api.ServePointer.current(ptr).isEmpty)
+      graft.api.ServePointer.adopt(ptr, v1) // day 0 — replays keep v2
+    val v1n = java.nio.file.Paths.get(v1).toAbsolutePath.normalize().toString
+    val resultsRoot = s"$root/results"
+    val q = ss.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+      .writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => {
+        // the rollout lands AT the batch-1 boundary — between
+        // micro-batches, never inside one (adopt is a replay no-op)
+        if (batchId >= 1) graft.api.ServePointer.adopt(ptr, v2)
+        // per-batch resolve: one kilobyte read against the live pointer
+        val dir = graft.api.ServePointer.current(ptr).getOrElse(
+          sys.error(s"no adopted version under $ptr"))
+        val phase = if (dir == v1n) 1L else 2L
+        if (!ExportCommit.isCommitted(resultsRoot, batchId)) {
+          val served = EmbeddingOps.serveQueriesAgainst(ss,
+            graft.api.IvfStore.load(ss, dir), batch.toDF())
+            .select(lit(phase).as("phase"), col("query_id"),
+              col("top1_id"), col("cos_sim"))
+          val staged = ExportCommit.stage(resultsRoot, batchId)
+          served.write.parquet(staged)
+          ExportCommit.commitBatch(resultsRoot, batchId, staged)
+          ()
+        }
+      })
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadProvidersOf(q.runId)
+    require(graft.api.ServePointer.history(ptr).size == 2,
+      "s36: the drain must have flipped v1→v2 between micro-batches — " +
+        "a single-batch drain means the rate limit was not honored")
+    val dirs = ExportCommit.committedDirs(resultsRoot)
+    ss.read.parquet(dirs: _*)
+      .orderBy(col("phase"), col("query_id"))
+  }
+
   /** s32 — STREAMING passage-index probe (d17 on the live path,
     * completing the streaming-probe symmetry across all five
     * incremental grains: exact s14, near-dup s27, embedding s29/s31,
@@ -1789,7 +1903,11 @@ object EventStreams {
     // s35 runs c09's vector gates on the live path — c09's phase-1
     // closed form, reshaped (see s35 doc)
     QueryDef("s35_stream_embedding_admission", streamEmbeddingAdmission,
-      Some(graft.operators.EmbeddingOps.streamEmbeddingAdmissionSql)))
+      Some(graft.operators.EmbeddingOps.streamEmbeddingAdmissionSql)),
+    // s36 flips the serve pointer BETWEEN micro-batches of one live
+    // drain — e27's closed form reshaped to the stream (see s36 doc)
+    QueryDef("s36_stream_pointer_flip", streamPointerFlip,
+      Some(graft.operators.EmbeddingOps.pointerFlipSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

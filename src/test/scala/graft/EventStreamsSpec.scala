@@ -503,6 +503,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.map(_._3).sum > 0L) // the gates actually fire live
   }
 
+  test("s36 mid-stream pointer flip: batch parity with e27's phases, flip lands between micro-batches") {
+    // batch parity: the streamed drain's two phases must equal e27's
+    // batch phases 1-2 row-for-row (the pre-rollout and post-rollout
+    // serves) — the live-reload path and the batch adoption path
+    // cannot drift
+    val e27 = graft.operators.EmbeddingOps.annVersionRollback(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 <= 2L).toSeq
+    val got = EventStreams.streamPointerFlip(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === e27)
+    // both phases served the full query set (the flip separated
+    // batches, it did not drop or split one)
+    val byPhase = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byPhase(1L) === byPhase(2L))
+    assert(byPhase(1L) > 0)
+  }
+
   test("checkpoint restart recovery: source offsets AND dedup state survive a stop/restart, sink exactly-once") {
     // the operational fault-tolerance witness behind every streaming
     // row here: a long-lived ingest job is stopped (deploy, crash,
