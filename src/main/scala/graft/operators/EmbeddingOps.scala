@@ -1745,50 +1745,67 @@ object EmbeddingOps {
     * equality verify; gate 2 probes IvfProbes/cells of the corpus per
     * query (the serving fleet's own read path); the commit writes one
     * batch-sized artifact through the manifest CAS. */
-  def embeddingAdmission(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
-    val cells = ivfCellsFor(corpusCount(s, d))
-    // e22's shared base-corpus index build (same memo key)
-    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
-      ivfBuild(base, cells)
+  /** c09's attributed increment WITH its commit, memoized per session
+    * — the shared artifact between c09's histogram row and c11's
+    * trainer handoff (ONE waterfall, billed once): the base-corpus
+    * index artifact is built/loaded (e22's shared memo key), both
+    * gates run over [[admissionVecBatch]], and the admitted survivors
+    * are committed through [[graft.api.IvfStore.appendBatch]] (atomic
+    * manifest, replay-safe — a second caller in the session reads the
+    * committed batch, never re-commits). Returns (attributed
+    * (vec_id, embedding, gate), loaded index, off). */
+  private[graft] def admissionVecCommitted(s: SparkSession, d: String)
+      : (DataFrame, IvfIndex, Long) =
+    graft.api.Intermediates.memo(s, s"c09_attr|$d") {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+      val cells = ivfCellsFor(corpusCount(s, d))
+      // e22's shared base-corpus index build (same memo key)
+      val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+        ivfBuild(base, cells)
+      }
+      val root = indexTmpBase(s, d, "c09")
+      val dir = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
+      if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+        graft.api.IvfStore.save(dir, index)
+      val loaded = graft.api.IvfStore.load(s, dir)
+      val batch = admissionVecBatch(base, off).localCheckpoint()
+      // gate 1: exact-bytes ledger (hash candidates, equality verify)
+      val exactHits = batch.withColumn("eh", xxhash64(col("embedding")))
+        .join(base.select(col("embedding").as("s_emb"))
+          .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"))
+        .filter(col("embedding") === col("s_emb"))
+        .select(col("vec_id")).distinct().withColumn("__exact", lit(1))
+      // gate 2: semantic near-dup vs the LOADED artifact
+      val semHits = semanticGateHits(s, batch, loaded.assigned,
+          loaded.model)
+        .select(col("q_id").as("vec_id")).withColumn("__sem", lit(1))
+      val attributed = batch
+        .join(exactHits, Seq("vec_id"), "left")
+        .join(semHits, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("embedding"),
+          when(col("__exact") === 1, "1_exact")
+            .when(col("__sem") === 1, "2_semantic")
+            .otherwise("admitted").as("gate"))
+        .localCheckpoint()
+      // the COMMIT: survivors enter the serving index
+      graft.api.IvfStore.appendBatch(s"$root/append",
+        attributed.filter(col("gate") === "admitted")
+          .select(col("vec_id"), col("embedding")), 0L, loaded.model)
+      (attributed, loaded, off)
     }
+
+  def embeddingAdmission(s: SparkSession, d: String): DataFrame = {
+    val (attributed, loaded, off) = admissionVecCommitted(s, d)
     val root = indexTmpBase(s, d, "c09")
-    val dir = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
-    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
-      graft.api.IvfStore.save(dir, index)
-    val loaded = graft.api.IvfStore.load(s, dir)
-
     val scaledEmb = transform(col("embedding"), v => v * lit(0.999f))
-    val batch = admissionVecBatch(base, off).localCheckpoint()
-
-    // gate 1: exact-bytes ledger (hash candidates, equality verify)
-    val exactHits = batch.withColumn("eh", xxhash64(col("embedding")))
-      .join(base.select(col("embedding").as("s_emb"))
-        .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"))
-      .filter(col("embedding") === col("s_emb"))
-      .select(col("vec_id")).distinct().withColumn("__exact", lit(1))
-    // gate 2: semantic near-dup vs the LOADED artifact
-    val semHits = semanticGateHits(s, batch, loaded.assigned, loaded.model)
-      .select(col("q_id").as("vec_id")).withColumn("__sem", lit(1))
-    val attributed = batch
-      .join(exactHits, Seq("vec_id"), "left")
-      .join(semHits, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("embedding"),
-        when(col("__exact") === 1, "1_exact")
-          .when(col("__sem") === 1, "2_semantic")
-          .otherwise("admitted").as("gate"))
-      .localCheckpoint()
     val admitted = attributed.filter(col("gate") === "admitted")
       .select(col("vec_id"), col("embedding"))
     val phase1 = PackOps.admissionHistogram(s, attributed,
       Seq("1_exact", "2_semantic"))
       .select(lit(1L).as("phase"), col("stage"), col("n_in"),
         col("n_rejected"), col("n_admitted"))
-
-    // the COMMIT: survivors enter the serving index
-    graft.api.IvfStore.appendBatch(s"$root/append", admitted, 0L,
-      loaded.model)
     val serveRel = loaded.assigned
       .select(col("vec_id"), col("embedding"), col("cell"))
       .unionByName(graft.api.IvfStore

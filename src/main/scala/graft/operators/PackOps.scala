@@ -1947,6 +1947,80 @@ object PackOps {
        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** c11 — the VEC-side trainer handoff (r16 verdict ask #3, c10's
+    * posture on the embedding key space: c09 proves what the vector
+    * waterfall admits and commits; a multimodal trainer consumes those
+    * admitted VECTORS as shards, and the handoff must export exactly
+    * what the store committed): [[graft.operators.EmbeddingOps
+    * .admissionVecCommitted]]'s committed append batch (the ONE
+    * waterfall, billed once — c09 and c11 share the memoized gates and
+    * the one manifest commit) is read back FROM the store's manifest,
+    * routed by p11's seeded portable scramble on vec_id (the shared
+    * shard rule — the doc and vec export paths cannot drift), staged +
+    * atomically committed as parquet through
+    * [[graft.sources.ExportCommit]] (replay-safe), and the manifest is
+    * aggregated from the READ-BACK shards with integer-exact
+    * payload-sensitive counts ([[vecManifestFrom]]: element count +
+    * a floor(|x|·1000) checksum, so a dropped dimension, a corrupted
+    * float, or a doubled row breaks the hash — p11's re-tokenize
+    * discipline for a payload with no tokens). The oracle recomputes
+    * the admitted set closed-form (c09's: exactly the dimension-
+    * REVERSED corpus at +3·off) and the manifest arithmetic over it.
+    *
+    * 100 TB shape: admitted-increment-sized parquet write + read (the
+    * waterfall is shared, not re-run); the manifest is shard-count
+    * rows — the trainer reads kilobytes. */
+  def admittedVecExport(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ExportCommit
+    // ensures the waterfall ran and its survivors are committed
+    EmbeddingOps.admissionVecCommitted(s, d)
+    val root9 = graft.sources.TmpDirs.artifactRoot(s, d, "c09")
+    val committed = graft.api.IvfStore
+      .committedAppends(s, s"$root9/append")
+      .select(col("vec_id"), col("embedding"))
+    val assigned = committed.select(col("vec_id"), col("embedding"),
+      (shuffleKey(col("vec_id"), ShuffleSeed) % EpochShards).as("shard"))
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "c11")
+    if (!ExportCommit.isCommitted(root, 0L)) {
+      val staged = ExportCommit.stage(root, 0L)
+      assigned.write.partitionBy("shard").parquet(staged)
+      ExportCommit.commitBatch(root, 0L, staged)
+    }
+    vecManifestFrom(
+      ExportCommit.readCommitted(s, root, assigned.schema, "parquet"))
+  }
+
+  /** The manifest tail over a read-back VECTOR export — c11's twin of
+    * [[manifestFrom]]: counts are integer-exact (floor of |x|·1000 in
+    * double — both engines run the identical IEEE ops on the identical
+    * float32 payload, so the checksum is reproducible, unlike a
+    * float-sum which would be association-order noise). */
+  private[graft] def vecManifestFrom(readBack: DataFrame): DataFrame =
+    readBack.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(size(col("embedding"))).cast("long").as("n_dims"),
+        sum(aggregate(transform(col("embedding"),
+            x => floor(abs(x.cast("double")) * lit(1000.0))),
+          lit(0L), (a, x) => a + x)).cast("long").as("checksum"))
+      .orderBy(col("shard"))
+
+  private val admittedVecExportSql = {
+    val off = DedupOps.plantOffsetSql("vec_id", "embeddings")
+    s"""WITH adm AS (
+       |  SELECT vec_id + 3 * ($off) AS vec_id,
+       |    list_reverse(embedding) AS embedding
+       |  FROM embeddings),
+       |k AS (SELECT vec_id, embedding,
+       |    ${shuffleKeySql("vec_id", ShuffleSeed)} % $EpochShards AS shard
+       |  FROM adm)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(len(embedding)) AS BIGINT) AS n_dims,
+       |  CAST(sum(list_sum(list_transform(embedding,
+       |    x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT))))
+       |    AS BIGINT) AS checksum
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** s34's oracle: the intra-free waterfall histogram (see
     * [[admissionAttrCtes]]) — referenced by the streaming row in
     * [[graft.streaming.EventStreams]]. */
@@ -2034,6 +2108,10 @@ object PackOps {
     // shard protocol — the trainer handoff of the waterfall (see doc)
     QueryDef("c10_admission_export", admissionExport,
       Some(admissionExportSql)),
+    // c11 exports the VEC waterfall's committed survivors as trainer
+    // shards with an integer-exact read-back manifest (see doc)
+    QueryDef("c11_admitted_vec_export", admittedVecExport,
+      Some(admittedVecExportSql)),
     QueryDef("p15_tombstone_export", tombstoneExport,
       Some(tombstoneExportSql)))
 }
