@@ -1681,7 +1681,7 @@ object EmbeddingOps {
       .select(col("q_id"))
   }
 
-  private def semanticGateHits(s: SparkSession, queries: DataFrame,
+  private[graft] def semanticGateHits(s: SparkSession, queries: DataFrame,
       indexRel: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel): DataFrame =
     semanticGateCandidates(s, queries, indexRel, model).distinct()
@@ -1745,6 +1745,52 @@ object EmbeddingOps {
     * equality verify; gate 2 probes IvfProbes/cells of the corpus per
     * query (the serving fleet's own read path); the commit writes one
     * batch-sized artifact through the manifest CAS. */
+  /** The vec-admission base ARTIFACT (the c09-family serving index —
+    * built once per session under the c09 root, loaded per caller) and
+    * the vec plant offset. Shared by c09's waterfall, c11's handoff,
+    * and c12's multimodal pair admission. */
+  private[graft] def vecAdmissionArtifact(s: SparkSession, d: String)
+      : (IvfIndex, Long) = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = ivfCellsFor(corpusCount(s, d))
+    // e22's shared base-corpus index build (same memo key)
+    val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(base, cells)
+    }
+    val root = indexTmpBase(s, d, "c09")
+    val dir = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
+    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(dir, index)
+    (graft.api.IvfStore.load(s, dir), off)
+  }
+
+  /** c09's two vec gates over an ARBITRARY (vec_id, embedding)
+    * increment — returns (vec_id, embedding, gate) with gate ∈
+    * {1_exact, 2_semantic, admitted}, attribution = first gate that
+    * fires. ONE definition for c09's planted increment and c12's
+    * paired increment, so the gate math cannot drift between the
+    * single-space and multimodal admission paths. */
+  private[graft] def vecGateAttribution(s: SparkSession, batch: DataFrame,
+      base: DataFrame, loaded: IvfIndex): DataFrame = {
+    // gate 1: exact-bytes ledger (hash candidates, equality verify)
+    val exactHits = batch.withColumn("eh", xxhash64(col("embedding")))
+      .join(base.select(col("embedding").as("s_emb"))
+        .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"))
+      .filter(col("embedding") === col("s_emb"))
+      .select(col("vec_id")).distinct().withColumn("__exact", lit(1))
+    // gate 2: semantic near-dup vs the LOADED artifact
+    val semHits = semanticGateHits(s, batch, loaded.assigned, loaded.model)
+      .select(col("q_id").as("vec_id")).withColumn("__sem", lit(1))
+    batch
+      .join(exactHits, Seq("vec_id"), "left")
+      .join(semHits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        when(col("__exact") === 1, "1_exact")
+          .when(col("__sem") === 1, "2_semantic")
+          .otherwise("admitted").as("gate"))
+  }
+
   /** c09's attributed increment WITH its commit, memoized per session
     * — the shared artifact between c09's histogram row and c11's
     * trainer handoff (ONE waterfall, billed once): the base-corpus
@@ -1759,35 +1805,10 @@ object EmbeddingOps {
     graft.api.Intermediates.memo(s, s"c09_attr|$d") {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-      val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
-      val cells = ivfCellsFor(corpusCount(s, d))
-      // e22's shared base-corpus index build (same memo key)
-      val index = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
-        ivfBuild(base, cells)
-      }
+      val (loaded, off) = vecAdmissionArtifact(s, d)
       val root = indexTmpBase(s, d, "c09")
-      val dir = graft.api.IvfStore.versionedDir(root, cells, IndexDate)
-      if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
-        graft.api.IvfStore.save(dir, index)
-      val loaded = graft.api.IvfStore.load(s, dir)
       val batch = admissionVecBatch(base, off).localCheckpoint()
-      // gate 1: exact-bytes ledger (hash candidates, equality verify)
-      val exactHits = batch.withColumn("eh", xxhash64(col("embedding")))
-        .join(base.select(col("embedding").as("s_emb"))
-          .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"))
-        .filter(col("embedding") === col("s_emb"))
-        .select(col("vec_id")).distinct().withColumn("__exact", lit(1))
-      // gate 2: semantic near-dup vs the LOADED artifact
-      val semHits = semanticGateHits(s, batch, loaded.assigned,
-          loaded.model)
-        .select(col("q_id").as("vec_id")).withColumn("__sem", lit(1))
-      val attributed = batch
-        .join(exactHits, Seq("vec_id"), "left")
-        .join(semHits, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("embedding"),
-          when(col("__exact") === 1, "1_exact")
-            .when(col("__sem") === 1, "2_semantic")
-            .otherwise("admitted").as("gate"))
+      val attributed = vecGateAttribution(s, batch, base, loaded)
         .localCheckpoint()
       // the COMMIT: survivors enter the serving index
       graft.api.IvfStore.appendBatch(s"$root/append",

@@ -2021,6 +2021,240 @@ object PackOps {
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** c12 — composed MULTIMODAL pair admission (r16 verdict ask #5,
+    * c04's conjunction discipline applied to c08 × c09: a multimodal
+    * crawl increment ships (document, embedding) PAIRS, and rejection
+    * in EITHER key space vetoes the PAIR — a clean document whose
+    * embedding is a re-embed must not enter the doc store, and a novel
+    * embedding whose document is a quotation must not enter the vec
+    * store):
+    *
+    *   pairing — each c08 batch member (base b, plant class kd)
+    *     arrives WITH one embedding submission, by a fixed rule the
+    *     oracle restates: exact re-fetches (kd=1) and every fifth
+    *     organic doc (kd=0, b≡0 mod 5) ship a byte-identical re-embed
+    *     of base b; near-dup variants (kd=2) and eval leaks (kd=4)
+    *     ship the 0.999-scaled re-embed; quotations (kd=3) and the
+    *     remaining organics ship the dimension-REVERSED (novel)
+    *     embedding. Pairs exist where the base embedding exists
+    *     (b joins the embeddings table).
+    *   gates — the doc side is c08's FULL waterfall
+    *     ([[admissionAttributed]], shared memo); the vec side is c09's
+    *     two gates ([[graft.operators.EmbeddingOps.vecGateAttribution]]
+    *     — ONE definition with c09) against the loaded c09-family
+    *     artifact. Phase 1 reports the CONJUNCTION matrix: one row per
+    *     realized (doc_gate, vec_gate) combination; a pair is admitted
+    *     only when BOTH sides are.
+    *   commit — admitted pairs' docs enter the LSH store and their
+    *     vecs the IVF store through the stores' own append manifests
+    *     (c12's OWN roots — the veto must gate the commit, not just
+    *     the report).
+    *   phase 2 — four resubmission witnesses: (1) uppercased variants
+    *     of every committed doc die at the near-dup gate ONLY via the
+    *     appended band rows; (2) scaled re-embeds of every committed
+    *     vec die at the semantic gate ONLY via the appended codes;
+    *     (3) variants of docs that were doc-space-admitted but
+    *     pair-VETOED are NOT rejected — the veto withheld the doc
+    *     commit; (4) scaled re-embeds of vecs that were vec-space-
+    *     admitted but pair-vetoed are NOT rejected — the veto withheld
+    *     the vec commit. (3)/(4) are the conjunction's load-bearing
+    *     witnesses in both directions: an engine that commits
+    *     single-space survivors breaks them.
+    *
+    * Closed form throughout: the doc side is c08's oracle CTE, the vec
+    * side pure planted arithmetic over (kd, b), phase 2 the admitted /
+    * vetoed set sizes.
+    *
+    * 100 TB shape: the pair join is batch ⋈ batch on the base id; all
+    * gates are the two waterfalls' own store probes (batch ⋈ index on
+    * uniform keys); the commits are two batch-sized manifest CAS
+    * writes. Nothing corpus-sized moves beyond the gates both
+    * single-space rows already pay for. */
+  def multimodalAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val offD = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val attrDoc = admissionAttributed(s, d)
+    val (loaded, offV) = EmbeddingOps.vecAdmissionArtifact(s, d)
+    val baseE = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "c12")
+    val date = java.time.LocalDate.ofEpochDay(0)
+
+    // ---- the pair increment: each doc member ships one embedding
+    val scaled = transform(col("base_emb"), v => v * lit(0.999f))
+    val exactRule = col("kd") === 1 || (col("kd") === 0 && col("b") % 5 === 0)
+    val scaledRule = col("kd") === 2 || col("kd") === 4
+    val withVec = attrDoc
+      .withColumn("b", col("doc_id") % offD)
+      .withColumn("kd",
+        floor(col("doc_id").cast("double") / lit(offD.toDouble))
+          .cast("long"))
+      .join(baseE.select(col("vec_id").as("b"),
+        col("embedding").as("base_emb")), Seq("b"))
+      .select(col("doc_id"), col("text"), col("gate").as("doc_gate"),
+        when(exactRule, col("b") + lit(offV))
+          .when(scaledRule, col("b") + lit(2 * offV))
+          .otherwise(col("b") + lit(3 * offV)).as("vec_id"),
+        when(exactRule, col("base_emb"))
+          .when(scaledRule, scaled)
+          .otherwise(reverse(col("base_emb"))).as("embedding"))
+
+    // ---- vec gates over the increment's DISTINCT vectors (two doc
+    // members may ship the same submission), c09's own definition
+    val vecAttr = EmbeddingOps.vecGateAttribution(s,
+      withVec.select(col("vec_id"), col("embedding")).distinct(),
+      baseE, loaded)
+    val pairs = withVec
+      .join(vecAttr.select(col("vec_id"), col("gate").as("vec_gate")),
+        Seq("vec_id"))
+      .localCheckpoint()
+    val bothAdmit = col("doc_gate") === "admitted" &&
+      col("vec_gate") === "admitted"
+
+    // ---- phase 1: the conjunction matrix
+    val phase1 = pairs.groupBy(col("doc_gate"), col("vec_gate"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("phase"),
+        concat(col("doc_gate"), lit("*"), col("vec_gate")).as("stage"),
+        col("n").as("n_in"),
+        when(bothAdmit, lit(0L)).otherwise(col("n")).as("n_rejected"),
+        when(bothAdmit, col("n")).otherwise(lit(0L)).as("n_admitted"))
+
+    // ---- the PAIR commit: both stores, c12's own append roots
+    val admDocs = pairs.filter(bothAdmit)
+      .select(col("doc_id"), col("text")).distinct().localCheckpoint()
+    val admVecs = pairs.filter(bothAdmit)
+      .select(col("vec_id"), col("embedding")).distinct().localCheckpoint()
+    graft.api.LshIndexStore.appendBatch(s"$root/lsh_app", admDocs, 0L)
+    graft.api.IvfStore.appendBatch(s"$root/ivf_app", admVecs, 0L,
+      loaded.model)
+
+    // ---- phase 2: the four resubmission witnesses
+    def cleanKey: Column =
+      md5(TextFunctions.cleanText(col("text")).cast("binary"))
+    val lshDir = graft.api.LshIndexStore.versionedDir(
+      s"${graft.sources.TmpDirs.artifactRoot(s, d, "c08")}/lsh",
+      DedupOps.Bands, date)
+    val lshServe = graft.api.LshIndexStore.load(s, lshDir).unionByName(
+      graft.api.LshIndexStore.committedAppends(s, s"$root/lsh_app"))
+    val storeClean = existing
+      .select(col("doc_id").as("src_id"), cleanKey.as("sck"))
+      .unionByName(admDocs
+        .select(col("doc_id").as("src_id"), cleanKey.as("sck")))
+    def docNeardupRejected(probe: DataFrame): DataFrame =
+      DedupOps.minhashBands(probe)
+        .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
+        .join(lshServe
+          .select(col("doc_id").as("src_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select(col("in_id"), col("src_id")).distinct()
+        .join(probe.select(col("doc_id").as("in_id"), cleanKey.as("ick")),
+          Seq("in_id"))
+        .join(storeClean, Seq("src_id"))
+        .filter(col("ick") === col("sck"))
+        .select(col("in_id")).distinct()
+    val serveRel = loaded.assigned
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .unionByName(graft.api.IvfStore
+        .committedAppends(s, s"$root/ivf_app")
+        .select(col("vec_id"), col("embedding"), col("cell")))
+    val scaledSub = transform(col("embedding"), v => v * lit(0.999f))
+    def vecSemRejected(probe: DataFrame): DataFrame =
+      EmbeddingOps.semanticGateHits(s, probe, serveRel, loaded.model)
+    def phase2Row(stage: String, universe: DataFrame,
+        rejected: DataFrame): DataFrame =
+      rejected.agg(count(lit(1)).as("n_rejected"))
+        .crossJoin(broadcast(universe.agg(count(lit(1)).as("n_in"))))
+        .select(lit(2L).as("phase"), lit(stage).as("stage"),
+          col("n_in"), col("n_rejected"),
+          (col("n_in") - col("n_rejected")).as("n_admitted"))
+    val vetoDocs = pairs
+      .filter(col("doc_gate") === "admitted" &&
+        col("vec_gate") =!= "admitted")
+      .select(col("doc_id"), col("text")).distinct()
+    val vetoVecs = pairs
+      .filter(col("vec_gate") === "admitted" &&
+        col("doc_gate") =!= "admitted")
+      .select(col("vec_id"), col("embedding")).distinct()
+    val r1 = docNeardupRejected(admDocs.select(
+      (col("doc_id") + lit(5 * offD)).as("doc_id"),
+      upper(col("text")).as("text")))
+    val r2 = vecSemRejected(admVecs.select(
+      (col("vec_id") + lit(5 * offV)).as("vec_id"),
+      scaledSub.as("embedding")))
+    val r3 = docNeardupRejected(vetoDocs.select(
+      (col("doc_id") + lit(6 * offD)).as("doc_id"),
+      upper(col("text")).as("text")))
+    val r4 = vecSemRejected(vetoVecs.select(
+      (col("vec_id") + lit(6 * offV)).as("vec_id"),
+      scaledSub.as("embedding")))
+
+    phase1
+      .unionByName(phase2Row("1_resubmit_doc", admDocs, r1))
+      .unionByName(phase2Row("2_resubmit_vec", admVecs, r2))
+      .unionByName(phase2Row("3_vetoed_doc_uncommitted", vetoDocs, r3))
+      .unionByName(phase2Row("4_vetoed_vec_uncommitted", vetoVecs, r4))
+      .orderBy(col("phase"), col("stage"))
+  }
+
+  private val multimodalAdmissionSql = {
+    val tokList = graft.oracle.DuckFragments.tokListSql
+    s"""WITH ${admissionAttrCtes(intraGate = true)},
+       |pr AS (
+       |  SELECT a.doc_id, a.text, a.gate AS doc_gate,
+       |    a.doc_id % (SELECT o FROM off) AS b,
+       |    a.doc_id // (SELECT o FROM off) AS kd
+       |  FROM attr a
+       |  JOIN embeddings e ON e.vec_id = a.doc_id % (SELECT o FROM off)),
+       |pg AS (
+       |  SELECT doc_id, text, doc_gate, b, kd,
+       |    CASE WHEN kd = 1 OR (kd = 0 AND b % 5 = 0) THEN '1_exact'
+       |         WHEN kd = 2 OR kd = 4 THEN '2_semantic'
+       |         ELSE 'admitted' END AS vec_gate
+       |  FROM pr),
+       |p1 AS (SELECT doc_gate, vec_gate, CAST(count(*) AS BIGINT) AS n
+       |    FROM pg GROUP BY doc_gate, vec_gate),
+       |admd AS (SELECT DISTINCT doc_id, text FROM pg
+       |    WHERE doc_gate = 'admitted' AND vec_gate = 'admitted'),
+       |nadmd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM admd),
+       |radmd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM admd
+       |    WHERE len(list_filter($tokList, x -> x <> '')) >= 3),
+       |nadmv AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM pg
+       |    WHERE doc_gate = 'admitted' AND vec_gate = 'admitted'),
+       |nvetd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       |    FROM pg WHERE doc_gate = 'admitted' AND vec_gate <> 'admitted'),
+       |nvetv AS (SELECT CAST(count(DISTINCT CAST(b AS VARCHAR) || '_' ||
+       |      CASE WHEN kd = 1 OR (kd = 0 AND b % 5 = 0) THEN '1'
+       |           WHEN kd = 2 OR kd = 4 THEN '2' ELSE '3' END) AS BIGINT)
+       |      AS n
+       |    FROM pg WHERE vec_gate = 'admitted' AND doc_gate <> 'admitted'),
+       |rows_all AS (
+       |  SELECT CAST(1 AS BIGINT) AS phase,
+       |    doc_gate || '*' || vec_gate AS stage, n AS n_in,
+       |    CASE WHEN doc_gate = 'admitted' AND vec_gate = 'admitted'
+       |         THEN CAST(0 AS BIGINT) ELSE n END AS n_rejected,
+       |    CASE WHEN doc_gate = 'admitted' AND vec_gate = 'admitted'
+       |         THEN n ELSE CAST(0 AS BIGINT) END AS n_admitted
+       |  FROM p1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '1_resubmit_doc', (SELECT n FROM nadmd),
+       |    (SELECT n FROM radmd),
+       |    (SELECT n FROM nadmd) - (SELECT n FROM radmd)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '2_resubmit_vec', (SELECT n FROM nadmv),
+       |    (SELECT n FROM nadmv), CAST(0 AS BIGINT)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '3_vetoed_doc_uncommitted',
+       |    (SELECT n FROM nvetd), CAST(0 AS BIGINT), (SELECT n FROM nvetd)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), '4_vetoed_vec_uncommitted',
+       |    (SELECT n FROM nvetv), CAST(0 AS BIGINT), (SELECT n FROM nvetv))
+       |SELECT phase, stage, n_in, n_rejected, n_admitted
+       |FROM rows_all ORDER BY phase, stage""".stripMargin
+  }
+
   /** s34's oracle: the intra-free waterfall histogram (see
     * [[admissionAttrCtes]]) — referenced by the streaming row in
     * [[graft.streaming.EventStreams]]. */
@@ -2112,6 +2346,10 @@ object PackOps {
     // shards with an integer-exact read-back manifest (see doc)
     QueryDef("c11_admitted_vec_export", admittedVecExport,
       Some(admittedVecExportSql)),
+    // c12 admits (doc, embedding) PAIRS — rejection in either key
+    // space vetoes the pair; both commits gated by the veto (see doc)
+    QueryDef("c12_multimodal_admission", multimodalAdmission,
+      Some(multimodalAdmissionSql)),
     QueryDef("p15_tombstone_export", tombstoneExport,
       Some(tombstoneExportSql)))
 }

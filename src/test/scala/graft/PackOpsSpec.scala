@@ -592,6 +592,54 @@ class PackOpsSpec extends SparkSpec {
     assert(out2 === out)
   }
 
+  test("c11 exports exactly the committed vec survivors, payload-intact, replay-stable") {
+    val manifest = PackOps.admittedVecExport(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // the export carries exactly c09's committed survivors: the
+    // dimension-reversed corpus, one row per base vector
+    val nb = graft.sources.Tables.embeddings(spark, sfTiny).count()
+    assert(manifest.map(_._2).sum === nb)
+    // payload intact: every vector kept all its dimensions
+    val dims = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(manifest.map(_._3).sum === nb * dims)
+    assert(manifest.map(_._1).distinct.size === manifest.size)
+    val again = PackOps.admittedVecExport(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(again === manifest)
+  }
+
+  test("c12 multimodal pairs: veto is load-bearing in both directions, replay-stable") {
+    val out = PackOps.multimodalAdmission(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val p2 = out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4, r._5))
+    // committed survivors die on resubmission in BOTH spaces — the
+    // pair commit reached both stores
+    val r1 = p2.find(_._1 == "1_resubmit_doc").get
+    val r2 = p2.find(_._1 == "2_resubmit_vec").get
+    assert(r1._2 > 0 && r1._2 === r1._3, "every committed doc must die")
+    assert(r2._2 > 0 && r2._2 === r2._3, "every committed vec must die")
+    // the conjunction witnesses: single-space survivors whose pair was
+    // vetoed were NOT committed — their resubmissions sail through
+    val r3 = p2.find(_._1 == "3_vetoed_doc_uncommitted").get
+    val r4 = p2.find(_._1 == "4_vetoed_vec_uncommitted").get
+    assert(r3._2 > 0 && r3._3 === 0L,
+      "a vetoed doc reached the doc store — the veto must gate the commit")
+    assert(r4._2 > 0 && r4._3 === 0L,
+      "a vetoed vec reached the vec store — the veto must gate the commit")
+    // phase 1 conserves: every pair lands in exactly one matrix cell
+    val p1 = out.filter(_._1 == 1L)
+    assert(p1.map(_._3).sum === p1.map(r => r._4 + r._5).sum)
+    // replay: both commits' manifests skip their committed batch ids
+    val again = PackOps.multimodalAdmission(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(again === out)
+  }
+
   test("c10 exports exactly the admitted increment, round-trip intact, replay-stable") {
     val manifest = PackOps.admissionExport(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
