@@ -28,6 +28,108 @@ class ExportCommitSpec extends SparkSpec {
     st
   }
 
+  test("crash-point property: stage→commit→fold→adopt→retire killed at every boundary recovers or stays invisible (96 seeded trials)") {
+    // r16 verdict ask #6 — the replay specs pin CHOSEN interleavings;
+    // this trial loop kills the maintenance lifecycle at EVERY
+    // inter-call boundary (randomized payloads per seed) and asserts
+    // the recover-or-invisible contract each time. Boundaries are
+    // BETWEEN protocol calls: intra-call atomicity (the createLink
+    // CAS) has its own race witnesses; what a crash between calls must
+    // never produce is a reader-visible half-state — a manifest
+    // naming a missing dir, a pointer naming an incomplete artifact,
+    // or a double-committed batch after the recovery replay.
+    import graft.api.ServePointer
+    def writeArtifact(dir: String, content: Seq[Int]): Unit = {
+      val f = new java.io.File(dir); f.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "data.txt"),
+        content.sorted.mkString(","))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_SUCCESS"), "")
+      ()
+    }
+    def completeArtifact(dir: String): Boolean =
+      new java.io.File(dir, "_SUCCESS").isFile
+    def readArtifact(dir: String): Seq[Int] = {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "data.txt"))
+      if (s.isEmpty) Seq.empty else s.split(",").map(_.toInt).toSeq
+    }
+    for (seed <- 0 until 12) {
+      val rng = new scala.util.Random(seed)
+      val base = Seq.fill(1 + rng.nextInt(4))(rng.nextInt(1000))
+      val vals = Seq.fill(1 + rng.nextInt(5))(rng.nextInt(1000))
+      // one lifecycle per kill boundary: 0 = nothing ran … 7 = all ran
+      for (killAt <- 0 to 7) {
+        val r = root() // the append root
+        val art = root()
+        val ptr = root()
+        val v1 = s"$art/v1"
+        val v2 = s"$art/v2"
+        writeArtifact(v1, base)
+        ServePointer.adopt(ptr, v1)
+        val v2n = java.nio.file.Paths.get(v2)
+          .toAbsolutePath.normalize().toString
+        var staged: String = null
+        val steps: Seq[() => Unit] = Seq(
+          () => staged = ExportCommit.stage(r, 0L),
+          () => { new java.io.File(staged).mkdirs()
+            java.nio.file.Files.writeString(java.nio.file.Paths
+              .get(staged, "vals.txt"), vals.mkString(",")); () },
+          () => { ExportCommit.commitBatch(r, 0L, staged); () },
+          () => { // the fold's data lands BEFORE its completeness marker
+            val appended = ExportCommit.committedDirs(r)
+              .flatMap(dd => java.nio.file.Files.readString(
+                java.nio.file.Paths.get(dd, "vals.txt"))
+                .split(",").map(_.toInt))
+            new java.io.File(v2).mkdirs()
+            java.nio.file.Files.writeString(java.nio.file.Paths
+              .get(v2, "data.txt"), (base ++ appended).sorted.mkString(","))
+            ()
+          },
+          () => { java.nio.file.Files.writeString(java.nio.file.Paths
+            .get(v2, "_SUCCESS"), ""); () },
+          () => { ServePointer.adopt(ptr, v2); () },
+          () => { ExportCommit.retireRoot(r); () })
+        steps.take(killAt).foreach(_()) // …and the process dies here
+        // ---- post-crash: the half-state is INVISIBLE to readers
+        ExportCommit.latest(r).foreach(_.entries.foreach { e =>
+          assert(new java.io.File(new java.io.File(r), e.dir).isDirectory,
+            s"seed=$seed kill=$killAt: manifest names a missing dir")
+        })
+        val servedDir = ServePointer.current(ptr).get
+        assert(completeArtifact(servedDir),
+          s"seed=$seed kill=$killAt: pointer names an incomplete artifact")
+        // ---- recovery: the janitor re-runs the maintenance day from
+        // its guards (e28's posture) — adopted ⇒ only retire remains
+        if (!ServePointer.current(ptr).contains(v2n)) {
+          if (!ExportCommit.isCommitted(r, 0L)) {
+            val st = ExportCommit.stage(r, 0L)
+            new java.io.File(st).mkdirs()
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(st, "vals.txt"), vals.mkString(","))
+            ExportCommit.commitBatch(r, 0L, st)
+          }
+          if (!completeArtifact(v2)) steps(3)()
+          steps(4)()
+          ServePointer.adopt(ptr, v2)
+        }
+        ExportCommit.retireRoot(r)
+        // ---- post-recovery: exactly-once, adopted, inputs retired
+        assert(ServePointer.current(ptr).contains(v2n),
+          s"seed=$seed kill=$killAt: recovery did not adopt the fold")
+        assert(readArtifact(v2) === (base ++ vals).sorted,
+          s"seed=$seed kill=$killAt: fold lost or doubled the batch")
+        assert(!new java.io.File(r).exists(),
+          s"seed=$seed kill=$killAt: append root not retired")
+        assert(completeArtifact(v1),
+          s"seed=$seed kill=$killAt: rollback-window artifact damaged")
+        assert(ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
+          s"seed=$seed kill=$killAt: window artifact offered for retire")
+      }
+    }
+  }
+
   test("replayed batch id commits once — no double-counted rows in the read-back") {
     val r = root()
     val st1 = writeStaged(r, 0L, 1L to 10L)
