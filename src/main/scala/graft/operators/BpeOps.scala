@@ -255,6 +255,131 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** BATCHED-merge BPE training (r16 verdict ask #7 — the scale path
+    * for the training LOOP itself): [[trainBpe]] pays one corpus-free
+    * but cluster-round-trip aggregation PER MERGE; at a production
+    * vocabulary (30-50k merges) that is 30-50k sweeps of
+    * vocabulary-scale work whose cost is pure iteration latency. This
+    * variant accepts SEVERAL merges per sweep from one ranked
+    * pair-count window, with a guard that provably preserves greedy
+    * semantics — the output merge table is IDENTICAL to
+    * [[trainBpe]]'s, merge for merge, count for count:
+    *
+    *   - candidates are the top `window` pairs (count desc, pair lex —
+    *     greedy's exact order); a candidate joins the batch when its
+    *     two symbols AND its merged symbol are disjoint from every
+    *     symbol a batch member touches (disjointness ⇒ applying the
+    *     earlier batch merges cannot change its count, so it is still
+    *     greedy's next pick among OLD pairs), it is not a self-pair
+    *     (batch head excepted — see below), and its merged symbol is
+    *     FRESH (not a previously learned symbol);
+    *   - every scanned-but-rejected candidate's count feeds a bound D
+    *     (together with the window-edge count, which dominates every
+    *     pair below the window). A merge of (a,b) only creates or
+    *     grows pairs touching a, b, or ab, and each such pair's count
+    *     after the merge is bounded by the OLD count of a pair that
+    *     overlaps {a, b, ab} — e.g. count(x,ab) ≤ old count(x,a),
+    *     count(ab,y) ≤ old count(b,y) — and every such old pair was
+    *     either rejected in the window (≤ D) or below it (≤ edge ≤ D).
+    *     The two exceptions both get conservative handling: a SELF-pair
+    *     (a,a) creates run pairs (aa,a) bounded only by its own count
+    *     (so a self-pair may only lead the batch, never extend it),
+    *     and a COLLIDING merged symbol (a+b equal to an earlier
+    *     sweep's learned symbol) lets created occurrences stack on an
+    *     existing pair's count (so a colliding head doubles the cut
+    *     threshold to 2·D; colliding non-heads are rejected outright);
+    *   - the batch prefix is then cut at counts ≤ D (≤ 2·D under a
+    *     colliding head): everything kept strictly outranks anything
+    *     greedy could newly prefer, ties included — an equal-count
+    *     overlapping pair anywhere in the window feeds D and cuts the
+    *     prefix below it. The sweep's top pair always survives (keeping
+    *     only it IS plain greedy), so progress and saturation are
+    *     unchanged.
+    *
+    * Within a sweep the kept pairs are applied in rank order (their
+    * mutual disjointness makes the application order immaterial, and
+    * rank order IS greedy's order among unchanged counts). Each sweep
+    * costs ONE exact aggregation + a `window`-row collect instead of
+    * one aggregation per merge.
+    *
+    * 100 TB shape: training input is the Heaps'-law distinct-word
+    * relation either way; what this buys is sweep COUNT — the
+    * driver-side iteration latency that dominates a large-vocabulary
+    * train — while staying bit-identical to the greedy recipe (t24's
+    * gate runs it against t16's own oracle). Returns (merges, sweeps
+    * actually paid). */
+  private[graft] def trainBpeBatched(words0: DataFrame, nMerges: Int,
+      window: Int = 16): (Seq[MergeRow], Int) = {
+    var (words, live) = swapCheckpoint(
+      words0.withColumn("seg", segInit(col("word"))), Set.empty)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[MergeRow]
+    var sweeps = 0
+    var saturated = false
+    while (merges.size < nMerges && !saturated) {
+      val ranked = words
+        .select(col("f"), symsOf(col("seg")).as("syms"))
+        .filter(size(col("syms")) > 1)
+        .select(col("f"),
+          explode(TextFunctions.ngrams(col("syms"), 2)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(window)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      sweeps += 1
+      if (ranked.isEmpty) saturated = true
+      else {
+        val edge = if (ranked.length == window) ranked.last._2 else 0L
+        val priorSymbols = merges.map(_.merged).toSet
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long)]
+        var dBound = edge
+        ranked.foreach { case (pair, n) =>
+          val Array(a, b) = pair.split(" ", 2)
+          require(!s"$a$b".exists(ch => ch == '(' || ch == ')' || ch == ' '),
+            s"bpe: delimiter/separator inside encoded symbol pair '$pair'")
+          val head = accepted.isEmpty
+          val disjoint = !used.contains(a) && !used.contains(b) &&
+            !used.contains(a + b)
+          // non-head batch members must be non-self, fresh-symbol,
+          // and symbol-disjoint (see the bound argument in the doc)
+          if (head || (disjoint && a != b && !priorSymbols.contains(a + b)))
+            { accepted += ((pair, a, b, n)); used ++= Seq(a, b, a + b) }
+          else dBound = math.max(dBound, n)
+        }
+        // greedy-faithful prefix: the top pair always; the rest only
+        // while STRICTLY above the bound on any grown/created pair
+        // (doubled when the head's merged symbol collides with an
+        // earlier learned symbol — created occurrences then stack on
+        // an existing pair's count)
+        val headSelf = accepted.head._2 == accepted.head._3
+        val cut =
+          if (priorSymbols.contains(accepted.head._2 + accepted.head._3))
+            2 * dBound
+          else dBound
+        // a self-pair head creates run pairs bounded only by its own
+        // count — it can never safely carry a batch behind it
+        val kept =
+          if (headSelf) accepted.take(1)
+          else accepted.head +: accepted.tail.takeWhile(_._4 > cut)
+        kept.take(nMerges - merges.size).foreach { case (pair, a, b, n) =>
+          merges += MergeRow(merges.size + 1L, pair, a + b, n)
+          words = words.withColumn("seg", mergeOnce(col("seg"), a, b))
+        }
+        if (sweeps % SwapEvery == 0) {
+          val (w, l) = swapCheckpoint(words, live)
+          words = w; live = l
+        }
+      }
+    }
+    val sc = words.sparkSession.sparkContext
+    live.foreach(id => sc.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+    (merges.toSeq, sweeps)
+  }
+
   /** Train once per (dataset, nMerges) and share across t16/t18/specs —
     * the merge table is k-row driver state, exactly what the
     * Intermediates memo exists for. */
@@ -283,6 +408,28 @@ object BpeOps {
         val Array(a, b) = m.pair.split(" ", 2)
         df.withColumn("seg", mergeOnce(col("seg"), a, b))
     }
+
+  /** t24 — the BATCHED trainer under t16's own gate: the merge table
+    * [[trainBpeBatched]] learns (several greedy-provable merges per
+    * sweep) must be IDENTICAL to the one-merge-per-sweep table, so it
+    * is registered against t16's unchanged oracle — a batching rule
+    * that deviates from greedy semantics by one merge, one count, or
+    * one tie-break breaks this hash. Its own memo key: the shipped
+    * tokenizer's materialization can never stand in for it. */
+  def bpeBatchedMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (m, sweeps) = graft.api.Intermediates.memo(s,
+      s"bpe_merges_batched|$d|$NMerges") {
+      trainBpeBatched(sliceWords(Tables.documents(s, d)), NMerges)
+    }
+    require(sweeps <= m.size,
+      "batched BPE training paid more sweeps than merges — the batch " +
+        "guard degenerated below the one-merge-per-sweep baseline")
+    m.toDF()
+      .select(col("step"), decode(col("pair")).as("pair"),
+        decode(col("merged")).as("merged"), col("n"))
+      .orderBy(col("step"))
+  }
 
   /** t16 — the learned merge table itself: (step, pair, merged, n),
     * decoded back to true symbol text. */
@@ -780,6 +927,10 @@ object BpeOps {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t16_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    // t24 learns the SAME table through the batched sweep — t16's
+    // oracle verbatim, so greedy fidelity is hash-gated (see doc)
+    QueryDef("t24_bpe_batched_merges", bpeBatchedMerges,
+      Some(bpeMergesSql)),
     QueryDef("t18_bpe_retokenize", bpeRetokenize, Some(bpeRetokenizeSql)),
     // t19 emits t18's exact relation through the disk round-trip, so
     // the oracle transfers verbatim (the s22/p11 transfer discipline)

@@ -62,6 +62,28 @@ class BpeOpsSpec extends SparkSpec {
     assert(got.map(_.step) === (1L to got.length.toLong))
   }
 
+  test("trainBpeBatched: identical merge table to greedy, strictly fewer sweeps, on reference + corpus words") {
+    // greedy fidelity on the Sennrich-style reference corpus
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "lowest" -> 2L,
+      "newer" -> 6L, "wider" -> 3L, "new" -> 2L)
+    val greedy = BpeOps.trainBpe(wordsDf(freqs), nMerges = 12)
+    val (batched, sweeps) = BpeOps.trainBpeBatched(wordsDf(freqs),
+      nMerges = 12)
+    assert(batched === greedy,
+      "the batched sweep deviated from greedy BPE semantics")
+    assert(sweeps <= batched.size)
+    // ...and on the real corpus slice, where the batching must PAY:
+    // same table as the shipped trainer, in strictly fewer sweeps
+    val words = BpeOps.sliceWords(
+      graft.sources.Tables.documents(spark, sfTiny))
+    val shipped = BpeOps.trainBpe(words, BpeOps.NMerges)
+    val (fast, corpusSweeps) = BpeOps.trainBpeBatched(words, BpeOps.NMerges)
+    assert(fast === shipped)
+    assert(corpusSweeps < shipped.size,
+      s"batching bought nothing: $corpusSweeps sweeps for " +
+        s"${shipped.size} merges")
+  }
+
   test("applyMerges reproduces the reference's final segmentation, including unseen words") {
     val freqs = Map("low" -> 5L, "lower" -> 2L, "newer" -> 6L, "wider" -> 3L)
     val merges = BpeOps.trainBpe(wordsDf(freqs), nMerges = 8)
