@@ -19,7 +19,9 @@
 # maintenance rows, the PQ tombstone fold, the streaming ADC serve, and
 # the composed right-to-be-forgotten audit; the r16 continuation adds
 # the composed admission waterfall batch + streaming and the pointer
-# rollback row) — their oracles
+# rollback row; r17 adds the janitor-cycle row, the mid-stream pointer
+# flip, the vec-side admitted export, the multimodal pair admission,
+# and the batched BPE trainer) — their oracles
 # recompute on the synthetic corpus, so they are checkable at any
 # scale; they are here because they are cheap enough to afford.
 #
@@ -64,7 +66,9 @@ d29_winnow_tombstone,e25_pq_tombstone_compact,s31_stream_pq_serve,\
 c07_right_to_be_forgotten,s32_stream_passage_probe,s33_stream_winnow_gate,\
 e26_index_rebuild,c08_crawl_admission,e27_version_rollback,\
 s34_stream_admission,c09_embedding_admission,\
-s35_stream_embedding_admission,c10_admission_export"
+s35_stream_embedding_admission,c10_admission_export,\
+e28_janitor_cycle,s36_stream_pointer_flip,c11_admitted_vec_export,\
+c12_multimodal_admission,t24_bpe_batched_merges"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \
