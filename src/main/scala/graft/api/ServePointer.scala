@@ -116,6 +116,29 @@ object ServePointer {
     candidates.filterNot(c => protected_.contains(normalize(c)))
   }
 
+  /** Prune pointer HISTORY outside the retention window: deletes
+    * `current-v{N}.json` files older than the last `keepLast`
+    * adoptions and returns the pruned versions. The history is
+    * append-only by design (an audit trail), but an e27-style
+    * deployment that replays adoptions every session grows it without
+    * bound — this is the janitor's bound, sized to the same rollback
+    * horizon as [[retirable]] (a pruned version could name a dir only
+    * a fresh adoption can re-protect, so pruning at `keepLast` never
+    * removes a version a revert inside the window needs). Version
+    * NUMBERING is untouched: [[adopt]] and [[current]] resolve from
+    * the highest-numbered FILENAME, so deleting low versions can never
+    * re-issue a version number or move the pointer. Deployments that
+    * need the full audit trail archive the files before pruning
+    * instead of skipping the prune. */
+  def pruneHistory(root: String, keepLast: Int = 2): Seq[Int] = {
+    require(keepLast >= 1, "keepLast must retain at least the current version")
+    val vs = versions(root)
+    val prune = vs.dropRight(keepLast)
+    prune.foreach(v =>
+      Files.deleteIfExists(Paths.get(root, s"current-v$v.json")))
+    prune
+  }
+
   /** Atomically adopt `dir` as the serving version. Returns the
     * pointer version that names `dir` (the existing one when `dir` is
     * already current — replay no-op). The stored dir is the

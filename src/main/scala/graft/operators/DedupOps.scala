@@ -992,6 +992,70 @@ object DedupOps {
   private val incrementalNeardupTombstonedSql =
     incrementalNeardupSqlWhere("AND doc_id >= 100")
 
+  /** d30 — the janitor's MAINTENANCE DAY on the LSH family (e28's loop
+    * generalized across store families, so the trigger→fold→adopt→
+    * retire→serve composition is hash-gated on BOTH key spaces):
+    * d25's exact geometry — base artifact (evens ≥ 400), one committed
+    * append batch (evens < 400), a takedown of half the planted
+    * re-fetch sources (evens < 100) — but every stage fired by the
+    * OPERATIONAL machinery: [[graft.api.CompactionPolicy.due]]
+    * evaluates the real manifests and the fold runs ONLY if it fires
+    * (an under-counting policy leaves the serve on the append-less
+    * base and every planted pair vanishes);
+    * [[graft.api.LshIndexStore.compactAppends]] folds base ∪ appends
+    * MINUS tombstones with the global re-census;
+    * [[graft.api.ServePointer.adopt]] flips the family pointer (day-0
+    * artifact kept inside the rollback window, history pruned to the
+    * same horizon by [[graft.api.ServePointer.pruneHistory]]);
+    * [[graft.sources.ExportCommit.retireRoot]] deletes the folded
+    * append + tombstone roots; the probe serves the pointer-resolved
+    * LOADED artifact with NO serve-time filter. d25's selective
+    * closed-form oracle transfers across the whole loop.
+    *
+    * 100 TB shape: e28's billing — kilobyte trigger reads, the one
+    * fold the janitor already pays for, a pointer-file flip, input
+    * retirement; the probe is d11's batch ⋈ index plan. */
+  def lshJanitorCycle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d30")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.LshIndexStore.versionedDir(s"$root/base", Bands, date)
+    val v2 = graft.api.LshIndexStore.versionedDir(s"$root/fold", Bands,
+      date.plusDays(1))
+    val ptr = s"$root/pointer"
+    if (!graft.api.ServePointer.current(ptr).contains(
+        java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString)) {
+      if (!new java.io.File(s"$v1/_SUCCESS").isFile)
+        graft.api.LshIndexStore.save(v1,
+          prunedBandIndex(existing.filter(col("doc_id") >= 400)))
+      graft.api.ServePointer.adopt(ptr, v1) // day 0
+      val appendRoot = s"$root/append"
+      val tombRoot = s"$root/tombstones"
+      graft.api.LshIndexStore.appendBatch(appendRoot,
+        existing.filter(col("doc_id") < 400), 0L)
+      graft.api.LshIndexStore.appendTombstones(tombRoot,
+        existing.filter(col("doc_id") < 100).select(col("doc_id")), 0L)
+      val decision = graft.api.CompactionPolicy.due(appendRoot,
+        Some(tombRoot), maxAppendBatches = 1, maxTombstoneBatches = 1)
+      if (decision.due) { // load-bearing: no fold ⇒ append-less serve
+        graft.api.LshIndexStore.compactAppends(s, v1, appendRoot, v2,
+          Some(tombRoot))
+        graft.api.ServePointer.adopt(ptr, v2)
+        graft.sources.ExportCommit.retireRoot(appendRoot)
+        graft.sources.ExportCommit.retireRoot(tombRoot)
+        require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
+          "rollback-window artifact offered for retirement")
+        // the audit trail is bounded by the SAME horizon
+        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
+      }
+    }
+    val dir = graft.api.ServePointer.current(ptr).getOrElse(
+      sys.error(s"no adopted version under $ptr"))
+    probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, dir))
+  }
+
   /** d09 — eval-benchmark decontamination: corpus documents sharing any
     * 5-token shingle with the held-out eval set (doc_id ≡ 0 mod 97 —
     * the benchmark stand-in) are flagged with their overlap count, the
@@ -2050,6 +2114,10 @@ object DedupOps {
       Some(incrementalNeardupSql)),
     // d25 probes the compacted store AFTER a takedown of half the
     // planted sources — d11's oracle restricted to survivors
+    // d30 runs the WHOLE maintenance day on the LSH family (e28's loop
+    // on the doc key space) — d25's selective closed form transfers
+    QueryDef("d30_lsh_janitor_cycle", lshJanitorCycle,
+      Some(incrementalNeardupTombstonedSql)),
     QueryDef("d25_lsh_tombstone", incrementalNeardupTombstoned,
       Some(incrementalNeardupTombstonedSql)),
     QueryDef("d13_passage_dedup", passageDedup, Some(passageDedupSql)),

@@ -576,6 +576,24 @@ class IvfStoreSpec extends SparkSpec {
       Seq("/x/v1/", "/x/./v2", "/x/v0"), keepLast = 2) === Seq("/x/v0"))
   }
 
+  test("ServePointer.pruneHistory bounds the audit trail without moving the pointer or re-issuing versions") {
+    import graft.api.ServePointer
+    val root = tmp("ptr_prune")
+    (1 to 5).foreach(i => ServePointer.adopt(root, s"/p/v$i"))
+    assert(ServePointer.pruneHistory(root, keepLast = 2) === Seq(1, 2, 3))
+    // window intact, pointer unmoved
+    assert(ServePointer.history(root) === Seq((4, "/p/v4"), (5, "/p/v5")))
+    assert(ServePointer.current(root) === Some("/p/v5"))
+    // version numbering continues past the pruned range — a prune can
+    // never cause a version number to be re-issued
+    assert(ServePointer.adopt(root, "/p/v6") === 6)
+    // idempotent inside the window
+    assert(ServePointer.pruneHistory(root, keepLast = 3) === Nil)
+    intercept[IllegalArgumentException] {
+      ServePointer.pruneHistory(root, keepLast = 0)
+    }
+  }
+
   test("ServePointer.retirable protects the rollback window, retires outside it") {
     import graft.api.ServePointer
     val root = tmp("ptr_retire")

@@ -88,6 +88,36 @@ class StoredIndexSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[Long]].toList === nullOnly)
   }
 
+  test("d30 LSH janitor cycle: debt retired, window protected, history pruned to the horizon, replay-stable") {
+    val out = graft.operators.DedupOps.lshJanitorCycle(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // d25's selective closed form: sources < 100 taken down, the rest
+    // still match (spot check the survivor boundary)
+    assert(out.nonEmpty)
+    val off = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(
+        graft.sources.Tables.documents(spark, sfTiny), "doc_id"))
+    out.foreach { case (inId, srcId) =>
+      assert(inId === srcId + off)
+      assert(srcId >= 100 && srcId < 200 && srcId % 2 == 0)
+    }
+    val root = new java.io.File(
+      graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "d30"))
+    assert(!new java.io.File(root, "append").exists(),
+      "folded append root must be retired")
+    assert(!new java.io.File(root, "tombstones").exists(),
+      "folded tombstone root must be retired")
+    assert(new java.io.File(root, "base").exists(),
+      "day-0 artifact is inside the rollback window — must survive")
+    // history pruned to the rollback horizon: exactly day-0 + the fold
+    assert(graft.api.ServePointer.history(s"$root/pointer").size === 2)
+    val again = graft.operators.DedupOps.lshJanitorCycle(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again === out)
+    assert(graft.api.ServePointer.history(s"$root/pointer").size === 2,
+      "a replayed maintenance day must not churn the pointer")
+  }
+
   test("s27 streaming probe equals the batch d11/d20 probe row-for-row") {
     val a = DedupOps.incrementalNeardup(spark, sfTiny)
       .as[(Long, Long)].collect().toSeq
