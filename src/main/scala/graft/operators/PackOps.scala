@@ -2070,6 +2070,34 @@ object PackOps {
     * uniform keys); the commits are two batch-sized manifest CAS
     * writes. Nothing corpus-sized moves beyond the gates both
     * single-space rows already pay for. */
+  /** c12's PAIRING RULE over any relation carrying `doc_id` — derives
+    * (b, kd) from the plant-offset id arithmetic, joins the base
+    * embeddings on b (pairs exist where the base embedding exists),
+    * and emits the input columns + the pair's (vec_id, embedding)
+    * submission. ONE definition for the batch row and s37's stream —
+    * the projections are stateless, so the plan is stream-safe. */
+  private[graft] def pairVecAssignment(rel: DataFrame, baseE: DataFrame,
+      offD: Long, offV: Long): DataFrame = {
+    val scaled = transform(col("base_emb"), v => v * lit(0.999f))
+    val exactRule = col("kd") === 1 || (col("kd") === 0 && col("b") % 5 === 0)
+    val scaledRule = col("kd") === 2 || col("kd") === 4
+    val inCols = rel.columns.map(col).toSeq
+    rel
+      .withColumn("b", col("doc_id") % offD)
+      .withColumn("kd",
+        floor(col("doc_id").cast("double") / lit(offD.toDouble))
+          .cast("long"))
+      .join(baseE.select(col("vec_id").as("b"),
+        col("embedding").as("base_emb")), Seq("b"))
+      .select(inCols ++ Seq(
+        when(exactRule, col("b") + lit(offV))
+          .when(scaledRule, col("b") + lit(2 * offV))
+          .otherwise(col("b") + lit(3 * offV)).as("vec_id"),
+        when(exactRule, col("base_emb"))
+          .when(scaledRule, scaled)
+          .otherwise(reverse(col("base_emb"))).as("embedding")): _*)
+  }
+
   def multimodalAdmission(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -2083,23 +2111,9 @@ object PackOps {
     val date = java.time.LocalDate.ofEpochDay(0)
 
     // ---- the pair increment: each doc member ships one embedding
-    val scaled = transform(col("base_emb"), v => v * lit(0.999f))
-    val exactRule = col("kd") === 1 || (col("kd") === 0 && col("b") % 5 === 0)
-    val scaledRule = col("kd") === 2 || col("kd") === 4
-    val withVec = attrDoc
-      .withColumn("b", col("doc_id") % offD)
-      .withColumn("kd",
-        floor(col("doc_id").cast("double") / lit(offD.toDouble))
-          .cast("long"))
-      .join(baseE.select(col("vec_id").as("b"),
-        col("embedding").as("base_emb")), Seq("b"))
-      .select(col("doc_id"), col("text"), col("gate").as("doc_gate"),
-        when(exactRule, col("b") + lit(offV))
-          .when(scaledRule, col("b") + lit(2 * offV))
-          .otherwise(col("b") + lit(3 * offV)).as("vec_id"),
-        when(exactRule, col("base_emb"))
-          .when(scaledRule, scaled)
-          .otherwise(reverse(col("base_emb"))).as("embedding"))
+    val withVec = pairVecAssignment(
+      attrDoc.select(col("doc_id"), col("text"),
+        col("gate").as("doc_gate")), baseE, offD, offV)
 
     // ---- vec gates over the increment's DISTINCT vectors (two doc
     // members may ship the same submission), c09's own definition
@@ -2254,6 +2268,35 @@ object PackOps {
        |SELECT phase, stage, n_in, n_rejected, n_admitted
        |FROM rows_all ORDER BY phase, stage""".stripMargin
   }
+
+  /** s37's oracle: c12's conjunction matrix with the INTRA-FREE doc
+    * attribution (the streaming waterfall has no keep-first gate —
+    * s34's argument) — referenced by the streaming row in
+    * [[graft.streaming.EventStreams]]. */
+  private[graft] val streamMultimodalSql =
+    s"""WITH ${admissionAttrCtes(intraGate = false)},
+       |pr AS (
+       |  SELECT a.doc_id, a.gate AS doc_gate,
+       |    a.doc_id % (SELECT o FROM off) AS b,
+       |    a.doc_id // (SELECT o FROM off) AS kd
+       |  FROM attr a
+       |  JOIN embeddings e ON e.vec_id = a.doc_id % (SELECT o FROM off)),
+       |pg AS (
+       |  SELECT doc_gate,
+       |    CASE WHEN kd = 1 OR (kd = 0 AND b % 5 = 0) THEN '1_exact'
+       |         WHEN kd = 2 OR kd = 4 THEN '2_semantic'
+       |         ELSE 'admitted' END AS vec_gate
+       |  FROM pr)
+       |SELECT doc_gate || '*' || vec_gate AS stage,
+       |  CAST(count(*) AS BIGINT) AS n_in,
+       |  CASE WHEN doc_gate = 'admitted' AND vec_gate = 'admitted'
+       |       THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(count(*) AS BIGINT) END AS n_rejected,
+       |  CASE WHEN doc_gate = 'admitted' AND vec_gate = 'admitted'
+       |       THEN CAST(count(*) AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS n_admitted
+       |FROM pg GROUP BY doc_gate, vec_gate
+       |ORDER BY stage""".stripMargin
 
   /** s34's oracle: the intra-free waterfall histogram (see
     * [[admissionAttrCtes]]) — referenced by the streaming row in

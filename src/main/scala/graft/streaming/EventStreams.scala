@@ -1348,9 +1348,47 @@ object EventStreams {
     * only (batch-sized, never corpus-sized); nothing shuffles the
     * corpus. */
   def streamAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PackOps
+    val ss = streamSession(s)
+    val attributed = streamDocAttribution(ss, d)
+    PackOps.admissionHistogram(ss, attributed,
+      Seq("1_exact_store", "2_neardup", "3_passage", "4_decontam"))
+      .orderBy(col("stage"))
+  }
+
+  /** c08's increment construction over EITHER the batch table (static
+    * dims) or the stream (the probes) — ONE definition shared by
+    * s34's waterfall and s37's pair stream. */
+  private def admissionIncrement(f: DataFrame, off: Long): DataFrame = {
+    import graft.operators.PackOps
+    f.filter(col("doc_id") % 2 === 1)
+      .unionByName(f
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+      .unionByName(f
+        .filter(col("doc_id") % 2 === 0 &&
+          col("doc_id") >= 100 && col("doc_id") < 200)
+        .select((col("doc_id") + lit(2 * off)).as("doc_id"),
+          upper(col("text")).as("text")))
+      .unionByName(f
+        .filter(col("doc_id") % 2 === 0 &&
+          col("doc_id") >= 200 && col("doc_id") < 250)
+        .select((col("doc_id") + lit(3 * off)).as("doc_id"),
+          PackOps.admitQuoteText.as("text")))
+      .unionByName(f.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(4 * off)).as("doc_id"),
+          concat(lit("leak "), col("text")).as("text")))
+  }
+
+  /** s34's four-gate STREAMED doc attribution — (doc_id, gate) over
+    * the drained sinks, intra-free (see the s34 doc for why). Factored
+    * so s37's multimodal pair stream runs the IDENTICAL doc-side
+    * gates: the single-space and pair-composed live paths cannot
+    * drift. */
+  private def streamDocAttribution(ss: SparkSession,
+      d: String): DataFrame = {
     import graft.operators.{DedupOps, PackOps}
     import graft.functions.TextFunctions
-    val ss = streamSession(s)
     val docs = graft.sources.Tables.documents(ss, d)
       .select(col("doc_id"), col("text"))
     val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
@@ -1370,26 +1408,7 @@ object EventStreams {
       graft.api.PassageIndexStore.save(pasDir,
         DedupOps.passageHashIndex(existing))
 
-    // c08's increment construction, applied to EITHER the batch table
-    // (static dims) or the stream (the probes)
-    def plantedBatch(f: DataFrame): DataFrame =
-      f.filter(col("doc_id") % 2 === 1)
-        .unionByName(f
-          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 100)
-          .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
-        .unionByName(f
-          .filter(col("doc_id") % 2 === 0 &&
-            col("doc_id") >= 100 && col("doc_id") < 200)
-          .select((col("doc_id") + lit(2 * off)).as("doc_id"),
-            upper(col("text")).as("text")))
-        .unionByName(f
-          .filter(col("doc_id") % 2 === 0 &&
-            col("doc_id") >= 200 && col("doc_id") < 250)
-          .select((col("doc_id") + lit(3 * off)).as("doc_id"),
-            PackOps.admitQuoteText.as("text")))
-        .unionByName(f.filter(col("doc_id") % 97 === 0)
-          .select((col("doc_id") + lit(4 * off)).as("doc_id"),
-            concat(lit("leak "), col("text")).as("text")))
+    def plantedBatch(f: DataFrame): DataFrame = admissionIncrement(f, off)
 
     def cleanKey =
       md5(TextFunctions.cleanText(col("text")).cast("binary"))
@@ -1452,8 +1471,8 @@ object EventStreams {
         .agg(count(lit(1)).as("nh")),
       "complete", "s34_decontam")
 
-    // composition + histogram: batch work over the drained sinks
-    val attributed = universe
+    // composition: batch work over the drained sinks
+    universe
       .join(nearPairs.select(col("in_id").as("doc_id")).distinct()
         .withColumn("__near", lit(1)), Seq("doc_id"), "left")
       .join(pasAgg.filter(col("nk") * 2 >= col("np"))
@@ -1468,9 +1487,6 @@ object EventStreams {
           .when(col("__pas") === 1, "3_passage")
           .when(col("__cont") === 1, "4_decontam")
           .otherwise("admitted").as("gate"))
-    PackOps.admissionHistogram(ss, attributed,
-      Seq("1_exact_store", "2_neardup", "3_passage", "4_decontam"))
-      .orderBy(col("stage"))
   }
 
   /** s35 — STREAMING embedding admission (c09's gates on the live
@@ -1541,6 +1557,84 @@ object EventStreams {
           .otherwise("admitted").as("gate"))
     PackOps.admissionHistogram(ss, attributed,
       Seq("1_exact", "2_semantic"))
+      .orderBy(col("stage"))
+  }
+
+  /** s37 — STREAMING multimodal PAIR admission (c12 on the live path,
+    * completing the admission lattice: single-space batch c08/c09,
+    * single-space stream s34/s35, composed batch c12, composed stream
+    * HERE): the (document, embedding) pair increment arrives as a
+    * stream — the doc members through [[streamDocAttribution]]'s
+    * four intra-free gates (the IDENTICAL plans s34 drains, one
+    * definition), the vec submissions derived per-row by c12's shared
+    * pairing rule ([[graft.operators.PackOps.pairVecAssignment]] — a
+    * stateless stream-static join on the base id) and gated by c09's
+    * two stream-shaped plans (s35's: hash + equality verify carried
+    * per row; the distinct-free semantic candidate emission). The
+    * conjunction matrix — rejection in EITHER key space vetoes the
+    * pair — is batch work over the drained sinks. c12's closed form
+    * transfers with the intra-free doc attribution; the COMMIT half of
+    * the live path is s26's witnessed row (the veto's commit-gating is
+    * c12's batch witness).
+    *
+    * 100 TB shape: every gate is stream ⋈ static on a uniform key
+    * (digest / (band,bucket) / passage hash / cell id / 64-bit vec
+    * hash); the pair join rides the stream row-locally; state is
+    * increment-sized per-doc counters only. */
+  def streamMultimodalAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{DedupOps, EmbeddingOps, PackOps}
+    val ss = streamSession(s)
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val offD = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val baseE = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val (loaded, offV) = EmbeddingOps.vecAdmissionArtifact(ss, d)
+    // doc side: the four streamed gates, shared with s34 verbatim
+    val docAttr = streamDocAttribution(ss, d)
+    // vec side: the pair submissions ride the SAME document stream
+    val vecStream = PackOps.pairVecAssignment(
+      admissionIncrement(
+        readDocuments(ss, d).select(col("doc_id"), col("text")), offD)
+        .select(col("doc_id")),
+      baseE, offD, offV)
+      .select(col("vec_id"), col("embedding"))
+    // gate 1 (stateless): hash candidates + per-row equality verify
+    val vecExact = runToMemory(
+      vecStream.withColumn("eh", xxhash64(col("embedding")))
+        .join(baseE.select(col("embedding").as("s_emb"))
+          .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"), "left")
+        .select(col("vec_id"),
+          when(col("embedding") === col("s_emb"), 1).otherwise(0)
+            .as("ex")),
+      "append", "s37_exact")
+    // gate 2 (stateless): semantic candidates vs the LOADED artifact
+    val vecSem = runToMemory(
+      EmbeddingOps.semanticGateCandidates(ss, vecStream,
+        loaded.assigned, loaded.model),
+      "append", "s37_sem")
+    // composition: the conjunction matrix over the drained sinks
+    val vecGate = vecExact.groupBy(col("vec_id"))
+      .agg(max(col("ex")).as("ex"))
+      .join(vecSem.select(col("q_id").as("vec_id")).distinct()
+        .withColumn("__sem", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("ex") === 1, "1_exact")
+          .when(col("__sem") === 1, "2_semantic")
+          .otherwise("admitted").as("vec_gate"))
+    val pairs = PackOps.pairVecAssignment(
+      docAttr.select(col("doc_id"), col("gate").as("doc_gate")),
+      baseE, offD, offV)
+      .join(vecGate, Seq("vec_id"))
+    val bothAdmit = col("doc_gate") === "admitted" &&
+      col("vec_gate") === "admitted"
+    pairs.groupBy(col("doc_gate"), col("vec_gate"))
+      .agg(count(lit(1)).as("n"))
+      .select(concat(col("doc_gate"), lit("*"), col("vec_gate"))
+          .as("stage"),
+        col("n").as("n_in"),
+        when(bothAdmit, lit(0L)).otherwise(col("n")).as("n_rejected"),
+        when(bothAdmit, col("n")).otherwise(lit(0L)).as("n_admitted"))
       .orderBy(col("stage"))
   }
 
@@ -1907,7 +2001,11 @@ object EventStreams {
     // s36 flips the serve pointer BETWEEN micro-batches of one live
     // drain — e27's closed form reshaped to the stream (see s36 doc)
     QueryDef("s36_stream_pointer_flip", streamPointerFlip,
-      Some(graft.operators.EmbeddingOps.pointerFlipSql)))
+      Some(graft.operators.EmbeddingOps.pointerFlipSql)),
+    // s37 admits (doc, embedding) PAIRS on the live path — c12's
+    // conjunction matrix with the intra-free doc gates (see s37 doc)
+    QueryDef("s37_stream_multimodal_admission", streamMultimodalAdmission,
+      Some(graft.operators.PackOps.streamMultimodalSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

@@ -521,6 +521,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(byPhase(1L) > 0)
   }
 
+  test("s37 streaming multimodal matrix equals batch c12's phase 1 cell-for-cell") {
+    val c12 = graft.operators.PackOps.multimodalAdmission(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(_._1 == 1L).map(r => (r._2, r._3, r._4, r._5)).toSeq
+    // the stream has no intra gate (s34's argument); on these fixtures
+    // the batch pair universe has no intra cell either, so the two
+    // matrices must agree after the gate-name renumbering. If a future
+    // corpus plants intra twins into the pair universe, this guard
+    // names the divergence instead of a confusing diff below.
+    assert(!c12.exists(_._1.startsWith("2_exact_intra")),
+      "fixtures now plant intra twins into the pair universe — " +
+        "restate this parity over the intra-free closed form")
+    val renamed = c12.map { case (stage, a, b, c) =>
+      (stage.replace("3_neardup", "2_neardup")
+        .replace("4_passage", "3_passage")
+        .replace("5_decontam", "4_decontam"), a, b, c)
+    }.sortBy(_._1)
+    val got = EventStreams.streamMultimodalAdmission(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === renamed)
+    // the conjunction really fires live: some cell is a single-space
+    // survivor vetoed by the OTHER space
+    assert(got.exists(r => r._1.startsWith("admitted*") && r._3 > 0),
+      "no doc-admitted pair was vetoed by the vec side")
+    assert(got.exists(r => r._1.endsWith("*admitted") && r._3 > 0),
+      "no vec-admitted pair was vetoed by the doc side")
+  }
+
   test("checkpoint restart recovery: source offsets AND dedup state survive a stop/restart, sink exactly-once") {
     // the operational fault-tolerance witness behind every streaming
     // row here: a long-lived ingest job is stopped (deploy, crash,
