@@ -564,4 +564,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(paths.exists(_.contains("ivf_index_1970-01-02")),
       s"v2 scan missing from the rollout serve plan: $paths")
   }
+
+  test("s36/serveQueriesAgainst: the per-batch pointer serve is window-free (stream-legal)") {
+    // the kernel every s36 micro-batch runs: row-local probe cells +
+    // cell equi-join + one max(struct) argmax — a window or sort here
+    // would be illegal inside a streaming foreachBatch serve at scale
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.operators.EmbeddingOps.ivfBuild(base, cells = 4)
+    val served = graft.operators.EmbeddingOps.serveQueriesAgainst(
+      spark, index, base.filter(col("vec_id") % 20 === 0))
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "per-batch serve kernel grew a window")
+    assert(!p.contains("CartesianProduct"),
+      "per-batch serve kernel planned a cartesian")
+  }
+
+  test("c12/d30: the composed pair admission and the LSH janitor probe stay window-free") {
+    // (e28's serve is e13's batch kernel — its per-query ranking
+    // window is that plan's own pinned shape, not a regression)
+    assert(!plan("c12_multimodal_admission").contains("Window"),
+      "c12 grew a window")
+    assert(!plan("d30_lsh_janitor_cycle").contains("Window"),
+      "d30's pointer probe grew a window")
+  }
+
+  test("d30: the janitor probe physically reads the pointer-adopted FOLD, not base or appends") {
+    val df = SparkEntry.queries("d30_lsh_janitor_cycle")(spark, sfTiny)
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(paths.exists(p => p.contains("fold") &&
+        p.contains("lsh_index_1970-01-02")),
+      s"pointer-resolved fold scan missing from the d30 probe: $paths")
+    assert(!paths.exists(_.contains("/base/")),
+      s"d30 probe still reads the day-0 artifact: $paths")
+    assert(!paths.exists(_.contains("/append/")),
+      s"d30 probe reads the retired append root: $paths")
+  }
 }
