@@ -787,7 +787,17 @@ object EmbeddingOps {
   private[graft] def pqTrain(vecs: DataFrame, dim: Int): PqModel = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val sub = dim / PqSubspaces
-    val arr = vecs.select(vector_to_array(col("features")).as("f"))
+    // DETERMINISTIC training input (r17): KMeans aggregates partials in
+    // task-COMPLETION order, so a multi-partition fit is nondeterministic
+    // at the last float bit — enough to flip a marginal full-code
+    // collision at the 20x receipt between runs (a flaky loud-guard is
+    // worse than either outcome). One sorted partition pins the combine
+    // order; codebook training input is sample-scale by design (the
+    // FAISS posture: codebooks train on a bounded sample — at 100 TB a
+    // deterministic ORDER BY hash LIMIT N sample feeds this same fit,
+    // never the corpus).
+    val arr = vecs.select(col("vec_id"), vector_to_array(col("features")).as("f"))
+      .coalesce(1).sortWithinPartitions("vec_id")
       .localCheckpoint()
     PqModel((0 until PqSubspaces).map { m =>
       new org.apache.spark.ml.clustering.KMeans()
