@@ -1512,6 +1512,59 @@ object DedupOps {
   private val incrementalPassagesTombstonedSql =
     incrementalPassageSqlWhere("AND doc_id >= 50")
 
+  /** d31 — the janitor's MAINTENANCE DAY on the passage family (e28 on
+    * the IVF side, d30 on the LSH side, HERE at passage grain — the
+    * composed trigger→fold→adopt→retire→serve loop hash-gated on every
+    * store family): d27's exact geometry — base artifact (evens ≥
+    * 400), one committed append batch (evens < 400), a takedown of
+    * half the planted re-fetch sources (evens < 50) — driven by
+    * [[graft.api.CompactionPolicy.due]] over the real manifests, the
+    * tombstone-folding compaction, the family pointer flip (window
+    * protected, history pruned to the same horizon), input retirement,
+    * and the pointer-resolved probe. d27's survivor-recomputed oracle
+    * transfers across the loop. */
+  def passageJanitorCycle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d31")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.PassageIndexStore.versionedDir(
+      s"$root/base", PassageTokens, date)
+    val v2 = graft.api.PassageIndexStore.versionedDir(
+      s"$root/fold", PassageTokens, date.plusDays(1))
+    val ptr = s"$root/pointer"
+    if (!graft.api.ServePointer.current(ptr).contains(
+        java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString)) {
+      if (!new java.io.File(s"$v1/_SUCCESS").isFile)
+        graft.api.PassageIndexStore.save(v1,
+          passageHashIndex(existing.filter(col("doc_id") >= 400)))
+      graft.api.ServePointer.adopt(ptr, v1) // day 0
+      val appendRoot = s"$root/append"
+      val tombRoot = s"$root/tombstones"
+      graft.api.PassageIndexStore.appendBatch(appendRoot,
+        existing.filter(col("doc_id") < 400), 0L)
+      graft.api.PassageIndexStore.appendTombstones(tombRoot,
+        existing.filter(col("doc_id") < 50).select(col("doc_id")), 0L)
+      val decision = graft.api.CompactionPolicy.due(appendRoot,
+        Some(tombRoot), maxAppendBatches = 1, maxTombstoneBatches = 1)
+      if (decision.due) { // load-bearing: no fold ⇒ append-less serve
+        graft.api.PassageIndexStore.compactAppends(s, v1, appendRoot, v2,
+          Some(tombRoot))
+        graft.api.ServePointer.adopt(ptr, v2)
+        graft.sources.ExportCommit.retireRoot(appendRoot)
+        graft.sources.ExportCommit.retireRoot(tombRoot)
+        require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
+          "rollback-window artifact offered for retirement")
+        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
+      }
+    }
+    val dir = graft.api.ServePointer.current(ptr).getOrElse(
+      sys.error(s"no adopted version under $ptr"))
+    probePassagesAgainst(passageIncomingBatch(docs, off),
+      graft.api.PassageIndexStore.load(s, dir))
+  }
+
   /** Passage-hash fanout guard for d18's pair join: a passage shared by
     * more than this many distinct documents is corpus furniture
     * (d16's boilerplate business — its strip removes it anyway), not a
@@ -2058,6 +2111,62 @@ object DedupOps {
   private val winnowTombstonedProbeSql =
     winnowStoredSqlFor(PlantedQuoteArchiveDoc)
 
+  /** d32 — the janitor's MAINTENANCE DAY on the winnow family (the
+    * fourth and last store family: e28 IVF, d30 LSH, d31 passage,
+    * HERE substring grain — the maintenance loop is now hash-gated on
+    * EVERY store the engine ships): d29's exact geometry — corpus base
+    * artifact, one append batch carrying both archive-side quotation
+    * sources, a takedown of doc 0 — driven by the operational
+    * machinery (trigger over the real manifests, the census-re-running
+    * tombstone fold, the pointer flip with the window protected and
+    * the history pruned, input retirement, pointer-resolved probe).
+    * d29's survivors-only closed form transfers: quote-1 dies with its
+    * only holder, quote-2 survives through doc 3. */
+  def winnowJanitorCycle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = plantOffset(maxIdOf(docs, "doc_id"))
+    val planted = (PlantedQuoteDocs.take(1) ++ PlantedQuoteArchiveDoc)
+      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text")
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "d32")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.WinnowIndexStore.versionedDir(
+      s"$root/base", TextOps.WinnowK, TextOps.WinnowW, date)
+    val v2 = graft.api.WinnowIndexStore.versionedDir(
+      s"$root/fold", TextOps.WinnowK, TextOps.WinnowW, date.plusDays(1))
+    val ptr = s"$root/pointer"
+    if (!graft.api.ServePointer.current(ptr).contains(
+        java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString)) {
+      if (!new java.io.File(s"$v1/_SUCCESS").isFile)
+        graft.api.WinnowIndexStore.save(v1, prunedFingerprintIndex(docs))
+      graft.api.ServePointer.adopt(ptr, v1) // day 0
+      val appendRoot = s"$root/append"
+      val tombRoot = s"$root/tombstones"
+      graft.api.WinnowIndexStore.appendBatch(appendRoot, planted, 0L)
+      graft.api.WinnowIndexStore.appendTombstones(tombRoot,
+        Seq(off + 0L).toDF("doc_id"), 0L)
+      val decision = graft.api.CompactionPolicy.due(appendRoot,
+        Some(tombRoot), maxAppendBatches = 1, maxTombstoneBatches = 1)
+      if (decision.due) { // load-bearing: no fold ⇒ quote-less serve
+        graft.api.WinnowIndexStore.compactAppends(s, v1, appendRoot, v2,
+          Some(tombRoot))
+        graft.api.ServePointer.adopt(ptr, v2)
+        graft.sources.ExportCommit.retireRoot(appendRoot)
+        graft.sources.ExportCommit.retireRoot(tombRoot)
+        require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
+          "rollback-window artifact offered for retirement")
+        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
+      }
+    }
+    val dir = graft.api.ServePointer.current(ptr).getOrElse(
+      sys.error(s"no adopted version under $ptr"))
+    // survivors-only archive: candidates can only name index docs
+    val survivors = docs.unionByName(PlantedQuoteArchiveDoc
+      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text"))
+    winnowProbeAgainst(survivors, winnowIncoming(s, docs, off),
+      graft.api.WinnowIndexStore.load(s, dir))
+  }
+
   /** The s33 oracle: d24's CANDIDATE GATE relation — the (archive doc,
     * incoming doc, shared-fingerprint count) queue the screening stage
     * hands the exact verifier, over the same arch/inc/census CTEs as
@@ -2153,5 +2262,11 @@ object DedupOps {
     // d29 probes the compacted store AFTER a takedown of half the
     // archive quotation sources — d24's oracle over the survivors
     QueryDef("d29_winnow_tombstone", winnowTombstonedProbe,
+      Some(winnowTombstonedProbeSql)),
+    // d31/d32 run the WHOLE maintenance day on the passage and winnow
+    // families — the loop is now hash-gated on all four stores
+    QueryDef("d31_passage_janitor_cycle", passageJanitorCycle,
+      Some(incrementalPassagesTombstonedSql)),
+    QueryDef("d32_winnow_janitor_cycle", winnowJanitorCycle,
       Some(winnowTombstonedProbeSql)))
 }

@@ -118,6 +118,31 @@ class StoredIndexSpec extends SparkSpec {
       "a replayed maintenance day must not churn the pointer")
   }
 
+  test("d31/d32 passage+winnow janitor cycles: debt retired, window protected, history pruned, replay-stable") {
+    for ((tag, run) <- Seq(
+        ("d31", () => graft.operators.DedupOps
+          .passageJanitorCycle(spark, sfTiny)),
+        ("d32", () => graft.operators.DedupOps
+          .winnowJanitorCycle(spark, sfTiny)))) {
+      val out = run().collect().map(_.toSeq).toSeq
+      assert(out.nonEmpty, s"$tag produced no rows")
+      val root = new java.io.File(
+        graft.sources.TmpDirs.artifactRoot(spark, sfTiny, tag))
+      assert(!new java.io.File(root, "append").exists(),
+        s"$tag: folded append root must be retired")
+      assert(!new java.io.File(root, "tombstones").exists(),
+        s"$tag: folded tombstone root must be retired")
+      assert(new java.io.File(root, "base").exists(),
+        s"$tag: day-0 artifact is inside the rollback window")
+      assert(graft.api.ServePointer.history(s"$root/pointer").size === 2,
+        s"$tag: history must hold exactly day-0 + the fold")
+      val again = run().collect().map(_.toSeq).toSeq
+      assert(again === out, s"$tag: replay drifted")
+      assert(graft.api.ServePointer.history(s"$root/pointer").size === 2,
+        s"$tag: a replayed maintenance day must not churn the pointer")
+    }
+  }
+
   test("s27 streaming probe equals the batch d11/d20 probe row-for-row") {
     val a = DedupOps.incrementalNeardup(spark, sfTiny)
       .as[(Long, Long)].collect().toSeq
