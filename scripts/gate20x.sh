@@ -69,7 +69,8 @@ s34_stream_admission,c09_embedding_admission,\
 s35_stream_embedding_admission,c10_admission_export,\
 e28_janitor_cycle,s36_stream_pointer_flip,c11_admitted_vec_export,\
 c12_multimodal_admission,t24_bpe_batched_merges,d30_lsh_janitor_cycle,\
-s37_stream_multimodal_admission"
+s37_stream_multimodal_admission,d31_passage_janitor_cycle,\
+d32_winnow_janitor_cycle"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \
