@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Compare RunOne output (one parquet dir + dumped .sql per query)
+against DuckDB — the per-query twin of check.py.
+Usage: python3 scripts/check_one.py [sfDir] [runOneOut]
+"""
+import glob
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+con = duckdb.connect()
+for t in TABLES:
+    path = f"{SF}/{t}.parquet"
+    if os.path.isdir(path):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+    elif os.path.exists(path):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+n_pass = n_fail = 0
+for sql_file in sorted(glob.glob(f"{OUT}/*.sql")):
+    name = os.path.basename(sql_file)[:-4]
+    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not files:
+        print(f"{name}: NO OUTPUT")
+        n_fail += 1
+        continue
+    got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+    want = canon(con.execute(open(sql_file).read()).df())
+    got = got.astype({c: str(want[c].dtype) for c in want.columns
+                      if c in got.columns and
+                      str(got[c].dtype) != str(want[c].dtype)},
+                     errors="ignore")
+    try:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=False, rtol=0, atol=1e-9)
+        print(f"{name}: PASS ({len(got)} rows)")
+        n_pass += 1
+    except AssertionError as e:
+        print(f"{name}: FAIL\n{e}")
+        n_fail += 1
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)

@@ -3,6 +3,64 @@ import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 
 object Bench {
+
+  /** One query's aggregated sweep stats: (name, median, min, max,
+    * firstSuccessful, failedRuns, memoHits, memoMisses). */
+  private[graft] type QueryStats =
+    (String, Double, Double, Double, Double, Int, Long, Long)
+
+  /** Assemble the artifact line (r17 verdict ask #5 — self-diagnosing:
+    * the r17 driver sweep showed a 12× m-family blowup that could not
+    * be adjudicated from the artifact because the memo hit/miss and
+    * family-boundary footprints lived on stderr, which the driver's
+    * stdout tail doesn't capture. The JSON now carries both: an
+    * anomalous sweep names its own cause — memo rebuild vs environment
+    * pressure). Pure function so the artifact schema is spec-testable
+    * without running a sweep. */
+  private[graft] def renderLine(
+      results: Seq[QueryStats],
+      footprints: Seq[(String, String, Map[String, Long])],
+      runsPerQuery: Int, compiled: Long, cacheMax: Long,
+      sfDir: String): String = {
+    val failed = results.collect { case (k, v, _, _, _, _, _, _) if v < 0 =>
+      "\"" + k + "\"" }
+    // intermittent crashes (some-but-not-all runs failed) must stay
+    // distinguishable in the metric line even though a median exists
+    val flaky = results
+      .collect { case (k, v, _, _, _, nf, _, _) if v >= 0 && nf > 0 =>
+        "\"" + k + "\":" + nf }
+      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _, _, _, _) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val spread = results.map { case (k, _, lo, hi, _, _, _, _) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
+    // memo deltas only where a query touched the memo at all — a
+    // 213-query sweep's artifact stays readable, and an m-family run
+    // whose miss count is nonzero on a LATER-than-first run is the
+    // rebuild signature the r17 adjudication needed
+    val memo = results
+      .collect { case (k, _, _, _, _, _, h, m) if h + m > 0 =>
+        s""""$k":{"hit":$h,"miss":$m}""" }
+      .mkString("{", ",", "}")
+    val fps = footprints.map { case (fam, at, m) =>
+      s"""{"family":"$fam","at":"$at",""" +
+        m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+          .mkString(",") + "}"
+    }.mkString("[", ",", "]")
+    val total = results.collect {
+      case (_, v, _, _, _, _, _, _) if v >= 0 => v }.sum
+    val firstTotal = results.collect {
+      case (_, v, _, _, f, _, _, _) if v >= 0 => f }.sum
+    val cacheOk = compiled <= (cacheMax * 8) / 10
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spread":$spread,"runs_per_query":$runsPerQuery,""" +
+      s""""first_total":$firstTotal,"flaky":$flaky,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},""" +
+      s""""memo":$memo,"footprints":$fps,""" +
+      s""""codegen_cache_canary":{"compiled_classes":$compiled,""" +
+      s""""cache_max":$cacheMax,"ok":$cacheOk},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,15 +113,23 @@ object Bench {
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    // Storage/heap footprint line for the family-boundary log below —
-    // the instrumentation that localizes any future sweep-pollution
-    // regression to the family that accumulated the state.
-    def footprint(): String = {
+    // Storage/heap footprint at family boundaries — the
+    // instrumentation that localizes any future sweep-pollution
+    // regression to the family that accumulated the state. Recorded
+    // INTO the artifact (r17 ask #5), echoed to stderr for humans.
+    val footprints = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Map[String, Long])]
+    def recordFootprint(fam: String, at: String): Unit = {
       val infos = spark.sparkContext.getRDDStorageInfo
       val rt = Runtime.getRuntime
-      f"cachedRdds=${infos.length} storageMemMB=${infos.map(_.memSize).sum / 1048576}%d " +
-        f"storageDiskMB=${infos.map(_.diskSize).sum / 1048576}%d " +
-        f"heapUsedMB=${(rt.totalMemory - rt.freeMemory) / 1048576}%d"
+      val m = Map(
+        "cached_rdds" -> infos.length.toLong,
+        "storage_mem_mb" -> infos.map(_.memSize).sum / 1048576,
+        "storage_disk_mb" -> infos.map(_.diskSize).sum / 1048576,
+        "heap_used_mb" -> (rt.totalMemory - rt.freeMemory) / 1048576)
+      footprints += ((fam, at, m))
+      System.err.println(s"[bench] family $fam $at: " +
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
     // Family-boundary release (registry is name-sorted, so each
     // one-letter family runs contiguously): once a family's last query
@@ -77,12 +143,12 @@ object Bench {
     // own first run (s09 rebuilds the fitted model the m-family had) —
     // more honest than inheriting a neighbor family's leftovers.
     def familyBoundary(prevFam: String, fam: String): Unit = {
-      System.err.println(s"[bench] family $prevFam done: ${footprint()}")
+      recordFootprint(prevFam, "done")
       graft.api.Intermediates.releaseAll(spark)
       graft.streaming.EventStreams.releaseSinks(spark)
       spark.catalog.clearCache()
       System.gc()
-      System.err.println(s"[bench] family $fam start: ${footprint()}")
+      recordFootprint(fam, "start")
     }
     // Diagnostic subset filter (A/B arms only — the driver leaves it
     // unset and sweeps everything): comma-separated name PREFIXES, a
@@ -100,6 +166,7 @@ object Bench {
       if (prevFam.nonEmpty && fam != prevFam) familyBoundary(prevFam, fam)
       prevFam = fam
       System.err.println(s"[bench] start $name ($runsPerQuery runs)")
+      val (memoHits0, memoMisses0) = graft.api.Intermediates.stats()
       val runs = (1 to runsPerQuery).map { i =>
         val t0 = System.nanoTime()
         val ok =
@@ -124,6 +191,7 @@ object Bench {
       }
       val good = runs.filter(_ >= 0)
       System.err.println(f"[bench] $name runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      val (memoHits1, memoMisses1) = graft.api.Intermediates.stats()
       // first-run slot uses the first SUCCESSFUL run: runs.head is the
       // -1.0 sentinel when only the first run failed, which would
       // silently corrupt first_total while the v>=0 guard passes
@@ -132,22 +200,11 @@ object Bench {
         if (good.isEmpty) -1.0 else good.min,
         if (good.isEmpty) -1.0 else good.max,
         if (good.isEmpty) -1.0 else good.head,
-        runs.count(_ < 0))
+        runs.count(_ < 0),
+        memoHits1 - memoHits0,
+        memoMisses1 - memoMisses0)
     }
-    if (prevFam.nonEmpty)
-      System.err.println(s"[bench] family $prevFam done: ${footprint()}")
-    val failed = results.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
-    // intermittent crashes (some-but-not-all runs failed) must stay
-    // distinguishable in the metric line even though a median exists
-    val flaky = results
-      .collect { case (k, v, _, _, _, nf) if v >= 0 && nf > 0 => s"\"" + k + "\":" + nf }
-      .mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi, _, _) => s"\"" + k + "\":[" + lo + "," + hi + "]" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
-    val firstTotal = results.collect { case (_, v, _, _, f, _) if v >= 0 => f }.sum
+    if (prevFam.nonEmpty) recordFootprint(prevFam, "done")
     // Registry-growth canary for the whole-stage-codegen class cache
     // (r13 verdict ask #5 — the r12 regression was silent for a full
     // round because nothing watched this): the sweep's total compile
@@ -170,7 +227,8 @@ object Bench {
           "20% of (or past) the cache capacity; raise maxEntries in " +
           "Sessions.configure or late-sweep families will recompile every " +
           "plan every run (the r12 m-family regression, SCALE.md postmortem)")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":$runsPerQuery,"first_total":$firstTotal,"flaky":$flaky,"failed":${failed.mkString("[", ",", "]")},"codegen_cache_canary":{"compiled_classes":$compiled,"cache_max":$cacheMax,"ok":$cacheOk},"sf":"$sfDir"}"""
+    val line = renderLine(results, footprints.toSeq, runsPerQuery,
+      compiled, cacheMax, sfDir)
     // Truncation-proofing: both prior rounds' driver artifacts captured
     // only a tail of stdout and cut the medians dict. The file is the
     // authoritative copy; the stdout line stays for the driver's parser.

@@ -36,6 +36,19 @@ object Intermediates {
   private val cache = new ConcurrentHashMap[String, Any]()
   private val pinnedRdds = ConcurrentHashMap.newKeySet[String]()
 
+  // Hit/miss telemetry (r17 verdict ask #5 — the r17 driver sweep's
+  // m-family anomaly could not be adjudicated from the bench artifact
+  // because memo behavior was invisible: a 12× m07 is a memo REBUILD
+  // if misses spiked, environment pressure if they didn't). Monotonic
+  // session counters; Bench diffs them per query into the artifact.
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong()
+  private val missCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Cumulative (hits, misses) across the session — diff two snapshots
+    * to attribute builds to a query. [[releaseAll]]/[[clear]] do NOT
+    * reset these (they are counters, not state). */
+  def stats(): (Long, Long) = (hitCount.get, missCount.get)
+
   private def pinKey(appId: String, rddId: Int): String = s"$appId|$rddId"
 
   /** Drop cache entries and pins that belong to another application id —
@@ -65,8 +78,9 @@ object Intermediates {
     sweepStale(appId)
     val k = fullKey(spark, key)
     val hit = cache.get(k)
-    if (hit != null) hit.asInstanceOf[T]
+    if (hit != null) { hitCount.incrementAndGet(); hit.asInstanceOf[T] }
     else {
+      missCount.incrementAndGet()
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val v = build
       spark.sparkContext.getPersistentRDDs.keySet

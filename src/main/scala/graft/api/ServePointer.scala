@@ -84,15 +84,39 @@ object ServePointer {
   private def normalize(dir: String): String =
     Paths.get(dir).toAbsolutePath.normalize().toString
 
+  /** Read one pointer version's dir, tolerating the file VANISHING
+    * between the directory listing and the read (r17 ADVICE: a
+    * concurrent [[pruneHistory]] deleting a low version mid-scan is a
+    * benign janitor race, not corruption — surfacing it as a raw
+    * NoSuchFileException made the two indistinguishable). A file that
+    * EXISTS but fails to parse still loads loudly via [[readVersion]]. */
+  private def readVersionIfPresent(root: String, v: Int): Option[String] =
+    try Some(readVersion(root, v))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   /** All adoptions, version order — the audit trail (reads every
-    * pointer file; serving paths use [[current]], which reads one). */
+    * pointer file; serving paths use [[current]], which reads one).
+    * Versions pruned by a concurrent janitor between the listing and
+    * the read are skipped (they are no longer part of the history). */
   def history(root: String): Seq[(Int, String)] =
-    versions(root).map(v => (v, readVersion(root, v)))
+    versions(root).flatMap(v => readVersionIfPresent(root, v).map((v, _)))
 
   /** The currently adopted dir, if any pointer version exists — ONE
-    * directory listing + ONE file read, regardless of history length. */
+    * directory listing + ONE file read, regardless of history length.
+    * If the head version vanishes between the listing and the read (a
+    * concurrent prune that listed AFTER a newer adoption landed may
+    * delete this reader's head), re-resolve from a fresh listing — the
+    * newer head is there by construction. */
+  @scala.annotation.tailrec
   def current(root: String): Option[String] =
-    versions(root).lastOption.map(readVersion(root, _))
+    versions(root).lastOption match {
+      case None => None
+      case Some(v) =>
+        readVersionIfPresent(root, v) match {
+          case Some(dir) => Some(dir)
+          case None => current(root)
+        }
+    }
 
   /** The janitor's retirement predicate: of `candidates`, the dirs
     * named by NO pointer version in the retention window (the last
@@ -111,10 +135,28 @@ object ServePointer {
   def retirable(root: String, candidates: Seq[String],
       keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the current dir")
+    // vanished-mid-scan versions were pruned concurrently — they are
+    // outside every retention window and protect nothing
     val protected_ = versions(root).takeRight(keepLast)
-      .map(v => normalize(readVersion(root, v))).toSet
+      .flatMap(v => readVersionIfPresent(root, v)).map(normalize).toSet
     candidates.filterNot(c => protected_.contains(normalize(c)))
   }
+
+  /** Idempotent post-fold debt retirement (r17 ADVICE): once the
+    * pointer names the fold, the folded append/tombstone roots are
+    * garbage whose manifest replay protection died WITH the fold — but
+    * a crash between [[adopt]] and retirement must not leak them
+    * forever. The maintenance-day rows replay-guard their whole day on
+    * "pointer already names the fold", so a retire INSIDE that guard
+    * never re-runs after such a crash; this helper runs on EVERY
+    * entry, outside the guard: it retires any debt root still on disk
+    * iff the pointer currently names `foldDir`, and is a no-op
+    * otherwise (pre-fold entries must not touch live debt). */
+  def retireFoldedDebt(ptr: String, foldDir: String,
+      debtRoots: Seq[String]): Unit =
+    if (current(ptr).contains(normalize(foldDir)))
+      debtRoots.filter(r => new java.io.File(r).exists())
+        .foreach(graft.sources.ExportCommit.retireRoot)
 
   /** Prune pointer HISTORY outside the retention window: deletes
     * `current-v{N}.json` files older than the last `keepLast`
@@ -147,7 +189,18 @@ object ServePointer {
     * writing a file the loud load will refuse). Safe under concurrent
     * adopters: the createLink CAS serializes them; the last adoption
     * wins. Content is fsynced before the link, the directory entry
-    * after it — the published pointer survives power loss. */
+    * after it — the published pointer survives power loss.
+    *
+    * PATH CONTRACT (r17 ADVICE — explicit, not incidental): adopted
+    * dirs are POSIX paths; relative dirs are resolved against the
+    * JVM's working directory at adopt time (so two processes must
+    * agree on a cwd or pass absolute paths — pass absolute paths), and
+    * Windows-style `\`-separated paths are NOT adoptable (the `\`
+    * rejection below; this store's deployments are POSIX/object-store
+    * — a Windows deployment would escape the codec instead, but then
+    * [[retirable]]'s path-identity normalization would need a
+    * platform-aware equivalence too, which verbatim escaping alone
+    * does not buy). */
   def adopt(root: String, dir: String): Int = {
     val normalized = normalize(dir)
     require(!normalized.exists(c => c == '"' || c == '\\'),

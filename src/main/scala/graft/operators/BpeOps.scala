@@ -327,9 +327,14 @@ object BpeOps {
         .limit(window)
         .collect()
         .map(r => (r.getString(0), r.getLong(1)))
-      sweeps += 1
+      // count only merge-PRODUCING sweeps (r17 ADVICE: on a saturating
+      // corpus the final empty-window sweep would otherwise make
+      // sweeps = merges + 1 when batching degenerates to one merge per
+      // sweep, and the `sweeps <= m.size` guard would fire on a
+      // correct merge table)
       if (ranked.isEmpty) saturated = true
       else {
+        sweeps += 1
         val edge = if (ranked.length == window) ranked.last._2 else 0L
         val priorSymbols = merges.map(_.merged).toSet
         val used = scala.collection.mutable.Set.empty[String]
@@ -382,19 +387,28 @@ object BpeOps {
 
   /** Train once per (dataset, nMerges) and share across t16/t18/specs —
     * the merge table is k-row driver state, exactly what the
-    * Intermediates memo exists for. */
+    * Intermediates memo exists for. SHIPS the batched trainer (r17
+    * verdict ask #2): [[trainBpeBatched]] is greedy-PROVABLE —
+    * bit-identical merge tables in strictly fewer sweeps — so every
+    * learned-unit consumer (t16/t18–t23, p13/p14, s23, c05/c06) bills
+    * through the scale path; t16's UNCHANGED DuckDB oracle recomputes
+    * greedy independently, so the equality stays gated per run, and
+    * the t24 spec additionally pins merge-for-merge equality against
+    * [[trainBpe]] directly. */
   private[graft] def trainedMerges(s: SparkSession, d: String): Seq[MergeRow] =
     graft.api.Intermediates.memo(s, s"bpe_merges|$d|$NMerges") {
-      trainBpe(sliceWords(Tables.documents(s, d)), NMerges)
+      trainBpeBatched(sliceWords(Tables.documents(s, d)), NMerges)._1
     }
 
   /** t22's RETRAIN-slice tokenizer (doc_id % TrainMod == `residue`) —
     * its own memo key, so the shipped tokenizer's materialization can
-    * never stand in for it. */
+    * never stand in for it. Batched for the same reason as
+    * [[trainedMerges]]. */
   private[graft] def retrainedMerges(s: SparkSession, d: String,
       residue: Long): Seq[MergeRow] =
     graft.api.Intermediates.memo(s, s"bpe_merges|$d|$NMerges|r$residue") {
-      trainBpe(sliceWords(Tables.documents(s, d), residue), NMerges)
+      trainBpeBatched(sliceWords(Tables.documents(s, d), residue),
+        NMerges)._1
     }
 
   /** Replay a merge table over any (word) relation — the BPE APPLY rule

@@ -1025,14 +1025,14 @@ object DedupOps {
     val v2 = graft.api.LshIndexStore.versionedDir(s"$root/fold", Bands,
       date.plusDays(1))
     val ptr = s"$root/pointer"
+    val appendRoot = s"$root/append"
+    val tombRoot = s"$root/tombstones"
     if (!graft.api.ServePointer.current(ptr).contains(
         java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString)) {
       if (!new java.io.File(s"$v1/_SUCCESS").isFile)
         graft.api.LshIndexStore.save(v1,
           prunedBandIndex(existing.filter(col("doc_id") >= 400)))
       graft.api.ServePointer.adopt(ptr, v1) // day 0
-      val appendRoot = s"$root/append"
-      val tombRoot = s"$root/tombstones"
       graft.api.LshIndexStore.appendBatch(appendRoot,
         existing.filter(col("doc_id") < 400), 0L)
       graft.api.LshIndexStore.appendTombstones(tombRoot,
@@ -1043,14 +1043,17 @@ object DedupOps {
         graft.api.LshIndexStore.compactAppends(s, v1, appendRoot, v2,
           Some(tombRoot))
         graft.api.ServePointer.adopt(ptr, v2)
-        graft.sources.ExportCommit.retireRoot(appendRoot)
-        graft.sources.ExportCommit.retireRoot(tombRoot)
         require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
           "rollback-window artifact offered for retirement")
-        // the audit trail is bounded by the SAME horizon
-        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
       }
     }
+    // retirement + history pruning run OUTSIDE the replay guard, on
+    // every entry (r17 ADVICE: a crash between adopt(v2) and an
+    // in-guard retire would leak the folded debt roots forever)
+    graft.api.ServePointer.retireFoldedDebt(ptr, v2,
+      Seq(appendRoot, tombRoot))
+    // the audit trail is bounded by the SAME horizon
+    graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
     val dir = graft.api.ServePointer.current(ptr).getOrElse(
       sys.error(s"no adopted version under $ptr"))
     probePlantedAgainst(docs, off, graft.api.LshIndexStore.load(s, dir))
@@ -1534,14 +1537,14 @@ object DedupOps {
     val v2 = graft.api.PassageIndexStore.versionedDir(
       s"$root/fold", PassageTokens, date.plusDays(1))
     val ptr = s"$root/pointer"
+    val appendRoot = s"$root/append"
+    val tombRoot = s"$root/tombstones"
     if (!graft.api.ServePointer.current(ptr).contains(
         java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString)) {
       if (!new java.io.File(s"$v1/_SUCCESS").isFile)
         graft.api.PassageIndexStore.save(v1,
           passageHashIndex(existing.filter(col("doc_id") >= 400)))
       graft.api.ServePointer.adopt(ptr, v1) // day 0
-      val appendRoot = s"$root/append"
-      val tombRoot = s"$root/tombstones"
       graft.api.PassageIndexStore.appendBatch(appendRoot,
         existing.filter(col("doc_id") < 400), 0L)
       graft.api.PassageIndexStore.appendTombstones(tombRoot,
@@ -1552,13 +1555,16 @@ object DedupOps {
         graft.api.PassageIndexStore.compactAppends(s, v1, appendRoot, v2,
           Some(tombRoot))
         graft.api.ServePointer.adopt(ptr, v2)
-        graft.sources.ExportCommit.retireRoot(appendRoot)
-        graft.sources.ExportCommit.retireRoot(tombRoot)
         require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
           "rollback-window artifact offered for retirement")
-        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
       }
     }
+    // retirement + history pruning OUTSIDE the replay guard (r17
+    // ADVICE: an in-guard retire leaks the debt roots after a crash
+    // between adopt(v2) and retirement)
+    graft.api.ServePointer.retireFoldedDebt(ptr, v2,
+      Seq(appendRoot, tombRoot))
+    graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
     val dir = graft.api.ServePointer.current(ptr).getOrElse(
       sys.error(s"no adopted version under $ptr"))
     probePassagesAgainst(passageIncomingBatch(docs, off),
@@ -2135,13 +2141,13 @@ object DedupOps {
     val v2 = graft.api.WinnowIndexStore.versionedDir(
       s"$root/fold", TextOps.WinnowK, TextOps.WinnowW, date.plusDays(1))
     val ptr = s"$root/pointer"
+    val appendRoot = s"$root/append"
+    val tombRoot = s"$root/tombstones"
     if (!graft.api.ServePointer.current(ptr).contains(
         java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString)) {
       if (!new java.io.File(s"$v1/_SUCCESS").isFile)
         graft.api.WinnowIndexStore.save(v1, prunedFingerprintIndex(docs))
       graft.api.ServePointer.adopt(ptr, v1) // day 0
-      val appendRoot = s"$root/append"
-      val tombRoot = s"$root/tombstones"
       graft.api.WinnowIndexStore.appendBatch(appendRoot, planted, 0L)
       graft.api.WinnowIndexStore.appendTombstones(tombRoot,
         Seq(off + 0L).toDF("doc_id"), 0L)
@@ -2151,13 +2157,16 @@ object DedupOps {
         graft.api.WinnowIndexStore.compactAppends(s, v1, appendRoot, v2,
           Some(tombRoot))
         graft.api.ServePointer.adopt(ptr, v2)
-        graft.sources.ExportCommit.retireRoot(appendRoot)
-        graft.sources.ExportCommit.retireRoot(tombRoot)
         require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
           "rollback-window artifact offered for retirement")
-        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
       }
     }
+    // retirement + history pruning OUTSIDE the replay guard (r17
+    // ADVICE: an in-guard retire leaks the debt roots after a crash
+    // between adopt(v2) and retirement)
+    graft.api.ServePointer.retireFoldedDebt(ptr, v2,
+      Seq(appendRoot, tombRoot))
+    graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
     val dir = graft.api.ServePointer.current(ptr).getOrElse(
       sys.error(s"no adopted version under $ptr"))
     // survivors-only archive: candidates can only name index docs

@@ -784,21 +784,45 @@ object EmbeddingOps {
   private[graft] final case class PqModel(
       models: Seq[org.apache.spark.ml.clustering.KMeansModel])
 
-  private[graft] def pqTrain(vecs: DataFrame, dim: Int): PqModel = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val sub = dim / PqSubspaces
-    // DETERMINISTIC training input (r17): KMeans aggregates partials in
-    // task-COMPLETION order, so a multi-partition fit is nondeterministic
-    // at the last float bit — enough to flip a marginal full-code
-    // collision at the 20x receipt between runs (a flaky loud-guard is
-    // worse than either outcome). One sorted partition pins the combine
-    // order; codebook training input is sample-scale by design (the
-    // FAISS posture: codebooks train on a bounded sample — at 100 TB a
-    // deterministic ORDER BY hash LIMIT N sample feeds this same fit,
-    // never the corpus).
-    val arr = vecs.select(col("vec_id"), vector_to_array(col("features")).as("f"))
+  /** Codebook-training sample bound (r17 verdict ask #1 — the FAISS
+    * posture made REAL instead of asserted: codebooks are a constant-
+    * size artifact fit on a bounded sample, never the corpus). The
+    * sample is a deterministic hash-ordered prefix — `ORDER BY
+    * xxhash64(vec_id), vec_id LIMIT N` — so it is (a) a uniform
+    * pseudo-random draw, (b) identical run-to-run and partition-layout-
+    * independent (total order, id tie-break), and (c) computed as a
+    * distributed top-N (per-partition take + single merge), never a
+    * corpus sort. Sized well above the K·M centroid count the fit
+    * estimates (FAISS trains K=256 codebooks on ~10⁵ samples; ours is
+    * K=16) and above every harness SF's corpus (≤ 8k vectors at
+    * sf0.1), so harness-scale fits see the full corpus byte-for-byte;
+    * the 20× scale gate (~160k vectors) is where the bound engages. */
+  val PqTrainSample = 65536
+
+  /** The fit's exact input relation: bounded deterministic sample,
+    * then ONE vec_id-sorted partition. DETERMINISM (r17): KMeans
+    * aggregates partials in task-COMPLETION order, so a
+    * multi-partition fit is nondeterministic at the last float bit —
+    * enough to flip a marginal full-code collision at the 20x receipt
+    * between runs (a flaky loud-guard is worse than either outcome).
+    * The bounded sample ([[PqTrainSample]]) caps the fit's input; one
+    * sorted partition then pins the combine order — and because the
+    * sample is ≤ N rows emerging from the top-N's own single merge
+    * partition, the coalesce(1) collapses nothing corpus-sized (r17
+    * ADVICE: the previous unbounded coalesce(1) serialized the whole
+    * upstream relation into one task). */
+  private[graft] def pqTrainInput(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    vecs.select(col("vec_id"), vector_to_array(col("features")).as("f"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(PqTrainSample)
       .coalesce(1).sortWithinPartitions("vec_id")
-      .localCheckpoint()
+  }
+
+  private[graft] def pqTrain(vecs: DataFrame, dim: Int): PqModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / PqSubspaces
+    val arr = pqTrainInput(vecs).localCheckpoint()
     PqModel((0 until PqSubspaces).map { m =>
       new org.apache.spark.ml.clustering.KMeans()
         .setK(PqCodes).setSeed(42L + m)
@@ -1623,6 +1647,8 @@ object EmbeddingOps {
     val v1 = graft.api.IvfStore.versionedDir(s"$root/base", cells, IndexDate)
     val v2 = graft.api.IvfStore.versionedDir(s"$root/fold", cells,
       IndexDate.plusDays(1))
+    val appendRoot = s"$root/append"
+    val tombRoot = s"$root/tombstones"
     // one maintenance day per session: a pointer naming the fold means
     // the janitor already ran — serve it (replay posture)
     if (!graft.api.ServePointer.current(ptr).contains(
@@ -1634,8 +1660,6 @@ object EmbeddingOps {
         graft.api.IvfStore.save(v1, index)
       graft.api.ServePointer.adopt(ptr, v1) // day 0: the fleet serves base
       val loaded = graft.api.IvfStore.load(s, v1)
-      val appendRoot = s"$root/append"
-      val tombRoot = s"$root/tombstones"
       graft.api.IvfStore.appendBatch(appendRoot,
         base.select((col("vec_id") + lit(off)).as("vec_id"),
           col("embedding")), 0L, loaded.model)
@@ -1650,14 +1674,17 @@ object EmbeddingOps {
         graft.api.IvfStore.compactAppends(s, v1, appendRoot, v2,
           Some(tombRoot))
         graft.api.ServePointer.adopt(ptr, v2)
-        graft.sources.ExportCommit.retireRoot(appendRoot)
-        graft.sources.ExportCommit.retireRoot(tombRoot)
         // day 0's artifact sits INSIDE the rollback window — the
         // janitor must not touch it (a revert may still need it)
         require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
           "rollback-window artifact offered for retirement")
       }
     }
+    // retirement runs OUTSIDE the replay guard, on every entry (r17
+    // ADVICE: a crash between adopt(v2) and an in-guard retire would
+    // leak the folded debt roots forever — the guard skips the day)
+    graft.api.ServePointer.retireFoldedDebt(ptr, v2,
+      Seq(appendRoot, tombRoot))
     val dir = graft.api.ServePointer.current(ptr).getOrElse(
       sys.error(s"no adopted version under $ptr"))
     batchServeAgainst(graft.api.IvfStore.load(s, dir), off)

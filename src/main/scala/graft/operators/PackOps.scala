@@ -2021,6 +2021,91 @@ object PackOps {
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** c13 — PAIR-level multimodal export (r17 verdict ask #3: c10
+    * exports admitted docs and c11 admitted vecs as two independent
+    * shard trees with two manifests, but a multimodal trainer consumes
+    * ALIGNED (document, embedding) pairs — the handoff must ship both
+    * payloads in ONE layout under ONE manifest, or the trainer is left
+    * re-deriving the alignment the admission already proved):
+    * [[pairAttributed]]'s admitted pairs (the ONE c12-shared relation,
+    * billed once) are routed by p11's seeded portable scramble on the
+    * PAIR key (doc_id — each admitted pair is doc-unique, and the
+    * shard rule is the same [[exportAssigned]] scramble, so the doc
+    * and pair export paths cannot drift), staged + atomically
+    * committed as parquet through [[graft.sources.ExportCommit]]
+    * (replay-safe), and the manifest aggregates the READ-BACK shards
+    * with BOTH payloads' corruption-detecting counts: text re-tokenized
+    * ([[manifestFrom]]'s regex discipline) AND the vec payloads'
+    * integer-exact element count + floor(|x|·1000) checksum
+    * ([[vecManifestFrom]]'s discipline) in one row. The oracle
+    * recomputes c12's admitted pair set closed-form (the full doc
+    * waterfall CTE × the (kd, b) vec-gate arithmetic) and the manifest
+    * arithmetic over it — an admission drift, a shard mis-route, a
+    * dropped/doubled pair, a torn alignment, text corruption, and
+    * embedding corruption each break this hash.
+    *
+    * 100 TB shape: admitted-increment-sized parquet write + read (the
+    * waterfalls are shared, not re-run); one shuffle on the pair key;
+    * the manifest is shard-count rows — the trainer reads kilobytes
+    * and every shard it opens carries aligned (text, vec) rows. */
+  def admittedPairExport(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ExportCommit
+    val (pairs, _, _) = pairAttributed(s, d)
+    val assigned = pairs
+      .filter(col("doc_gate") === "admitted" &&
+        col("vec_gate") === "admitted")
+      .select(col("doc_id"), col("text"), col("vec_id"), col("embedding"),
+        (shuffleKey(col("doc_id"), ShuffleSeed) % EpochShards).as("shard"))
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "c13")
+    if (!ExportCommit.isCommitted(root, 0L)) {
+      val staged = ExportCommit.stage(root, 0L)
+      assigned.write.partitionBy("shard").parquet(staged)
+      ExportCommit.commitBatch(root, 0L, staged)
+    }
+    pairManifestFrom(
+      ExportCommit.readCommitted(s, root, assigned.schema, "parquet"))
+  }
+
+  /** The manifest tail over a read-back PAIR export: one row per shard
+    * accounting BOTH payloads — [[manifestFrom]]'s re-tokenized text
+    * counts and [[vecManifestFrom]]'s integer-exact vec checksums. */
+  private[graft] def pairManifestFrom(readBack: DataFrame): DataFrame =
+    readBack.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(bpePieces).as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(size(col("embedding"))).cast("long").as("n_dims"),
+        sum(aggregate(transform(col("embedding"),
+            x => floor(abs(x.cast("double")) * lit(1000.0))),
+          lit(0L), (a, x) => a + x)).cast("long").as("checksum"))
+      .orderBy(col("shard"))
+
+  private val admittedPairExportSql = {
+    val off = "(SELECT o FROM off)"
+    s"""WITH ${admissionAttrCtes(intraGate = true)},
+       |pr AS (
+       |  SELECT a.doc_id, a.text, a.gate AS doc_gate,
+       |    a.doc_id % $off AS b, a.doc_id // $off AS kd, e.embedding
+       |  FROM attr a
+       |  JOIN embeddings e ON e.vec_id = a.doc_id % $off),
+       |adm AS (
+       |  SELECT doc_id, text, embedding FROM pr
+       |  WHERE doc_gate = 'admitted'
+       |    AND NOT (kd = 1 OR (kd = 0 AND b % 5 = 0) OR kd = 2 OR kd = 4)),
+       |k AS (SELECT doc_id, text, embedding,
+       |    ${shuffleKeySql("doc_id", ShuffleSeed)} % $EpochShards AS shard
+       |  FROM adm)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(embedding)) AS BIGINT) AS n_dims,
+       |  CAST(sum(list_sum(list_transform(embedding,
+       |    x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT))))
+       |    AS BIGINT) AS checksum
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** c12 — composed MULTIMODAL pair admission (r16 verdict ask #5,
     * c04's conjunction discipline applied to c08 × c09: a multimodal
     * crawl increment ships (document, embedding) PAIRS, and rejection
@@ -2098,32 +2183,45 @@ object PackOps {
           .otherwise(reverse(col("base_emb"))).as("embedding")): _*)
   }
 
-  def multimodalAdmission(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions
+  /** c12/c13's SHARED attributed pair relation — one row per pair
+    * increment member carrying (doc_id, text, doc_gate, vec_id,
+    * embedding, vec_gate) — memoized per session (c12 reports and
+    * commits from it; c13 exports from it; the waterfalls are billed
+    * once). Returns (pairs, offD, offV). */
+  private[graft] def pairAttributed(s: SparkSession, d: String)
+      : (DataFrame, Long, Long) = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val offD = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
-    val existing = docs.filter(col("doc_id") % 2 === 0)
-    val attrDoc = admissionAttributed(s, d)
     val (loaded, offV) = EmbeddingOps.vecAdmissionArtifact(s, d)
     val baseE = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
+    val attrDoc = admissionAttributed(s, d)
+    val pairs = graft.api.Intermediates.memo(s, s"c12_pairs|$d") {
+      // ---- the pair increment: each doc member ships one embedding
+      val withVec = pairVecAssignment(
+        attrDoc.select(col("doc_id"), col("text"),
+          col("gate").as("doc_gate")), baseE, offD, offV)
+      // ---- vec gates over the increment's DISTINCT vectors (two doc
+      // members may ship the same submission), c09's own definition
+      val vecAttr = EmbeddingOps.vecGateAttribution(s,
+        withVec.select(col("vec_id"), col("embedding")).distinct(),
+        baseE, loaded)
+      withVec
+        .join(vecAttr.select(col("vec_id"), col("gate").as("vec_gate")),
+          Seq("vec_id"))
+        .localCheckpoint()
+    }
+    (pairs, offD, offV)
+  }
+
+  def multimodalAdmission(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val (loaded, offV) = EmbeddingOps.vecAdmissionArtifact(s, d)
     val root = graft.sources.TmpDirs.artifactRoot(s, d, "c12")
     val date = java.time.LocalDate.ofEpochDay(0)
-
-    // ---- the pair increment: each doc member ships one embedding
-    val withVec = pairVecAssignment(
-      attrDoc.select(col("doc_id"), col("text"),
-        col("gate").as("doc_gate")), baseE, offD, offV)
-
-    // ---- vec gates over the increment's DISTINCT vectors (two doc
-    // members may ship the same submission), c09's own definition
-    val vecAttr = EmbeddingOps.vecGateAttribution(s,
-      withVec.select(col("vec_id"), col("embedding")).distinct(),
-      baseE, loaded)
-    val pairs = withVec
-      .join(vecAttr.select(col("vec_id"), col("gate").as("vec_gate")),
-        Seq("vec_id"))
-      .localCheckpoint()
+    val (pairs, offD, _) = pairAttributed(s, d)
     val bothAdmit = col("doc_gate") === "admitted" &&
       col("vec_gate") === "admitted"
 
@@ -2389,6 +2487,10 @@ object PackOps {
     // shards with an integer-exact read-back manifest (see doc)
     QueryDef("c11_admitted_vec_export", admittedVecExport,
       Some(admittedVecExportSql)),
+    // c13 exports ALIGNED (doc, embedding) pairs — both payloads in
+    // one layout under one read-back manifest
+    QueryDef("c13_admitted_pair_export", admittedPairExport,
+      Some(admittedPairExportSql)),
     // c12 admits (doc, embedding) PAIRS — rejection in either key
     // space vetoes the pair; both commits gated by the veto (see doc)
     QueryDef("c12_multimodal_admission", multimodalAdmission,

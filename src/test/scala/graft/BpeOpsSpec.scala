@@ -84,6 +84,19 @@ class BpeOpsSpec extends SparkSpec {
         s"${shipped.size} merges")
   }
 
+  test("trainBpeBatched: saturation below nMerges does not over-count sweeps (r17 ADVICE)") {
+    // one learnable merge, then the pair table is empty: the terminal
+    // empty-window sweep must NOT count, or sweeps = merges + 1 and
+    // bpeBatchedMerges' `sweeps <= m.size` guard fires on a correct
+    // table whenever batching degenerates to one merge per sweep
+    val (m, sweeps) = BpeOps.trainBpeBatched(
+      wordsDf(Map("ab" -> 7L)), nMerges = 50)
+    assert(m.map(x => (x.pair, x.merged, x.n)) === Seq(("a b", "ab", 7L)))
+    assert(sweeps <= m.size,
+      s"saturating corpus counted the empty terminal sweep: $sweeps sweeps" +
+        s" for ${m.size} merges")
+  }
+
   test("applyMerges reproduces the reference's final segmentation, including unseen words") {
     val freqs = Map("low" -> 5L, "lower" -> 2L, "newer" -> 6L, "wider" -> 3L)
     val merges = BpeOps.trainBpe(wordsDf(freqs), nMerges = 8)

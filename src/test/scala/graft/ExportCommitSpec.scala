@@ -114,7 +114,10 @@ class ExportCommitSpec extends SparkSpec {
           steps(4)()
           ServePointer.adopt(ptr, v2)
         }
-        ExportCommit.retireRoot(r)
+        // the SHIPPED idempotent retirement (r17 ADVICE): runs outside
+        // the replay guard on every entry — a crash between adopt(v2)
+        // and retire must leak nothing on the next entry
+        ServePointer.retireFoldedDebt(ptr, v2, Seq(r))
         // ---- post-recovery: exactly-once, adopted, inputs retired
         assert(ServePointer.current(ptr).contains(v2n),
           s"seed=$seed kill=$killAt: recovery did not adopt the fold")
@@ -128,6 +131,67 @@ class ExportCommitSpec extends SparkSpec {
           s"seed=$seed kill=$killAt: window artifact offered for retire")
       }
     }
+  }
+
+  test("retireFoldedDebt: no-op before the fold is adopted; retires leaked debt after; idempotent (r17 ADVICE)") {
+    import graft.api.ServePointer
+    val art = root(); val ptr = root(); val debt = root()
+    val v1 = s"$art/v1"; val v2 = s"$art/v2"
+    new java.io.File(v1).mkdirs(); new java.io.File(v2).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(debt, "payload.txt"), "debt")
+    ServePointer.adopt(ptr, v1)
+    // pre-fold: the debt is LIVE (the fold still needs it) — no touch
+    ServePointer.retireFoldedDebt(ptr, v2, Seq(debt))
+    assert(new java.io.File(debt).exists(),
+      "retireFoldedDebt deleted live debt before the fold was adopted")
+    // crash between adopt(v2) and retire: the next entry must clean up
+    ServePointer.adopt(ptr, v2)
+    ServePointer.retireFoldedDebt(ptr, v2, Seq(debt))
+    assert(!new java.io.File(debt).exists(),
+      "post-adopt debt root leaked (the r17 ADVICE crash window)")
+    ServePointer.retireFoldedDebt(ptr, v2, Seq(debt)) // idempotent re-entry
+  }
+
+  test("history/retirable tolerate versions pruned by a concurrent janitor (r17 ADVICE)") {
+    import graft.api.ServePointer
+    val art = root(); val ptr = root()
+    val dirs = (0 until 40).map { i =>
+      val v = s"$art/v$i"; new java.io.File(v).mkdirs(); v
+    }
+    dirs.take(4).foreach(ServePointer.adopt(ptr, _))
+    // one thread keeps adopting fresh versions, one keeps pruning to
+    // keepLast=1, while the audit APIs scan concurrently — a version
+    // vanishing between the listing and the read must be SKIPPED, not
+    // surfaced as a raw NoSuchFileException
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def loop(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try while (!stop.get()) body
+        catch { case e: Throwable => errs.add(e); () })
+      t.start(); t
+    }
+    val adopter = new Thread(() =>
+      try dirs.drop(4).foreach { v =>
+        ServePointer.adopt(ptr, v); Thread.sleep(1)
+      } catch { case e: Throwable => errs.add(e); () })
+    val pruner = loop { ServePointer.pruneHistory(ptr, keepLast = 1); () }
+    val auditor = loop {
+      ServePointer.history(ptr).foreach { case (_, d) =>
+        assert(d.startsWith(java.nio.file.Paths.get(art)
+          .toAbsolutePath.normalize().toString))
+      }
+      ServePointer.retirable(ptr, dirs, keepLast = 1)
+      ()
+    }
+    adopter.start(); adopter.join()
+    stop.set(true); pruner.join(); auditor.join()
+    assert(errs.isEmpty,
+      s"concurrent prune surfaced as a failure: ${errs.peek()}")
+    // the pointer itself never tore: the final version is resolvable
+    assert(ServePointer.current(ptr).contains(java.nio.file.Paths
+      .get(dirs.last).toAbsolutePath.normalize().toString))
   }
 
   test("replayed batch id commits once — no double-counted rows in the read-back") {

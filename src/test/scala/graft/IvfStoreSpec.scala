@@ -24,6 +24,44 @@ class IvfStoreSpec extends SparkSpec {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"ivf_$tag").toString
 
+  test("pqTrainInput: bounded deterministic sample — N-cap enforced, layout-independent, id-sorted single partition") {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    // an input LARGER than the bound: the cap must engage (r17 verdict
+    // ask #1 — the FAISS sample posture is code, not a comment)
+    val n = EmbeddingOps.PqTrainSample + 257
+    val big = spark.range(n.toLong).toDF("vec_id")
+      .select(col("vec_id"), array_to_vector(
+        array((col("vec_id") % 7).cast("double"),
+          (col("vec_id") % 11).cast("double"))).as("features"))
+    val in1 = EmbeddingOps.pqTrainInput(big)
+    assert(in1.count() === EmbeddingOps.PqTrainSample.toLong,
+      "the codebook fit saw more rows than the sample bound")
+    assert(in1.rdd.getNumPartitions === 1,
+      "the fit input must be one partition (pinned combine order)")
+    // the SAMPLE SET and row order are partition-layout-independent:
+    // a re-shuffled input yields the identical single sorted partition
+    val in2 = EmbeddingOps.pqTrainInput(big.repartition(13))
+    val ids1 = in1.select("vec_id").as[Long].collect().toSeq
+    val ids2 = in2.select("vec_id").as[Long].collect().toSeq
+    assert(ids1 === ids2, "sample not deterministic under repartitioning")
+    assert(ids1 === ids1.sorted, "fit input not vec_id-sorted")
+    // sub-bound inputs pass through whole (harness SFs: the corpus IS
+    // the sample, so the r17 codebooks are byte-identical)
+    assert(EmbeddingOps.pqTrainInput(big.limit(500)).count() === 500L)
+  }
+
+  test("pqTrain: codebooks are identical across runs and input partition layouts") {
+    val index = EmbeddingOps.ivfBuild(baseEmb, cells = 4)
+    val dim = index.model.clusterCenters.head.size
+    val a = EmbeddingOps.pqTrain(index.assigned, dim)
+    val b = EmbeddingOps.pqTrain(index.assigned.repartition(9), dim)
+    (a.models zip b.models).foreach { case (ma, mb) =>
+      assert(ma.clusterCenters.toSeq === mb.clusterCenters.toSeq,
+        "PQ codebook fit is layout- or run-dependent")
+    }
+  }
+
   test("save/load round-trips the assigned relation and the quantizer exactly") {
     val index = EmbeddingOps.ivfBuild(baseEmb, cells = 4)
     val dir = IvfStore.versionedDir(tmp("rt"), 4, java.time.LocalDate.ofEpochDay(0))
