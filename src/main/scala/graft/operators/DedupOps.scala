@@ -810,13 +810,21 @@ object DedupOps {
     * batch (odd docs plus evens < 200 re-fetched at +off) bands itself
     * and equi-joins the index on (band, bucket), projected to the
     * planted pairs. */
-  private def probePlantedAgainst(docs: DataFrame, off: Long,
-      index: DataFrame): DataFrame = {
+  /** d11's incoming batch (odd docs plus evens < 200 re-fetched at
+    * +off) — factored so the s38 stream stages the IDENTICAL relation
+    * the batch rows probe. */
+  private[graft] def lshIncomingBatch(docs: DataFrame, off: Long): DataFrame = {
     val refetched = docs
       .filter(col("doc_id") % 2 === 0 && col("doc_id") < 200)
       .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
-    val incoming = docs.filter(col("doc_id") % 2 === 1)
-      .unionByName(refetched)
+    docs.filter(col("doc_id") % 2 === 1).unionByName(refetched)
+  }
+
+  /** The probe body over an ARBITRARY incoming relation — shared by
+    * [[probePlantedAgainst]] (batch rows) and s38's per-micro-batch
+    * serve (the batch DF arrives from the file stream there). */
+  private[graft] def probeIncomingPlanted(incoming: DataFrame, off: Long,
+      index: DataFrame): DataFrame =
     minhashBands(incoming)
       .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
       .join(index.select(col("doc_id").as("src_id"), col("band"),
@@ -825,7 +833,10 @@ object DedupOps {
       .distinct()
       .filter(col("in_id") === col("src_id") + lit(off))
       .orderBy(col("in_id"))
-  }
+
+  private def probePlantedAgainst(docs: DataFrame, off: Long,
+      index: DataFrame): DataFrame =
+    probeIncomingPlanted(lshIncomingBatch(docs, off), off, index)
 
   def incrementalNeardup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -991,6 +1002,18 @@ object DedupOps {
 
   private val incrementalNeardupTombstonedSql =
     incrementalNeardupSqlWhere("AND doc_id >= 100")
+
+  /** s38's oracle: the planted-match set phase-split across the
+    * mid-drain flip — phase 1 serves the FULL index (d11's closed
+    * form), phase 2 the tombstone-folded one (d25's survivors). Plain
+    * concatenation, no outer stripMargin — the embedded bodies are
+    * already stripped. */
+  private[graft] val streamLshFlipSql: String =
+    "SELECT CAST(1 AS BIGINT) AS phase, * FROM (" +
+      incrementalNeardupSqlWhere("") + ")\nUNION ALL\n" +
+      "SELECT CAST(2 AS BIGINT) AS phase, * FROM (" +
+      incrementalNeardupSqlWhere("AND doc_id >= 100") +
+      ")\nORDER BY phase, in_id"
 
   /** d30 — the janitor's MAINTENANCE DAY on the LSH family (e28's loop
     * generalized across store families, so the trigger→fold→adopt→
@@ -1428,6 +1451,17 @@ object DedupOps {
        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private[graft] val incrementalPassageDedupSql = incrementalPassageSqlWhere("")
+
+  /** s39's oracle: the per-doc known-passage roll-up phase-split
+    * across the mid-drain flip — phase 1 serves the FULL index (d17's
+    * closed form), phase 2 the tombstone-folded one (d27/d31's
+    * survivors, evens ≥ 50). */
+  private[graft] val streamPassageFlipSql: String =
+    "SELECT CAST(1 AS BIGINT) AS phase, * FROM (" +
+      incrementalPassageSqlWhere("") + ")\nUNION ALL\n" +
+      "SELECT CAST(2 AS BIGINT) AS phase, * FROM (" +
+      incrementalPassageSqlWhere("AND doc_id >= 50") +
+      ")\nORDER BY phase, doc_id"
 
   /** d26 — passage-index APPEND (d21's discipline at passage grain,
     * r15 verdict ask #1: the store must GROW without a full-corpus
@@ -1939,7 +1973,7 @@ object DedupOps {
   /** The winnow maintenance rows' shared relations: (incoming batch at
     * plantOffset ids, the offset). Incoming is always docs 1/2 — each
     * quoting one archived planted doc. */
-  private def winnowIncoming(s: SparkSession, docs: DataFrame, off: Long)
+  private[graft] def winnowIncoming(s: SparkSession, docs: DataFrame, off: Long)
       : DataFrame = {
     import s.implicits._
     PlantedQuoteDocs.drop(1).map { case (i, t) => (off + i, t) }
@@ -2016,7 +2050,7 @@ object DedupOps {
     * so after doc 0's takedown the quote still has a surviving archive
     * holder — the survivor whose continued verification makes the d29
     * oracle SELECTIVE (a wholesale drop loses this doc's runs too). */
-  private val PlantedQuoteArchiveDoc: Seq[(Long, String)] =
+  private[graft] val PlantedQuoteArchiveDoc: Seq[(Long, String)] =
     Seq((3L, s"fourth fragment keeps $WinnowQuote2 fourth fragment rests"))
 
   /** d28 — winnow-index APPEND (d21's discipline at substring grain,
@@ -2116,6 +2150,18 @@ object DedupOps {
 
   private val winnowTombstonedProbeSql =
     winnowStoredSqlFor(PlantedQuoteArchiveDoc)
+
+  /** s40's oracle: the verified-run relation phase-split across the
+    * mid-drain flip — phase 1 serves the index holding BOTH archived
+    * quotation sources (doc 0 and the d29 survivor), phase 2 the
+    * tombstone-folded one (doc 0 taken down; d29/d32's survivors). */
+  private[graft] val streamWinnowFlipSql: String =
+    "SELECT CAST(1 AS BIGINT) AS phase, * FROM (" +
+      winnowStoredSqlFor(PlantedQuoteDocs.take(1) ++ PlantedQuoteArchiveDoc) +
+      ")\nUNION ALL\n" +
+      "SELECT CAST(2 AS BIGINT) AS phase, * FROM (" +
+      winnowStoredSqlFor(PlantedQuoteArchiveDoc) +
+      ")\nORDER BY phase, doc_a, doc_b, a_pos, b_pos"
 
   /** d32 — the janitor's MAINTENANCE DAY on the winnow family (the
     * fourth and last store family: e28 IVF, d30 LSH, d31 passage,

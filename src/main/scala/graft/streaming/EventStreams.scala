@@ -1119,6 +1119,83 @@ object EventStreams {
     * live — zero data movement, no stream restart; per batch the serve
     * is |batch| × IvfProbes cell probes against an immutable versioned
     * artifact, and the per-batch result commit is the manifest CAS. */
+  /** The shared MID-STREAM POINTER-FLIP drain (s36's shape generalized
+    * across store families — r17 verdict ask #4): stage `queries` as
+    * two identical files so `maxFilesPerTrigger=1` yields two
+    * deterministic micro-batches carrying the SAME query set (file
+    * order irrelevant — the s36 recipe); adopt v1 at day 0 (replays
+    * keep the already-flipped pointer); each foreachBatch re-resolves
+    * the pointer (one kilobyte read against immutable versioned dirs —
+    * every batch is internally consistent with whichever version it
+    * resolved) and serves its batch through the family's own
+    * `serveBatch(batch, resolvedDir)` plan, committing exactly-once
+    * through ExportCommit with the resolved phase (1 = v1, 2 = other)
+    * prefixed; `flip(batchId)` runs AT the batch-1 boundary — between
+    * micro-batches, never inside one (s36/s38/s39/s40 adopt a
+    * pre-built fold; s41 runs the ENTIRE maintenance day there, so
+    * every step inside `flip` must be replay-safe). Returns the
+    * committed union; callers add their total ORDER BY.
+    *
+    * 100 TB shape: the flip moves one pointer file while the drain is
+    * live — zero data movement, no stream restart; per batch the serve
+    * is batch ⋈ immutable-artifact on the family's uniform probe key,
+    * and the per-batch result commit is the manifest CAS. */
+  private def pointerFlipDrain(ss: SparkSession, root: String,
+      queries: DataFrame, v1: String, flip: Long => Unit,
+      serveBatch: (DataFrame, String) => DataFrame): DataFrame = {
+    import graft.sources.ExportCommit
+    val qdir = s"$root/qsrc"
+    if (!new java.io.File(s"$qdir/_ready").isFile) {
+      queries.coalesce(1).write.mode("overwrite").parquet(s"$root/qstage")
+      val part = new java.io.File(s"$root/qstage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(qdir).mkdirs()
+      for (n <- Seq("q1.parquet", "q2.parquet"))
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(qdir, n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      new java.io.File(s"$qdir/_ready").createNewFile()
+      ()
+    }
+    val ptr = s"$root/pointer"
+    if (graft.api.ServePointer.current(ptr).isEmpty)
+      graft.api.ServePointer.adopt(ptr, v1) // day 0 — replays keep the flip
+    val v1n = java.nio.file.Paths.get(v1).toAbsolutePath.normalize().toString
+    val resultsRoot = s"$root/results"
+    val q = ss.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(qdir)
+      .writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => {
+        // the rollout lands AT the batch-1 boundary — between
+        // micro-batches, never inside one
+        if (batchId >= 1) flip(batchId)
+        // per-batch resolve: one kilobyte read against the live pointer
+        val dir = graft.api.ServePointer.current(ptr).getOrElse(
+          sys.error(s"no adopted version under $ptr"))
+        val phase = if (dir == v1n) 1L else 2L
+        if (!ExportCommit.isCommitted(resultsRoot, batchId)) {
+          val served = serveBatch(batch.toDF(), dir)
+          val staged = ExportCommit.stage(resultsRoot, batchId)
+          served.select(lit(phase).as("phase") +:
+            served.columns.toSeq.map(col): _*).write.parquet(staged)
+          ExportCommit.commitBatch(resultsRoot, batchId, staged)
+          ()
+        }
+      })
+      .option("checkpointLocation", s"$root/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    unloadProvidersOf(q.runId)
+    require(graft.api.ServePointer.history(ptr).size == 2,
+      "pointer-flip drain: the adoption must land between the two " +
+        "micro-batches — a single-batch drain means the rate limit " +
+        "was not honored")
+    val dirs = ExportCommit.committedDirs(resultsRoot)
+    ss.read.parquet(dirs: _*)
+  }
+
   def streamPointerFlip(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{DedupOps, EmbeddingOps}
     import graft.sources.ExportCommit
@@ -1145,60 +1222,223 @@ object EventStreams {
     if (!new java.io.File(s"$v2/assigned/_SUCCESS").isFile)
       graft.api.IvfStore.compactAppends(ss, v1, s"$root/no_appends", v2,
         Some(tombRoot))
-    // the query set, staged as TWO IDENTICAL files so the rate limit
-    // yields two deterministic micro-batches whatever the file order
-    val qdir = s"$root/qsrc"
-    if (!new java.io.File(s"$qdir/_ready").isFile) {
-      base.filter(col("vec_id") % EmbeddingOps.BatchQueryMod === 0)
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/qstage")
-      val part = new java.io.File(s"$root/qstage").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      new java.io.File(qdir).mkdirs()
-      for (n <- Seq("q1.parquet", "q2.parquet"))
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(qdir, n),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      new java.io.File(s"$qdir/_ready").createNewFile()
-      ()
+    pointerFlipDrain(ss, root,
+      base.filter(col("vec_id") % EmbeddingOps.BatchQueryMod === 0),
+      v1,
+      // adopt is a replay no-op — the flip is safe under batch replay
+      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      (batch, dir) => EmbeddingOps.serveQueriesAgainst(ss,
+        graft.api.IvfStore.load(ss, dir), batch)
+        .select(col("query_id"), col("top1_id"), col("cos_sim")))
+      .orderBy(col("phase"), col("query_id"))
+  }
+
+  /** s38 — MID-STREAM pointer flip, LSH family (r17 verdict ask #4:
+    * s36 witnessed the live reload on the IVF family only; the
+    * streaming LSH probe s27 still loaded its artifact once per drain,
+    * so an adoption landing mid-drain was unwitnessed on the doc key
+    * space): v1 = the FULL pruned band index (d11/d20's artifact),
+    * v2 = its tombstone-folded compaction (evens < 100 taken down —
+    * d25's geometry, no appends); the d11 incoming batch arrives as
+    * two identical query files and each micro-batch probes the
+    * pointer-resolved LOADED index through [[graft.operators.DedupOps
+    * .probeIncomingPlanted]] (the batch rows' own plan). Phase 1 must
+    * report every planted pair (d11's closed form), phase 2 only the
+    * surviving sources (d25's) — a drain that caches the resolved dir
+    * across batches or tears the adoption mid-batch breaks a phase. */
+  def streamLshFlip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupOps
+    val ss = streamSession(s)
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s38")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.LshIndexStore.versionedDir(s"$root/base",
+      DedupOps.Bands, date)
+    if (!new java.io.File(s"$v1/_SUCCESS").isFile)
+      graft.api.LshIndexStore.save(v1, DedupOps.prunedBandIndex(existing))
+    val tombRoot = s"$root/tombstones"
+    graft.api.LshIndexStore.appendTombstones(tombRoot,
+      existing.filter(col("doc_id") < 100).select(col("doc_id")), 0L)
+    val v2 = graft.api.LshIndexStore.versionedDir(s"$root/fold",
+      DedupOps.Bands, date.plusDays(1))
+    if (!new java.io.File(s"$v2/_SUCCESS").isFile)
+      graft.api.LshIndexStore.compactAppends(ss, v1, s"$root/no_appends",
+        v2, Some(tombRoot))
+    pointerFlipDrain(ss, root, DedupOps.lshIncomingBatch(docs, off), v1,
+      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      (batch, dir) => DedupOps.probeIncomingPlanted(batch, off,
+        graft.api.LshIndexStore.load(ss, dir)))
+      .orderBy(col("phase"), col("in_id"))
+  }
+
+  /** s39 — MID-STREAM pointer flip, passage family (s38's witness at
+    * passage grain): v1 = the full even-corpus passage-hash index
+    * (d17's artifact), v2 = its tombstone-folded compaction (evens
+    * < 50 taken down — d27/d31's geometry); d17's incoming batch
+    * probes the pointer-resolved LOADED index per micro-batch through
+    * [[graft.operators.DedupOps.probePassagesAgainst]]. Phase 1 =
+    * d17's closed form, phase 2 = the survivors'. */
+  def streamPassageFlip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupOps
+    val ss = streamSession(s)
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s39")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.PassageIndexStore.versionedDir(s"$root/base",
+      DedupOps.PassageTokens, date)
+    if (!new java.io.File(s"$v1/_SUCCESS").isFile)
+      graft.api.PassageIndexStore.save(v1,
+        DedupOps.passageHashIndex(existing))
+    val tombRoot = s"$root/tombstones"
+    graft.api.PassageIndexStore.appendTombstones(tombRoot,
+      existing.filter(col("doc_id") < 50).select(col("doc_id")), 0L)
+    val v2 = graft.api.PassageIndexStore.versionedDir(s"$root/fold",
+      DedupOps.PassageTokens, date.plusDays(1))
+    if (!new java.io.File(s"$v2/_SUCCESS").isFile)
+      graft.api.PassageIndexStore.compactAppends(ss, v1,
+        s"$root/no_appends", v2, Some(tombRoot))
+    pointerFlipDrain(ss, root, DedupOps.passageIncomingBatch(docs, off), v1,
+      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      (batch, dir) => DedupOps.probePassagesAgainst(batch,
+        graft.api.PassageIndexStore.load(ss, dir)))
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
+  /** s40 — MID-STREAM pointer flip, winnow family (s38's witness at
+    * substring grain): v1 = the fingerprint index holding BOTH archived
+    * quotation sources (planted doc 0 and d29's surviving archive
+    * doc), v2 = its tombstone-folded compaction (doc 0 taken down —
+    * d29/d32's geometry); d24's incoming batch (docs 1/2, each quoting
+    * doc 0's quotes) probes the pointer-resolved LOADED index per
+    * micro-batch through [[graft.operators.DedupOps
+    * .winnowProbeAgainst]] (the archive text side is the superset
+    * relation — candidates can only name docs the INDEX holds, so the
+    * fold alone decides which archive docs can verify). Phase 1 =
+    * runs against both sources, phase 2 = the survivor's only. */
+  def streamWinnowFlip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.DedupOps
+    import s.implicits._
+    val ss = streamSession(s)
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val planted = (DedupOps.PlantedQuoteDocs.take(1) ++
+      DedupOps.PlantedQuoteArchiveDoc)
+      .map { case (i, t) => (off + i, t) }.toDF("doc_id", "text")
+    val archive = docs.unionByName(planted)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s40")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.WinnowIndexStore.versionedDir(s"$root/base",
+      graft.operators.TextOps.WinnowK, graft.operators.TextOps.WinnowW,
+      date)
+    if (!new java.io.File(s"$v1/_SUCCESS").isFile)
+      graft.api.WinnowIndexStore.save(v1,
+        DedupOps.prunedFingerprintIndex(archive))
+    val tombRoot = s"$root/tombstones"
+    graft.api.WinnowIndexStore.appendTombstones(tombRoot,
+      Seq(off + 0L).toDF("doc_id"), 0L)
+    val v2 = graft.api.WinnowIndexStore.versionedDir(s"$root/fold",
+      graft.operators.TextOps.WinnowK, graft.operators.TextOps.WinnowW,
+      date.plusDays(1))
+    if (!new java.io.File(s"$v2/_SUCCESS").isFile)
+      graft.api.WinnowIndexStore.compactAppends(ss, v1,
+        s"$root/no_appends", v2, Some(tombRoot))
+    pointerFlipDrain(ss, root, DedupOps.winnowIncoming(ss, docs, off), v1,
+      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      (batch, dir) => DedupOps.winnowProbeAgainst(archive, batch,
+        graft.api.WinnowIndexStore.load(ss, dir)))
+      .orderBy(col("phase"), col("doc_a"), col("doc_b"), col("a_pos"),
+        col("b_pos"))
+  }
+
+  /** s41 — the JANITOR'S MAINTENANCE DAY DURING A LIVE SERVE (r17
+    * verdict ask #6, the serving fleet's actual steady state: e28 and
+    * d30–d32 run the maintenance day in BATCH rows; s36 flips to a
+    * PRE-BUILT v2 mid-drain; the missing composition is the day
+    * itself — trigger, fold, adopt, retire, prune — landing BETWEEN
+    * micro-batches of one continuous query drain): v1 = e27's
+    * double-planted index, adopted at day 0 with the tombstone debt
+    * already committed; the query stream drains in two deterministic
+    * micro-batches; AT the batch-1 boundary the janitor runs inside
+    * `flip` — [[graft.api.CompactionPolicy.due]] evaluates the REAL
+    * tombstone manifest and the fold runs ONLY if it fires,
+    * [[graft.api.IvfStore.compactAppends]] folds v1 minus the
+    * takedowns into v2, [[graft.api.ServePointer.adopt]] flips the
+    * live pointer, [[graft.api.ServePointer.retireFoldedDebt]] retires
+    * the folded log, and [[graft.api.ServePointer.pruneHistory]]
+    * bounds the audit trail — every step individually replay-safe, so
+    * a batch replay re-enters the whole day without churn. Pre-fold
+    * batches answer from v1, post-fold from v2: s36's phase oracle
+    * transfers VERBATIM, so a janitor that breaks the artifact at any
+    * stage, a policy that under-counts the debt (no fold ⇒ phase 2
+    * still answers +off and the flip row breaks), or a fold that tears
+    * a serving batch each break a phase's rows.
+    *
+    * 100 TB shape: the in-drain janitor bills exactly e28's
+    * maintenance day (kilobyte trigger reads, the one fold, a pointer
+    * flip, input retirement) while the serve keeps draining — zero
+    * stream restart, every batch consistent against one immutable
+    * version. */
+  def streamJanitorLive(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{DedupOps, EmbeddingOps}
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val cells = EmbeddingOps.ivfCellsFor(
+      3L * EmbeddingOps.corpusCount(ss, d))
+    // e27's exact double-planted artifact (shared memo key with
+    // e21/e22/s30/s36)
+    val index = graft.api.Intermediates.memo(ss, s"ivf_tomb|$d|$cells") {
+      EmbeddingOps.ivfBuild(
+        EmbeddingOps.doublePlantedUnion(base, off), cells)
     }
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s41")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = graft.api.IvfStore.versionedDir(root, cells, date)
+    if (!new java.io.File(s"$v1/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(v1, index)
+    val tombRoot = s"$root/tombstones"
+    val v2 = graft.api.IvfStore.versionedDir(root, cells, date.plusDays(1))
     val ptr = s"$root/pointer"
-    if (graft.api.ServePointer.current(ptr).isEmpty)
-      graft.api.ServePointer.adopt(ptr, v1) // day 0 — replays keep v2
-    val v1n = java.nio.file.Paths.get(v1).toAbsolutePath.normalize().toString
-    val resultsRoot = s"$root/results"
-    val q = ss.readStream.schema(base.schema)
-      .option("maxFilesPerTrigger", "1").parquet(qdir)
-      .writeStream
-      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row],
-          batchId: Long) => {
-        // the rollout lands AT the batch-1 boundary — between
-        // micro-batches, never inside one (adopt is a replay no-op)
-        if (batchId >= 1) graft.api.ServePointer.adopt(ptr, v2)
-        // per-batch resolve: one kilobyte read against the live pointer
-        val dir = graft.api.ServePointer.current(ptr).getOrElse(
-          sys.error(s"no adopted version under $ptr"))
-        val phase = if (dir == v1n) 1L else 2L
-        if (!ExportCommit.isCommitted(resultsRoot, batchId)) {
-          val served = EmbeddingOps.serveQueriesAgainst(ss,
-            graft.api.IvfStore.load(ss, dir), batch.toDF())
-            .select(lit(phase).as("phase"), col("query_id"),
-              col("top1_id"), col("cos_sim"))
-          val staged = ExportCommit.stage(resultsRoot, batchId)
-          served.write.parquet(staged)
-          ExportCommit.commitBatch(resultsRoot, batchId, staged)
-          ()
+    // the debt commits BEFORE the drain — but not again after a
+    // finished maintenance day retired it (replay posture: a re-run
+    // must not re-accrue debt the janitor already folded)
+    if (!graft.api.ServePointer.current(ptr).contains(java.nio.file
+        .Paths.get(v2).toAbsolutePath.normalize().toString))
+      graft.api.IvfStore.appendTombstones(tombRoot,
+        EmbeddingOps.tombstoneIds(base, off), 0L)
+    pointerFlipDrain(ss, root,
+      base.filter(col("vec_id") % EmbeddingOps.BatchQueryMod === 0),
+      v1,
+      _ => {
+        // THE MAINTENANCE DAY, between micro-batches of the live drain
+        val decision = graft.api.CompactionPolicy.due(s"$root/no_appends",
+          Some(tombRoot), maxAppendBatches = Int.MaxValue,
+          maxTombstoneBatches = 1)
+        if (decision.due) { // load-bearing: no fold ⇒ phase 2 = phase 1
+          if (!new java.io.File(s"$v2/assigned/_SUCCESS").isFile)
+            graft.api.IvfStore.compactAppends(ss, v1, s"$root/no_appends",
+              v2, Some(tombRoot))
+          graft.api.ServePointer.adopt(ptr, v2)
+          // day 0's artifact stays inside the rollback window
+          require(graft.api.ServePointer
+            .retirable(ptr, Seq(v1, v2)).isEmpty,
+            "rollback-window artifact offered for retirement")
         }
-      })
-      .option("checkpointLocation", s"$root/chk")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    unloadProvidersOf(q.runId)
-    require(graft.api.ServePointer.history(ptr).size == 2,
-      "s36: the drain must have flipped v1→v2 between micro-batches — " +
-        "a single-batch drain means the rate limit was not honored")
-    val dirs = ExportCommit.committedDirs(resultsRoot)
-    ss.read.parquet(dirs: _*)
+        graft.api.ServePointer.retireFoldedDebt(ptr, v2, Seq(tombRoot))
+        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
+        ()
+      },
+      (batch, dir) => EmbeddingOps.serveQueriesAgainst(ss,
+        graft.api.IvfStore.load(ss, dir), batch)
+        .select(col("query_id"), col("top1_id"), col("cos_sim")))
       .orderBy(col("phase"), col("query_id"))
   }
 
@@ -2005,7 +2245,21 @@ object EventStreams {
     // s37 admits (doc, embedding) PAIRS on the live path — c12's
     // conjunction matrix with the intra-free doc gates (see s37 doc)
     QueryDef("s37_stream_multimodal_admission", streamMultimodalAdmission,
-      Some(graft.operators.PackOps.streamMultimodalSql)))
+      Some(graft.operators.PackOps.streamMultimodalSql)),
+    // s38/s39/s40 carry s36's mid-drain live reload to the three
+    // remaining store families — per-batch pointer resolve, phase
+    // closed forms per family (see docs)
+    QueryDef("s38_stream_lsh_flip", streamLshFlip,
+      Some(graft.operators.DedupOps.streamLshFlipSql)),
+    QueryDef("s39_stream_passage_flip", streamPassageFlip,
+      Some(graft.operators.DedupOps.streamPassageFlipSql)),
+    QueryDef("s40_stream_winnow_flip", streamWinnowFlip,
+      Some(graft.operators.DedupOps.streamWinnowFlipSql)),
+    // s41 runs the ENTIRE maintenance day (trigger→fold→adopt→retire→
+    // prune) BETWEEN micro-batches of a live drain — s36's phase
+    // oracle transfers verbatim (see s41 doc)
+    QueryDef("s41_stream_janitor_live", streamJanitorLive,
+      Some(graft.operators.EmbeddingOps.pointerFlipSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

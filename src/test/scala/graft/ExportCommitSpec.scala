@@ -100,6 +100,19 @@ class ExportCommitSpec extends SparkSpec {
         val servedDir = ServePointer.current(ptr).get
         assert(completeArtifact(servedDir),
           s"seed=$seed kill=$killAt: pointer names an incomplete artifact")
+        // a LIVE SERVE at this boundary (the s41 composition — the
+        // maintenance day killed mid-drain, a query batch still
+        // arriving): whichever version the pointer resolves must
+        // answer COMPLETELY and CONSISTENTLY — pre-adopt boundaries
+        // serve the base artifact, post-adopt the finished fold; a
+        // serve must never observe a half-folded state
+        val servedVals = readArtifact(servedDir)
+        if (servedDir == v2n)
+          assert(servedVals === (base ++ vals).sorted,
+            s"seed=$seed kill=$killAt: post-adopt serve saw a torn fold")
+        else
+          assert(servedVals === base.sorted,
+            s"seed=$seed kill=$killAt: pre-adopt serve drifted from base")
         // ---- recovery: the janitor re-runs the maintenance day from
         // its guards (e28's posture) — adopted ⇒ only retire remains
         if (!ServePointer.current(ptr).contains(v2n)) {
