@@ -23,7 +23,8 @@
 # flip, the vec-side admitted export, the multimodal pair admission,
 # and the batched BPE trainer; r18 adds the
 # aligned pair export, the three remaining families' mid-stream
-# pointer flips, and the janitor-during-a-live-serve row) — their oracles
+# pointer flips, the janitor-during-a-live-serve row, and the PQ-stack
+# live reload) — their oracles
 # recompute on the synthetic corpus, so they are checkable at any
 # scale; they are here because they are cheap enough to afford.
 #
@@ -74,7 +75,7 @@ c12_multimodal_admission,t24_bpe_batched_merges,d30_lsh_janitor_cycle,\
 s37_stream_multimodal_admission,d31_passage_janitor_cycle,\
 d32_winnow_janitor_cycle,c13_admitted_pair_export,\
 s38_stream_lsh_flip,s39_stream_passage_flip,s40_stream_winnow_flip,\
-s41_stream_janitor_live"
+s41_stream_janitor_live,s42_stream_pq_flip"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -1355,6 +1355,66 @@ object EmbeddingOps {
       graft.api.IvfStore.minusTombstones(codes, s, tombRoot), off)
   }
 
+  /** The stateless ADC CANDIDATE kernel against LOADED (quantizer,
+    * codebooks, codes) for an ARBITRARY (vec_id, embedding) query
+    * relation — s31's streaming stages factored so the live path and
+    * s42's per-batch pointer-resolved serve run ONE plan: row-local
+    * probe cells + row-local ADC LUT over the broadcast codebooks, one
+    * equi-join on the cell key against code rows (M small ints — raw
+    * embeddings never ride the scoring join). Emits (query_id, vec_id,
+    * adc); callers aggregate the (adc, vec_id) argmin — streaming
+    * callers in complete mode, batch callers with a plain groupBy. */
+  private[graft] def adcCandidates(s: SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel, pq: PqModel,
+      servedCodes: DataFrame, queries: DataFrame): DataFrame = {
+    val m = PqSubspaces
+    val k = PqCodes
+    val topP = probeCellsRowLocal(s, model, IvfProbes)
+    val lut = adcLutRowLocal(s, pq)
+    val adcExpr = (0 until m)
+      .map(mi => element_at(col("lut"), col(s"code$mi") + lit(mi * k + 1)))
+      .reduce(_ + _)
+    queries
+      .select(col("vec_id").as("query_id"),
+        toFeatures(col("embedding")).as("q_feat"))
+      .withColumn("lut", lut(col("q_feat")))
+      .withColumn("cell", explode(topP(col("q_feat"))))
+      .select(col("query_id"), col("lut"), col("cell"))
+      .join(servedCodes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc"))
+  }
+
+  /** The batch (adc, vec_id)-argmin tail over [[adcCandidates]] —
+    * s42's per-micro-batch serve. */
+  private[graft] def adcServeQueriesAgainst(s: SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel, pq: PqModel,
+      servedCodes: DataFrame, queries: DataFrame): DataFrame =
+    adcCandidates(s, model, pq, servedCodes, queries)
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("adc"), col("vec_id"))).as("m"))
+      .select(col("query_id"), col("m.vec_id").as("top1_id"))
+
+  /** s42's oracle: the PQ serve phase-split across the mid-drain flip —
+    * phase 1 serves the UNFOLDED double-planted artifact (every query
+    * answers its byte-identical +off twin — shared full code, id
+    * tie-break), phase 2 the tombstone-folded one (e24's selective
+    * closed form: the takedown flips queries ≡ 0 mod 2·mod to the
+    * +2·off twin). */
+  private[graft] val streamPqFlipSql = {
+    val offSql = DedupOps.plantOffsetSql("vec_id", "embeddings")
+    s"""WITH q AS (SELECT vec_id FROM embeddings
+       |           WHERE vec_id % $BatchQueryMod = 0)
+       |SELECT CAST(1 AS BIGINT) AS phase, vec_id AS query_id,
+       |  vec_id + ($offSql) AS top1_id FROM q
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), vec_id,
+       |  CASE WHEN vec_id % ${2 * BatchQueryMod} = 0
+       |       THEN vec_id + 2 * ($offSql)
+       |       ELSE vec_id + ($offSql) END FROM q
+       |ORDER BY phase, query_id""".stripMargin
+  }
+
   /** e24's oracle: e21's selective closed form minus the cosine column
     * (the ADC serve emits ids only). Shared verbatim by s31's streaming
     * query-side PQ serve — the batch and live ADC paths cannot drift. */

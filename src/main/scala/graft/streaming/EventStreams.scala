@@ -1063,24 +1063,12 @@ object EventStreams {
     graft.api.IvfStore.appendTombstones(tombRoot,
       graft.operators.EmbeddingOps.tombstoneIds(base, off), 0L)
     val servedCodes = graft.api.IvfStore.minusTombstones(lc, ss, tombRoot)
-    val topP = graft.operators.EmbeddingOps.probeCellsRowLocal(
-      ss, li.model, graft.operators.EmbeddingOps.IvfProbes)
-    val lut = graft.operators.EmbeddingOps.adcLutRowLocal(ss, lp)
-    val qStream = readEmbeddings(ss, d)
-      .filter(col("vec_id") %
-        graft.operators.EmbeddingOps.BatchQueryMod === 0)
-      .select(col("vec_id").as("query_id"),
-        graft.operators.EmbeddingOps.toFeatures(col("embedding"))
-          .as("q_feat"))
-      .withColumn("lut", lut(col("q_feat")))
-      .withColumn("cell", explode(topP(col("q_feat"))))
-      .select(col("query_id"), col("lut"), col("cell"))
-    val adcExpr = (0 until m)
-      .map(mi => element_at(col("lut"), col(s"code$mi") + lit(mi * k + 1)))
-      .reduce(_ + _)
-    val cand = qStream.join(servedCodes, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adcExpr.as("adc"))
+    // the stateless candidate kernel is SHARED with s42's per-batch
+    // pointer-resolved serve (one plan — the live paths cannot drift)
+    val cand = graft.operators.EmbeddingOps.adcCandidates(ss, li.model,
+      lp, servedCodes,
+      readEmbeddings(ss, d).filter(col("vec_id") %
+        graft.operators.EmbeddingOps.BatchQueryMod === 0))
     val agg = cand.groupBy(col("query_id"))
       .agg(min(struct(col("adc"), col("vec_id"))).as("m"))
     runToMemory(agg, "complete", "s31_stream_pq_serve")
@@ -1439,6 +1427,62 @@ object EventStreams {
       (batch, dir) => EmbeddingOps.serveQueriesAgainst(ss,
         graft.api.IvfStore.load(ss, dir), batch)
         .select(col("query_id"), col("top1_id"), col("cos_sim")))
+      .orderBy(col("phase"), col("query_id"))
+  }
+
+  /** s42 — MID-STREAM live reload on the PQ SERVING STACK (s36's flip
+    * on the artifact a production vector fleet actually serves from —
+    * the compressed IVF-PQ store, completing the live-reload symmetry:
+    * raw-IVF s36/s41, LSH s38, passage s39, winnow s40, PQ HERE): v1 =
+    * the double-planted IVF-PQ artifact (e24's build, persisted whole
+    * through [[graft.api.IvfStore.savePq]]), v2 = its tombstone-folded
+    * compaction ([[graft.api.IvfStore.compactPqAppends]] — codes AND
+    * assigned sides both folded, e25's janitor path); each micro-batch
+    * loads the pointer-resolved artifact and serves through the SAME
+    * stateless ADC candidate kernel s31's always-on path runs
+    * ([[graft.operators.EmbeddingOps.adcCandidates]] — row-local probe
+    * + LUT, cell equi-join over M-small-int code rows), with the
+    * (adc, vec_id) argmin as plain per-batch aggregation. Phase 1 must
+    * answer every query's +off twin from the unfolded codes, phase 2
+    * e24's takedown-flipped form from the fold — a serve that caches
+    * codes across the flip or a fold that leaves one tombstoned code
+    * row breaks a phase.
+    *
+    * 100 TB shape: the flip moves one pointer file over an immutable
+    * compressed artifact; per batch the serve joins |batch|·probes
+    * cell keys against code rows (the 16-64× bandwidth reduction that
+    * is the point of PQ), and codebooks are kilobytes, broadcast. */
+  def streamPqFlip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.EmbeddingOps
+    val ss = streamSession(s)
+    val base = graft.sources.Tables.embeddings(ss, d)
+      .select(col("vec_id"), col("embedding"))
+    val (index, pq, codes, off) = EmbeddingOps.pqTombBuild(ss, d)
+    val m = EmbeddingOps.PqSubspaces
+    val k = EmbeddingOps.PqCodes
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s42")
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val cells = index.model.getK
+    val v1 = graft.api.IvfStore.versionedPqDir(s"$root/base", cells,
+      m, k, date)
+    if (!new java.io.File(s"$v1/codes/_SUCCESS").isFile)
+      graft.api.IvfStore.savePq(v1, index, pq, codes)
+    val tombRoot = s"$root/tombstones"
+    graft.api.IvfStore.appendTombstones(tombRoot,
+      EmbeddingOps.tombstoneIds(base, off), 0L)
+    val v2 = graft.api.IvfStore.versionedPqDir(s"$root/fold", cells,
+      m, k, date.plusDays(1))
+    if (!new java.io.File(s"$v2/codes/_SUCCESS").isFile)
+      graft.api.IvfStore.compactPqAppends(ss, v1, s"$root/no_appends",
+        v2, m, Some(tombRoot))
+    pointerFlipDrain(ss, root,
+      base.filter(col("vec_id") % EmbeddingOps.BatchQueryMod === 0),
+      v1,
+      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      (batch, dir) => {
+        val (li, lp, lc) = graft.api.IvfStore.loadPq(ss, dir, m)
+        EmbeddingOps.adcServeQueriesAgainst(ss, li.model, lp, lc, batch)
+      })
       .orderBy(col("phase"), col("query_id"))
   }
 
@@ -2259,7 +2303,11 @@ object EventStreams {
     // prune) BETWEEN micro-batches of a live drain — s36's phase
     // oracle transfers verbatim (see s41 doc)
     QueryDef("s41_stream_janitor_live", streamJanitorLive,
-      Some(graft.operators.EmbeddingOps.pointerFlipSql)))
+      Some(graft.operators.EmbeddingOps.pointerFlipSql)),
+    // s42 flips the COMPRESSED (IVF-PQ) serving artifact mid-drain —
+    // e24's selective closed form phase-split (see s42 doc)
+    QueryDef("s42_stream_pq_flip", streamPqFlip,
+      Some(graft.operators.EmbeddingOps.streamPqFlipSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

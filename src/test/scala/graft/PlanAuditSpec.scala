@@ -590,6 +590,62 @@ class PlanAuditSpec extends SparkSpec {
       "d30's pointer probe grew a window")
   }
 
+  test("pqTrainInput: the codebook sample plans a distributed top-N, never a corpus sort") {
+    // the r18 sample bound's scale claim: ORDER BY hash LIMIT N must
+    // plan as per-partition take + single merge (TakeOrderedAndProject)
+    // — a global range-sort here would re-introduce the corpus-sized
+    // single-task work the bound exists to remove. The input must be a
+    // SCAN (unknown cardinality): on a statically-bounded relation
+    // (spark.range) Catalyst proves maxRows < N and eliminates the
+    // limit+sort outright — correct, and exactly why harness-SF
+    // codebooks are byte-identical, but not the 100 TB plan
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"),
+        graft.operators.EmbeddingOps.toFeatures(col("embedding"))
+          .as("features"))
+    val p = graft.operators.EmbeddingOps.pqTrainInput(vecs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sample bound did not plan a distributed top-N:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "sample bound planned a global range sort")
+  }
+
+  test("s38/s42 per-batch serve kernels: equi-joins on the probe key, window-free, no cartesian") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DedupOps, EmbeddingOps}
+    // s38's kernel: the banded LSH probe over an arbitrary batch
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val p1 = DedupOps.probeIncomingPlanted(
+      DedupOps.lshIncomingBatch(docs, off), off,
+      DedupOps.prunedBandIndex(docs.filter(col("doc_id") % 2 === 0)))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct"), "s38 kernel planned a cartesian")
+    assert(!p1.contains("Window"), "s38 kernel grew a window")
+    // s42's kernel: the per-batch ADC serve against loaded codes
+    val base = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val index = EmbeddingOps.ivfBuild(base, cells = 4)
+    val dim = index.model.clusterCenters.head.size
+    val pq = EmbeddingOps.pqTrain(index.assigned, dim)
+    val codes = EmbeddingOps.pqEncode(index.assigned, pq, dim)
+    val p2 = EmbeddingOps.adcServeQueriesAgainst(spark, index.model, pq,
+      codes, base.filter(col("vec_id") % 20 === 0))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Window"), "s42 kernel grew a window")
+    assert(!p2.contains("CartesianProduct"), "s42 kernel planned a cartesian")
+    assert(!p2.contains("SortMergeJoin"),
+      "s42 kernel shuffle-sorts the scoring join")
+  }
+
+  test("c13: the pair-export manifest stays window-free") {
+    assert(!plan("c13_admitted_pair_export").contains("Window"),
+      "c13 grew a window")
+  }
+
   test("d30: the janitor probe physically reads the pointer-adopted FOLD, not base or appends") {
     val df = SparkEntry.queries("d30_lsh_janitor_cycle")(spark, sfTiny)
     val paths = df.queryExecution.optimizedPlan.collect {
