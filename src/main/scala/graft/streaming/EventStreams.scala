@@ -1221,19 +1221,22 @@ object EventStreams {
       .orderBy(col("phase"), col("query_id"))
   }
 
-  /** s38 — MID-STREAM pointer flip, LSH family (r17 verdict ask #4:
-    * s36 witnessed the live reload on the IVF family only; the
-    * streaming LSH probe s27 still loaded its artifact once per drain,
-    * so an adoption landing mid-drain was unwitnessed on the doc key
-    * space): v1 = the FULL pruned band index (d11/d20's artifact),
-    * v2 = its tombstone-folded compaction (evens < 100 taken down —
-    * d25's geometry, no appends); the d11 incoming batch arrives as
-    * two identical query files and each micro-batch probes the
+  /** s38 — the MAINTENANCE DAY DURING A LIVE SERVE, LSH family (r17
+    * verdict asks #4 + #6 composed on the doc key space: s36 witnessed
+    * the live reload on the IVF family only, and the streaming LSH
+    * probe s27 loaded its artifact once per drain): v1 = the FULL
+    * pruned band index (d11/d20's artifact) with the takedown debt
+    * (evens < 100 — d25's geometry) committed to the tombstone log
+    * BEFORE the drain; the d11 incoming batch arrives as two identical
+    * query files; AT the batch-1 boundary the janitor runs in-drain
+    * ([[janitorDayAt]]: policy trigger on the REAL manifest → fold →
+    * adopt → retire → prune); each micro-batch probes the
     * pointer-resolved LOADED index through [[graft.operators.DedupOps
     * .probeIncomingPlanted]] (the batch rows' own plan). Phase 1 must
     * report every planted pair (d11's closed form), phase 2 only the
     * surviving sources (d25's) — a drain that caches the resolved dir
-    * across batches or tears the adoption mid-batch breaks a phase. */
+    * across batches, a policy that under-counts the debt, or a fold
+    * that tears a serving batch each break a phase. */
   def streamLshFlip(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupOps
     val ss = streamSession(s)
@@ -1248,25 +1251,61 @@ object EventStreams {
     if (!new java.io.File(s"$v1/_SUCCESS").isFile)
       graft.api.LshIndexStore.save(v1, DedupOps.prunedBandIndex(existing))
     val tombRoot = s"$root/tombstones"
-    graft.api.LshIndexStore.appendTombstones(tombRoot,
-      existing.filter(col("doc_id") < 100).select(col("doc_id")), 0L)
     val v2 = graft.api.LshIndexStore.versionedDir(s"$root/fold",
       DedupOps.Bands, date.plusDays(1))
-    if (!new java.io.File(s"$v2/_SUCCESS").isFile)
-      graft.api.LshIndexStore.compactAppends(ss, v1, s"$root/no_appends",
-        v2, Some(tombRoot))
+    val ptr = s"$root/pointer"
+    // debt commits BEFORE the drain — but not again after a finished
+    // maintenance day retired it (s41's replay posture)
+    if (!graft.api.ServePointer.current(ptr).contains(java.nio.file
+        .Paths.get(v2).toAbsolutePath.normalize().toString))
+      graft.api.LshIndexStore.appendTombstones(tombRoot,
+        existing.filter(col("doc_id") < 100).select(col("doc_id")), 0L)
     pointerFlipDrain(ss, root, DedupOps.lshIncomingBatch(docs, off), v1,
-      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      _ => janitorDayAt(root, v1, v2, tombRoot,
+        () => graft.api.LshIndexStore.compactAppends(ss, v1,
+          s"$root/no_appends", v2, Some(tombRoot)), s"$v2/_SUCCESS"),
       (batch, dir) => DedupOps.probeIncomingPlanted(batch, off,
         graft.api.LshIndexStore.load(ss, dir)))
       .orderBy(col("phase"), col("in_id"))
   }
 
-  /** s39 — MID-STREAM pointer flip, passage family (s38's witness at
-    * passage grain): v1 = the full even-corpus passage-hash index
-    * (d17's artifact), v2 = its tombstone-folded compaction (evens
-    * < 50 taken down — d27/d31's geometry); d17's incoming batch
-    * probes the pointer-resolved LOADED index per micro-batch through
+  /** The in-drain MAINTENANCE DAY shared by s38/s39/s40/s41 — runs
+    * BETWEEN micro-batches inside [[pointerFlipDrain]]'s flip
+    * callback, every step replay-safe: [[graft.api.CompactionPolicy
+    * .due]] evaluates the REAL tombstone manifest and the fold runs
+    * ONLY if it fires (an under-counting policy leaves phase 2
+    * serving v1 and breaks the phased oracle);
+    * [[graft.api.ServePointer.adopt]] flips the live pointer (day 0
+    * protected inside the rollback window);
+    * [[graft.api.ServePointer.retireFoldedDebt]] retires the folded
+    * log idempotently; [[graft.api.ServePointer.pruneHistory]] bounds
+    * the audit trail. A batch replay re-enters the whole day without
+    * churn. */
+  private def janitorDayAt(root: String, v1: String,
+      v2: String, tombRoot: String, fold: () => Unit,
+      foldMarker: String): Unit = {
+    val ptr = s"$root/pointer"
+    val decision = graft.api.CompactionPolicy.due(s"$root/no_appends",
+      Some(tombRoot), maxAppendBatches = Int.MaxValue,
+      maxTombstoneBatches = 1)
+    if (decision.due) { // load-bearing: no fold ⇒ phase 2 = phase 1
+      if (!new java.io.File(foldMarker).isFile) fold()
+      graft.api.ServePointer.adopt(ptr, v2)
+      require(graft.api.ServePointer.retirable(ptr, Seq(v1, v2)).isEmpty,
+        "rollback-window artifact offered for retirement")
+    }
+    graft.api.ServePointer.retireFoldedDebt(ptr, v2, Seq(tombRoot))
+    graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
+    ()
+  }
+
+  /** s39 — the maintenance day during a live serve, passage family
+    * (s38's witness at passage grain): v1 = the full even-corpus
+    * passage-hash index (d17's artifact) with the takedown debt
+    * (evens < 50 — d27/d31's geometry) committed before the drain;
+    * the in-drain janitor ([[janitorDayAt]]) folds, adopts, retires,
+    * and prunes at the batch-1 boundary; d17's incoming batch probes
+    * the pointer-resolved LOADED index per micro-batch through
     * [[graft.operators.DedupOps.probePassagesAgainst]]. Phase 1 =
     * d17's closed form, phase 2 = the survivors'. */
   def streamPassageFlip(s: SparkSession, d: String): DataFrame = {
@@ -1284,31 +1323,34 @@ object EventStreams {
       graft.api.PassageIndexStore.save(v1,
         DedupOps.passageHashIndex(existing))
     val tombRoot = s"$root/tombstones"
-    graft.api.PassageIndexStore.appendTombstones(tombRoot,
-      existing.filter(col("doc_id") < 50).select(col("doc_id")), 0L)
     val v2 = graft.api.PassageIndexStore.versionedDir(s"$root/fold",
       DedupOps.PassageTokens, date.plusDays(1))
-    if (!new java.io.File(s"$v2/_SUCCESS").isFile)
-      graft.api.PassageIndexStore.compactAppends(ss, v1,
-        s"$root/no_appends", v2, Some(tombRoot))
+    if (!graft.api.ServePointer.current(s"$root/pointer").contains(
+        java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString))
+      graft.api.PassageIndexStore.appendTombstones(tombRoot,
+        existing.filter(col("doc_id") < 50).select(col("doc_id")), 0L)
     pointerFlipDrain(ss, root, DedupOps.passageIncomingBatch(docs, off), v1,
-      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      _ => janitorDayAt(root, v1, v2, tombRoot,
+        () => graft.api.PassageIndexStore.compactAppends(ss, v1,
+          s"$root/no_appends", v2, Some(tombRoot)), s"$v2/_SUCCESS"),
       (batch, dir) => DedupOps.probePassagesAgainst(batch,
         graft.api.PassageIndexStore.load(ss, dir)))
       .orderBy(col("phase"), col("doc_id"))
   }
 
-  /** s40 — MID-STREAM pointer flip, winnow family (s38's witness at
-    * substring grain): v1 = the fingerprint index holding BOTH archived
-    * quotation sources (planted doc 0 and d29's surviving archive
-    * doc), v2 = its tombstone-folded compaction (doc 0 taken down —
-    * d29/d32's geometry); d24's incoming batch (docs 1/2, each quoting
-    * doc 0's quotes) probes the pointer-resolved LOADED index per
-    * micro-batch through [[graft.operators.DedupOps
-    * .winnowProbeAgainst]] (the archive text side is the superset
-    * relation — candidates can only name docs the INDEX holds, so the
-    * fold alone decides which archive docs can verify). Phase 1 =
-    * runs against both sources, phase 2 = the survivor's only. */
+  /** s40 — the maintenance day during a live serve, winnow family
+    * (s38's witness at substring grain): v1 = the fingerprint index
+    * holding BOTH archived quotation sources (planted doc 0 and d29's
+    * surviving archive doc) with doc 0's takedown committed before the
+    * drain; the in-drain janitor ([[janitorDayAt]]) folds, adopts,
+    * retires, and prunes at the batch-1 boundary (d29/d32's geometry);
+    * d24's incoming batch (docs 1/2, each quoting doc 0's quotes)
+    * probes the pointer-resolved LOADED index per micro-batch through
+    * [[graft.operators.DedupOps.winnowProbeAgainst]] (the archive text
+    * side is the superset relation — candidates can only name docs the
+    * INDEX holds, so the fold alone decides which archive docs can
+    * verify). Phase 1 = runs against both sources, phase 2 = the
+    * survivor's only. */
   def streamWinnowFlip(s: SparkSession, d: String): DataFrame = {
     import graft.operators.DedupOps
     import s.implicits._
@@ -1329,16 +1371,17 @@ object EventStreams {
       graft.api.WinnowIndexStore.save(v1,
         DedupOps.prunedFingerprintIndex(archive))
     val tombRoot = s"$root/tombstones"
-    graft.api.WinnowIndexStore.appendTombstones(tombRoot,
-      Seq(off + 0L).toDF("doc_id"), 0L)
     val v2 = graft.api.WinnowIndexStore.versionedDir(s"$root/fold",
       graft.operators.TextOps.WinnowK, graft.operators.TextOps.WinnowW,
       date.plusDays(1))
-    if (!new java.io.File(s"$v2/_SUCCESS").isFile)
-      graft.api.WinnowIndexStore.compactAppends(ss, v1,
-        s"$root/no_appends", v2, Some(tombRoot))
+    if (!graft.api.ServePointer.current(s"$root/pointer").contains(
+        java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString))
+      graft.api.WinnowIndexStore.appendTombstones(tombRoot,
+        Seq(off + 0L).toDF("doc_id"), 0L)
     pointerFlipDrain(ss, root, DedupOps.winnowIncoming(ss, docs, off), v1,
-      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      _ => janitorDayAt(root, v1, v2, tombRoot,
+        () => graft.api.WinnowIndexStore.compactAppends(ss, v1,
+          s"$root/no_appends", v2, Some(tombRoot)), s"$v2/_SUCCESS"),
       (batch, dir) => DedupOps.winnowProbeAgainst(archive, batch,
         graft.api.WinnowIndexStore.load(ss, dir)))
       .orderBy(col("phase"), col("doc_a"), col("doc_b"), col("a_pos"),
@@ -1405,25 +1448,10 @@ object EventStreams {
     pointerFlipDrain(ss, root,
       base.filter(col("vec_id") % EmbeddingOps.BatchQueryMod === 0),
       v1,
-      _ => {
-        // THE MAINTENANCE DAY, between micro-batches of the live drain
-        val decision = graft.api.CompactionPolicy.due(s"$root/no_appends",
-          Some(tombRoot), maxAppendBatches = Int.MaxValue,
-          maxTombstoneBatches = 1)
-        if (decision.due) { // load-bearing: no fold ⇒ phase 2 = phase 1
-          if (!new java.io.File(s"$v2/assigned/_SUCCESS").isFile)
-            graft.api.IvfStore.compactAppends(ss, v1, s"$root/no_appends",
-              v2, Some(tombRoot))
-          graft.api.ServePointer.adopt(ptr, v2)
-          // day 0's artifact stays inside the rollback window
-          require(graft.api.ServePointer
-            .retirable(ptr, Seq(v1, v2)).isEmpty,
-            "rollback-window artifact offered for retirement")
-        }
-        graft.api.ServePointer.retireFoldedDebt(ptr, v2, Seq(tombRoot))
-        graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
-        ()
-      },
+      _ => janitorDayAt(root, v1, v2, tombRoot,
+        () => graft.api.IvfStore.compactAppends(ss, v1,
+          s"$root/no_appends", v2, Some(tombRoot)),
+        s"$v2/assigned/_SUCCESS"),
       (batch, dir) => EmbeddingOps.serveQueriesAgainst(ss,
         graft.api.IvfStore.load(ss, dir), batch)
         .select(col("query_id"), col("top1_id"), col("cos_sim")))

@@ -521,6 +521,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(byPhase(1L) > 0)
   }
 
+  test("s38/s41 in-drain janitor: fold adopted, debt retired, history pruned, replay-stable") {
+    // the maintenance day ran BETWEEN micro-batches — afterwards the
+    // operational state must look exactly like a finished e28/d30 day:
+    // the pointer names the fold, the folded tombstone log is retired
+    // (the r17 ADVICE crash-leak fix, witnessed on the LIVE rows), and
+    // the audit trail is pruned to the rollback horizon. A replayed
+    // drain serves the adopted fold without re-accruing debt.
+    for ((name, tag) <- Seq(("s38_stream_lsh_flip", "s38"),
+        ("s41_stream_janitor_live", "s41"))) {
+      val first = rows(SparkEntry.queries(name)(spark, sfTiny))
+      val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, tag)
+      val ptr = s"$root/pointer"
+      val current = graft.api.ServePointer.current(ptr)
+      assert(current.exists(d => d.contains("fold") ||
+          d.contains("1970-01-02")),
+        s"$name: pointer does not name the fold after the drain ($current)")
+      assert(!new java.io.File(s"$root/tombstones").exists(),
+        s"$name: folded tombstone log leaked past the in-drain janitor")
+      assert(graft.api.ServePointer.history(ptr).size <= 2,
+        s"$name: audit trail not pruned to the rollback horizon")
+      val again = rows(SparkEntry.queries(name)(spark, sfTiny))
+      assert(again === first, s"$name: replayed drain drifted")
+      assert(!new java.io.File(s"$root/tombstones").exists(),
+        s"$name: the replay re-accrued retired debt")
+    }
+  }
+
   test("s37 streaming multimodal matrix equals batch c12's phase 1 cell-for-cell") {
     val c12 = graft.operators.PackOps.multimodalAdmission(spark, sfTiny)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
