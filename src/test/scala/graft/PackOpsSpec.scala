@@ -63,6 +63,36 @@ class PackOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("c13 ships the RULE-DERIVED pair payload bit-exactly (the checksum alone cannot see a reversal drift)") {
+    // the manifest oracle's floor(|x|·1000) checksum and n_dims are
+    // REVERSAL-INVARIANT by construction — an export that shipped the
+    // unreversed base embedding would still hash green. Pin the
+    // payload row-for-row: every exported pair's embedding must be
+    // exactly the pairing rule's derivation for its base id (admitted
+    // pairs are always the dimension-REVERSED novel class).
+    PackOps.admittedPairExport(spark, sfTiny).collect() // ensure commit
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val offD = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(docs, "doc_id"))
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "c13")
+    val dirs = graft.sources.ExportCommit.committedDirs(root)
+    assert(dirs.nonEmpty, "c13 committed nothing")
+    val exported = spark.read.parquet(dirs: _*)
+      .select(col("doc_id"), col("vec_id"), col("embedding"))
+    val expected = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id").as("b"), reverse(col("embedding")).as("want"))
+    val n = exported.count()
+    assert(n > 0, "c13 exported zero pairs")
+    val aligned = exported
+      .join(expected, exported("doc_id") % offD === expected("b"))
+      .filter(col("embedding") === col("want"))
+      .count()
+    assert(aligned === n,
+      s"payload drift: only $aligned of $n exported pairs carry the " +
+        "rule-derived (reversed) embedding bit-exactly")
+  }
+
   test("p01 packs contiguous spans: offsets in range and bins in order") {
     val df = PackOps.sequencePack(spark, sfTiny)
       .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("tok_offset"))
@@ -609,6 +639,24 @@ class PackOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     assert(again === manifest)
+    // r18: the manifest's floor(|x|·1000) checksum and n_dims are
+    // REVERSAL-INVARIANT — pin the exported payload BIT-EXACTLY
+    // against the rule-derived (reversed, +3·off) corpus
+    val base = graft.sources.Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding"))
+    val offV = graft.operators.DedupOps.plantOffset(
+      graft.operators.DedupOps.maxIdOf(base, "vec_id"))
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "c11")
+    val exported = spark.read
+      .parquet(graft.sources.ExportCommit.committedDirs(root): _*)
+      .select(col("vec_id"), col("embedding"))
+    val bitExact = exported.join(
+        base.select((col("vec_id") + lit(3 * offV)).as("vec_id"),
+          reverse(col("embedding")).as("want")), Seq("vec_id"))
+      .filter(col("embedding") === col("want")).count()
+    assert(bitExact === nb,
+      s"payload drift: only $bitExact of $nb exported vecs carry the " +
+        "rule-derived (reversed) embedding bit-exactly")
   }
 
   test("c12 multimodal pairs: veto is load-bearing in both directions, replay-stable") {
