@@ -27,8 +27,27 @@ for t in TABLES:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    # Array-valued columns (embedding payloads) are unhashable for
+    # sort_values — sort on a stringified twin, then drop it.
+    def is_arrayish(col):
+        if not len(df):
+            return False
+        v = col.iloc[0]
+        return (hasattr(v, "__len__") or hasattr(v, "__iter__")) and \
+            not isinstance(v, (str, bytes))
+
+    keys = []
+    for c in df.columns:
+        if str(df[c].dtype) == "object" and is_arrayish(df[c]):
+            k = f"__sort_{c}"
+            df = df.assign(
+                **{k: df[c].map(lambda v: str(list(v))
+                                if v is not None else "")})
+            keys.append(k)
+        else:
+            keys.append(c)
+    df = df.sort_values(by=keys, ignore_index=True)
+    return df[[c for c in df.columns if not c.startswith("__sort_")]]
 
 
 n_pass = n_fail = 0
@@ -41,10 +60,14 @@ for sql_file in sorted(glob.glob(f"{OUT}/*.sql")):
         continue
     got = canon(pd.concat([pd.read_parquet(f) for f in files]))
     want = canon(con.execute(open(sql_file).read()).df())
-    got = got.astype({c: str(want[c].dtype) for c in want.columns
-                      if c in got.columns and
-                      str(got[c].dtype) != str(want[c].dtype)},
-                     errors="ignore")
+    # astype(errors="ignore") is deprecated (pandas >= 2.1) — cast
+    # per-column and keep the original on failure instead.
+    for c in want.columns:
+        if c in got.columns and str(got[c].dtype) != str(want[c].dtype):
+            try:
+                got[c] = got[c].astype(str(want[c].dtype))
+            except (ValueError, TypeError):
+                pass
     try:
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=False, rtol=0, atol=1e-9)

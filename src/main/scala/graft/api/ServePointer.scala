@@ -132,14 +132,24 @@ object ServePointer {
     * artifact janitor ([[graft.sources.ExportCommit.retireRoot]]'s
     * ordering contract applies: retire only after the upstream
     * checkpoint passed the folded batches). */
+  @scala.annotation.tailrec
   def retirable(root: String, candidates: Seq[String],
       keepLast: Int = 2): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the current dir")
-    // vanished-mid-scan versions were pruned concurrently — they are
-    // outside every retention window and protect nothing
-    val protected_ = versions(root).takeRight(keepLast)
-      .flatMap(v => readVersionIfPresent(root, v)).map(normalize).toSet
-    candidates.filterNot(c => protected_.contains(normalize(c)))
+    // A version inside OUR window that vanishes mid-scan means a
+    // concurrent pruner (possibly with a smaller keepLast) ran between
+    // the listing and the read — dropping it from the protected set
+    // could offer the currently-serving dir for retirement (r18
+    // ADVICE). Re-resolve from a fresh listing instead (mirrors
+    // [[current]]'s retry): the surviving window is complete by
+    // construction once a listing's tail all reads back.
+    val window = versions(root).takeRight(keepLast)
+    val resolved = window.flatMap(v => readVersionIfPresent(root, v))
+    if (resolved.size != window.size) retirable(root, candidates, keepLast)
+    else {
+      val protected_ = resolved.map(normalize).toSet
+      candidates.filterNot(c => protected_.contains(normalize(c)))
+    }
   }
 
   /** Idempotent post-fold debt retirement (r17 ADVICE): once the
@@ -211,11 +221,18 @@ object ServePointer {
     Files.createDirectories(rootPath)
     while (true) {
       val vs = versions(root)
-      // replay no-op: ONE read of the head version, never the history
+      // replay no-op: ONE read of the head version, never the history.
+      // A head that VANISHES between the listing and the read is a
+      // concurrent prune racing a newer adoption (r18 ADVICE) — fall
+      // through to the CAS write; FileAlreadyExists re-lists if the
+      // newer head took our number.
       vs.lastOption match {
-        case Some(last) if readVersion(root, last) == normalized =>
-          return last
-        case _ => ()
+        case Some(last) =>
+          readVersionIfPresent(root, last) match {
+            case Some(d) if d == normalized => return last
+            case _ => ()
+          }
+        case None => ()
       }
       val next = vs.lastOption.getOrElse(0) + 1
       val tmp = Files.createTempFile(rootPath, ".current", ".tmp")

@@ -2189,14 +2189,19 @@ object PackOps {
     * commits from it; c13 exports from it; the waterfalls are billed
     * once). Returns (pairs, offD, offV). */
   private[graft] def pairAttributed(s: SparkSession, d: String)
-      : (DataFrame, Long, Long) = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val offD = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
-    val (loaded, offV) = EmbeddingOps.vecAdmissionArtifact(s, d)
-    val baseE = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-    val attrDoc = admissionAttributed(s, d)
-    val pairs = graft.api.Intermediates.memo(s, s"c12_pairs|$d") {
+      : (DataFrame, Long, Long) =
+    // The WHOLE tuple is the memo value (r18 ADVICE): the doc
+    // waterfall, the vec-admission artifact bring-up (maxId scans,
+    // _SUCCESS probe, store load), and both offsets are inputs of the
+    // build, so a hit must skip them too — only the first caller per
+    // session pays the artifact construction.
+    graft.api.Intermediates.memo(s, s"c12_pairs|$d") {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val offD = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+      val (loaded, offV) = EmbeddingOps.vecAdmissionArtifact(s, d)
+      val baseE = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val attrDoc = admissionAttributed(s, d)
       // ---- the pair increment: each doc member ships one embedding
       val withVec = pairVecAssignment(
         attrDoc.select(col("doc_id"), col("text"),
@@ -2206,13 +2211,12 @@ object PackOps {
       val vecAttr = EmbeddingOps.vecGateAttribution(s,
         withVec.select(col("vec_id"), col("embedding")).distinct(),
         baseE, loaded)
-      withVec
+      val pairs = withVec
         .join(vecAttr.select(col("vec_id"), col("gate").as("vec_gate")),
           Seq("vec_id"))
         .localCheckpoint()
+      (pairs, offD, offV)
     }
-    (pairs, offD, offV)
-  }
 
   def multimodalAdmission(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions
