@@ -27,24 +27,31 @@ import org.apache.spark.sql.functions._
 object MlQueries {
 
   /** Shared CTE chain: 1-3-gram terms → counts → quanteda tf-idf weights
-    * (≙ [[Featurize.docTerms]]/[[Featurize.termCounts]]/[[Featurize.tfidf]]). */
-  private[graft] val termsCte: String = {
+    * (≙ [[Featurize.docTerms]]/[[Featurize.termCounts]]/[[Featurize.tfidf]]),
+    * parametric on the corpus CTE/table (`table`) and a CTE-name suffix
+    * (`sfx`) so one oracle can run the chain over TWO corpora (m18's
+    * pre-takedown union vs the survivor corpus) without name clashes.
+    * The default instantiation is byte-identical to the pre-r19
+    * `termsCte` — every existing oracle hash is untouched. */
+  private[graft] def termsCteOver(table: String, sfx: String): String = {
     val words = DuckFragments.wordsListSql
-    s"""base AS (SELECT doc_id, $words AS l FROM documents),
-       |w AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w FROM base),
-       |g2 AS (SELECT doc_id, pos, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS t FROM w),
-       |g3 AS (SELECT doc_id, pos, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
-       |       || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t FROM w),
-       |terms AS (
-       |  SELECT doc_id, w AS term FROM w
-       |  UNION ALL SELECT doc_id, t FROM g2 WHERE t IS NOT NULL
-       |  UNION ALL SELECT doc_id, t FROM g3 WHERE t IS NOT NULL),
-       |tc AS (SELECT doc_id, term, count(*) AS n FROM terms GROUP BY doc_id, term),
-       |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
-       |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
-       |weights AS (SELECT doc_id, term, n * log10(n_docs / df) AS weight
-       |            FROM tc JOIN dfreq USING (term) CROSS JOIN nd)""".stripMargin
+    s"""base$sfx AS (SELECT doc_id, $words AS l FROM $table),
+       |w$sfx AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w FROM base$sfx),
+       |g2$sfx AS (SELECT doc_id, pos, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS t FROM w$sfx),
+       |g3$sfx AS (SELECT doc_id, pos, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+       |       || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t FROM w$sfx),
+       |terms$sfx AS (
+       |  SELECT doc_id, w AS term FROM w$sfx
+       |  UNION ALL SELECT doc_id, t FROM g2$sfx WHERE t IS NOT NULL
+       |  UNION ALL SELECT doc_id, t FROM g3$sfx WHERE t IS NOT NULL),
+       |tc$sfx AS (SELECT doc_id, term, count(*) AS n FROM terms$sfx GROUP BY doc_id, term),
+       |dfreq$sfx AS (SELECT term, count(*) AS df FROM tc$sfx GROUP BY term),
+       |nd$sfx AS (SELECT count(*)::DOUBLE AS n_docs FROM $table),
+       |weights$sfx AS (SELECT doc_id, term, n * log10(n_docs / df) AS weight
+       |            FROM tc$sfx JOIN dfreq$sfx USING (term) CROSS JOIN nd$sfx)""".stripMargin
   }
+
+  private[graft] val termsCte: String = termsCteOver("documents", "")
 
   /** Hash-partition pseudo-clusters: deterministic, SQL-expressible stand-in
     * for K-means assignments so per-cluster operators get real oracles. */
@@ -91,11 +98,13 @@ object MlQueries {
     * m03's full oracle and m12's vectorizable-doc count (same factoring
     * rationale as DedupOps.jaccardCtesSql: the consumers must not be
     * able to drift apart). */
-  private val massVocabCte =
-    """mass AS (SELECT term, round(sum(weight), 6) AS mass
-      |         FROM weights GROUP BY term),
-      |vocab AS (SELECT term, mass FROM mass
+  private def massVocabCteOver(sfx: String): String =
+    s"""mass$sfx AS (SELECT term, round(sum(weight), 6) AS mass
+      |         FROM weights$sfx GROUP BY term),
+      |vocab$sfx AS (SELECT term, mass FROM mass$sfx
       |          ORDER BY mass DESC, term LIMIT 2000)""".stripMargin
+
+  private val massVocabCte = massVocabCteOver("")
 
   private val topVocabSql =
     "WITH " + termsCte + s""",
@@ -787,6 +796,158 @@ object MlQueries {
       |  round(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
       |FROM c""".stripMargin
 
+  /** m18 — MODEL-SURFACE right-to-be-forgotten (r18 verdict ask #1):
+    * c07 proves post-takedown absence on every INDEX/EXPORT artifact,
+    * but a FITTED model trained before the takedown still embeds the
+    * forgotten document — the reference's own refiner exists to
+    * post-hoc mutate a shipped model (ref 04_cluster_refiner.R:726-794
+    * load → recompute → save versioned), and the deployment analog is
+    * refit-on-survivors + versioned adoption. The row composes the
+    * whole loop end to end:
+    *
+    *  1. PLANT: the v1 training corpus is documents ∪ one planted doc
+    *     whose tokens (`zzqalpha zzqbeta zzqgamma`, each repeated once
+    *     per corpus doc so its TF-IDF mass n·log10(n+1) provably
+    *     outranks every real term) appear in NO other document;
+    *  2. SHIP v1: fit the s09 kmeans+vocab pipeline on the union,
+    *     [[graft.api.ModelStore.save]] to a versioned dir, adopt it
+    *     through a [[graft.api.ServePointer]];
+    *  3. TAKEDOWN: the planted doc is forgotten; survivors = exactly
+    *     the corpus, so the refit IS the session's shared fitted
+    *     pipeline (identical params — the s09/m10 model);
+    *  4. ADOPT v2: save the refit as the NEXT version, flip the
+    *     pointer (replay-safe: once the pointer names v2, the v1
+    *     adoption step is skipped, so re-runs keep history = [v1,v2]);
+    *  5. AUDIT: per marker term, membership in the LOADED v1 vocab
+    *     (`in_vocab_before` — the artifact really did embed the
+    *     forgotten doc) vs the pointer-resolved CURRENT vocab
+    *     (`in_vocab_after` — it provably no longer does); the m10
+    *     sample predicted through the pointer-resolved model agrees
+    *     with the in-memory survivor fit on every doc
+    *     (`served_refit_ok` — serving really flipped to the refit);
+    *     v1 stays on disk, loadable, and protected from the janitor
+    *     inside the rollback window (`prior_protected`,
+    *     [[graft.api.ServePointer.retirable]] keepLast=2).
+    *
+    * The vocabulary selection is relational, so BOTH membership
+    * columns are closed-form: the oracle runs the m03 mass-ranked
+    * top-2000 rule over the union corpus (the planted doc synthesized
+    * in SQL from the same repeat arithmetic) and over the survivors.
+    *
+    * 100 TB shape: the refit pays one model fit over survivors — the
+    * cost floor for honoring a takedown in model weights (no
+    * machine-unlearning shortcut is exact for k-means); everything
+    * else is ids-sized pointer arithmetic. The planted-doc union adds
+    * one doc to the corpus scan; the audit joins a 3-row relation
+    * against two vocabulary-sized (≤2000-row) artifacts. */
+  def modelForget(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{ModelPipeline, ModelStore, ServePointer}
+    import graft.operators.DedupOps
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+    val nDocs = docs.count().toInt
+    val markers = Seq("zzqalpha", "zzqbeta", "zzqgamma")
+    // built as an expression over range(1), not a driver-side literal —
+    // the ~100 KB text rides the cluster, never the plan
+    val planted = s.range(1).select(lit(off).as("doc_id"),
+      trim(concat(markers.map(m => repeat(lit(m + " "), nDocs)): _*))
+        .as("text"))
+    val union = docs.unionByName(planted)
+    val fm1 = graft.api.Intermediates.memo(s, s"m18-fit|$d") {
+      // the union DFM = the session's shared counts ∪ the one planted
+      // doc's counts (per-doc term counts are disjoint by doc_id), so
+      // the pre-takedown fit re-tokenizes ONE document, not the corpus
+      val unionCounts = ModelPipeline.counts(s, d).unionByName(
+        Featurize.termCounts(Featurize.docTerms(planted))).localCheckpoint()
+      ModelPipeline.fit(union, k = 15, seed = 123, vocabSize = 2000,
+        Some(unionCounts))
+    }
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "m18")
+    val date = java.time.LocalDate.of(2026, 1, 1)
+    val d1 = ModelStore.versionedDir(s"$root/model", 15, date)
+    val d2 = ModelStore.versionedDir(s"$root/model", 15, date.plusDays(1))
+    val ptr = s"$root/pointer"
+    if (!new java.io.File(s"$d1/vocab/_SUCCESS").isFile)
+      ModelStore.save(d1, fm1.model, fm1.vocab, fm1.counts, union)
+    // adopt v1 only while the refit has not been adopted yet — replays
+    // keep the flip (the s38 posture), so history stays [v1, v2]
+    val d2n = java.nio.file.Paths.get(d2).toAbsolutePath.normalize().toString
+    if (!ServePointer.current(ptr).contains(d2n))
+      ServePointer.adopt(ptr, d1)
+    // ---- the takedown arrives: survivors = union ∖ {planted} = the
+    // corpus, so the refit is the session's shared fitted pipeline
+    val fm2 = ModelPipeline.fitted(s, d)
+    if (!new java.io.File(s"$d2/vocab/_SUCCESS").isFile)
+      ModelStore.save(d2, fm2.model, fm2.vocab, fm2.counts, docs)
+    ServePointer.adopt(ptr, d2)
+    // ---- serve through the pointer; v1 must STILL load in-window
+    val served = ModelStore.load(s,
+      ServePointer.current(ptr).getOrElse(
+        sys.error(s"no adopted model version under $ptr")))
+    val before = ModelStore.load(s, d1)
+    val ptrVersion = ServePointer.history(ptr).last._1.toLong
+    val priorProtected =
+      if (ServePointer.retirable(ptr, Seq(d1, d2), keepLast = 2).isEmpty)
+        1L else 0L
+    val sample = graft.sources.Sinks.sampleByMod(docs, "doc_id", 10, 3)
+    val okAgg = sample.select(col("doc_id"))
+      .join(ModelStore.predict(sample, served)
+        .select(col("doc_id"), col("cluster").as("c_served")),
+        Seq("doc_id"), "left")
+      .join(ModelStore.predict(sample,
+          ModelStore.inMemory(fm2.model, fm2.vocab, fm2.counts, docs))
+        .select(col("doc_id"), col("cluster").as("c_refit")),
+        Seq("doc_id"), "left")
+      .agg(min((col("c_served") <=> col("c_refit")).cast("long"))
+        .as("served_refit_ok"))
+    import s.implicits._
+    markers.toDF("term")
+      .join(broadcast(before.vocab.select(col("term"), lit(1L).as("__b"))),
+        Seq("term"), "left")
+      .join(broadcast(served.vocab.select(col("term"), lit(1L).as("__a"))),
+        Seq("term"), "left")
+      .crossJoin(broadcast(okAgg))
+      .select(col("term"),
+        coalesce(col("__b"), lit(0L)).as("in_vocab_before"),
+        coalesce(col("__a"), lit(0L)).as("in_vocab_after"),
+        col("served_refit_ok"),
+        lit(priorProtected).as("prior_protected"),
+        lit(ptrVersion).as("ptr_version"))
+      .orderBy(col("term"))
+  }
+
+  /** m18's oracle: the union corpus synthesized in SQL (same repeat
+    * arithmetic, same plant-offset id), the m03 top-2000 rule run over
+    * BOTH corpora, and the pointer/serve lifecycle stated as the bound
+    * frame (served_refit_ok/prior_protected/ptr_version — disk and
+    * pointer state no relational oracle can reach; ModelStoreSpec pins
+    * the v1-still-serves witness). Built by plain concatenation — the
+    * embedded CTE fragments are already margin-stripped. */
+  private val modelForgetSql =
+    "WITH u_docs AS (\n" +
+      "  SELECT doc_id, text FROM documents\n" +
+      "  UNION ALL\n" +
+      "  SELECT " +
+      graft.operators.DedupOps.plantOffsetSql("doc_id", "documents") +
+      " AS doc_id,\n" +
+      "    trim(repeat('zzqalpha ', n) || repeat('zzqbeta ', n) || " +
+      "repeat('zzqgamma ', n)) AS text\n" +
+      "  FROM (SELECT count(*)::INT AS n FROM documents)),\n" +
+      termsCteOver("u_docs", "_u") + ",\n" +
+      massVocabCteOver("_u") + ",\n" +
+      termsCte + ",\n" +
+      massVocabCte + ",\n" +
+      "mk AS (SELECT unnest(['zzqalpha','zzqbeta','zzqgamma']) AS term)\n" +
+      "SELECT term,\n" +
+      "  CAST(term IN (SELECT term FROM vocab_u) AS BIGINT) " +
+      "AS in_vocab_before,\n" +
+      "  CAST(term IN (SELECT term FROM vocab) AS BIGINT) " +
+      "AS in_vocab_after,\n" +
+      "  CAST(1 AS BIGINT) AS served_refit_ok,\n" +
+      "  CAST(1 AS BIGINT) AS prior_protected,\n" +
+      "  CAST(2 AS BIGINT) AS ptr_version\n" +
+      "FROM mk ORDER BY term"
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),
     QueryDef("m02_tfidf_quanteda", tfidfQuanteda, Some(tfidfQuantedaSql)),
@@ -808,5 +969,6 @@ object MlQueries {
       Some(crossValPlantedSql)),
     QueryDef("m17_classifier_eval", classifierEval,
       Some(classifierEvalSql)),
+    QueryDef("m18_model_forget", modelForget, Some(modelForgetSql)),
     QueryDef("s09_model_roundtrip", modelRoundtrip, Some(modelRoundtripSql)))
 }

@@ -898,6 +898,38 @@ object BpeOps {
        |  round(sum(b_sym) / sum(a_sym), 6) AS retrain_drift
        |FROM tw GROUP BY source ORDER BY source""".stripMargin
 
+  /** s43's oracle (built in here because [[chainSql]] is the private
+    * merge-recipe generator): the per-source token metering PHASED
+    * across the mid-drain tokenizer flip — phase 1 under the shipped
+    * vocabulary (t16's chain), phase 2 under t22's retrained slice
+    * (suffix `_b`, residue 1). Both chains come from the ONE
+    * generator, so the oracle cannot drift from t16/t22; plain string
+    * concatenation — the embedded fragments are already
+    * margin-stripped. */
+  private[graft] val tokenizerFlipPhasedSql: String =
+    "WITH " + docBpeCtesSql + ",\n" +
+      chainSql(NMerges, "_b", 1L) + ",\n" +
+      "pieces_b AS (\n" +
+      "  SELECT word,\n" +
+      "    CAST(len(regexp_extract_all(seg, '\\(([^()]+)\\)', 1)) AS BIGINT)\n" +
+      "      AS n_sym\n" +
+      s"  FROM a${NMerges}_b),\n" +
+      "tw1 AS (SELECT d.source, p.n_sym FROM t2 t JOIN pieces p USING (word)\n" +
+      "        JOIN documents d ON d.doc_id = t.doc_id),\n" +
+      "tw2 AS (SELECT d.source, p.n_sym FROM t2 t JOIN pieces_b p USING (word)\n" +
+      "        JOIN documents d ON d.doc_id = t.doc_id),\n" +
+      "p1 AS (SELECT CAST(1 AS BIGINT) AS phase, source,\n" +
+      "  CAST(count(*) AS BIGINT) AS n_words,\n" +
+      "  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,\n" +
+      "  round(sum(n_sym) / count(*), 6) AS pieces_per_word\n" +
+      "  FROM tw1 GROUP BY source),\n" +
+      "p2 AS (SELECT CAST(2 AS BIGINT) AS phase, source,\n" +
+      "  CAST(count(*) AS BIGINT) AS n_words,\n" +
+      "  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,\n" +
+      "  round(sum(n_sym) / count(*), 6) AS pieces_per_word\n" +
+      "  FROM tw2 GROUP BY source)\n" +
+      "SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY phase, source"
+
   /** t23's oracle: the planted union as a VALUES CTE (generated from
     * the SAME [[PlantedScriptDocs]] literal), the shipped tokenizer's
     * chain with the apply side reading the union, and t21's roll-up. */

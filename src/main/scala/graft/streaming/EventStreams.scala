@@ -1514,6 +1514,71 @@ object EventStreams {
       .orderBy(col("phase"), col("query_id"))
   }
 
+  /** s43 — TOKENIZER ADOPTION POINTER + MID-DRAIN TOKENIZER FLIP (r18
+    * verdict ask #2): the merge-table artifact (t19's shipped
+    * tokenizer) was the ONE versioned artifact still addressed by
+    * literal path — all four index stores and the export root resolve
+    * through [[graft.api.ServePointer]], and s23's metering drain
+    * loaded the tokenizer once per drain. Now the tokenizer is
+    * pointer-addressed like every other shipped artifact: v1 = the
+    * shipped merge table ([[graft.operators.BpeOps.trainedMerges]] —
+    * t16/t19's), v2 = t22's retrained-slice vocabulary
+    * ([[graft.operators.BpeOps.retrainedMerges]], residue 1), both
+    * saved through [[graft.operators.BpeOps.saveMerges]] as immutable
+    * versioned dirs; the s23 metering stream re-resolves the pointer
+    * per micro-batch (one kilobyte read + a merge-table parquet load)
+    * and the v1→v2 adoption lands AT the batch-1 boundary
+    * ([[pointerFlipDrain]] — s36's discipline on the tokenizer
+    * surface). Phase 1's per-source piece totals must be the shipped
+    * vocabulary's (s23's numbers), phase 2 the retrain's (t22's
+    * retrain side) — both merge chains generated by the ONE oracle
+    * recipe, so a drain that caches the loaded tokenizer across
+    * batches, a lossy merge-table save, or a flip that tears a batch
+    * each break a phase.
+    *
+    * Distinct pieces memo tags per version (t19's lesson): the
+    * metering relation is built from the LOADED artifact, so the
+    * in-memory trainer materialization can never stand in for it.
+    *
+    * 100 TB shape: the tokenizer artifact is merge-table-sized
+    * (kilobytes); the per-batch reload is one parquet read plus a
+    * vocabulary-sized size-guarded pieces relation the corpus-scale
+    * token stream joins broadcast. The flip is one pointer file —
+    * re-billing the next epoch under a retrained vocabulary needs no
+    * stream restart and moves no data. */
+  def streamTokenizerFlip(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BpeOps
+    val ss = streamSession(s)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s43")
+    val v1 = s"$root/tok_v1"
+    val v2 = s"$root/tok_v2"
+    if (!new java.io.File(s"$v1/_SUCCESS").isFile)
+      BpeOps.saveMerges(ss, BpeOps.trainedMerges(ss, d), v1)
+    if (!new java.io.File(s"$v2/_SUCCESS").isFile)
+      BpeOps.saveMerges(ss, BpeOps.retrainedMerges(ss, d, 1L), v2)
+    val v1n = java.nio.file.Paths.get(v1).toAbsolutePath.normalize().toString
+    pointerFlipDrain(ss, root,
+      graft.sources.Tables.documents(ss, d)
+        .select(col("doc_id"), col("source"), col("text")),
+      v1,
+      _ => { graft.api.ServePointer.adopt(s"$root/pointer", v2); () },
+      (batch, dir) => {
+        val tag = if (dir == v1n) "s43v1" else "s43v2"
+        val pieces = BpeOps.piecesFor(ss, d, BpeOps.loadMerges(ss, dir), tag)
+        batch
+          .select(col("source"),
+            explode(BpeOps.rawWords(col("text"))).as("word"))
+          .join(pieces, "word")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sym")).as("n_bpe_tokens"))
+          .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+            round(col("n_bpe_tokens") / col("n_words"), 6)
+              .as("pieces_per_word"))
+      })
+      .orderBy(col("phase"), col("source"))
+  }
+
   /** s32 — STREAMING passage-index probe (d17 on the live path,
     * completing the streaming-probe symmetry across all five
     * incremental grains: exact s14, near-dup s27, embedding s29/s31,
@@ -2335,7 +2400,11 @@ object EventStreams {
     // s42 flips the COMPRESSED (IVF-PQ) serving artifact mid-drain —
     // e24's selective closed form phase-split (see s42 doc)
     QueryDef("s42_stream_pq_flip", streamPqFlip,
-      Some(graft.operators.EmbeddingOps.streamPqFlipSql)))
+      Some(graft.operators.EmbeddingOps.streamPqFlipSql)),
+    // s43 pointer-addresses the TOKENIZER artifact and flips it to the
+    // retrained vocabulary mid-drain — s23/t22's phase-split totals
+    QueryDef("s43_stream_tokenizer_flip", streamTokenizerFlip,
+      Some(graft.operators.BpeOps.tokenizerFlipPhasedSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)

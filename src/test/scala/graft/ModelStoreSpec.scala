@@ -71,6 +71,38 @@ class ModelStoreSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("m18: the pre-refit model still serves inside the rollback window") {
+    import graft.api.ServePointer
+    val out = graft.ml.MlQueries.modelForget(spark, sfTiny).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getLong(1) === 1L), "markers must be in the v1 vocab")
+    assert(out.forall(_.getLong(2) === 0L), "markers must leave the refit vocab")
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "m18")
+    val date = java.time.LocalDate.of(2026, 1, 1)
+    val d1 = ModelStore.versionedDir(s"$root/model", 15, date)
+    val d2 = ModelStore.versionedDir(s"$root/model", 15, date.plusDays(1))
+    val ptr = s"$root/pointer"
+    // the audit trail records exactly the rollout: v1 shipped, v2 refit
+    assert(ServePointer.history(ptr).map(_._1) === Seq(1, 2))
+    assert(ServePointer.current(ptr).get ===
+      java.nio.file.Paths.get(d2).toAbsolutePath.normalize().toString)
+    // v1 is inside the keepLast=2 rollback window (janitor must not
+    // touch it) and leaves it only when the horizon shrinks past it
+    assert(ServePointer.retirable(ptr, Seq(d1, d2), keepLast = 2).isEmpty)
+    assert(ServePointer.retirable(ptr, Seq(d1, d2), keepLast = 1) === Seq(d1))
+    // the pre-refit model still SERVES: load v1 from disk and predict
+    // the m10 sample through the full vectorize→nearest-centroid path
+    val v1 = ModelStore.load(spark, d1)
+    assert(v1.vocab.filter(col("term") === "zzqalpha").count() === 1)
+    val docs = graft.sources.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text"))
+    val sample = graft.sources.Sinks.sampleByMod(docs, "doc_id", 10, 3)
+    assert(ModelStore.predict(sample, v1).count() > 0)
+    // the adopted refit provably forgot the planted doc's vocabulary
+    val cur = ModelStore.load(spark, ServePointer.current(ptr).get)
+    assert(cur.vocab.filter(col("term").startsWith("zzq")).count() === 0)
+  }
+
   test("predict drops OOV terms and zero-fills (dfm_match semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
     val fm = ModelPipeline.fit(corpus, k = 2, seed = 123, vocabSize = 100)
