@@ -1099,6 +1099,139 @@ object PackOps {
        |    AS n_new
        |FROM k GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** p16 — the EXPORT TREE'S MAINTENANCE DAY (r18 verdict ask #3):
+    * p12's increments and s22's micro-batches append committed shard
+    * dirs under the export root forever — every index store got
+    * `compactAppends` + pointer adoption + debt retirement, but the
+    * export family's small files had no fold. This row runs the full
+    * janitor day on the export surface:
+    *
+    *  1. BASE generation: the epoch-0 corpus (doc_id % 10 ≠ 0, p12's
+    *     growth split) written through [[exportAssigned]]'s shared
+    *     routing, committed, and adopted as the export pointer's v1;
+    *  2. APPEND DEBT: two incremental batches (the % 10 == 0 docs,
+    *     split % 20) land as committed append dirs — the small-file
+    *     debt a live export tree accrues;
+    *  3. TRIGGER: [[graft.api.CompactionPolicy.due]] evaluates the
+    *     REAL append manifest and is LOAD-BEARING — the fold runs only
+    *     if it fires (asserted: 2 committed appends ≥ threshold 2);
+    *  4. FOLD (s17's posture): base ∪ appends read back and rewritten
+    *     as ONE compacted generation — `repartition(shard)` before the
+    *     partitioned write, so every shard lands in exactly one task
+    *     and the generation carries ONE file per shard;
+    *  5. ADOPT + RETIRE: the fold becomes the pointer's v2; the folded
+    *     append root is retired through
+    *     [[graft.api.ServePointer.retireFoldedDebt]] (idempotent, on
+    *     every entry — a crash between adopt and retire must not leak
+    *     the debt); history pruned to the rollback window.
+    *
+    * The emitted manifest is re-aggregated from the READ-BACK
+    * compacted files through the pointer-resolved current generation
+    * — p11's manifest arithmetic transfers verbatim across the fold
+    * (the fold moves bytes, never rows), `n_files` = 1 per shard is
+    * the compaction's closed form, `inputs_retired` measures the
+    * folded append root physically gone, `served_is_fold` that the
+    * pointer serves the compacted generation. Replay discipline: once
+    * the pointer names the fold, the append debt is never recreated
+    * (the s38 posture), so re-runs serve the identical manifest.
+    *
+    * 100 TB shape: the trigger reads two kilobyte manifests; the fold
+    * is one corpus-scale read + one shuffle on the shard key + one
+    * partitioned write — the cost the janitor pays ONCE to turn
+    * O(increments) read fan-in into one file per shard; the manifest
+    * is shard-count-sized. */
+  def exportMaintenance(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ExportCommit
+    val docs = Tables.documents(s, d)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "p16")
+    val gen0 = s"$root/gen0"
+    val appends = s"$root/appends"
+    val gen1 = s"$root/gen1"
+    val ptr = s"$root/pointer"
+    val gen1n = java.nio.file.Paths.get(gen1)
+      .toAbsolutePath.normalize().toString
+    val assigned = exportAssigned(docs)
+    val folded = graft.api.ServePointer.current(ptr).contains(gen1n)
+    if (!folded) {
+      // ---- base generation + the append debt (never recreated after
+      // the fold retired it)
+      if (!ExportCommit.isCommitted(gen0, 0L)) {
+        val st = ExportCommit.stage(gen0, 0L)
+        assigned.filter(col("doc_id") % 10 =!= 0)
+          .write.partitionBy("shard").option("compression", "gzip").json(st)
+        ExportCommit.commitBatch(gen0, 0L, st)
+      }
+      graft.api.ServePointer.adopt(ptr, gen0)
+      for ((residue, b) <- Seq((0L, 0L), (10L, 1L)))
+        if (!ExportCommit.isCommitted(appends, b)) {
+          val st = ExportCommit.stage(appends, b)
+          assigned.filter(col("doc_id") % 20 === residue)
+            .write.partitionBy("shard").option("compression", "gzip").json(st)
+          ExportCommit.commitBatch(appends, b, st)
+        }
+      // ---- the maintenance day: trigger → fold → adopt
+      val dec = graft.api.CompactionPolicy.due(appends, None,
+        maxAppendBatches = 2, maxTombstoneBatches = 1)
+      require(dec.due && dec.appendBatches == 2,
+        s"p16: compaction policy must fire on 2 committed appends, got $dec")
+      if (!ExportCommit.isCommitted(gen1, 0L)) {
+        val st = ExportCommit.stage(gen1, 0L)
+        ExportCommit.readCommitted(s, gen0, assigned.schema)
+          .unionByName(ExportCommit.readCommitted(s, appends, assigned.schema))
+          .repartition(col("shard"))
+          .write.partitionBy("shard").option("compression", "gzip").json(st)
+        ExportCommit.commitBatch(gen1, 0L, st)
+      }
+      graft.api.ServePointer.adopt(ptr, gen1)
+      graft.api.ServePointer.pruneHistory(ptr, keepLast = 2)
+      ()
+    }
+    // debt retirement runs on EVERY entry, outside the day guard (the
+    // r17 crash-between-adopt-and-retire lesson)
+    graft.api.ServePointer.retireFoldedDebt(ptr, gen1, Seq(appends))
+    val served = graft.api.ServePointer.current(ptr).getOrElse(
+      sys.error(s"no adopted export generation under $ptr"))
+    val servedIsFold = if (served == gen1n) 1L else 0L
+    val inputsRetired = if (!new java.io.File(appends).exists()) 1L else 0L
+    // per-shard data-file census of the served generation (driver-side
+    // listing of shard-count dirs — kilobytes, never data)
+    val shardFiles = ExportCommit.committedDirs(served).flatMap { dir =>
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .map(f => (f.getName.stripPrefix("shard=").toLong,
+          f.listFiles().count(_.getName.startsWith("part-")).toLong))
+    }
+    import s.implicits._
+    val filesDf = shardFiles.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq
+      .toDF("shard", "n_files")
+    manifestFrom(ExportCommit.readCommitted(s, served, assigned.schema))
+      .join(broadcast(filesDf), Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_files"),
+        lit(inputsRetired).as("inputs_retired"),
+        lit(servedIsFold).as("served_is_fold"))
+      .orderBy(col("shard"))
+  }
+
+  /** p16's oracle: p11's manifest arithmetic over the FULL corpus (the
+    * fold preserves it verbatim), with the compaction's closed forms —
+    * one file per shard, the folded debt physically retired, the
+    * pointer serving the fold. */
+  private val exportMaintenanceSql =
+    s"""WITH k AS (
+       |  SELECT doc_id, text,
+       |    ${shuffleKeySql("doc_id", ShuffleSeed)} % $EpochShards AS shard
+       |  FROM documents)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(1 AS BIGINT) AS n_files,
+       |  CAST(1 AS BIGINT) AS inputs_retired,
+       |  CAST(1 AS BIGINT) AS served_is_fold
+       |FROM k GROUP BY shard ORDER BY shard""".stripMargin
+
   /** p15 — tombstone DELETE reflected in the EXPORT artifact (the third
     * surface of the r14 verdict's takedown lifecycle, after e21's serve
     * and e22's index compaction): a takedown set (doc_id ≡ 0 mod 10 —
@@ -2473,6 +2606,8 @@ object PackOps {
       Some(bpeSequencePackSql)),
     QueryDef("p11_export_manifest", exportManifest,
       Some(exportManifestSql)),
+    QueryDef("p16_export_maintenance", exportMaintenance,
+      Some(exportMaintenanceSql)),
     QueryDef("p12_incremental_export", incrementalExport,
       Some(incrementalExportSql)),
     // c07 propagates ONE takedown set through all six artifact
