@@ -5,9 +5,34 @@ import scala.util.control.NonFatal
 object Bench {
 
   /** One query's aggregated sweep stats: (name, median, min, max,
-    * firstSuccessful, failedRuns, memoHits, memoMisses). */
+    * firstSuccessful, failedRuns, memoHits, memoMisses,
+    * firstShuffleRead, firstShuffleWrite, steadyShuffleRead,
+    * steadyShuffleWrite) — shuffle volumes in bytes. */
   private[graft] type QueryStats =
-    (String, Double, Double, Double, Double, Int, Long, Long)
+    (String, Double, Double, Double, Double, Int, Long, Long,
+      Long, Long, Long, Long)
+
+  /** Per-stage shuffle-volume tally (r18 verdict ask #5): the plan-shape
+    * pins can't see a same-shape 10× shuffle-BYTES regression, and the
+    * memo/footprint sections carry no bytes. Stage-completion metrics
+    * accumulate here; Bench diffs the counters at query boundaries —
+    * the artifact then carries per-query shuffle read/write volume,
+    * diffable round over round. */
+  private[graft] final class ShuffleTally
+      extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong()
+    private val write = new java.util.concurrent.atomic.AtomicLong()
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    def snapshot(): (Long, Long) = (read.get, write.get)
+  }
 
   /** Assemble the artifact line (r17 verdict ask #5 — self-diagnosing:
     * the r17 driver sweep showed a 12× m-family blowup that could not
@@ -21,42 +46,62 @@ object Bench {
       results: Seq[QueryStats],
       footprints: Seq[(String, String, Map[String, Long])],
       runsPerQuery: Int, compiled: Long, cacheMax: Long,
-      sfDir: String): String = {
-    val failed = results.collect { case (k, v, _, _, _, _, _, _) if v < 0 =>
-      "\"" + k + "\"" }
+      sfDir: String, shuffleEnvelopeBytes: Long = 1L << 30): String = {
+    val failed = results.collect {
+      case (k, v, _, _, _, _, _, _, _, _, _, _) if v < 0 => "\"" + k + "\"" }
     // intermittent crashes (some-but-not-all runs failed) must stay
     // distinguishable in the metric line even though a median exists
     val flaky = results
-      .collect { case (k, v, _, _, _, nf, _, _) if v >= 0 && nf > 0 =>
-        "\"" + k + "\":" + nf }
+      .collect { case (k, v, _, _, _, nf, _, _, _, _, _, _)
+          if v >= 0 && nf > 0 => "\"" + k + "\":" + nf }
       .mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _, _, _, _, _, _) =>
+    val qs = results.map { case (k, v, _, _, _, _, _, _, _, _, _, _) =>
       "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi, _, _, _, _) =>
+    val spread = results.map { case (k, _, lo, hi, _, _, _, _, _, _, _, _) =>
       "\"" + k + "\":[" + lo + "," + hi + "]" }.mkString("{", ",", "}")
     // memo deltas only where a query touched the memo at all — a
     // 213-query sweep's artifact stays readable, and an m-family run
     // whose miss count is nonzero on a LATER-than-first run is the
     // rebuild signature the r17 adjudication needed
     val memo = results
-      .collect { case (k, _, _, _, _, _, h, m) if h + m > 0 =>
+      .collect { case (k, _, _, _, _, _, h, m, _, _, _, _) if h + m > 0 =>
         s""""$k":{"hit":$h,"miss":$m}""" }
       .mkString("{", ",", "}")
+    // shuffle volumes (r18 ask #5): [first-run read, first-run write,
+    // steady-state read, steady-state write] in BYTES, only where a
+    // query shuffled at all — first vs steady splits a shared build's
+    // shuffle from the query's own, the round-over-round diff of the
+    // steady columns is the same-shape-regression detector
+    val shuffle = results
+      .collect { case (k, _, _, _, _, _, _, _, fr, fw, sr, sw)
+          if fr + fw + sr + sw > 0 => s""""$k":[$fr,$fw,$sr,$sw]""" }
+      .mkString("{", ",", "}")
+    // the in-run envelope canary: a steady-state run moving more than
+    // the envelope through the shuffle is named HERE, not discovered as
+    // an unexplained wall-clock regression two rounds later
+    val over = results
+      .collect { case (k, _, _, _, _, _, _, _, _, _, sr, sw)
+          if sr + sw > shuffleEnvelopeBytes => s""""$k":${sr + sw}""" }
+      .mkString("{", ",", "}")
+    val shuffleCanary =
+      s"""{"envelope_bytes":$shuffleEnvelopeBytes,"over":$over,""" +
+        s""""ok":${over == "{}"}}"""
     val fps = footprints.map { case (fam, at, m) =>
       s"""{"family":"$fam","at":"$at",""" +
         m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
           .mkString(",") + "}"
     }.mkString("[", ",", "]")
     val total = results.collect {
-      case (_, v, _, _, _, _, _, _) if v >= 0 => v }.sum
+      case (_, v, _, _, _, _, _, _, _, _, _, _) if v >= 0 => v }.sum
     val firstTotal = results.collect {
-      case (_, v, _, _, f, _, _, _) if v >= 0 => f }.sum
+      case (_, v, _, _, f, _, _, _, _, _, _, _) if v >= 0 => f }.sum
     val cacheOk = compiled <= (cacheMax * 8) / 10
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""spread":$spread,"runs_per_query":$runsPerQuery,""" +
       s""""first_total":$firstTotal,"flaky":$flaky,""" +
       s""""failed":${failed.mkString("[", ",", "]")},""" +
-      s""""memo":$memo,"footprints":$fps,""" +
+      s""""memo":$memo,"shuffle":$shuffle,""" +
+      s""""shuffle_canary":$shuffleCanary,"footprints":$fps,""" +
       s""""codegen_cache_canary":{"compiled_classes":$compiled,""" +
       s""""cache_max":$cacheMax,"ok":$cacheOk},"sf":"$sfDir"}"""
   }
@@ -158,6 +203,33 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
+    // Shuffle-volume tally (r18 ask #5). Listener delivery is async, so
+    // query-boundary snapshots drain the bus first; the drain helper
+    // reaches the package-private LiveListenerBus reflectively (it is
+    // public in bytecode) and degrades to a no-op if the internal moves
+    // — worst case a trailing stage's bytes land on the neighboring
+    // snapshot, which the order-of-magnitude canary tolerates.
+    val shuffleTally = new ShuffleTally
+    spark.sparkContext.addSparkListener(shuffleTally)
+    val drainBus: () => Unit = {
+      val attempt = scala.util.Try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        val m = bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+          .getOrElse(sys.error("no waitUntilEmpty"))
+        () => { scala.util.Try(m.invoke(bus)); () }
+      }
+      attempt.getOrElse(() => ())
+    }
+    def shuffleSnapshot(): (Long, Long) = {
+      drainBus()
+      shuffleTally.snapshot()
+    }
+    val shuffleEnvelopeBytes =
+      sys.env.get("SPARK_GRAFT_SHUFFLE_ENVELOPE_MB")
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .map(_ * 1048576L).getOrElse(1L << 30)
     var prevFam = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
@@ -167,6 +239,8 @@ object Bench {
       prevFam = fam
       System.err.println(s"[bench] start $name ($runsPerQuery runs)")
       val (memoHits0, memoMisses0) = graft.api.Intermediates.stats()
+      val (shr0, shw0) = shuffleSnapshot()
+      var firstBoundary = (shr0, shw0) // re-snapshotted after run 1
       val runs = (1 to runsPerQuery).map { i =>
         val t0 = System.nanoTime()
         val ok =
@@ -176,6 +250,7 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cleanup — its cost must not bill to this query
+        if (i == 1) firstBoundary = shuffleSnapshot()
         // Release the query's SCRATCH state before the next run:
         // localCheckpoint blocks stay pinned until their RDD is GC'd, and
         // two dozen accumulated checkpoints visibly degrade the later
@@ -192,6 +267,16 @@ object Bench {
       val good = runs.filter(_ >= 0)
       System.err.println(f"[bench] $name runs=${runs.map(r => f"$r%.2f").mkString(",")}")
       val (memoHits1, memoMisses1) = graft.api.Intermediates.stats()
+      val (shr1, shw1) = shuffleSnapshot()
+      // first run = shared-build + query shuffle; steady = the per-run
+      // average over the remaining runs (they are plan-identical, the
+      // average smooths listener-drain attribution skew)
+      val (fbr, fbw) = firstBoundary
+      val (firstR, firstW) = (fbr - shr0, fbw - shw0)
+      val (steadyR, steadyW) =
+        if (runsPerQuery > 1)
+          ((shr1 - fbr) / (runsPerQuery - 1), (shw1 - fbw) / (runsPerQuery - 1))
+        else (firstR, firstW)
       // first-run slot uses the first SUCCESSFUL run: runs.head is the
       // -1.0 sentinel when only the first run failed, which would
       // silently corrupt first_total while the v>=0 guard passes
@@ -202,7 +287,8 @@ object Bench {
         if (good.isEmpty) -1.0 else good.head,
         runs.count(_ < 0),
         memoHits1 - memoHits0,
-        memoMisses1 - memoMisses0)
+        memoMisses1 - memoMisses0,
+        firstR, firstW, steadyR, steadyW)
     }
     if (prevFam.nonEmpty) recordFootprint(prevFam, "done")
     // Registry-growth canary for the whole-stage-codegen class cache
@@ -227,8 +313,21 @@ object Bench {
           "20% of (or past) the cache capacity; raise maxEntries in " +
           "Sessions.configure or late-sweep families will recompile every " +
           "plan every run (the r12 m-family regression, SCALE.md postmortem)")
+    val shuffleMax = results.map { case (_, _, _, _, _, _, _, _, _, _, sr, sw)
+      => sr + sw }.maxOption.getOrElse(0L)
+    System.err.println(s"[bench] max steady-state shuffle volume " +
+      s"${shuffleMax / 1048576} MB vs envelope " +
+      s"${shuffleEnvelopeBytes / 1048576} MB")
+    results.foreach { case (k, _, _, _, _, _, _, _, _, _, sr, sw) =>
+      if (sr + sw > shuffleEnvelopeBytes)
+        System.err.println(s"[bench] SHUFFLE ENVELOPE CANARY: $k moved " +
+          s"${(sr + sw) / 1048576} MB through the shuffle at steady state " +
+          s"— past the ${shuffleEnvelopeBytes / 1048576} MB envelope; a " +
+          "same-shape plan moving 10x the bytes is a regression the plan " +
+          "pins cannot see (check the round-over-round 'shuffle' diff)")
+    }
     val line = renderLine(results, footprints.toSeq, runsPerQuery,
-      compiled, cacheMax, sfDir)
+      compiled, cacheMax, sfDir, shuffleEnvelopeBytes)
     // Truncation-proofing: both prior rounds' driver artifacts captured
     // only a tail of stdout and cut the medians dict. The file is the
     // authoritative copy; the stdout line stays for the driver's parser.
