@@ -86,25 +86,78 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** The skew synthesis' hot-cluster template (≥ 3 tokens ⇒ shingles
+    * exist ⇒ every copy lands in the same LSH band buckets) and its
+    * population: `SkewHotDocs(mult)` text-identical docs drive every
+    * shared bucket's load far past both the fixed 50-doc cap and the
+    * 16×-mean scaled cap — the degenerate-boilerplate scenario the
+    * bucket guards exist for. */
+  private[graft] val SkewHotTemplate: String =
+    "breaking news wire syndicated boilerplate header subscribe to our " +
+      "newsletter all rights reserved copyright notice terms of service " +
+      "privacy policy cookie banner follow us on social media"
+  private[graft] def SkewHotDocs(mult: Int): Int = mult * 100
+
   /** Build the cipher-isomorphic mult-x corpus under bigDir
     * (documents, embeddings, events) — shared by the timing probe and
-    * the 20x correctness-gate receipt (scripts/gate20x.sh). */
+    * the 20x correctness-gate receipt (scripts/gate20x.sh).
+    *
+    * `skew = true` (r18 verdict ask #6) deforms the DOCUMENT table into
+    * the adversarial shape the skew guards exist for, while the
+    * embeddings/events stay uniform:
+    *  - SOURCE skew: every doc's source is reassigned by a
+    *    deterministic zipf(1)-shaped draw (log-uniform index over the
+    *    base source universe, keyed on xxhash64(doc_id)) — the head
+    *    source holds an order of magnitude more docs than the tail,
+    *    p08's hot-domain scenario;
+    *  - BAND skew: [[SkewHotDocs]] text-identical boilerplate docs
+    *    (ids past the cipher range, all on the head source) drive
+    *    their shared band buckets to ~100× the cap — the degenerate
+    *    buckets d03/d10's guards must DROP while the rest of the
+    *    corpus dedups normally.
+    * The planted-recall/clique rows (d05/d06/d10) DOCUMENT a
+    * ≤ MaxBucketSize/2 near-identical-content precondition; the skew
+    * corpus violates it deliberately, so the skew gate runs the
+    * bound-contract and full-oracle rows instead
+    * (scripts/gateskew.sh documents the exclusion). */
   def synthesize(spark: SparkSession, base: String, bigDir: String,
-      mult: Int): Unit = {
+      mult: Int, skew: Boolean = false): Unit = {
     require(mult >= 1 && mult <= 26,
       s"mult must be in [1, 26] (got $mult): rotations repeat past 26")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val lower = ('a' to 'z').mkString
     val upper = ('A' to 'Z').mkString
-    (0 until mult).map { i =>
+    val ciphered = (0 until mult).map { i =>
       val rotL = lower.drop(i % 26) + lower.take(i % 26)
       val rotU = upper.drop(i % 26) + upper.take(i % 26)
       docs
         .withColumn("doc_id", col("doc_id") + lit(i.toLong * (maxId + 1)))
         .withColumn("text", translate(col("text"), lower + upper, rotL + rotU))
     }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    val docsOut = if (!skew) ciphered else {
+      val nSrc = docs.select(col("source")).distinct().count()
+      // zipf(1)-shaped source index: u log-uniform over [1, nSrc) ⇒
+      // P(idx = k) ∝ ln(1 + 1/(k+1)) ≈ 1/(k+1)
+      val u = pmod(xxhash64(col("doc_id"), lit(7719L)), lit(1000000L))
+        .cast("double") / lit(1000000.0)
+      val zipfIdx = (floor(pow(lit(nSrc.toDouble), u)) - 1)
+        .cast("long")
+      val hotBase = mult.toLong * (maxId + 1)
+      val hot = spark.range(SkewHotDocs(mult).toLong).select(
+        (col("id") + lit(hotBase)).as("doc_id"),
+        lit(SkewHotTemplate).as("text"),
+        lit("en").as("lang"),
+        lit("src0").as("source"),
+        lit(SkewHotTemplate.length.toLong).as("n_chars"))
+      ciphered
+        .withColumn("source",
+          concat(lit("src"), greatest(zipfIdx, lit(0L)).cast("string")))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .unionByName(hot)
+    }
+    docsOut.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
     // Embeddings blow-up for the e10 probe — the vector analog of the
     // Caesar cipher: copy i cyclically ROLLS each vector's dimensions by
@@ -186,18 +239,76 @@ object ScaleProbe {
 
 /** Synthesis-only entry: build the cipher-isomorphic mult-x corpus and
   * exit (the 20x gate receipt wants the corpus without the timing
-  * probe). Usage: runMain graft.Synth [baseDir] [bigDir] [mult] */
+  * probe). Usage: runMain graft.Synth [baseDir] [bigDir] [mult] [skew] */
 object Synth {
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val bigDir = if (args.length > 1) args(1) else "/tmp/graft_scale_synth"
     val mult = if (args.length > 2) args(2).toInt else 20
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.configure(
       org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]"),
       cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ScaleProbe.synthesize(spark, base, bigDir, mult)
+    ScaleProbe.synthesize(spark, base, bigDir, mult, skew)
+    spark.stop()
+  }
+}
+
+/** Skew-guard engagement diagnostic (r18 verdict ask #6's receipt):
+  * measures, on a (skew-)synthesized corpus, exactly which skew guards
+  * the dedup/packing plans ENGAGE — the gate's correctness rows prove
+  * the survivor arithmetic, this names the guards that produced it.
+  * Prints one JSON line:
+  *  - LSH band buckets over the fixed d03 cap and over d10's 3×-union
+  *    scaled cap, with the banded rows those drops retire (the
+  *    all-pairs work the guard refuses to do);
+  *  - the per-source census head (p08's hot-domain scenario) and how
+  *    many sources exceed the 10-doc cap.
+  * Usage: runMain graft.SkewDiag [dir] */
+object SkewDiag {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/graft_scale_skew"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.configure(
+      org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]"),
+      cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.DedupOps
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val banded = DedupOps.minhashBands(docs).localCheckpoint()
+    val nBanded = banded.count()
+    val fixedCap = DedupOps.MaxBucketSize.toLong
+    // d10 runs the candidate path over the 3× planted union, whose
+    // bucket loads triple — measure against ITS effective cap so the
+    // receipt names the production guard, not just d03's windowed one
+    val scaledCap3x = 3L * fixedCap
+    val loads = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    def over(cap: Long): (Long, Long) = {
+      val r = loads.filter(col("n") > cap)
+        .agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nOverFixed, rowsOverFixed) = over(fixedCap)
+    val (nOver3x, rowsOver3x) = over(scaledCap3x)
+    val maxLoad = loads.agg(max(col("n"))).head().getLong(0)
+    val srcCensus = graft.sources.Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).localCheckpoint()
+    val top = srcCensus.limit(5).collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+    val nCapped = srcCensus.filter(col("n") > 10).count()
+    println(
+      s"""{"banded_rows":$nBanded,"max_bucket_load":$maxLoad,""" +
+        s""""buckets_over_fixed_cap_$fixedCap":$nOverFixed,""" +
+        s""""banded_rows_in_dropped_buckets":$rowsOverFixed,""" +
+        s""""buckets_over_3x_cap_$scaledCap3x":$nOver3x,""" +
+        s""""banded_rows_in_3x_dropped":$rowsOver3x,""" +
+        s""""source_census_top5":{$top},""" +
+        s""""sources_over_p08_cap_10":$nCapped}""")
     spark.stop()
   }
 }
