@@ -608,12 +608,20 @@ object BpeOps {
     * vocabulary relation (a0) — training (w0) always reads the real
     * corpus; t23 applies the shipped tokenizer to its planted union. */
   private def chainSql(n: Int, sfx: String, residue: Long,
-      docsRel: String = "documents"): String = {
+      docsRel: String = "documents"): String =
+    chainSql(n, sfx, residue, docsRel, "documents")
+
+  /** As above with a selectable TRAINING-side relation (w0) — t25
+    * trains the pre-takedown tokenizer on the planted union, so the
+    * oracle needs the one merge recipe instantiated over a corpus
+    * other than `documents`. */
+  private def chainSql(n: Int, sfx: String, residue: Long,
+      docsRel: String, trainRel: String): String = {
     val base =
       s"""w0$sfx AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS f,
          |    ${segInitSql("word")} AS seg
-         |  FROM (SELECT unnest($rawTokSql) AS word FROM documents
+         |  FROM (SELECT unnest($rawTokSql) AS word FROM $trainRel
          |        WHERE doc_id % $TrainMod = $residue) t
          |  WHERE word <> '' GROUP BY word),
          |a0$sfx AS MATERIALIZED (
@@ -930,6 +938,108 @@ object BpeOps {
       "  FROM tw2 GROUP BY source)\n" +
       "SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY phase, source"
 
+  /** t25 — TOKENIZER-SURFACE right-to-be-forgotten (m18's refit loop
+    * on the second fitted artifact the r18 verdict named: the merge
+    * table was TRAINED on a corpus that included later-deleted docs,
+    * and nothing witnessed a retrain): the pre-takedown tokenizer v1
+    * is trained on documents ∪ one planted doc sitting ON the
+    * training slice (doc_id = the plant offset — a power of ten,
+    * divisible by [[TrainMod]]) whose text is the marker word `zzqq`
+    * repeated C+1 times, C = the slice's total char count. Any
+    * organic pair's weighted count is ≤ C (each adjacent-pair
+    * instance consumes a character), so the marker word's pairs
+    * dominate every argmax while any remain and the learned table
+    * provably contains the merged symbol `zzqq` within 3 steps. The
+    * takedown removes the doc; the retrain on survivors IS the
+    * shipped [[trainedMerges]] artifact. Both tables are saved as
+    * versioned dirs, adopted v1 → v2 through a [[graft.api
+    * .ServePointer]] (s43's pointer-addressed tokenizer), and the
+    * audit emits: marker membership in the LOADED v1 table vs the
+    * pointer-resolved current table (both CLOSED-FORM — the oracle
+    * re-runs the one [[chainSql]] recipe over the SQL-synthesized
+    * union and over the survivors), merge-for-merge identity of the
+    * served table with the shipped artifact, and v1 still protected
+    * inside the rollback window.
+    *
+    * 100 TB shape: one extra vocabulary-scale merge loop (the refit's
+    * cost floor — BPE statistics are corpus sums, exact unlearning
+    * means retraining); the plant adds one doc whose token stream is
+    * slice-sized; everything else is merge-table-sized pointer
+    * arithmetic. */
+  def bpeForget(s: SparkSession, d: String): DataFrame = {
+    import graft.api.ServePointer
+    import graft.operators.{DedupOps => DD}
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val off = DD.plantOffset(DD.maxIdOf(docs, "doc_id"))
+    val c = docs.filter(col("doc_id") % TrainMod === 0)
+      .agg(coalesce(sum(length(col("text"))), lit(0L))).head().getLong(0)
+    val planted = s.range(1).select(lit(off).as("doc_id"),
+      trim(repeat(lit("zzqq "), (c + 1).toInt)).as("text"))
+    val vm1 = graft.api.Intermediates.memo(s, s"t25-merges|$d") {
+      trainBpeBatched(sliceWords(docs.unionByName(planted)), NMerges)._1
+    }
+    val vm2 = trainedMerges(s, d) // survivors = the shipped artifact
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "t25")
+    val v1 = s"$root/tok_v1"
+    val v2 = s"$root/tok_v2"
+    val ptr = s"$root/pointer"
+    if (!new java.io.File(s"$v1/_SUCCESS").isFile) saveMerges(s, vm1, v1)
+    if (!new java.io.File(s"$v2/_SUCCESS").isFile) saveMerges(s, vm2, v2)
+    val v2n = java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString
+    if (!ServePointer.current(ptr).contains(v2n))
+      ServePointer.adopt(ptr, v1) // replays keep the flip (s38 posture)
+    ServePointer.adopt(ptr, v2)
+    val served = loadMerges(s, ServePointer.current(ptr).getOrElse(
+      sys.error(s"no adopted tokenizer under $ptr")))
+    val before = loadMerges(s, v1)
+    val inBefore = if (before.exists(_.merged == "zzqq")) 1L else 0L
+    val inAfter = if (served.exists(_.merged == "zzqq")) 1L else 0L
+    val servedIsRefit = if (served == vm2) 1L else 0L
+    val priorProtected =
+      if (ServePointer.retirable(ptr, Seq(v1, v2), keepLast = 2).isEmpty)
+        1L else 0L
+    val ptrVersion = ServePointer.history(ptr).last._1.toLong
+    import s.implicits._
+    Seq(("zzqq", inBefore, inAfter, servedIsRefit, priorProtected,
+      ptrVersion)).toDF("term", "in_merges_before", "in_merges_after",
+      "served_is_refit", "prior_protected", "ptr_version")
+  }
+
+  /** The merged-symbol projection of one generated chain's b-CTEs —
+    * t25's membership probe surface. */
+  private def mergedUnionSql(n: Int, sfx: String): String =
+    (1 to n).map(k => s"SELECT replace(pair, ' ', '') AS m FROM b$k$sfx")
+      .mkString("\n  UNION ALL ")
+
+  /** t25's oracle: the union corpus synthesized in SQL (the same C+1
+    * repeat arithmetic over the same slice census and plant-offset
+    * id), the ONE merge recipe instantiated over it (suffix `_f`) and
+    * over the survivors (the shipped chain), marker membership
+    * computed from both tables' merged symbols; the pointer/serve
+    * lifecycle stated as the bound frame (BpeOpsSpec pins the serve
+    * identity). Plain concatenation — the fragments are already
+    * margin-stripped. */
+  private val bpeForgetSql: String =
+    "WITH u_docs AS (\n" +
+      "  SELECT doc_id, text FROM documents\n" +
+      "  UNION ALL\n" +
+      "  SELECT " + DedupOps.plantOffsetSql("doc_id", "documents") +
+      " AS doc_id, trim(repeat('zzqq ', n)) AS text\n" +
+      "  FROM (SELECT CAST(sum(length(text)) + 1 AS INT) AS n\n" +
+      s"        FROM documents WHERE doc_id % $TrainMod = 0)),\n" +
+      chainSql(NMerges, "_f", 0L, "u_docs", "u_docs") + ",\n" +
+      chainSql(NMerges, "", 0L) + ",\n" +
+      "m_f AS (" + mergedUnionSql(NMerges, "_f") + "),\n" +
+      "m_s AS (" + mergedUnionSql(NMerges, "") + ")\n" +
+      "SELECT 'zzqq' AS term,\n" +
+      "  CAST(EXISTS(SELECT 1 FROM m_f WHERE m = 'zzqq') AS BIGINT)\n" +
+      "    AS in_merges_before,\n" +
+      "  CAST(EXISTS(SELECT 1 FROM m_s WHERE m = 'zzqq') AS BIGINT)\n" +
+      "    AS in_merges_after,\n" +
+      "  CAST(1 AS BIGINT) AS served_is_refit,\n" +
+      "  CAST(1 AS BIGINT) AS prior_protected,\n" +
+      "  CAST(2 AS BIGINT) AS ptr_version"
+
   /** t23's oracle: the planted union as a VALUES CTE (generated from
     * the SAME [[PlantedScriptDocs]] literal), the shipped tokenizer's
     * chain with the apply side reading the union, and t21's roll-up. */
@@ -984,5 +1094,6 @@ object BpeOps {
     QueryDef("t20_bpe_card", bpeCard, Some(bpeCardSql)),
     QueryDef("t21_bpe_lang_card", bpeLangCard, Some(bpeLangCardSql)),
     QueryDef("t22_retrain_drift", bpeRetrainDrift, Some(bpeRetrainDriftSql)),
-    QueryDef("t23_script_card", bpeScriptCard, Some(bpeScriptCardSql)))
+    QueryDef("t23_script_card", bpeScriptCard, Some(bpeScriptCardSql)),
+    QueryDef("t25_bpe_forget", bpeForget, Some(bpeForgetSql)))
 }

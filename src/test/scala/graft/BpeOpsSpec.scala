@@ -222,6 +222,40 @@ class BpeOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t25: the pre-takedown tokenizer still serves inside the rollback window; the served table IS the shipped artifact") {
+    import graft.api.ServePointer
+    val out = BpeOps.bpeForget(spark, sfTiny).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 1L, "marker merge must be in the v1 table")
+    assert(r.getLong(2) === 0L, "marker merge must leave the refit table")
+    assert(r.getLong(3) === 1L, "served table must be the shipped artifact")
+    assert(r.getLong(4) === 1L)
+    assert(r.getLong(5) === 2L)
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "t25")
+    val v1 = s"$root/tok_v1"; val v2 = s"$root/tok_v2"
+    val ptr = s"$root/pointer"
+    assert(ServePointer.history(ptr).map(_._1) === Seq(1, 2))
+    // v1 protected in-window, offered for retirement only past it
+    assert(ServePointer.retirable(ptr, Seq(v1, v2), keepLast = 2).isEmpty)
+    assert(ServePointer.retirable(ptr, Seq(v1, v2), keepLast = 1) === Seq(v1))
+    // the pre-takedown tokenizer still LOADS and APPLIES: its first
+    // merges are the marker word's own collapse (the dominance proof),
+    // and retokenizing under it still yields >= 1 piece per word
+    val before = BpeOps.loadMerges(spark, v1)
+    // the 4-symbol marker word collapses in exactly 3 merges, and the
+    // dominance bound (R = C+1 > any organic pair count) makes all
+    // three argmaxes marker pairs — so step 3's merged symbol IS the
+    // whole marker word
+    assert(before.take(3).map(_.merged).contains("zzqq"),
+      "the plant must dominate the first argmaxes")
+    // the served (current) table is merge-for-merge the shipped one
+    val served = BpeOps.loadMerges(spark,
+      ServePointer.current(ptr).get)
+    assert(served === BpeOps.trainedMerges(spark, sfTiny))
+    assert(served.forall(m => !m.merged.contains("zzqq")))
+  }
+
   test("t20 card cross-foots with t18 and bounds its ratios") {
     val card = BpeOps.bpeCard(spark, sfTiny)
       .as[(String, Long, Long, Long, Double, Double)].collect()
