@@ -24,13 +24,18 @@
 # and the batched BPE trainer; r18 adds the
 # aligned pair export, the three remaining families' mid-stream
 # pointer flips, the janitor-during-a-live-serve row, and the PQ-stack
-# live reload) — their oracles
+# live reload; r19 adds the model-surface right-to-be-forgotten, the
+# mid-drain tokenizer flip, the export tree's maintenance day, and the
+# quantizer refit-on-survivors) — their oracles
 # recompute on the synthetic corpus, so they are checkable at any
 # scale; they are here because they are cheap enough to afford.
 #
 # Rows NOT runnable here, and why (documented, not silent):
 #   - q01..q40: read the TPC-H tables, which the synthetic corpus does
 #     not materialize (documents/embeddings/events only);
+#   - t25: its plant repeats a marker once per TRAINING-SLICE CHARACTER
+#     (the dominance bound), which at 20x is a ~30 MB single document —
+#     correct at any SF (proven at three) but disproportionate here;
 #   - the remaining full-hash rows (t01.., d01.., c01-c04, p01.., s*):
 #     correctness-checkable at ANY SF by re-running their oracle —
 #     already proven at two SFs; excluded HERE only to keep the
@@ -76,7 +81,8 @@ s37_stream_multimodal_admission,d31_passage_janitor_cycle,\
 d32_winnow_janitor_cycle,c13_admitted_pair_export,\
 s38_stream_lsh_flip,s39_stream_passage_flip,s40_stream_winnow_flip,\
 s41_stream_janitor_live,s42_stream_pq_flip,\
-m18_model_forget,s43_stream_tokenizer_flip,p16_export_maintenance"
+m18_model_forget,s43_stream_tokenizer_flip,p16_export_maintenance,\
+e29_quantizer_forget"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

@@ -1750,6 +1750,117 @@ object EmbeddingOps {
     batchServeAgainst(graft.api.IvfStore.load(s, dir), off)
   }
 
+  /** e29 — QUANTIZER-SURFACE right-to-be-forgotten (m18/t25's refit
+    * loop on the third fitted artifact the r18 verdict named: the IVF
+    * coarse quantizer — and via the identical build path, the PQ
+    * codebooks — was FIT on vectors that included later-deleted ones;
+    * e21/e22 delete the vectors FROM the index but the codebook
+    * geometry still reflects them): the pre-takedown v1 index is
+    * built on embeddings ∪ max(64, n/10) planted copies of one
+    * far-out point (every coordinate 10.0 while the corpus is
+    * unit-scale — an isolated 10%-mass cluster the seeded k-means
+    * provably dedicates a centroid to, since any mixed assignment
+    * leaves a cost term ~100·dim per planted copy); the takedown
+    * removes them; the refit on survivors IS the session's shared
+    * base index (e22's memo key). Both versions are saved through
+    * [[graft.api.IvfStore]] and adopted v1 → v2 behind a
+    * [[graft.api.ServePointer]]; the audit emits the relational
+    * membership counts (planted ids in the loaded v1 assignment =
+    * the closed-form plant count; zero in the pointer-resolved
+    * current one; survivor count = the corpus), the codebook
+    * geometry flags (some v1 centroid inside the plant's half-radius
+    * ball; EVERY refit centroid outside it — the refit's centroids
+    * are means of unit-scale survivors, so clearance is convexity,
+    * not luck), served-is-refit (center-for-center identity with the
+    * shared base build), and the rollback-window protection.
+    *
+    * 100 TB shape: the refit pays one quantizer fit over survivors —
+    * the cost floor for honoring a takedown in codebook weights (the
+    * same FAISS-posture sample bound applies, [[pqTrainInput]]);
+    * membership counts are column-pruned scans of the assigned
+    * relation; the geometry audit is driver-side over ≤ cells
+    * centers. */
+  def quantizerForget(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{IvfStore, ServePointer}
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val n = corpusCount(s, d)
+    val p = math.max(64L, n / 10L)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val planted = s.range(p).select((col("id") + lit(off)).as("vec_id"),
+      array_repeat(lit(10.0f), dim).as("embedding"))
+    val cells = ivfCellsFor(n)
+    val root = indexTmpBase(s, d, "e29")
+    val ptr = s"$root/pointer"
+    val v1 = IvfStore.versionedDir(s"$root/pre", cells, IndexDate)
+    val v2 = IvfStore.versionedDir(s"$root/refit", cells,
+      IndexDate.plusDays(1))
+    val v2n = java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString
+    val preIdx = graft.api.Intermediates.memo(s, s"e29-fit|$d|$cells") {
+      ivfBuild(base.unionByName(planted), cells)
+    }
+    val refit = graft.api.Intermediates.memo(s, s"ivf|$d|$cells") {
+      ivfBuild(base, cells) // survivors = the e22-shared base build
+    }
+    if (!new java.io.File(s"$v1/assigned/_SUCCESS").isFile)
+      IvfStore.save(v1, preIdx)
+    if (!ServePointer.current(ptr).contains(v2n))
+      ServePointer.adopt(ptr, v1) // replays keep the flip (s38 posture)
+    if (!new java.io.File(s"$v2/assigned/_SUCCESS").isFile)
+      IvfStore.save(v2, refit)
+    ServePointer.adopt(ptr, v2)
+    val served = IvfStore.load(s, ServePointer.current(ptr).getOrElse(
+      sys.error(s"no adopted quantizer version under $ptr")))
+    val before = IvfStore.load(s, v1)
+    val nPlantedBefore = before.assigned.filter(col("vec_id") >= off).count()
+    val nPlantedAfter = served.assigned.filter(col("vec_id") >= off).count()
+    val nAfter = served.assigned.count()
+    import org.apache.spark.ml.linalg.Vectors
+    // the quantizer is a COSINE quantizer (ivfBuild L2-normalizes), so
+    // the plant's identity on the sphere is its DIRECTION: all-ones,
+    // normalized. The corpus is isotropic mean-zero (organic |cos| to
+    // all-ones ≲ 0.45 at every SF), so sqdist(c, u) = |c|²+1−2c·u
+    // stays ≥ ~0.8 for any mean-of-survivors centroid, while the pure
+    // plant cell's centroid is u exactly — 0.5 splits the two regimes
+    // with margin on both sides
+    val plantVec = Vectors.dense(Array.fill(dim)(1.0 / math.sqrt(dim.toDouble)))
+    val halfSq = 0.5
+    val shapedBefore =
+      if (before.model.clusterCenters
+        .exists(c => Vectors.sqdist(c, plantVec) < halfSq)) 1L else 0L
+    val clearedAfter =
+      if (served.model.clusterCenters
+        .forall(c => Vectors.sqdist(c, plantVec) > halfSq)) 1L else 0L
+    val servedIsRefit =
+      if (served.model.clusterCenters.toSeq ==
+        refit.model.clusterCenters.toSeq) 1L else 0L
+    val priorProtected =
+      if (ServePointer.retirable(ptr, Seq(v1, v2), keepLast = 2).isEmpty)
+        1L else 0L
+    val ptrVersion = ServePointer.history(ptr).last._1.toLong
+    import s.implicits._
+    Seq((nPlantedBefore, nPlantedAfter, nAfter, shapedBefore, clearedAfter,
+      servedIsRefit, priorProtected, ptrVersion))
+      .toDF("n_planted_before", "n_planted_after", "n_after",
+        "codebook_shaped_before", "codebook_cleared_after",
+        "served_is_refit", "prior_protected", "ptr_version")
+  }
+
+  /** e29's oracle: the membership counts are relational (the plant
+    * count formula and the survivor census), the geometry/lifecycle
+    * flags the bound frame. */
+  private val quantizerForgetSql =
+    """SELECT
+      |  CAST(greatest(64, (SELECT count(*) FROM embeddings) // 10)
+      |    AS BIGINT) AS n_planted_before,
+      |  CAST(0 AS BIGINT) AS n_planted_after,
+      |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_after,
+      |  CAST(1 AS BIGINT) AS codebook_shaped_before,
+      |  CAST(1 AS BIGINT) AS codebook_cleared_after,
+      |  CAST(1 AS BIGINT) AS served_is_refit,
+      |  CAST(1 AS BIGINT) AS prior_protected,
+      |  CAST(2 AS BIGINT) AS ptr_version""".stripMargin
+
   /** c09/s35's semantic-admission threshold — e10's SemDeDup operating
     * point (a pair ≥ this cosine is the same content re-embedded). */
   private[graft] val AdmitTau = 0.95
@@ -2687,6 +2798,11 @@ object EmbeddingOps {
       Some(versionRollbackSql)),
     // e28 runs the WHOLE maintenance day in-row (trigger → fold →
     // adopt → retire → pointer serve) — e21/e22's closed form transfers
+    // e29 refits the QUANTIZER on survivors after a takedown and
+    // adopts the refit — the codebook no longer reflects the
+    // forgotten vectors (see e29 doc)
+    QueryDef("e29_quantizer_forget", quantizerForget,
+      Some(quantizerForgetSql)),
     QueryDef("e28_janitor_cycle", annJanitorCycle,
       Some(tombstoneServeSql)),
     // c09 admits a vector increment through exact + semantic gates and

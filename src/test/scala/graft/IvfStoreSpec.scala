@@ -165,6 +165,34 @@ class IvfStoreSpec extends SparkSpec {
     assert(r3 === r1, "a re-load of version N drifted after N+1 landed")
   }
 
+  test("e29: the pre-refit quantizer still serves inside the rollback window; the refit codebook cleared the plant") {
+    import graft.api.ServePointer
+    val out = EmbeddingOps.quantizerForget(spark, sfTiny).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) >= 64L, "plant count floor")
+    assert(r.getLong(1) === 0L, "planted ids must leave the served index")
+    assert(r.getLong(3) === 1L, "v1's codebook must hold a plant centroid")
+    assert(r.getLong(4) === 1L, "the refit codebook must be clear of it")
+    assert(r.getLong(5) === 1L, "served centers must equal the base build")
+    assert(r.getLong(7) === 2L)
+    val root = graft.sources.TmpDirs.artifactRoot(spark, sfTiny, "e29")
+    val cells = EmbeddingOps.ivfCellsFor(
+      EmbeddingOps.corpusCount(spark, sfTiny))
+    val date = java.time.LocalDate.ofEpochDay(0)
+    val v1 = IvfStore.versionedDir(s"$root/pre", cells, date)
+    val v2 = IvfStore.versionedDir(s"$root/refit", cells, date.plusDays(1))
+    val ptr = s"$root/pointer"
+    assert(ServePointer.history(ptr).map(_._1) === Seq(1, 2))
+    assert(ServePointer.retirable(ptr, Seq(v1, v2), keepLast = 2).isEmpty)
+    assert(ServePointer.retirable(ptr, Seq(v1, v2), keepLast = 1) === Seq(v1))
+    // the pre-refit artifact still LOADS and probes (a rollback would
+    // re-adopt it): its assignment carries the planted ids
+    val before = IvfStore.load(spark, v1)
+    assert(before.assigned.count() > 0)
+    assert(before.model.clusterCenters.length === cells)
+  }
+
   test("e26 rebuilt-artifact serve equals the e13/e14 serve; the quantizer actually grew") {
     val want = EmbeddingOps.annBatchServe(spark, sfTiny).collect().map(_.toSeq).toSeq
     assert(want.nonEmpty)
