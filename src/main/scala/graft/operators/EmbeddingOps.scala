@@ -1846,6 +1846,118 @@ object EmbeddingOps {
         "served_is_refit", "prior_protected", "ptr_version")
   }
 
+// the gate chain releases the working tree.
+
+  /** e30 — PQ-CODEBOOK right-to-be-forgotten (e29's refit loop on the
+    * LAST fitted artifact: e29 witnesses the coarse quantizer, but the
+    * per-subspace PQ codebooks are their own trained model — fit by
+    * [[pqTrain]] on the corpus sample — and a codebook trained before
+    * a takedown still has a code dedicated to the forgotten cluster):
+    * v1 = the FULL compressed stack (coarse quantizer + M codebooks +
+    * corpus codes) built on embeddings ∪ the e29 plant (max(64, n/10)
+    * copies of the 10·e1 point, whose energy lives in subspace 0);
+    * the takedown removes them; the refit on survivors IS the
+    * session's shared [[pqBaseBuild]] stack. Both versions are saved
+    * through [[graft.api.IvfStore.savePq]] and adopted v1 → v2 behind
+    * a [[graft.api.ServePointer]]. Audit:
+    *  - relational: planted ids in the loaded v1 codes = the
+    *    closed-form plant count; zero in the pointer-resolved current
+    *    codes; survivor code count = the corpus census;
+    *  - codebook geometry, anchored on the plant's ENERGY subspace
+    *    (subspace 0 — see the plant construction note): v1's
+    *    subspace-0 codebook holds a code inside the plant subvector's
+    *    0.2-radius ball (the 10%-mass isolated point draws a pure
+    *    code); the served refit's holds NONE (an organic code is a
+    *    mean of subvectors with first coordinate ≲ 0.5, which cannot
+    *    approach the unit e1 closer than ~0.5);
+    *  - served_is_refit: codebooks center-for-center the shared base
+    *    stack's, all M subspaces;
+    *  - v1 window-protected (rollback still possible).
+    *
+    * 100 TB shape: the refit is M bounded-sample k-means fits (the
+    * [[PqTrainSample]] FAISS posture); code membership is a
+    * column-pruned scan; the geometry audit is driver-side over
+    * M × K centers. */
+  def pqForget(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{IvfStore, ServePointer}
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val off = DedupOps.plantOffset(DedupOps.maxIdOf(base, "vec_id"))
+    val n = corpusCount(s, d)
+    val p = math.max(64L, n / 10L)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    // the plant's ENERGY lives in one subspace: embedding = 10·e1,
+    // which normalizes to the basis direction (1,0,…,0). In the full
+    // 64-dim space that is an isolated direction (organic first
+    // coordinates of unit vectors are ~N(0, 1/dim)); in SUBSPACE 0 its
+    // subvector is the unit e1 of R^{dim/M} while every organic
+    // subvector has norm ≲ 0.6 — so the geometric witness anchors on
+    // the energy subspace (the other subspaces see the plant as the
+    // zero vector, indistinguishable from small organic subvectors,
+    // which is exactly why an all-ones plant cannot witness there)
+    val planted = s.range(p).select((col("id") + lit(off)).as("vec_id"),
+      array((lit(10.0f) +: Seq.fill(dim - 1)(lit(0.0f))): _*).as("embedding"))
+    val cells = ivfCellsFor(n)
+    val m = PqSubspaces
+    val root = indexTmpBase(s, d, "e30")
+    val ptr = s"$root/pointer"
+    val v1 = IvfStore.versionedPqDir(s"$root/pre", cells, m, PqCodes,
+      IndexDate)
+    val v2 = IvfStore.versionedPqDir(s"$root/refit", cells, m, PqCodes,
+      IndexDate.plusDays(1))
+    val v2n = java.nio.file.Paths.get(v2).toAbsolutePath.normalize().toString
+    val (preIdx, prePq, preCodes) = graft.api.Intermediates.memo(s,
+        s"e30-fit|$d|$cells") {
+      val idx = ivfBuild(base.unionByName(planted), cells)
+      val pq = pqTrain(idx.assigned, dim)
+      (idx, pq, pqEncode(idx.assigned, pq, dim).localCheckpoint())
+    }
+    val (refitIdx, refitPq, refitCodes, _) = pqBaseBuild(s, d)
+    if (!new java.io.File(s"$v1/codes/_SUCCESS").isFile)
+      IvfStore.savePq(v1, preIdx, prePq, preCodes)
+    if (!ServePointer.current(ptr).contains(v2n))
+      ServePointer.adopt(ptr, v1) // replays keep the flip (s38 posture)
+    if (!new java.io.File(s"$v2/codes/_SUCCESS").isFile)
+      IvfStore.savePq(v2, refitIdx, refitPq, refitCodes)
+    ServePointer.adopt(ptr, v2)
+    val (_, servedPq, servedCodes) = IvfStore.loadPq(s,
+      ServePointer.current(ptr).getOrElse(
+        sys.error(s"no adopted PQ version under $ptr")), m)
+    val (_, beforePq, beforeCodes) = IvfStore.loadPq(s, v1, m)
+    val nPlantedBefore = beforeCodes.filter(col("vec_id") >= off).count()
+    val nPlantedAfter = servedCodes.filter(col("vec_id") >= off).count()
+    val nAfter = servedCodes.count()
+    import org.apache.spark.ml.linalg.Vectors
+    val sub = dim / m
+    // subspace 0's plant subvector is e1 of R^sub; a pure-plant code
+    // sits ON it, while any organic code is a mean of subvectors whose
+    // first coordinate is ≲ 0.5 — sqdist ≥ 1 − 2c₀ + |c|² ≥ ~0.25,
+    // so 0.04 (dist 0.2) splits the regimes with margin on both sides
+    val plantSub = Vectors.dense(
+      (1.0 +: Seq.fill(sub - 1)(0.0)).toArray)
+    val shapedBefore =
+      if (beforePq.models.head.clusterCenters
+        .exists(c => Vectors.sqdist(c, plantSub) < 0.04)) 1L else 0L
+    val clearedAfter =
+      if (servedPq.models.head.clusterCenters
+        .forall(c => Vectors.sqdist(c, plantSub) > 0.04)) 1L else 0L
+    val servedIsRefit =
+      if (servedPq.models.map(_.clusterCenters.toSeq) ==
+        refitPq.models.map(_.clusterCenters.toSeq)) 1L else 0L
+    val priorProtected =
+      if (ServePointer.retirable(ptr, Seq(v1, v2), keepLast = 2).isEmpty)
+        1L else 0L
+    val ptrVersion = ServePointer.history(ptr).last._1.toLong
+    import s.implicits._
+    Seq((nPlantedBefore, nPlantedAfter, nAfter, shapedBefore, clearedAfter,
+      servedIsRefit, priorProtected, ptrVersion))
+      .toDF("n_planted_before", "n_planted_after", "n_after",
+        "codebook_shaped_before", "codebook_cleared_after",
+        "served_is_refit", "prior_protected", "ptr_version")
+  }
+
+  /** e30's oracle — e29's frame, verbatim. */
+  private def pqForgetSql: String = quantizerForgetSql
+
   /** e29's oracle: the membership counts are relational (the plant
     * count formula and the survivor census), the geometry/lifecycle
     * flags the bound frame. */
@@ -2803,6 +2915,9 @@ object EmbeddingOps {
     // forgotten vectors (see e29 doc)
     QueryDef("e29_quantizer_forget", quantizerForget,
       Some(quantizerForgetSql)),
+    // e30 refits the PQ CODEBOOKS on survivors — the compressed
+    // stack's own forget loop (see e30 doc)
+    QueryDef("e30_pq_forget", pqForget, Some(pqForgetSql)),
     QueryDef("e28_janitor_cycle", annJanitorCycle,
       Some(tombstoneServeSql)),
     // c09 admits a vector increment through exact + semantic gates and
