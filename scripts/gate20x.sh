@@ -82,7 +82,7 @@ d32_winnow_janitor_cycle,c13_admitted_pair_export,\
 s38_stream_lsh_flip,s39_stream_passage_flip,s40_stream_winnow_flip,\
 s41_stream_janitor_live,s42_stream_pq_flip,\
 m18_model_forget,s43_stream_tokenizer_flip,p16_export_maintenance,\
-e29_quantizer_forget,e30_pq_forget"
+e29_quantizer_forget,e30_pq_forget,s44_stream_model_flip"
 
 echo "== synthesizing ${MULT}x corpus from $BASE into $BIG =="
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch \

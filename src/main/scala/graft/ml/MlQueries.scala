@@ -840,45 +840,70 @@ object MlQueries {
     * else is ids-sized pointer arithmetic. The planted-doc union adds
     * one doc to the corpus scan; the audit joins a 3-row relation
     * against two vocabulary-sized (≤2000-row) artifacts. */
-  def modelForget(s: SparkSession, d: String): DataFrame = {
-    import graft.api.{ModelPipeline, ModelStore, ServePointer}
+  /** m18's marker vocabulary — shared with s44's phased oracle. */
+  private[graft] val ForgetMarkers = Seq("zzqalpha", "zzqbeta", "zzqgamma")
+
+  /** m18's VERSIONED MODEL PAIR, factored for reuse (s44 serves the
+    * same artifacts through its own pointer): v1 = the kmeans+vocab
+    * pipeline fit on documents ∪ the planted marker doc, v2 = the
+    * survivor refit (the session's shared fitted pipeline), both
+    * saved under the m18 root with _SUCCESS replay guards. The FITS
+    * run only when a save is actually needed — a caller entering
+    * after the artifacts landed (s44 in a sweep where m18 already
+    * ran, or any replay) pays two file stats, not two k-means fits.
+    * Returns (v1 dir, v2 dir). */
+  private[graft] def forgetModelArtifacts(s: SparkSession, d: String)
+      : (String, String) = {
+    import graft.api.{ModelPipeline, ModelStore}
     import graft.operators.DedupOps
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
-    val nDocs = docs.count().toInt
-    val markers = Seq("zzqalpha", "zzqbeta", "zzqgamma")
-    // built as an expression over range(1), not a driver-side literal —
-    // the ~100 KB text rides the cluster, never the plan
-    val planted = s.range(1).select(lit(off).as("doc_id"),
-      trim(concat(markers.map(m => repeat(lit(m + " "), nDocs)): _*))
-        .as("text"))
-    val union = docs.unionByName(planted)
-    val fm1 = graft.api.Intermediates.memo(s, s"m18-fit|$d") {
-      // the union DFM = the session's shared counts ∪ the one planted
-      // doc's counts (per-doc term counts are disjoint by doc_id), so
-      // the pre-takedown fit re-tokenizes ONE document, not the corpus
-      val unionCounts = ModelPipeline.counts(s, d).unionByName(
-        Featurize.termCounts(Featurize.docTerms(planted))).localCheckpoint()
-      ModelPipeline.fit(union, k = 15, seed = 123, vocabSize = 2000,
-        Some(unionCounts))
-    }
     val root = graft.sources.TmpDirs.artifactRoot(s, d, "m18")
     val date = java.time.LocalDate.of(2026, 1, 1)
     val d1 = ModelStore.versionedDir(s"$root/model", 15, date)
     val d2 = ModelStore.versionedDir(s"$root/model", 15, date.plusDays(1))
-    val ptr = s"$root/pointer"
-    if (!new java.io.File(s"$d1/vocab/_SUCCESS").isFile)
+    if (!new java.io.File(s"$d1/vocab/_SUCCESS").isFile) {
+      val off = DedupOps.plantOffset(DedupOps.maxIdOf(docs, "doc_id"))
+      val nDocs = docs.count().toInt
+      // built as an expression over range(1), not a driver-side
+      // literal — the ~100 KB text rides the cluster, never the plan
+      val planted = s.range(1).select(lit(off).as("doc_id"),
+        trim(concat(ForgetMarkers.map(m => repeat(lit(m + " "), nDocs)): _*))
+          .as("text"))
+      val union = docs.unionByName(planted)
+      val fm1 = graft.api.Intermediates.memo(s, s"m18-fit|$d") {
+        // the union DFM = the session's shared counts ∪ the one
+        // planted doc's counts (per-doc term counts are disjoint by
+        // doc_id), so the pre-takedown fit re-tokenizes ONE document
+        val unionCounts = ModelPipeline.counts(s, d).unionByName(
+          Featurize.termCounts(Featurize.docTerms(planted)))
+          .localCheckpoint()
+        ModelPipeline.fit(union, k = 15, seed = 123, vocabSize = 2000,
+          Some(unionCounts))
+      }
       ModelStore.save(d1, fm1.model, fm1.vocab, fm1.counts, union)
+    }
+    // ---- the takedown arrives: survivors = union ∖ {planted} = the
+    // corpus, so the refit is the session's shared fitted pipeline
+    if (!new java.io.File(s"$d2/vocab/_SUCCESS").isFile) {
+      val fm2 = ModelPipeline.fitted(s, d)
+      ModelStore.save(d2, fm2.model, fm2.vocab, fm2.counts, docs)
+    }
+    (d1, d2)
+  }
+
+  def modelForget(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{ModelStore, ServePointer}
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val markers = ForgetMarkers
+    val (d1, d2) = forgetModelArtifacts(s, d)
+    val fm2 = graft.api.ModelPipeline.fitted(s, d)
+    val root = graft.sources.TmpDirs.artifactRoot(s, d, "m18")
+    val ptr = s"$root/pointer"
     // adopt v1 only while the refit has not been adopted yet — replays
     // keep the flip (the s38 posture), so history stays [v1, v2]
     val d2n = java.nio.file.Paths.get(d2).toAbsolutePath.normalize().toString
     if (!ServePointer.current(ptr).contains(d2n))
       ServePointer.adopt(ptr, d1)
-    // ---- the takedown arrives: survivors = union ∖ {planted} = the
-    // corpus, so the refit is the session's shared fitted pipeline
-    val fm2 = ModelPipeline.fitted(s, d)
-    if (!new java.io.File(s"$d2/vocab/_SUCCESS").isFile)
-      ModelStore.save(d2, fm2.model, fm2.vocab, fm2.counts, docs)
     ServePointer.adopt(ptr, d2)
     // ---- serve through the pointer; v1 must STILL load in-window
     val served = ModelStore.load(s,
@@ -947,6 +972,45 @@ object MlQueries {
       "  CAST(1 AS BIGINT) AS prior_protected,\n" +
       "  CAST(2 AS BIGINT) AS ptr_version\n" +
       "FROM mk ORDER BY term"
+
+  /** s44's phased oracle (owned here because the vocabulary CTE
+    * generators are this object's): the m10 vectorizability rule per
+    * phase — phase 1 decides "predicted" against the UNION corpus's
+    * top-2000 vocabulary (the pre-takedown v1 model's — the planted
+    * doc itself is not in the % 10 = 3 sample, its id is a power of
+    * ten), phase 2 against the survivors' (the refit's). Plain
+    * concatenation — the embedded fragments are already
+    * margin-stripped. */
+  private[graft] val streamModelFlipSql: String =
+    "WITH u_docs AS (\n" +
+      "  SELECT doc_id, text FROM documents\n" +
+      "  UNION ALL\n" +
+      "  SELECT " +
+      graft.operators.DedupOps.plantOffsetSql("doc_id", "documents") +
+      " AS doc_id,\n" +
+      "    trim(repeat('zzqalpha ', n) || repeat('zzqbeta ', n) || " +
+      "repeat('zzqgamma ', n)) AS text\n" +
+      "  FROM (SELECT count(*)::INT AS n FROM documents)),\n" +
+      termsCteOver("u_docs", "_u") + ",\n" +
+      massVocabCteOver("_u") + ",\n" +
+      termsCte + ",\n" +
+      massVocabCte + "\n" +
+      "SELECT CAST(1 AS BIGINT) AS phase, d.doc_id,\n" +
+      "  CAST(EXISTS (SELECT 1 FROM tc_u\n" +
+      "               WHERE tc_u.doc_id = d.doc_id\n" +
+      "                 AND tc_u.term IN (SELECT term FROM vocab_u)) AS INT)\n" +
+      "    AS predicted,\n" +
+      "  1 AS in_range_ok\n" +
+      "FROM documents d WHERE d.doc_id % 10 = 3\n" +
+      "UNION ALL\n" +
+      "SELECT CAST(2 AS BIGINT) AS phase, d.doc_id,\n" +
+      "  CAST(EXISTS (SELECT 1 FROM tc\n" +
+      "               WHERE tc.doc_id = d.doc_id\n" +
+      "                 AND tc.term IN (SELECT term FROM vocab)) AS INT)\n" +
+      "    AS predicted,\n" +
+      "  1 AS in_range_ok\n" +
+      "FROM documents d WHERE d.doc_id % 10 = 3\n" +
+      "ORDER BY phase, doc_id"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_doc_term_counts", docTermCounts, Some(docTermCountsSql)),

@@ -1514,6 +1514,59 @@ object EventStreams {
       .orderBy(col("phase"), col("query_id"))
   }
 
+  /** s44 — MID-DRAIN MODEL FLIP (the live-reload symmetry completed on
+    * the LAST artifact family: s36/s38-s42 flip the four index stores
+    * and the PQ stack, s43 the tokenizer — the kmeans+vocab MODEL was
+    * the remaining pointer-addressed artifact never flipped under a
+    * live drain; composition of m18's takedown refit with s36's
+    * discipline): the m18 versioned pair — v1 the pre-takedown model
+    * (fit on documents ∪ the planted marker doc), v2 the survivor
+    * refit — sits behind s44's own [[graft.api.ServePointer]]; the
+    * m10 prediction sample streams as two identical query files; each
+    * micro-batch loads the pointer-resolved model and predicts
+    * through the FULL predict path (vocab match, OOV drop,
+    * train-corpus df/N weighting, nearest centroid); the v1→v2
+    * adoption lands at the batch-1 boundary. Phase 1's
+    * vectorizability is decided by the UNION corpus's vocabulary,
+    * phase 2's by the survivors' — the m10 closed form, phase-split
+    * (both vocabularies relational; the oracle runs the m03 top-2000
+    * rule over each corpus). A drain that caches the loaded model
+    * across batches or an adoption that tears a batch breaks a phase.
+    *
+    * The artifacts are built on the BATCH session (the fits hit the
+    * m-family's shared memos and the _SUCCESS-guarded saves are
+    * replay no-ops); the stream session only LOADS the immutable
+    * versioned dirs — per batch, one pointer read + one model load.
+    *
+    * 100 TB shape: a model rollout to a live prediction fleet is one
+    * pointer file — no stream restart, no data movement; per batch
+    * the predict is batch-tokens ⋈ broadcast vocabulary + a map-only
+    * nearest-centroid transform. */
+  def streamModelFlip(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{ModelStore, ServePointer}
+    val ss = streamSession(s)
+    val (v1, v2) = graft.ml.MlQueries.forgetModelArtifacts(s, d)
+    val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s44")
+    val docs = graft.sources.Tables.documents(ss, d)
+      .select(col("doc_id"), col("text"))
+    val sample = graft.sources.Sinks.sampleByMod(docs, "doc_id", 10, 3)
+    val k = 15
+    pointerFlipDrain(ss, root, sample, v1,
+      _ => { ServePointer.adopt(s"$root/pointer", v2); () },
+      (batch, dir) => {
+        val saved = ModelStore.load(ss, dir)
+        batch.select(col("doc_id"))
+          .join(ModelStore.predict(batch, saved)
+            .select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("cluster").isNotNull.cast("int").as("predicted"),
+            when(col("cluster").isNull ||
+              (col("cluster") >= 0 && col("cluster") < k), 1)
+              .otherwise(0).as("in_range_ok"))
+      })
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   /** s43 — TOKENIZER ADOPTION POINTER + MID-DRAIN TOKENIZER FLIP (r18
     * verdict ask #2): the merge-table artifact (t19's shipped
     * tokenizer) was the ONE versioned artifact still addressed by
@@ -2404,7 +2457,12 @@ object EventStreams {
     // s43 pointer-addresses the TOKENIZER artifact and flips it to the
     // retrained vocabulary mid-drain — s23/t22's phase-split totals
     QueryDef("s43_stream_tokenizer_flip", streamTokenizerFlip,
-      Some(graft.operators.BpeOps.tokenizerFlipPhasedSql)))
+      Some(graft.operators.BpeOps.tokenizerFlipPhasedSql)),
+    // s44 flips the kmeans+vocab MODEL to m18's survivor refit
+    // mid-drain — the m10 closed form phase-split across the two
+    // vocabularies
+    QueryDef("s44_stream_model_flip", streamModelFlip,
+      Some(graft.ml.MlQueries.streamModelFlipSql)))
 
   /** Open-session accumulator: last-seen epoch second + running counts. */
   final case class SessionState(lastSec: Long, startSec: Long, n: Long, sum: Double)
