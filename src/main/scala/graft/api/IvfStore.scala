@@ -38,9 +38,13 @@ object IvfStore {
   def versionedDir(base: String, cells: Int, date: java.time.LocalDate): String =
     s"$base/${cells}_cell_ivf_index_$date"
 
-  /** Persist quantizer + cell-assigned corpus. */
+  /** Persist quantizer + cell-assigned corpus. The quantizer goes
+    * through [[org.apache.spark.ml.clustering.GraftKMeansIO]] — exact
+    * centers, zero Spark jobs (guide §5: the constant-size model is
+    * driver work, not a distributed dataset). */
   def save(dir: String, index: IvfIndex): Unit = {
-    index.model.write.overwrite().save(s"$dir/kmeans")
+    org.apache.spark.ml.clustering.GraftKMeansIO
+      .save(s"$dir/kmeans", index.model)
     index.assigned
       .select(col("vec_id"), col("embedding"), col("features"), col("cell"))
       .write.mode("overwrite").parquet(s"$dir/assigned")
@@ -50,7 +54,8 @@ object IvfStore {
     * missing or inconsistent — serving against half an index must not
     * degrade silently to empty results. */
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val model = KMeansModel.load(s"$dir/kmeans")
+    val model =
+      org.apache.spark.ml.clustering.GraftKMeansIO.load(s"$dir/kmeans")
     val assigned = spark.read.parquet(s"$dir/assigned")
     val missing = Seq("vec_id", "embedding", "features", "cell")
       .filterNot(assigned.columns.contains)
@@ -93,7 +98,7 @@ object IvfStore {
       pq: graft.operators.EmbeddingOps.PqModel, codes: org.apache.spark.sql.DataFrame): Unit = {
     save(dir, index)
     pq.models.zipWithIndex.foreach { case (m, i) =>
-      m.write.overwrite().save(s"$dir/pq/m$i")
+      org.apache.spark.ml.clustering.GraftKMeansIO.save(s"$dir/pq/m$i", m)
     }
     val codeCols = pq.models.indices.map(i => col(s"code$i"))
     codes.select((Seq(col("vec_id"), col("cell")) ++ codeCols): _*)
@@ -359,10 +364,10 @@ object IvfStore {
     val index = load(spark, dir)
     val models = (0 until subspaces).map { i =>
       val sub = s"$dir/pq/m$i"
-      require(new java.io.File(sub).isDirectory,
+      require(new java.io.File(sub).isFile,
         s"ivf-pq store $dir is missing subspace codebook pq/m$i of " +
           s"$subspaces — refusing to serve a truncated ADC")
-      KMeansModel.load(sub)
+      org.apache.spark.ml.clustering.GraftKMeansIO.load(sub)
     }
     val codes = spark.read.parquet(s"$dir/codes")
     val missing = (Seq("vec_id", "cell") ++

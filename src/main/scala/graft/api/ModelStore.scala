@@ -60,14 +60,16 @@ object ModelStore {
     * TRAINING corpus relations the df/N statistics derive from. */
   def save(dir: String, model: KMeansModel, vocab: DataFrame,
            counts: DataFrame, docs: DataFrame): Unit = {
-    model.write.overwrite().save(s"$dir/kmeans")
+    org.apache.spark.ml.clustering.GraftKMeansIO
+      .save(s"$dir/kmeans", model)
     vocabWithStats(vocab, counts, docs)
       .write.mode("overwrite").parquet(s"$dir/vocab")
   }
 
   def load(spark: SparkSession, dir: String): Saved = {
     val vocab = spark.read.parquet(s"$dir/vocab")
-    val model = KMeansModel.load(s"$dir/kmeans")
+    val model =
+      org.apache.spark.ml.clustering.GraftKMeansIO.load(s"$dir/kmeans")
     // predict-time vectors must match the TRAINING dimensionality, which
     // can exceed the realized vocabulary (vocabSize > distinct terms) —
     // the centers carry the authoritative dimension

@@ -321,8 +321,18 @@ object DedupOps {
     * capped window, same discipline as d02/d12. */
   def minhashEstimateBound(s: SparkSession, d: String): DataFrame = {
     val (sh, sizes, inter) = windowShinglePairs(s, d)
+    // One variable-length string hash per row, then 256 fixed-width
+    // seeded re-hashes of that digest (optimization r19, guide §1.2
+    // per-task work: the previous form re-hashed the FULL shingle
+    // string once per component — 256 string traversals per row; this
+    // is the standard MinHash construction — hash the element once,
+    // derive the component family from the digest — and Spark ML's own
+    // MinHashLSH does the same. The estimator stays a seeded
+    // independent-ish family, so the Hoeffding bound the row asserts
+    // is unchanged; `est` itself is engine-specific and feeds only the
+    // est_ok flag, whose closed-form margin is astronomically safe.)
     val aggs = (0 until EstimateHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(xxhash64(lit(i), xxhash64(col("sh")))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until EstimateHashes).map(i => col(s"h$i")): _*).as("sig"))

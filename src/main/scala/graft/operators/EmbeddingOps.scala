@@ -823,13 +823,32 @@ object EmbeddingOps {
     import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / PqSubspaces
     val arr = pqTrainInput(vecs).localCheckpoint()
-    PqModel((0 until PqSubspaces).map { m =>
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(PqCodes).setSeed(42L + m)
-        .setFeaturesCol("features").setPredictionCol("code")
-        .fit(arr.select(
-          array_to_vector(slice(col("f"), m * sub + 1, sub)).as("features")))
-    })
+    // The M per-subspace fits are INDEPENDENT (disjoint slices of the
+    // one checkpointed sample, per-subspace seeds) and each is dozens
+    // of tiny driver-synchronous jobs — run them concurrently (guide
+    // §2.6: overlap independent jobs; actions are only sequential
+    // because the driver calls them sequentially). Each fit's input,
+    // seed, and combine order are unchanged (the sample is one sorted
+    // partition), so every codebook is bit-identical to the
+    // sequential fit's.
+    val fits = (0 until PqSubspaces).map { m =>
+      () =>
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(PqCodes).setSeed(42L + m)
+          .setFeaturesCol("features").setPredictionCol("code")
+          .fit(arr.select(
+            array_to_vector(slice(col("f"), m * sub + 1, sub))
+              .as("features")))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(PqSubspaces)
+    try {
+      val fs = fits.map(f => pool.submit(
+        new java.util.concurrent.Callable[
+          org.apache.spark.ml.clustering.KMeansModel] {
+          override def call() = f()
+        }))
+      PqModel(fs.map(_.get()))
+    } finally pool.shutdown()
   }
 
   /** Corpus encoding: each vector's M per-subspace nearest-centroid

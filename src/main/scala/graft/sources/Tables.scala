@@ -11,8 +11,35 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * reference reads CSVs with inferred schemas (ref 01_extract_features.R:463).
   */
 object Tables {
+  /** Per-(session, path) reader-plan memo (optimization r19, guide §6:
+    * file listing is cached per session for catalog tables — bare-path
+    * reads get no such cache, so every `spark.read.parquet` call
+    * re-lists the directory and re-reads footers for schema, one
+    * driver-side job per call, hundreds of times per sweep). The memo
+    * holds the analyzed PLAN (relation + its file index), never data:
+    * every action still scans the parquet files. The corpus dirs are
+    * immutable for a session's lifetime (the driver generates them
+    * before any engine run), which is exactly the catalog-table
+    * assumption. Sessions are weak keys so test sessions can be
+    * collected. */
+  private val readerCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readerCache
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(s"$dir/$name.parquet",
+        p => spark.read.parquet(p))
+
+  /** Invalidate every memoized reader plan. A session that REWRITES a
+    * table path it already read must refresh before re-reading —
+    * the same contract Spark's catalog imposes
+    * (`spark.catalog.refreshTable`) — otherwise the stale file index
+    * names deleted part files. Only schema-drift tests rewrite a
+    * corpus path in-session; the driver corpora are immutable. */
+  def refresh(): Unit = readerCache.clear()
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -265,13 +265,7 @@ object EventStreams {
 
   private def runToMemory(df: DataFrame, mode: String, prefix: String,
                           requireSingleBatch: Boolean = false): DataFrame = {
-    val s = df.sparkSession
-    val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
-    Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    issuedRunIds.add(q.runId)
+    val q = startToMemory(df, mode, prefix)
     q.awaitTermination()
     // the finished query's temp-checkpoint providers are orphans from
     // here on — unload before the caller's timing window closes
@@ -288,7 +282,47 @@ object EventStreams {
           "(AvailableNow split the scan) — pre-sort the source by ts for " +
           "this parity row or raise the per-trigger file/byte cap")
     }
-    s.table(name)
+    df.sparkSession.table(q.name)
+  }
+
+  /** Start one bounded drain without awaiting it (the shared half of
+    * [[runToMemory]] / [[runAllToMemory]]): counter-suffixed sink name,
+    * predecessor-sink drop, runId bookkeeping. */
+  private def startToMemory(df: DataFrame, mode: String, prefix: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = df.sparkSession
+    val name = s"${prefix}_${sinkCounter.incrementAndGet()}"
+    Option(lastSink.put(prefix, name)).foreach(s.catalog.dropTempView(_))
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    issuedRunIds.add(q.runId)
+    q
+  }
+
+  /** Drive several INDEPENDENT bounded drains to completion
+    * concurrently and return their drained tables in order (guide
+    * §2.6 — overlap independent jobs: the admission rows' gate drains
+    * read separate sources into separate sinks with no cross-drain
+    * dependency, so running them back-to-back leaves the cluster idle
+    * through every drain's bring-up and straggler tail; started
+    * together, one drain's scheduling gaps are back-filled by the
+    * others'. Results are unchanged — each drain's sink is a function
+    * of its own source only; Spark schedules concurrent jobs FIFO).
+    * Queries are started in order on the caller's thread, so sink
+    * naming and predecessor-dropping stay deterministic. */
+  private def runAllToMemory(streams: Seq[(DataFrame, String, String)])
+      : Seq[DataFrame] = {
+    val qs = streams.map { case (df, mode, prefix) =>
+      startToMemory(df, mode, prefix)
+    }
+    qs.foreach { q =>
+      q.awaitTermination()
+      unloadProvidersOf(q.runId)
+    }
+    qs.zip(streams).map { case (q, (df, _, _)) =>
+      df.sparkSession.table(q.name)
+    }
   }
 
   /** s02 — the streaming CORRECTNESS row: [[hourlyCounts]] driven to
@@ -1817,6 +1851,18 @@ object EventStreams {
     * drift. */
   private def streamDocAttribution(ss: SparkSession,
       d: String): DataFrame = {
+    val (streams, compose) = docGateStreams(ss, d)
+    compose(runAllToMemory(streams))
+  }
+
+  /** The four gate drains + their post-drain composition, factored so
+    * callers choose the drain schedule: s34 drains exactly these four,
+    * s37 appends its two vec-gate drains to the SAME concurrent batch
+    * (guide §2.6) — the gate PLANS stay the identical single
+    * definition either way. Returns (stream definitions in gate order,
+    * composition over the drained tables in that order). */
+  private def docGateStreams(ss: SparkSession, d: String)
+      : (Seq[(DataFrame, String, String)], Seq[DataFrame] => DataFrame) = {
     import graft.operators.{DedupOps, PackOps}
     import graft.functions.TextFunctions
     val docs = graft.sources.Tables.documents(ss, d)
@@ -1856,13 +1902,13 @@ object EventStreams {
       readDocuments(ss, d).select(col("doc_id"), col("text")))
 
     // gate 1 (stateless): exact flag + the universe
-    val universe = runToMemory(
+    val universeStream = (
       incoming.withColumn("th", md5(col("text").cast("binary")))
         .join(seen, Seq("th"), "left")
         .select(col("doc_id"), coalesce(col("__seen"), lit(0)).as("seen")),
       "append", "s34_universe")
     // gate 2 (stateless): verified near-dup candidates
-    val nearPairs = runToMemory(
+    val nearPairsStream = (
       DedupOps.minhashBandsRowLocal(incoming)
         .select(col("doc_id").as("in_id"), col("band"), col("bucket"))
         .join(graft.api.LshIndexStore.load(ss, lshDir)
@@ -1876,7 +1922,7 @@ object EventStreams {
     // gate 3 (complete): passage membership roll-up
     val known = graft.api.PassageIndexStore.load(ss, pasDir)
       .select(col("h")).distinct().withColumn("__known", lit(1L))
-    val pasAgg = runToMemory(
+    val pasAggStream = (
       DedupOps.passageInstancesFrom(incoming)
         .select(col("doc_id"), md5(col("passage").cast("binary")).as("h"))
         .join(known, Seq("h"), "left")
@@ -1890,7 +1936,7 @@ object EventStreams {
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks")),
         "toks", "shs", 5)
       .select(explode(col("shs")).as("sh")).distinct()
-    val contAgg = runToMemory(
+    val contAggStream = (
       TextFunctions.withNgrams(
           incoming.select(col("doc_id"),
             TextFunctions.tokens(col("text")).as("toks")),
@@ -1902,21 +1948,26 @@ object EventStreams {
       "complete", "s34_decontam")
 
     // composition: batch work over the drained sinks
-    universe
-      .join(nearPairs.select(col("in_id").as("doc_id")).distinct()
-        .withColumn("__near", lit(1)), Seq("doc_id"), "left")
-      .join(pasAgg.filter(col("nk") * 2 >= col("np"))
-        .select(col("doc_id")).withColumn("__pas", lit(1)),
-        Seq("doc_id"), "left")
-      .join(contAgg.filter(col("nh") >= PackOps.DecontamMinHits)
-        .select(col("doc_id")).withColumn("__cont", lit(1)),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("seen") === 1, "1_exact_store")
-          .when(col("__near") === 1, "2_neardup")
-          .when(col("__pas") === 1, "3_passage")
-          .when(col("__cont") === 1, "4_decontam")
-          .otherwise("admitted").as("gate"))
+    val compose = (drained: Seq[DataFrame]) => {
+      val Seq(universe, nearPairs, pasAgg, contAgg) = drained
+      universe
+        .join(nearPairs.select(col("in_id").as("doc_id")).distinct()
+          .withColumn("__near", lit(1)), Seq("doc_id"), "left")
+        .join(pasAgg.filter(col("nk") * 2 >= col("np"))
+          .select(col("doc_id")).withColumn("__pas", lit(1)),
+          Seq("doc_id"), "left")
+        .join(contAgg.filter(col("nh") >= PackOps.DecontamMinHits)
+          .select(col("doc_id")).withColumn("__cont", lit(1)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("seen") === 1, "1_exact_store")
+            .when(col("__near") === 1, "2_neardup")
+            .when(col("__pas") === 1, "3_passage")
+            .when(col("__cont") === 1, "4_decontam")
+            .otherwise("admitted").as("gate"))
+    }
+    (Seq(universeStream, nearPairsStream, pasAggStream, contAggStream),
+      compose)
   }
 
   /** s35 — STREAMING embedding admission (c09's gates on the live
@@ -1962,20 +2013,21 @@ object EventStreams {
 
     val incoming = EmbeddingOps.admissionVecBatch(
       readEmbeddings(ss, d).select(col("vec_id"), col("embedding")), off)
-    // gate 1 (stateless): hash candidates + per-row equality verify
-    val universe = runToMemory(
-      incoming.withColumn("eh", xxhash64(col("embedding")))
+    // both gates are independent drains — one concurrent batch
+    // (guide §2.6), identical plans and results
+    val Seq(universe, semHits) = runAllToMemory(Seq(
+      // gate 1 (stateless): hash candidates + per-row equality verify
+      (incoming.withColumn("eh", xxhash64(col("embedding")))
         .join(base.select(col("embedding").as("s_emb"))
           .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"), "left")
         .select(col("vec_id"),
           when(col("embedding") === col("s_emb"), 1).otherwise(0)
             .as("ex")),
-      "append", "s35_universe")
-    // gate 2 (stateless): semantic candidates vs the LOADED artifact
-    val semHits = runToMemory(
-      EmbeddingOps.semanticGateCandidates(ss, incoming,
+        "append", "s35_universe"),
+      // gate 2 (stateless): semantic candidates vs the LOADED artifact
+      (EmbeddingOps.semanticGateCandidates(ss, incoming,
         loaded.assigned, loaded.model),
-      "append", "s35_sem")
+        "append", "s35_sem")))
 
     val attributed = universe.groupBy(col("vec_id"))
       .agg(max(col("ex")).as("ex"))
@@ -2021,28 +2073,32 @@ object EventStreams {
       .select(col("vec_id"), col("embedding"))
     val (loaded, offV) = EmbeddingOps.vecAdmissionArtifact(ss, d)
     // doc side: the four streamed gates, shared with s34 verbatim
-    val docAttr = streamDocAttribution(ss, d)
-    // vec side: the pair submissions ride the SAME document stream
+    // (ONE definition — docGateStreams); vec side: the pair
+    // submissions ride the SAME document stream. All six gates are
+    // independent drains, so they run as ONE concurrent batch
+    // (guide §2.6) — plans and results identical to sequential drains.
+    val (docStreams, composeDoc) = docGateStreams(ss, d)
     val vecStream = PackOps.pairVecAssignment(
       admissionIncrement(
         readDocuments(ss, d).select(col("doc_id"), col("text")), offD)
         .select(col("doc_id")),
       baseE, offD, offV)
       .select(col("vec_id"), col("embedding"))
-    // gate 1 (stateless): hash candidates + per-row equality verify
-    val vecExact = runToMemory(
-      vecStream.withColumn("eh", xxhash64(col("embedding")))
+    val drained = runAllToMemory(docStreams ++ Seq(
+      // gate 1 (stateless): hash candidates + per-row equality verify
+      (vecStream.withColumn("eh", xxhash64(col("embedding")))
         .join(baseE.select(col("embedding").as("s_emb"))
           .withColumn("eh", xxhash64(col("s_emb"))), Seq("eh"), "left")
         .select(col("vec_id"),
           when(col("embedding") === col("s_emb"), 1).otherwise(0)
             .as("ex")),
-      "append", "s37_exact")
-    // gate 2 (stateless): semantic candidates vs the LOADED artifact
-    val vecSem = runToMemory(
-      EmbeddingOps.semanticGateCandidates(ss, vecStream,
+        "append", "s37_exact"),
+      // gate 2 (stateless): semantic candidates vs the LOADED artifact
+      (EmbeddingOps.semanticGateCandidates(ss, vecStream,
         loaded.assigned, loaded.model),
-      "append", "s37_sem")
+        "append", "s37_sem")))
+    val docAttr = composeDoc(drained.take(4))
+    val (vecExact, vecSem) = (drained(4), drained(5))
     // composition: the conjunction matrix over the drained sinks
     val vecGate = vecExact.groupBy(col("vec_id"))
       .agg(max(col("ex")).as("ex"))

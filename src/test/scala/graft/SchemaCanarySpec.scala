@@ -24,6 +24,7 @@ class SchemaCanarySpec extends SparkSpec {
         |  7L as user_id, 'click' as event_type, 1.5 as value, '{}' as props
         |""".stripMargin)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.refresh() // rewrote a path already read — catalog semantics
     val ntz = Tables.events(spark, dir)
     assert(ntz.schema("ts").dataType === TimestampType)
     // UTC session TZ: the cast is a pure relabeling of the same instant
@@ -36,6 +37,7 @@ class SchemaCanarySpec extends SparkSpec {
         |  7L as user_id, 'click' as event_type, 1.5 as value, '{}' as props
         |""".stripMargin)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.refresh()
     val nanos = Tables.events(spark, dir)
     assert(nanos.schema("ts").dataType === TimestampType)
     assert(nanos.select(unix_micros($"ts")).as[Long].head ===
@@ -47,6 +49,7 @@ class SchemaCanarySpec extends SparkSpec {
         |  7L as user_id, 'click' as event_type, 1.5 as value, '{}' as props
         |""".stripMargin)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.refresh()
     assert(Tables.events(spark, dir).schema("ts").dataType === TimestampType)
   }
 
