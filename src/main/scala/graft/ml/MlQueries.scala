@@ -449,7 +449,12 @@ object MlQueries {
     import graft.api.{ModelPipeline, ModelStore}
     val fm = ModelPipeline.fitted(s, d)
     val dir = tmpModelDir(s, d, "m10", fm.model.getK)
-    ModelStore.save(dir, fm.model, fm.vocab, fm.counts, Tables.documents(s, d))
+    // the stored model is this row's INPUT (s09 witnesses the round
+    // trip; m10 witnesses the LOADED model's predictions) — billed
+    // once per session, m18's own vocab/_SUCCESS guard
+    if (!new java.io.File(s"$dir/vocab/_SUCCESS").isFile)
+      ModelStore.save(dir, fm.model, fm.vocab, fm.counts,
+        Tables.documents(s, d))
     val saved = ModelStore.load(s, dir)
     val sample = graft.sources.Sinks
       .sampleByMod(Tables.documents(s, d), "doc_id", 10, 3)

@@ -487,12 +487,21 @@ object BpeOps {
 
   private def docPieceCounts(s: SparkSession, d: String,
       merges: Seq[MergeRow], memoTag: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(rawWords(col("text"))).as("word"))
-      .join(piecesFor(s, d, merges, memoTag), "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    // session-shared materialization (optimization r19): the corpus
+    // word-explode + pieces join + per-doc aggregation feeds t18, p13's
+    // unit of account, AND c05's datasheet columns — it re-ran per
+    // call. Keyed by the memoTag so t19's loaded-table twin keeps its
+    // own relation (the save/load-drift isolation documented above).
+    graft.api.Intermediates.memo(s, s"${memoTag}_doccounts|$d|$NMerges") {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(rawWords(col("text"))).as("word"))
+        .join(piecesFor(s, d, merges, memoTag), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_bpe_tokens"))
+        .localCheckpoint()
+    }
 
   private def withRatio(counts: DataFrame): DataFrame =
     counts

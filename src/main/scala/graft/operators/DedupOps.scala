@@ -877,11 +877,14 @@ object DedupOps {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val off = plantOffset(maxIdOf(docs, "doc_id"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
-    val pruned = prunedBandIndex(existing)
     val root = graft.sources.TmpDirs.artifactRoot(s, d, "d20")
     val dir = graft.api.LshIndexStore.versionedDir(
       root, Bands, java.time.LocalDate.ofEpochDay(0))
-    graft.api.LshIndexStore.save(dir, pruned)
+    // the stored artifact is this row's INPUT (the probe of the LOADED
+    // store is what it witnesses) — billed once per session, the same
+    // _SUCCESS guard d25/d30 already apply to their base stores
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile)
+      graft.api.LshIndexStore.save(dir, prunedBandIndex(existing))
     // r16 verdict ask #1: the serve resolves WHICH version through the
     // atomic CURRENT pointer (e27's switch, LSH family) — a stale or
     // torn pointer now breaks this row's hash, not a 3am rollout
@@ -918,8 +921,10 @@ object DedupOps {
     val root = graft.sources.TmpDirs.artifactRoot(s, d, "d21")
     val dir = graft.api.LshIndexStore.versionedDir(
       root, Bands, java.time.LocalDate.ofEpochDay(0))
-    graft.api.LshIndexStore.save(dir,
-      prunedBandIndex(existing.filter(col("doc_id") >= 400)))
+    // base store = input, billed once (d25's guard, see d20)
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile)
+      graft.api.LshIndexStore.save(dir,
+        prunedBandIndex(existing.filter(col("doc_id") >= 400)))
     val appendRoot = s"$root/append"
     graft.api.LshIndexStore.appendBatch(appendRoot,
       existing.filter(col("doc_id") < 400), 0L)
@@ -946,8 +951,10 @@ object DedupOps {
     val root = graft.sources.TmpDirs.artifactRoot(s, d, "d22")
     val baseDir = graft.api.LshIndexStore.versionedDir(
       s"$root/base", Bands, java.time.LocalDate.ofEpochDay(0))
-    graft.api.LshIndexStore.save(baseDir,
-      prunedBandIndex(existing.filter(col("doc_id") >= 400)))
+    // base store = the compactor's input, billed once (d25's guard)
+    if (!new java.io.File(s"$baseDir/_SUCCESS").isFile)
+      graft.api.LshIndexStore.save(baseDir,
+        prunedBandIndex(existing.filter(col("doc_id") >= 400)))
     val appendRoot = s"$root/append"
     graft.api.LshIndexStore.appendBatch(appendRoot,
       existing.filter(col("doc_id") < 400), 0L)
@@ -2000,7 +2007,9 @@ object DedupOps {
     val root = graft.sources.TmpDirs.artifactRoot(s, d, "d24")
     val dir = graft.api.WinnowIndexStore.versionedDir(
       root, TextOps.WinnowK, TextOps.WinnowW, java.time.LocalDate.ofEpochDay(0))
-    graft.api.WinnowIndexStore.save(dir, prunedFingerprintIndex(archive))
+    // base store = input, billed once (d28/d29's guard, see d20)
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile)
+      graft.api.WinnowIndexStore.save(dir, prunedFingerprintIndex(archive))
     // pointer-resolved serve (r16 ask #1, winnow family — see d20)
     graft.api.ServePointer.adopt(s"$root/pointer", dir)
     val served = graft.api.ServePointer.current(s"$root/pointer")

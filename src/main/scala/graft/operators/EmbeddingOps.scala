@@ -754,7 +754,11 @@ object EmbeddingOps {
     }
     val dir = graft.api.IvfStore.versionedDir(
       indexTmpBase(s, d, "e15"), cells, IndexDate)
-    graft.api.IvfStore.save(dir, index)
+    // the stored index is the append's INPUT — billed once per session
+    // (s26's guard, the same lifecycle posture); the round-trip rows
+    // e14/e17 keep their per-invocation save+load deliberately
+    if (!new java.io.File(s"$dir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(dir, index)
     val loaded = graft.api.IvfStore.load(s, dir)
     val (union, off) = DedupOps.plantedUnion(base, "vec_id")
     val increment = union.filter(col("vec_id") >= off)
@@ -1148,7 +1152,9 @@ object EmbeddingOps {
     val root = indexTmpBase(s, d, "e20")
     val baseDir = graft.api.IvfStore.versionedDir(
       s"$root/base", cells, IndexDate)
-    graft.api.IvfStore.save(baseDir, index)
+    // base store = the compactor's input, billed once (e23's guard)
+    if (!new java.io.File(s"$baseDir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(baseDir, index)
     val loaded = graft.api.IvfStore.load(s, baseDir)
     val (union, off) = DedupOps.plantedUnion(base, "vec_id")
     val inc = union.filter(col("vec_id") >= off)

@@ -220,7 +220,21 @@ object TextOps {
 
   /** (doc_id, lang_model, nb_logp, with the argmax already applied) —
     * shared by t17 and the t14 model arm. */
-  private[graft] def langModelPred(s: SparkSession, d: String): DataFrame = {
+  private[graft] def langModelPred(s: SparkSession, d: String): DataFrame =
+    // the PREDICTIONS are a session-shared materialization like the
+    // instance relation below: THREE registered rows consume them per
+    // sweep (t17, t14's model arm, c05's en_share column), and the
+    // scoring chain (two corpus-keyed aggregations + the scoring join +
+    // the per-doc argmax) re-ran on every call — the pairAttributed
+    // memo-scope discipline applied here (optimization r19)
+    graft.api.Intermediates.memo(s, s"t17_pred|$d") {
+      langModelPredBuild(s, d).localCheckpoint()
+    }
+
+  // private[graft]: PlanAuditSpec pins the BUILD's plan shape (the
+  // registered row's plan is the memoized checkpoint after r19)
+  private[graft] def langModelPredBuild(s: SparkSession, d: String)
+      : DataFrame = {
     val docs = Tables.documents(s, d)
     // the instance relation feeds FIVE subtrees (model counts, per-doc
     // counts, totals, vocab size, scoring join) — materialize it once

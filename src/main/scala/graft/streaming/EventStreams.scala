@@ -899,7 +899,9 @@ object EventStreams {
     val root = graft.sources.TmpDirs.artifactRoot(ss, d, "s26")
     val baseDir = graft.api.IvfStore.versionedDir(
       root, cells, java.time.LocalDate.ofEpochDay(0))
-    graft.api.IvfStore.save(baseDir, index)
+    // base store = the append's input, billed once (e15/d25's guard)
+    if (!new java.io.File(s"$baseDir/assigned/_SUCCESS").isFile)
+      graft.api.IvfStore.save(baseDir, index)
     val loaded = graft.api.IvfStore.load(ss, baseDir)
     val appendRoot = s"$root/append"
     val stream = readEmbeddings(ss, d)

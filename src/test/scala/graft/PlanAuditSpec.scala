@@ -388,7 +388,10 @@ class PlanAuditSpec extends SparkSpec {
     // projection (the transform(sequence, i => substr) form re-ran the
     // clean chain per element — 26s/query), and the argmax window must
     // partition by doc_id, never run global
-    val p = plan("t17_lang_model")
+    // audit the scoring BUILD: the registered row serves the memoized
+    // session-shared checkpoint (r19), so its own plan is a scan
+    val p = graft.operators.TextOps.langModelPredBuild(spark, sfTiny)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("lambdafunction"), s"t17 plans an interpreted HOF:\n$p")
     assert("windowspecdefinition\\(doc_id#\\d+L, score".r.findFirstIn(p).isDefined,
       s"t17 argmax must partition by doc_id:\n$p")
