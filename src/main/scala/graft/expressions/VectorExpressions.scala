@@ -180,8 +180,47 @@ case class ArrayQuantError(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of positions where two ARRAY<BIGINT> columns agree — the
+  * MinHash signature-agreement kernel (d14). Bit-equal to the
+  * interpreted `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otw(0)),
+  * 0, _+_)` form: zip_with pads the shorter side with nulls and the
+  * `when` then contributes 0, so both forms count equality over the
+  * overlapping prefix; higher-order functions don't participate in
+  * whole-stage codegen, this does. */
+case class ArrayLongEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int ${ev.value}_c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}_c++;
+         |}
+         |${ev.value} = ${ev.value}_c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def arrayLongEqCount(a: Column, b: Column): Column =
+    column(ArrayLongEqCount(expression(a), expression(b)))
 
   def arrayDot(a: Column, b: Column): Column =
     column(ArrayDot(expression(a), expression(b)))

@@ -343,11 +343,13 @@ object DedupOps {
       .join(sig.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("jaccard",
         col("n_inter") / (col("a_sh") + col("b_sh") - col("n_inter")))
+      // codegen'd agreement count (r19): the aggregate(zip_with(...))
+      // form is an interpreted HOF evaluated 256 elements × every
+      // window pair; the kernel is bit-equal (see ArrayLongEqCount)
       .withColumn("est",
-        aggregate(
-          zip_with(col("a_sig"), col("b_sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / EstimateHashes)
+        graft.expressions.VectorExpressions
+          .arrayLongEqCount(col("a_sig"), col("b_sig"))
+          .cast("double") / EstimateHashes)
       .select(col("a_id"), col("b_id"),
         round(col("jaccard"), 6).as("jaccard"),
         (abs(col("est") - col("jaccard")) <= 0.25).cast("int").as("est_ok"))

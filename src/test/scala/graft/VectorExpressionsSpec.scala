@@ -35,6 +35,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(slow.isNullAt(0))
   }
 
+  test("ArrayLongEqCount is bit-equal to the interpreted agreement count") {
+    val sigs = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)),
+      (Array(7L, 7L), Array(7L, 7L)),
+      (Array(-1L, 0L, Long.MaxValue), Array(-1L, 1L, Long.MaxValue)),
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(5L, 6L, 7L), Array(5L, 6L)) // ragged: pads contribute 0
+    ).toDF("a", "b")
+    val got = sigs.select(
+      graft.expressions.VectorExpressions
+        .arrayLongEqCount(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("ArrayNorm is sqrt of sequential sum of squares") {
     val got = vecs.select(arrayNorm(col("a")).as("n")).as[Double].collect()
     val want = Seq(
